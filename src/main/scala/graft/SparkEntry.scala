@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.analytics.{Dashboard, Insights}
+import graft.etl.EtlQueries
 import graft.relational.Relational
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§6.
@@ -12,7 +14,7 @@ import graft.relational.Relational
   */
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
-    Relational)
+    Relational, EtlQueries, Dashboard, Insights)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,39 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Cleaning + load primitives (reference: etl/main.py:129-207).
+  *
+  * Each is a thin declarative wrapper so Catalyst sees plain plans:
+  * dedup is a hash aggregate over the chosen keys (map-side partial),
+  * null-drop is a conjunctive IS NOT NULL filter that pushes to the
+  * scan, year parse is a codegen'd cast chain.
+  */
+object Clean {
+
+  /** drop_duplicates (main.py:132-135). Keys default to all columns. */
+  def dedup(df: DataFrame, cols: Seq[String] = Nil): DataFrame =
+    if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
+
+  /** dropna(subset=critical) (main.py:140-143). */
+  def dropNaCritical(df: DataFrame, critical: Seq[String]): DataFrame =
+    df.na.drop(critical)
+
+  /** pd.to_datetime(format='%Y') (main.py:146): year string → Jan 1 date. */
+  def parseYear(df: DataFrame, yearCol: String, out: String): DataFrame =
+    df.withColumn(out, to_date(col(yearCol), "yyyy"))
+
+  /** Load modes append / truncate / full-refresh (main.py:166-207),
+    * re-expressed as parquet sink modes. `truncate` and `full-refresh`
+    * collapse to Overwrite for a file sink.
+    */
+  def load(df: DataFrame, path: String, mode: String): Unit = {
+    val saveMode = mode match {
+      case "append" => SaveMode.Append
+      case "truncate" | "full-refresh" => SaveMode.Overwrite
+      case other => throw new IllegalArgumentException(s"unknown load mode: $other")
+    }
+    df.write.mode(saveMode).parquet(path)
+  }
+}

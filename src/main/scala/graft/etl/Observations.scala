@@ -1,0 +1,58 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The reference's `observations` table (etl/main.py:170-184: dataset,
+  * geo, indicator, time, value panel), synthesized deterministically
+  * from the warehouse tables — SURVEY §3.
+  *
+  * One observation per (region, nation, order priority, year) with
+  * value = total order price. Gives the reference's exact shape (small
+  * geo × indicator × year panel) at any SF, so every dashboard /
+  * insight / forecast operator (SURVEY §2 B, C, E) runs on it.
+  *
+  * Scale: the orders⋈customer join shuffles on the key once (AQE may
+  * demote to broadcast at small SF); nation and region are always
+  * broadcast; the groupBy aggregates map-side first. The panel output
+  * is tiny regardless of input SF — this is the classic 100 TB → KB
+  * rollup shape.
+  */
+object Observations {
+
+  def build(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderpriority"),
+        year(col("o_orderdate")).as("year"), col("o_totalprice"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(spark, dir)
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("geo"),
+        col("o_orderpriority").as("indicator"), col("year"))
+      .agg(graft.Fp.dsum2(col("o_totalprice")).as("value"),
+        count(lit(1)).as("n_obs"))
+      .withColumn("dataset_code", lit("orders"))
+  }
+
+  /** DuckDB CTE producing the identical panel — prefix for oracles. */
+  val sqlCte: String =
+    """WITH observations AS (
+      |  SELECT r_name AS region, n_name AS geo,
+      |         o_orderpriority AS indicator,
+      |         CAST(year(o_orderdate) AS INTEGER) AS year,
+      |         CAST(round(sum(CAST(o_totalprice AS DECIMAL(27,6))), 2) AS DOUBLE) AS value,
+      |         count(*) AS n_obs,
+      |         'orders' AS dataset_code
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2, 3, 4)
+      |""".stripMargin
+}

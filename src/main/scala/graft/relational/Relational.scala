@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.QueryModule
+import graft.{Fp, QueryModule}
 import graft.sources.Tables
 
 /** Core relational block (SURVEY §2 K): the day-to-day query surface a
@@ -25,12 +25,12 @@ object Relational extends QueryModule {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        Fp.dsum2(col("l_quantity")).as("sum_qty"),
+        Fp.dsum2(col("l_extendedprice")).as("sum_base_price"),
+        Fp.dsum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("sum_disc_price"),
-        round(avg("l_quantity"), 2).as("avg_qty"),
-        round(avg("l_discount"), 2).as("avg_disc"),
+        Fp.davg(col("l_quantity")).as("avg_qty"),
+        Fp.davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -53,7 +53,7 @@ object Relational extends QueryModule {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+      .agg(Fp.dsum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"))
       .select(col("l_orderkey"), col("revenue"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
@@ -105,7 +105,7 @@ object Relational extends QueryModule {
   def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+      .agg(Fp.dsum2(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n_rows"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
@@ -136,20 +136,20 @@ object Relational extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 2) AS avg_qty,
-        |  round(avg(l_discount), 2) AS avg_disc,
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${Fp.sqlSum2("l_quantity")} AS sum_qty,
+        |  ${Fp.sqlSum2("l_extendedprice")} AS sum_base_price,
+        |  ${Fp.sqlSum2("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+        |  ${Fp.sqlAvg("l_quantity")} AS avg_qty,
+        |  ${Fp.sqlAvg("l_discount")} AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_join" ->
-      """SELECT l_orderkey,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      s"""SELECT l_orderkey,
+        |  ${Fp.sqlSum2("l_extendedprice * (1.0 - l_discount)")} AS revenue,
         |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -182,8 +182,8 @@ object Relational extends QueryModule {
         |WHERE rnk <= 3
         |ORDER BY o_orderpriority, rnk""".stripMargin,
     "rollup_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${Fp.sqlSum2("l_quantity")} AS sum_qty,
         |  count(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)

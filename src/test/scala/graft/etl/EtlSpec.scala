@@ -1,0 +1,58 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EtlSpec extends SparkSpec {
+
+  test("jsonstat flatten reproduces the reference unravel semantics") {
+    val rows = EtlQueries.etlJsonstat(spark, sf).collect()
+    assert(rows.length == 10) // 12 cells, 2 sparse holes
+    val de2020 = rows.find(r =>
+      r.getAs[String]("indicator") == "GEP" && r.getAs[String]("geo") == "DE"
+        && r.getAs[String]("time") == "2020").get
+    assert(de2020.getAs[Double]("value") == 100.0)
+    assert(de2020.getAs[String]("country_name") == "Germany")
+    // hole at flat index 5 (GEP, IT, 2021) must be absent
+    assert(!rows.exists(r => r.getAs[String]("indicator") == "GEP"
+      && r.getAs[String]("geo") == "IT" && r.getAs[String]("time") == "2021"))
+  }
+
+  test("unravel coordinates invert to the flat index") {
+    val r = EtlQueries.etlUnravel(spark, sf).limit(100).collect()
+    r.foreach { row =>
+      val id = row.getAs[Long]("event_id")
+      val (d0, d1, d2) = (row.getAs[Long]("dim0"), row.getAs[Long]("dim1"),
+        row.getAs[Long]("dim2"))
+      assert((d0 * 1000 + d1 * 50 + d2) == id % 5000)
+    }
+  }
+
+  test("dedup removes duplicates; dropna removes synthesized nulls") {
+    val dd = EtlQueries.etlDedup(spark, sf)
+    assert(dd.count() == dd.dropDuplicates().count())
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val zeros = li.filter(col("l_discount") === 0.0).count()
+    val kept = EtlQueries.etlDropna(spark, sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(kept == li.count() - zeros)
+  }
+
+  test("load modes: overwrite resets, append accumulates") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spec").toString + "/t"
+    val df = graft.sources.Tables.region(spark, sf)
+    Clean.load(df, tmp, "full-refresh")
+    Clean.load(df, tmp, "append")
+    assert(spark.read.parquet(tmp).count() == 2 * df.count())
+    Clean.load(df, tmp, "truncate")
+    assert(spark.read.parquet(tmp).count() == df.count())
+    intercept[IllegalArgumentException](Clean.load(df, tmp, "bogus"))
+  }
+
+  test("observations panel is unique per (geo, indicator, year)") {
+    val o = Observations.build(spark, sf)
+    assert(o.count() == o.select("geo", "indicator", "year").distinct().count())
+    assert(o.filter(col("value") <= 0).count() == 0)
+  }
+}
