@@ -55,6 +55,10 @@ def main():
             print(f"FAIL {name}: {e}")
             failed.append(name)
             continue
+        for col in set(exp.columns) & set(got.columns):
+            de, dg = str(exp[col].dtype), str(got[col].dtype)
+            if de != dg:
+                print(f"  dtype {name}.{col}: oracle={de} spark={dg}")
         if list(exp.columns) != list(got.columns):
             print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
             failed.append(name)

@@ -3,8 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{Dashboard, Insights}
+import graft.dedup.DedupQueries
 import graft.etl.EtlQueries
 import graft.relational.Relational
+import graft.sim.SimQueries
+import graft.text.TextQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§6.
   *
@@ -14,7 +17,8 @@ import graft.relational.Relational
   */
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
-    Relational, EtlQueries, Dashboard, Insights)
+    Relational, EtlQueries, Dashboard, Insights,
+    TextQueries, DedupQueries, SimQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

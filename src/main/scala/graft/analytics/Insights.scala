@@ -98,7 +98,7 @@ object Insights extends QueryModule {
       |    arg_min(value, year) AS start_value,
       |    arg_max(value, year) AS end_value,
       |    count(*) AS n_points,
-      |    greatest(max(year) - min(year), 1) AS n_years,
+      |    CAST(greatest(max(year) - min(year), 1) AS INTEGER) AS n_years,
       |    (arg_max(value, year) - arg_min(value, year))
       |          / greatest(max(year) - min(year), 1) AS slope_per_year,
       |    CASE WHEN arg_min(value, year) <> 0.0

@@ -1,0 +1,164 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family (SURVEY §2 F) — the LLM-training-data ops.
+  *
+  * Cross-engine hash: the 32-bit value `conv(md5(s)[0:8], 16, 10)` —
+  * md5 hex is identical everywhere, so Spark and the DuckDB oracle
+  * derive identical integers. MinHash permutations are
+  * `(a_k·x + b_k) mod p` with LCG-derived constants, all arithmetic
+  * within long range.
+  *
+  * Shape: fully relational — explode shingles/tokens to rows, hash
+  * once per row, then hash-aggregate. (A first cut computed signatures
+  * with nested array higher-order functions; Catalyst's
+  * CollapseProject inlines the lowered text into every lambda
+  * evaluation, turning it O(len·shingles·hashes) per doc. Explodes
+  * and aggregations are optimizer barriers, so each value is computed
+  * exactly once — and per-row hashing is also the shape that scales:
+  * map-side partial aggregation compresses (doc, k) minima before the
+  * shuffle.)
+  *
+  * Candidate generation always goes through bucket keys (LSH bands /
+  * simhash bands): the only join is co-partitioned on the bucket key —
+  * never an O(n²) cross join. Exact verification (Jaccard, hamming)
+  * runs only inside candidate pairs.
+  */
+object Dedup {
+
+  val P = 1000000007L
+  val NumHashes = 32
+  val Rows = 4 // minhashes per band
+  val Bands: Int = NumHashes / Rows // 8
+
+  /** One row per (doc_id, distinct char-5-gram). */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), lower(col(textCol)).as("txt"))
+      .filter(length(col("txt")) >= 5)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(txt) - 4)")).as("i"), col("txt"))
+      .select(col("doc_id"), expr("substring(txt, i, 5)").as("g"))
+      .distinct()
+
+  /** The shared 32-bit md5-prefix hash. */
+  def hash32(c: String): org.apache.spark.sql.Column =
+    expr(s"cast(conv(substring(md5($c), 1, 8), 16, 10) as bigint)")
+
+  /** The k MinHash permutation parameters as a broadcastable table. */
+  def hashParams(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until NumHashes).map { k =>
+      (k.toLong,
+        (1103515245L * (k + 1) + 12345L) % P,
+        (1103515245L * (k + 101) + 12345L) % P)
+    }.toDF("k", "a", "b")
+  }
+
+  /** F2 — MinHash signatures + banded LSH buckets, one row per
+    * (doc, band). shingles → hash/row → ⨯32 params (broadcast) →
+    * two hash aggregates. Map-side combine shrinks each step.
+    */
+  def minhashBuckets(sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
+    val xs = sh.select(col("doc_id"), (hash32("g") % P).as("x"))
+    xs.crossJoin(broadcast(hashParams(spark)))
+      .groupBy("doc_id", "k")
+      .agg(min(expr(s"(a * x + b) % $P")).as("m"))
+      .groupBy(col("doc_id"), (col("k") / Rows).cast("int").as("band"))
+      .agg(sum(expr(s"m * cast(pow(31, k % $Rows) as bigint)")).as("bucket"))
+      .select("doc_id", "band", "bucket")
+  }
+
+  /** Candidate pairs from any (doc_id, band, bucket) table: a
+    * self-join co-partitioned on the bucket key.
+    */
+  def bucketPairs(buckets: DataFrame): DataFrame = {
+    val a = buckets.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val b = buckets.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard for candidate pairs via shingle-row joins. */
+  def jaccardVerify(pairs: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** F3 — 32-bit SimHash over distinct whitespace tokens:
+    * tokens → hash/row → ⨯32 bit positions → majority vote per bit →
+    * weighted sum. Three hash aggregates, all map-side combinable.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("w"))
+      .distinct()
+    words.select(col("doc_id"), hash32("w").as("h"))
+      .select(col("doc_id"), col("h"),
+        explode(expr("sequence(0, 31)")).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(expr("cast((shiftright(h, b) & 1) = 1 as int)")).as("pos"),
+        count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum(expr(
+        "IF(2 * pos > n, shiftleft(cast(1 as bigint), b), cast(0 as bigint))"))
+        .as("simhash"))
+  }
+
+  /** SimHash band buckets: 4 bands × 8 bits. */
+  def simhashBuckets(sims: DataFrame): DataFrame =
+    sims.select(col("doc_id"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bucket", expr("shiftright(simhash, cast(band * 8 as int)) & 255"))
+      .select("doc_id", "band", "bucket")
+
+  /** F3 verify — hamming distance on candidate pairs. */
+  def hammingVerify(pairs: DataFrame, sims: DataFrame, maxDist: Int): DataFrame = {
+    val a = sims.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = sims.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("hamming", bit_count(expr("sim_a ^ sim_b")))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** F4 — exact word-trigram Jaccard pairs via a token join (the
+    * LSH-free exact variant; at 100 TB this runs within LSH buckets).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      tau: Double): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(expr(
+          """array_distinct(transform(sequence(1, size(ws) - 2), i ->
+            |  concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+            |            element_at(ws, i + 2))))""".stripMargin)).as("g"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = grams.select(col("doc_id").as("doc_a"), col("g"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("g")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+}

@@ -1,0 +1,180 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryModule
+import graft.sim.Vectors
+import graft.sources.Tables
+
+/** SURVEY §2 F — dedup family as driver queries. */
+object DedupQueries extends QueryModule {
+
+  /** F1 — exact dedup by content hash. The corpus has no exact dups,
+    * so duplicates are synthesized by unioning a shifted copy; the
+    * keeper is min(doc_id) per hash group (map-side combinable).
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val doubled = d.union(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    doubled.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select("keeper_id", "n_copies")
+      .orderBy("keeper_id")
+  }
+
+  /** F2 — MinHash + banded LSH candidates, exact-Jaccard verified. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleRows(Tables.documents(spark, dir), "doc_id", "text")
+    val pairs = Dedup.bucketPairs(Dedup.minhashBuckets(sh))
+    Dedup.jaccardVerify(pairs, sh, 0.5).orderBy("doc_a", "doc_b")
+  }
+
+  /** F3 — SimHash banding + hamming verification. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sims = Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
+    val pairs = Dedup.bucketPairs(Dedup.simhashBuckets(sims))
+    Dedup.hammingVerify(pairs, sims, 6).orderBy("doc_a", "doc_b")
+  }
+
+  /** F4 — exact word-trigram Jaccard pairs. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text", 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  /** F5 — embedding cosine near-duplicate pairs (brute verify; the
+    * LSH-bucketed scale path is `knn_lsh`).
+    */
+  def embeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), Vectors.normSq("embedding").as("nsq"))
+    // nested-loop join parallelism = left-side partitions; a single
+    // parquet footer would otherwise pin all pairs to one core
+    val a = e.repartition(16)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nsq").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nsq").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        Vectors.cosineFrom(Vectors.dot("ea", "eb"), col("na"), col("nb")))
+      .filter(col("cosine") >= 0.45)
+      .select("vec_a", "vec_b", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  override def queries: Map[String, Q] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "embedding_neardup" -> (embeddingNeardup _))
+
+  private val P = Dedup.P
+
+  /** Shared shingle CTE (char 5-grams, distinct). */
+  private val shCte =
+    """WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents
+      |           WHERE length(text) >= 5),
+      |sh AS (SELECT DISTINCT doc_id, substr(txt, CAST(i AS INT), 5) AS g
+      |       FROM t, UNNEST(range(1, length(txt) - 3)) u(i))
+      |""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT keeper_id, n_copies FROM (
+        |  SELECT md5(text) AS h, min(doc_id) AS keeper_id,
+        |         count(*) AS n_copies
+        |  FROM (SELECT doc_id, text FROM documents
+        |        UNION ALL SELECT doc_id + 10000, text FROM documents)
+        |  GROUP BY md5(text))
+        |ORDER BY keeper_id""".stripMargin,
+    "dedup_minhash" -> (shCte.stripSuffix("\n") + s""",
+        |xs AS (SELECT doc_id, g,
+        |         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % $P AS x FROM sh),
+        |params AS (SELECT CAST(k AS BIGINT) AS k,
+        |         (1103515245 * (k + 1) + 12345) % $P AS a,
+        |         (1103515245 * (k + 101) + 12345) % $P AS b
+        |       FROM (SELECT unnest(range(0, ${Dedup.NumHashes})) AS k)),
+        |mh AS (SELECT doc_id, k, min((a * x + b) % $P) AS m
+        |       FROM xs, params GROUP BY doc_id, k),
+        |buckets AS (SELECT doc_id, k // ${Dedup.Rows} AS band,
+        |         CAST(sum(m * CAST(pow(31, k % ${Dedup.Rows}) AS BIGINT)) AS BIGINT) AS bucket
+        |       FROM mh GROUP BY doc_id, band),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM buckets a JOIN buckets b
+        |         ON a.band = b.band AND a.bucket = b.bucket
+        |            AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+        |       FROM cand c
+        |       JOIN sh s1 ON s1.doc_id = c.doc_a
+        |       JOIN sh s2 ON s2.doc_id = c.doc_b AND s1.g = s2.g
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |           JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents),
+        |words AS (SELECT DISTINCT doc_id, w
+        |       FROM t, UNNEST(string_split(txt, ' ')) u(w)),
+        |th AS (SELECT doc_id,
+        |         CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM words),
+        |bits AS (SELECT doc_id, b,
+        |         count(*) FILTER (((h >> CAST(b AS INT)) & 1) = 1) AS pos,
+        |         count(*) AS n
+        |       FROM th, UNNEST(range(0, 32)) u(b) GROUP BY doc_id, b),
+        |sim AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN 2 * pos > n
+        |             THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        |       FROM bits GROUP BY doc_id),
+        |bands AS (SELECT doc_id, simhash, band,
+        |         (simhash >> CAST(band * 8 AS INT)) & 255 AS bucket
+        |       FROM sim, UNNEST(range(0, 4)) u(band)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+        |         b.doc_id AS doc_b, b.simhash AS sim_b
+        |       FROM bands a JOIN bands b
+        |         ON a.band = b.band AND a.bucket = b.bucket
+        |            AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |           FROM documents),
+        |grams AS (SELECT DISTINCT doc_id,
+        |         ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)]
+        |           || ' ' || ws[CAST(i + 2 AS INT)] AS g
+        |       FROM t, UNNEST(range(1, len(ws) - 1)) u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |       FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |           JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "embedding_neardup" ->
+      """WITH comp AS (SELECT vec_id, CAST(i AS INT) AS i,
+        |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+        |       FROM embeddings, UNNEST(range(1, 65)) u(i)),
+        |norms AS (SELECT vec_id,
+        |         CAST(sum(CAST(v * v AS DECIMAL(24,12))) AS DOUBLE) AS nsq
+        |       FROM comp GROUP BY vec_id),
+        |dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
+        |       FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+        |       GROUP BY 1, 2)
+        |SELECT vec_a, vec_b,
+        |  dot / (sqrt(na.nsq) * sqrt(nb.nsq)) AS cosine
+        |FROM dots JOIN norms na ON vec_a = na.vec_id
+        |          JOIN norms nb ON vec_b = nb.vec_id
+        |WHERE dot / (sqrt(na.nsq) * sqrt(nb.nsq)) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin)
+}

@@ -102,7 +102,8 @@ object EtlQueries extends QueryModule {
         |  event_id % 50 AS dim2
         |FROM events ORDER BY event_id""".stripMargin,
     "etl_jsonstat" ->
-      """SELECT * FROM (VALUES
+      """SELECT indicator, geo, country_name, time, CAST(value AS DOUBLE) AS value
+        |FROM (VALUES
         |  ('GEP',  'DE', 'Germany', '2020', 100.0),
         |  ('GEP',  'DE', 'Germany', '2021', 101.0),
         |  ('GEP',  'FR', 'France',  '2020', 102.0),

@@ -173,7 +173,7 @@ object Relational extends QueryModule {
         |                    AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
     "q_window_rank" ->
-      """SELECT o_orderpriority, rnk, o_orderkey, totalprice FROM (
+      """SELECT o_orderpriority, CAST(rnk AS INTEGER) AS rnk, o_orderkey, totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey,
         |    round(o_totalprice, 2) AS totalprice,
         |    row_number() OVER (PARTITION BY o_orderpriority

@@ -1,0 +1,70 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search (SURVEY §2 G1/G2): brute-force and LSH-bucketed
+  * top-k cosine over an `array<float>` embedding column.
+  *
+  * Scale design: brute force broadcasts the (small) query set against
+  * the corpus — a map-only scan, no shuffle, TakeOrdered per query.
+  * The LSH path computes an 8-bit random-hyperplane signature per
+  * vector (one projection) and joins query↔corpus on the bucket key,
+  * so the candidate join is co-partitioned and prunes ~255/256 of the
+  * corpus per query at 100 TB; exact re-ranking runs only in-bucket.
+  * Hyperplanes come from an LCG keyed by (plane, dim) — deterministic,
+  * no stored model, reproducible in any engine.
+  */
+object Knn {
+
+  /** Random-hyperplane signature bucket (8 planes → 8-bit bucket). */
+  def lshBucket(embCol: String): org.apache.spark.sql.Column = expr(
+    s"""aggregate(sequence(0, 7), cast(0 as bigint), (acc, h) ->
+       |  acc + IF(
+       |    cast(aggregate(sequence(0, 63), cast(0 as decimal(24,12)), (pacc, d) ->
+       |      cast(pacc + cast(cast(element_at($embCol, d + 1) as double)
+       |        * ((cast((1103515245L * (h * 64 + d) + 12345L) % 2147483647L as double)
+       |            / 2147483647.0) - 0.5)
+       |        as decimal(24,12)) as decimal(24,12))) as double) > 0,
+       |    shiftleft(cast(1 as bigint), h), cast(0 as bigint)))""".stripMargin)
+
+  private def withCosine(pairs: DataFrame): DataFrame =
+    pairs.withColumn("cosine",
+      Vectors.cosineFrom(Vectors.dot("eq", "ec"), col("nq"), col("nc")))
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  /** G1 — exact top-k: broadcast queries × corpus scan. */
+  def bruteForce(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      Vectors.normSq("embedding").as("nsq"))
+    val q = e.filter(queryPred).select(col("vec_id").as("query_id"),
+      col("embedding").as("eq"), col("nsq").as("nq"))
+    val c = e.filter(!queryPred).select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ec"), col("nsq").as("nc"))
+    topK(withCosine(c.crossJoin(broadcast(q))), k)
+  }
+
+  /** G2 — LSH-bucketed approximate top-k: candidates share the
+    * signature bucket; exact cosine re-rank in bucket.
+    */
+  def lsh(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      Vectors.normSq("embedding").as("nsq"),
+      lshBucket("embedding").as("bucket"))
+    val q = e.filter(queryPred).select(col("vec_id").as("query_id"),
+      col("embedding").as("eq"), col("nsq").as("nq"), col("bucket"))
+    val c = e.filter(!queryPred).select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ec"), col("nsq").as("nc"), col("bucket"))
+    topK(withCosine(c.join(broadcast(q), "bucket")), k)
+  }
+}

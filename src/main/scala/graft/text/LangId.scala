@@ -1,0 +1,53 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Character-trigram language identification (SURVEY §2 H1).
+  *
+  * Classic n-gram profile method: build a top-K trigram profile per
+  * language from a labeled corpus, score unlabeled docs by profile
+  * overlap, take the argmax. Everything is exploded-relational —
+  * explode → hash aggregate → broadcast-join — so the profile build is
+  * one shuffle over (lang, gram) and classification is a broadcast
+  * join of a K×#langs profile against the corpus, which scales to any
+  * corpus size with no per-doc driver work.
+  */
+object LangId {
+
+  /** One row per (docCols..., trigram occurrence). */
+  def trigrams(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("_txt", lower(col(textCol)))
+      .filter(length(col("_txt")) >= 3)
+      .select(df.columns.map(col) :+
+        explode(expr("transform(sequence(1, length(_txt) - 2), i -> substring(_txt, i, 3))"))
+          .as("g"): _*)
+
+  /** Top-K trigrams per language, deterministic tiebreak. */
+  def profiles(labeled: DataFrame, textCol: String, langCol: String,
+      topK: Int = 50): DataFrame = {
+    val g = trigrams(labeled, textCol)
+    val counts = g.groupBy(col(langCol).as("p_lang"), col("g")).count()
+    val w = Window.partitionBy("p_lang").orderBy(desc("count"), asc("g"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select("p_lang", "g")
+  }
+
+  /** Predicted language per doc: argmax profile overlap (distinct
+    * doc trigrams ∩ profile), ties broken by language code.
+    */
+  def classify(docs: DataFrame, profile: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val docGrams = trigrams(docs.select(idCol, textCol), textCol)
+      .select(col(idCol), col("g")).distinct()
+    val scores = docGrams.join(broadcast(profile), "g")
+      .groupBy(col(idCol), col("p_lang"))
+      .agg(count(lit(1)).as("overlap"))
+    val w = Window.partitionBy(idCol).orderBy(desc("overlap"), asc("p_lang"))
+    scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("p_lang").as("pred_lang"), col("overlap"))
+  }
+}

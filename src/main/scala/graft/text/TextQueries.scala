@@ -1,0 +1,123 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryModule
+import graft.sources.Tables
+
+/** SURVEY §2 H — text analysis block as driver queries. */
+object TextQueries extends QueryModule {
+
+  /** H1 — trigram-profile language ID over documents. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val profile = LangId.profiles(docs.select("lang", "text"), "text", "lang")
+    LangId.classify(docs, profile, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** H2 — quality metrics per document. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    Analysis.quality(Tables.documents(spark, dir).select("doc_id", "text"), "text")
+      .select("doc_id", "n_chars_m", "n_tokens", "stopword_ratio",
+        "punct_ratio", "digit_ratio", "avg_word_len")
+      .orderBy("doc_id")
+  }
+
+  /** H3 — token counts per document. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    Analysis.tokenCounts(Tables.documents(spark, dir).select("doc_id", "text"), "text")
+      .select("doc_id", "ws_tokens", "bpe_ish_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** H4 — winnowing fingerprints, aggregated per doc for a compact
+    * deterministic result (count + min + max fingerprint).
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    Fingerprint.fingerprints(
+      Tables.documents(spark, dir).select("doc_id", "text"), "doc_id", "text")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"), min("fingerprint").as("min_fp"),
+        max("fingerprint").as("max_fp"))
+      .orderBy("doc_id")
+  }
+
+  override def queries: Map[String, Q] = Map(
+    "lang_id" -> (langId _),
+    "text_quality" -> (textQuality _),
+    "token_count" -> (tokenCount _),
+    "doc_fingerprint" -> (docFingerprint _))
+
+  override def oracles: Map[String, String] = Map(
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, lower(text) AS txt FROM documents
+        |           WHERE length(text) >= 3),
+        |grams AS (
+        |  SELECT doc_id, lang, substr(txt, CAST(i AS INT), 3) AS g
+        |  FROM t, UNNEST(range(1, length(txt) - 1)) AS u(i)),
+        |profile AS (
+        |  SELECT p_lang, g FROM (
+        |    SELECT lang AS p_lang, g,
+        |      row_number() OVER (PARTITION BY lang
+        |                         ORDER BY count(*) DESC, g ASC) AS rn
+        |    FROM grams GROUP BY lang, g) WHERE rn <= 50),
+        |docg AS (SELECT DISTINCT doc_id, g FROM grams),
+        |scores AS (
+        |  SELECT d.doc_id, p.p_lang, count(*) AS overlap
+        |  FROM docg d JOIN profile p ON d.g = p.g
+        |  GROUP BY d.doc_id, p.p_lang),
+        |pred AS (
+        |  SELECT doc_id, p_lang AS pred_lang, overlap,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY overlap DESC, p_lang ASC) AS rn
+        |  FROM scores)
+        |SELECT doc_id, pred_lang, overlap FROM pred WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(t) AS INTEGER) AS n_chars_m,
+        |  CAST(len(string_split(t, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_filter(string_split(t, ' '),
+        |    x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |    / len(string_split(t, ' ')) AS stopword_ratio,
+        |  CAST(length(t) - length(regexp_replace(t, '[.,!?;:'']', '', 'g')) AS DOUBLE)
+        |    / length(t) AS punct_ratio,
+        |  CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS DOUBLE)
+        |    / length(t) AS digit_ratio,
+        |  CAST(length(t) - (len(string_split(t, ' ')) - 1) AS DOUBLE)
+        |    / len(string_split(t, ' ')) AS avg_word_len
+        |FROM (SELECT doc_id, lower(text) AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(t, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(t, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_ish_tokens
+        |FROM (SELECT doc_id, lower(text) AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents
+        |            WHERE length(text) >= ${Fingerprint.K + Fingerprint.W - 1}),
+        |kh AS (
+        |  SELECT doc_id, i,
+        |    CAST(sum(ascii(substr(txt, CAST(i + j AS INT), 1))
+        |        * CAST(pow(31, ${Fingerprint.K - 1} - j) AS BIGINT)) AS BIGINT) AS khash
+        |  FROM t,
+        |    UNNEST(range(1, length(txt) - ${Fingerprint.K - 2})) AS u(i),
+        |    UNNEST(range(0, ${Fingerprint.K})) AS v(j)
+        |  GROUP BY doc_id, i),
+        |mins AS (
+        |  SELECT doc_id, i,
+        |    min(khash) OVER (PARTITION BY doc_id ORDER BY i
+        |                     ROWS BETWEEN CURRENT ROW
+        |                     AND ${Fingerprint.W - 1} FOLLOWING) AS wmin,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_k
+        |  FROM kh),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, wmin FROM mins
+        |  WHERE i <= n_k - ${Fingerprint.W - 1})
+        |SELECT doc_id, count(*) AS n_fps, min(wmin) AS min_fp,
+        |  max(wmin) AS max_fp
+        |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,62 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  test("dedup_exact collapses the doubled corpus to one keeper per text") {
+    val rows = DedupQueries.dedupExact(spark, sf).collect()
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length == n)
+    assert(rows.forall(_.getAs[Long]("n_copies") == 2))
+    assert(rows.forall(_.getAs[Long]("keeper_id") < 10000))
+  }
+
+  test("minhash LSH finds the planted near-duplicates, all above tau") {
+    val pairs = DedupQueries.dedupMinhash(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+    // high-similarity pairs (J >= 0.9) are recalled with near-certainty
+    val sh = Dedup.shingleRows(
+      graft.sources.Tables.documents(spark, sf), "doc_id", "text")
+    val all = sh.select(col("doc_id").as("doc_a"), col("g"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val strong = all
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(col("i").cast("double") / (col("na") + col("nb") - col("i")) >= 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = pairs.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(strong.subsetOf(found), s"missed: ${strong -- found}")
+  }
+
+  test("simhash pairs are all within the hamming bound") {
+    val pairs = DedupQueries.dedupSimhash(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 6))
+  }
+
+  test("ngram jaccard pairs are symmetric-free and above tau") {
+    val pairs = DedupQueries.dedupNgramJaccard(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("embedding near-dup cosines are in valid range") {
+    val pairs = DedupQueries.embeddingNeardup(spark, sf).collect()
+    pairs.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c >= 0.45 && c <= 1.0 + 1e-9)
+    }
+  }
+}
