@@ -6,8 +6,9 @@ import graft.analytics.{Dashboard, Insights}
 import graft.dedup.DedupQueries
 import graft.etl.EtlQueries
 import graft.relational.Relational
+import graft.forecast.ForecastQueries
 import graft.sim.SimQueries
-import graft.text.TextQueries
+import graft.text.{RagQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§6.
   *
@@ -18,7 +19,7 @@ import graft.text.TextQueries
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational, EtlQueries, Dashboard, Insights,
-    TextQueries, DedupQueries, SimQueries)
+    TextQueries, DedupQueries, SimQueries, RagQueries, ForecastQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

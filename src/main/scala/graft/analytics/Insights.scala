@@ -91,7 +91,8 @@ object Insights extends QueryModule {
     "fastest_rising" -> (fastestRising _),
     "trend_classify" -> (trendClassify _))
 
-  private val cte = Observations.sqlCte +
+  /** Shared CTE chain ending in `labeled` (trend stats + label). */
+  val labeledCte: String = Observations.sqlCte +
     """, trend AS (
       |  SELECT geo, indicator,
       |    min(year) AS start_year, max(year) AS end_year,
@@ -113,22 +114,22 @@ object Insights extends QueryModule {
       |""".stripMargin
 
   override def oracles: Map[String, String] = Map(
-    "insights_trend" -> (cte +
+    "insights_trend" -> (labeledCte +
       """SELECT geo, indicator, start_year, end_year, start_value, end_value,
         |  n_years, slope_per_year, growth_pct, trend_label
         |FROM labeled ORDER BY geo, indicator""".stripMargin),
-    "insight_text" -> (cte +
+    "insight_text" -> (labeledCte +
       """SELECT geo, indicator,
         |  printf('For %s, the indicator ''%s'' changed from %.2f in %d to %.2f in %d. Overall trend: %s.',
         |         geo, indicator, start_value, start_year, end_value, end_year,
         |         trend_label) AS insight_text
         |FROM labeled ORDER BY geo, indicator""".stripMargin),
-    "fastest_rising" -> (cte +
+    "fastest_rising" -> (labeledCte +
       """SELECT geo, indicator, start_year, end_year, start_value, end_value,
         |  slope_per_year
         |FROM labeled WHERE indicator = '1-URGENT'
         |ORDER BY slope_per_year DESC, geo ASC LIMIT 1""".stripMargin),
-    "trend_classify" -> (cte +
+    "trend_classify" -> (labeledCte +
       """SELECT trend_label, count(*) AS n FROM labeled
         |GROUP BY trend_label ORDER BY trend_label""".stripMargin))
 }

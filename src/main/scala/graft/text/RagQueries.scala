@@ -1,0 +1,100 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryModule
+import graft.analytics.Insights
+import graft.sources.Tables
+
+/** SURVEY §2 D — TF-IDF retrieval / semantic search as driver
+  * queries (reference: llm_app/rag_engine.py).
+  */
+object RagQueries extends QueryModule {
+
+  val question = "spark table join fast"
+
+  /** D1 — tf-idf weighted postings over the documents corpus. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val p = Tfidf.postings(docs, "doc_id", "text")
+    val i = Tfidf.idf(p, docs.count())
+    Tfidf.weights(p, i)
+      .select(col("id").as("doc_id"), col("term"), col("w"))
+      .orderBy("doc_id", "term")
+  }
+
+  /** D2 — cosine top-5 documents for a query string. */
+  def cosineTopkDocs(spark: SparkSession, dir: String): DataFrame =
+    Tfidf.searchTopK(spark, Tables.documents(spark, dir), "doc_id", "text",
+        question, 5)
+      .select(col("id").as("doc_id"), col("cosine"))
+
+  /** D3 — the reference's semantic_search: top-5 insight texts for a
+    * natural-language question, over the C2 insight corpus.
+    */
+  def semanticSearch(spark: SparkSession, dir: String): DataFrame = {
+    val insights = Insights.insightText(spark, dir)
+      .select(concat_ws("|", col("geo"), col("indicator")).as("key"),
+        col("insight_text"))
+    Tfidf.searchTopK(spark, insights, "key", "insight_text",
+        "which country trend rising fastest", 5)
+      .select(col("id").as("insight_key"), col("cosine"))
+  }
+
+  override def queries: Map[String, Q] = Map(
+    "tfidf" -> (tfidf _),
+    "cosine_topk_docs" -> (cosineTopkDocs _),
+    "semantic_search" -> (semanticSearch _))
+
+  /** Postings + smooth-idf CTEs over an arbitrary corpus CTE named
+    * `corpus(id, txt)`.
+    */
+  private def tfidfCtes(corpusName: String): String =
+    s"""p AS (SELECT id, term, count(*) AS tf
+       |     FROM (SELECT id, unnest(string_split_regex(lower(txt), '[^a-z0-9]+')) AS term
+       |           FROM $corpusName)
+       |     WHERE length(term) > 0 GROUP BY 1, 2),
+       |i AS (SELECT term, count(DISTINCT id) AS df,
+       |     CAST(CAST(ln((1.0 + (SELECT count(*) FROM $corpusName))
+       |                  / (1.0 + count(DISTINCT id))) + 1.0
+       |          AS DECIMAL(18,9)) AS DOUBLE) AS idf
+       |     FROM p GROUP BY term),
+       |w AS (SELECT p.id, p.term, p.tf * i.idf AS w
+       |     FROM p JOIN i ON p.term = i.term)""".stripMargin
+
+  private def searchSql(queryText: String, outIdCol: String): String =
+    s"""nrm AS (SELECT id, CAST(sum(CAST(w * w AS DECIMAL(24,12))) AS DOUBLE) AS nsq
+       |     FROM w GROUP BY id),
+       |qp AS (SELECT term, count(*) AS tf
+       |     FROM (SELECT unnest(string_split_regex(lower('$queryText'), '[^a-z0-9]+')) AS term)
+       |     WHERE length(term) > 0 GROUP BY 1),
+       |qw AS (SELECT qp.term, qp.tf * i.idf AS qw FROM qp JOIN i ON qp.term = i.term),
+       |qn AS (SELECT CAST(sum(CAST(qw * qw AS DECIMAL(24,12))) AS DOUBLE) AS qnsq
+       |     FROM qw),
+       |dots AS (SELECT w.id, CAST(sum(CAST(w.w * qw.qw AS DECIMAL(24,12))) AS DOUBLE) AS dot
+       |     FROM w JOIN qw ON w.term = qw.term GROUP BY 1)
+       |SELECT dots.id AS $outIdCol, dot / (sqrt(nrm.nsq) * sqrt(qn.qnsq)) AS cosine
+       |FROM dots JOIN nrm ON dots.id = nrm.id CROSS JOIN qn
+       |ORDER BY cosine DESC, dots.id ASC LIMIT 5""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "tfidf" ->
+      s"""WITH corpus AS (SELECT doc_id AS id, text AS txt FROM documents),
+        |${tfidfCtes("corpus")}
+        |SELECT id AS doc_id, term, w FROM w ORDER BY doc_id, term""".stripMargin,
+    "cosine_topk_docs" ->
+      s"""WITH corpus AS (SELECT doc_id AS id, text AS txt FROM documents),
+        |${tfidfCtes("corpus")},
+        |${searchSql(question, "doc_id")}""".stripMargin,
+    "semantic_search" -> (Insights.labeledCte +
+      s""", corpus AS (
+        |  SELECT geo || '|' || indicator AS id,
+        |    printf('For %s, the indicator ''%s'' changed from %.2f in %d to %.2f in %d. Overall trend: %s.',
+        |           geo, indicator, start_value, start_year, end_value, end_year,
+        |           trend_label) AS txt
+        |  FROM labeled),
+        |${tfidfCtes("corpus")},
+        |${searchSql("which country trend rising fastest", "insight_key")}""".stripMargin))
+}

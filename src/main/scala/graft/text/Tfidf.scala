@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TF-IDF + cosine retrieval (SURVEY §2 D; reference:
+  * llm_app/rag_engine.py — sklearn TfidfVectorizer + cosine top-k).
+  *
+  * Relational formulation: one (doc, term, tf) row per posting, doc
+  * frequencies from one aggregate, smooth idf `ln((1+N)/(1+df)) + 1`
+  * (sklearn's smooth_idf) quantized to 9 decimals so both engines'
+  * `ln` agree bit-for-bit after the cast. Query↔doc cosine is a
+  * sparse dot: join on term — co-partitioned, no dense vectors
+  * anywhere, which is what makes this run at 100 TB corpus size (the
+  * vocabulary aggregate and the query vector broadcast; the posting
+  * join shuffles on term once).
+  */
+object Tfidf {
+
+  /** (id, term, tf) postings; tokens are alphanumeric runs (the
+    * sklearn-vectorizer-style token pattern, so punctuation-adjacent
+    * words still match).
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+
+  /** (term, df, idf) with sklearn smooth idf, decimal-quantized. */
+  def idf(postings: DataFrame, nDocs: Long): DataFrame =
+    postings.groupBy("term")
+      .agg(countDistinct("id").as("df"))
+      .withColumn("idf", expr(
+        s"cast(cast(ln((1.0 + $nDocs) / (1.0 + df)) + 1.0 as decimal(18,9)) as double)"))
+
+  /** (id, term, w) weighted postings. */
+  def weights(postings: DataFrame, idf: DataFrame): DataFrame =
+    postings.join(broadcast(idf), "term")
+      .select(col("id"), col("term"),
+        (col("tf") * col("idf")).as("w"))
+
+  /** Quantized-exact L2 norm per id over sparse weights. */
+  def norms(weights: DataFrame): DataFrame =
+    weights.groupBy("id")
+      .agg(expr("cast(sum(cast(w * w as decimal(24,12))) as double)").as("nsq"))
+
+  /** Cosine top-k of `queryText` against the corpus. */
+  def searchTopK(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, queryText: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val p = postings(docs, idCol, textCol)
+    val n = docs.count()
+    val idfT = idf(p, n)
+    val w = weights(p, idfT)
+    val nrm = norms(w)
+    val qp = postings(
+      Seq((0L, queryText)).toDF(idCol, textCol), idCol, textCol)
+    val qw = weights(qp, idfT)
+      .select(col("term"), col("w").as("qw"))
+    val qn = norms(qw.select(lit(0L).as("id"), col("term"), col("qw").as("w")))
+      .select(col("nsq").as("qnsq"))
+    val dots = w.join(broadcast(qw), "term")
+      .groupBy("id")
+      .agg(expr("cast(sum(cast(w * qw as decimal(24,12))) as double)").as("dot"))
+    dots.join(nrm, "id").crossJoin(broadcast(qn))
+      .withColumn("cosine", col("dot") / (sqrt(col("nsq")) * sqrt(col("qnsq"))))
+      .select(col("id"), col("cosine"))
+      .orderBy(desc("cosine"), asc("id"))
+      .limit(k)
+  }
+}
