@@ -8,6 +8,7 @@ import graft.etl.EtlQueries
 import graft.relational.Relational
 import graft.forecast.ForecastQueries
 import graft.sim.SimQueries
+import graft.streaming.StreamQueries
 import graft.text.{RagQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§6.
@@ -19,7 +20,8 @@ import graft.text.{RagQueries, TextQueries}
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational, EtlQueries, Dashboard, Insights,
-    TextQueries, DedupQueries, SimQueries, RagQueries, ForecastQueries)
+    TextQueries, DedupQueries, SimQueries, RagQueries, ForecastQueries,
+    StreamQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operators (SURVEY §2 J) over the events stream.
+  *
+  * Each transform is written once against a DataFrame and works in
+  * both batch and Structured Streaming: the batch run is the
+  * driver-verified oracle, the streaming run (MemoryStream-fed in
+  * specs) proves watermark/state semantics. At scale the stream is
+  * partitioned by key (user/window), state lives in the state store,
+  * and watermarks bound it — no unbounded driver structures.
+  */
+object Streaming {
+
+  val SessionGapUs: Long = 30L * 60 * 1000000L // 30 min in microseconds
+
+  /** J1 — tumbling 1-hour windows per event type. Works identically
+    * on a bounded DataFrame and on readStream input.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("cast(sum(cast(value as decimal(27,6))) as double)").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** J1 streaming variant: watermarked, append-mode windowed agg. */
+  def windowedCountsStream(events: DataFrame): DataFrame =
+    windowedCounts(events.withWatermark("ts", "2 hours"))
+
+  /** J2 — gap-based sessionization, batch form: a new session starts
+    * when the gap to the previous event exceeds the threshold; the
+    * session id is the running count of session starts. Exact integer
+    * (nanosecond) arithmetic throughout.
+    */
+  def sessionize(events: DataFrame, gapUs: Long = SessionGapUs): DataFrame = {
+    // microsecond precision: DuckDB (the oracle) truncates parquet
+    // nanos to its native microsecond timestamps on read
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+    events
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("prev_ts", lag("ts_us", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class SessionOut(user_id: Long, n_events: Int, start_ms: Long,
+      end_ms: Long)
+
+  /** J2 streaming variant — explicit session state per user via
+    * flatMapGroupsWithState with processing-time timeout.
+    */
+  def sessionizeStream(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st match {
+              case null => st = SessionState(t, t, 1)
+              case s if t - s.last > gapMs =>
+                closed += SessionOut(user, s.n, s.start, s.last)
+                st = SessionState(t, t, 1)
+              case s => st = SessionState(s.start, t, s.n + 1)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.iterator
+      }
+  }
+
+  /** J3 — streaming dedup by key within the watermark horizon. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+}

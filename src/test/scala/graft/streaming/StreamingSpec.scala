@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+
+  import Streaming._
+
+  test("batch sessionize: gaps split sessions, ns arithmetic exact") {
+    val rows = StreamQueries.sessionizeQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("duration_us") ==
+        r.getAs[Long]("end_us") - r.getAs[Long]("start_us"))
+      assert(r.getAs[Long]("n_events") >= 1)
+    }
+    // total events preserved
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == graft.sources.Tables.events(spark, sf).count())
+  }
+
+  test("streaming windowed agg with watermark produces hourly rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = windowedCountsStream(mem.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    val base = Timestamp.valueOf("2024-01-01 10:15:00")
+    mem.addData(
+      Event(1, base, 1, "click", 1.0),
+      Event(2, Timestamp.valueOf("2024-01-01 10:45:00"), 1, "click", 2.0),
+      Event(3, Timestamp.valueOf("2024-01-01 11:05:00"), 2, "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the 10:00 and 11:00 windows
+    mem.addData(Event(4, Timestamp.valueOf("2024-01-01 15:00:00"), 3, "view", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("win_out").collect()
+    q.stop()
+    val clicks = out.find(_.getAs[String]("event_type") == "click").get
+    assert(clicks.getAs[String]("hour_start") == "2024-01-01 10:00")
+    assert(clicks.getAs[Long]("n_events") == 2)
+    assert(clicks.getAs[Double]("sum_value") == 3.0)
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionizeStream(mem.toDS(), gapMs = 60000)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    mem.addData(
+      Event(1, new Timestamp(1000), 7, "click", 1.0),
+      Event(2, new Timestamp(30000), 7, "click", 1.0))
+    q.processAllAvailable()
+    // gap > 60s closes the first session
+    mem.addData(Event(3, new Timestamp(200000), 7, "click", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("sess_out").as[SessionOut].collect()
+    q.stop()
+    assert(out.length == 1)
+    assert(out(0) == SessionOut(7, 2, 1000, 30000))
+  }
+
+  test("streaming dedup drops re-delivered event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    mem.addData(Event(1, t, 1, "click", 1.0), Event(1, t, 1, "click", 1.0),
+      Event(2, t, 1, "view", 1.0))
+    q.processAllAvailable()
+    val n = spark.table("dedup_out").count()
+    q.stop()
+    assert(n == 2)
+  }
+}
