@@ -61,13 +61,30 @@ object Dedup {
     * two hash aggregates. Map-side combine shrinks each step.
     */
   def minhashBuckets(sh: DataFrame): DataFrame = {
-    val spark = sh.sparkSession
-    val xs = sh.select(col("doc_id"), (hash32("g") % P).as("x"))
-    xs.crossJoin(broadcast(hashParams(spark)))
-      .groupBy("doc_id", "k")
-      .agg(min(expr(s"(a * x + b) % $P")).as("m"))
-      .groupBy(col("doc_id"), (col("k") / Rows).cast("int").as("band"))
-      .agg(sum(expr(s"m * cast(pow(31, k % $Rows) as bigint)")).as("bucket"))
+    // Collect each doc's shingle hashes once (the aggregate is an
+    // optimizer barrier), then derive all k minima in one in-memory
+    // pass per doc — versus shuffling |shingles|×k rows into a
+    // (doc, k) aggregate, this removes the dominant shuffle entirely.
+    // The permutation constants are inlined arithmetic (same LCG as
+    // hashParams / the DuckDB oracle).
+    sh.select(col("doc_id"), (hash32("g") % P).as("x"))
+      .groupBy("doc_id").agg(collect_list("x").as("xs"))
+      // explicit partition count: AQE would coalesce these few MB to
+      // one partition and serialize the (compute-heavy) signature
+      // derivation; byte-based coalescing is blind to CPU cost
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, ${NumHashes - 1}), k ->
+           |  array_min(transform(xs, x ->
+           |    (((1103515245L * (k + 1) + 12345L) % $P) * x
+           |     + ((1103515245L * (k + 101) + 12345L) % $P)) % $P)))""".stripMargin)
+        .as("mh"))
+      .select(col("doc_id"), col("mh"),
+        explode(expr(s"sequence(0, ${Bands - 1})")).as("band"))
+      .withColumn("bucket", expr(
+        s"""aggregate(sequence(0, ${Rows - 1}), cast(0 as bigint),
+           |  (acc, r) -> acc + element_at(mh, band * $Rows + r + 1)
+           |              * cast(pow(31, r) as bigint))""".stripMargin))
       .select("doc_id", "band", "bucket")
   }
 
@@ -103,19 +120,20 @@ object Dedup {
     * weighted sum. Three hash aggregates, all map-side combinable.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = docs
+    // Same collect-then-fold shape as minhashBuckets: one aggregate
+    // gathers the per-doc token hashes, one projection does the 32-bit
+    // majority vote — no |tokens|×32-row shuffle.
+    docs
       .select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), " ")).as("w"))
       .distinct()
-    words.select(col("doc_id"), hash32("w").as("h"))
-      .select(col("doc_id"), col("h"),
-        explode(expr("sequence(0, 31)")).as("b"))
-      .groupBy("doc_id", "b")
-      .agg(sum(expr("cast((shiftright(h, b) & 1) = 1 as int)")).as("pos"),
-        count(lit(1)).as("n"))
-      .groupBy("doc_id")
-      .agg(sum(expr(
-        "IF(2 * pos > n, shiftleft(cast(1 as bigint), b), cast(0 as bigint))"))
+      .select(col("doc_id"), hash32("w").as("h"))
+      .groupBy("doc_id").agg(collect_list("h").as("hs"))
+      .repartition(32, col("doc_id")) // see minhashBuckets note on AQE
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) ->
+          |  acc + IF(2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) > size(hs),
+          |           shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin)
         .as("simhash"))
   }
 

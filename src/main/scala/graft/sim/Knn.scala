@@ -44,8 +44,11 @@ object Knn {
   /** G1 — exact top-k: broadcast queries × corpus scan. */
   def bruteForce(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
       k: Int): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding"),
-      Vectors.normSq("embedding").as("nsq"))
+    // single-file parquet → one input partition; spread the per-pair
+    // reductions before the (partition-preserving) broadcast join
+    val e = emb.repartition(16)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.normSq("embedding").as("nsq"))
     val q = e.filter(queryPred).select(col("vec_id").as("query_id"),
       col("embedding").as("eq"), col("nsq").as("nq"))
     val c = e.filter(!queryPred).select(col("vec_id").as("neighbor_id"),
@@ -58,9 +61,10 @@ object Knn {
     */
   def lsh(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
       k: Int): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding"),
-      Vectors.normSq("embedding").as("nsq"),
-      lshBucket("embedding").as("bucket"))
+    val e = emb.repartition(16) // see bruteForce note
+      .select(col("vec_id"), col("embedding"),
+        Vectors.normSq("embedding").as("nsq"),
+        lshBucket("embedding").as("bucket"))
     val q = e.filter(queryPred).select(col("vec_id").as("query_id"),
       col("embedding").as("eq"), col("nsq").as("nq"), col("bucket"))
     val c = e.filter(!queryPred).select(col("vec_id").as("neighbor_id"),

@@ -27,6 +27,15 @@ object Vectors {
   /** Quantized-exact dot product of two float-array columns. */
   def dot(x: String, y: String): Column = expr(qsum(products(x, y)))
 
+  /** Fast codegen'd dot ([[graft.plans.DotF32]]) — NOT decimal-
+    * quantized; used as a prefilter so the exact decimal dot only
+    * runs near the decision boundary (the double fold is within
+    * ~1e-12 relative of the quantized value, so a 1e-6 margin is
+    * conservative).
+    */
+  def dotFast(x: String, y: String): Column =
+    graft.plans.VectorExpressions.dotF32(col(x), col(y))
+
   /** Squared L2 norm. */
   def normSq(x: String): Column = expr(qsum(products(x, x)))
 

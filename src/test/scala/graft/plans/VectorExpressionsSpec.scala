@@ -1,0 +1,35 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VectorExpressionsSpec extends SparkSpec {
+
+  test("codegen DotF32 matches a local left-fold dot product") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.5f, -0.25f), Array(-2.0f, 4.0f)),
+      (Array.empty[Float], Array.empty[Float]))
+      .toDF("a", "b")
+    val got = df.select(VectorExpressions.dotF32(col("a"), col("b")).as("d"))
+      .collect().map(_.getDouble(0))
+    def ref(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+    assert(got(0) == ref(Array(1, 2, 3), Array(4, 5, 6)))
+    assert(got(1) == ref(Array(0.5f, -0.25f), Array(-2, 4)))
+    assert(got(2) == 0.0)
+  }
+
+  test("DotF32 agrees with the decimal dot within quantization error") {
+    val emb = graft.sources.Tables.embeddings(spark, sf).limit(50)
+      .select(col("embedding").as("x"), col("embedding").as("y"))
+    val rows = emb.select(
+      VectorExpressions.dotF32(col("x"), col("y")).as("fast"),
+      graft.sim.Vectors.dot("x", "y").as("exact")).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
+    }
+  }
+}
