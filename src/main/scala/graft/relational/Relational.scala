@@ -110,6 +110,16 @@ object Relational extends QueryModule {
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
 
+  /** K5b — CUBE over order status × priority (all grouping sets). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(Fp.dsum2(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+  }
+
   /** K6 — approximate distinct (HLL) + approximate quantiles: the
     * constant-memory path for 100 TB cardinality/percentile questions.
     * No SQL oracle (sketch internals are engine-specific); spec asserts
@@ -132,6 +142,7 @@ object Relational extends QueryModule {
     "q_anti_join" -> (qAntiJoin _),
     "q_window_rank" -> (qWindowRank _),
     "rollup_agg" -> (rollupAgg _),
+    "cube_agg" -> (cubeAgg _),
     "q_approx" -> (qApprox _))
 
   override def oracles: Map[String, String] = Map(
@@ -187,5 +198,12 @@ object Relational extends QueryModule {
         |  count(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "cube_agg" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+        |  ${Fp.sqlSum2("o_totalprice")} AS sum_price,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
 }
