@@ -1,0 +1,131 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Fp, QueryModule}
+import graft.sources.Tables
+
+/** SURVEY §2 K (continued) — the SQL-facing surface and the remaining
+  * everyday analytics: spark.sql over registered views, window
+  * analytics (lead/ntile/cume_dist), calendar functions, exact
+  * percentiles. A reference user's ad-hoc SQL runs here unchanged.
+  */
+object SqlApi extends QueryModule {
+
+  /** K7 — a multi-join aggregation issued as literal SQL through
+    * spark.sql over temp views: proves the SQL entry point end to
+    * end (parser → Catalyst → same physical plans as the DSL).
+    */
+  def qSqlApi(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_v")
+    spark.sql(
+      s"""SELECT n_name,
+         |  ${Fp.sqlSum2("o_totalprice").replace("DECIMAL", "decimal")} AS revenue,
+         |  count(*) AS n_orders
+         |FROM orders_v
+         |JOIN customer_v ON o_custkey = c_custkey
+         |JOIN nation_v ON c_nationkey = n_nationkey
+         |WHERE o_orderstatus = 'F'
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin)
+  }
+
+  /** K8 — window analytics battery: lead, ntile, cume_dist over a
+    * deterministic ordering.
+    */
+  def qWindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(asc("totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"))
+      .withColumn("next_price", lead("totalprice", 1).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy("o_orderpriority", "totalprice", "o_orderkey")
+  }
+
+  /** K9 — calendar derivations (year/quarter/month/weekday, month
+    * arithmetic, truncation).
+    */
+  def qDateOps(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 250 === 0)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+        date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd")
+          .as("q_start"))
+      .orderBy("o_orderkey")
+  }
+
+  /** K10 — exact interpolated median + p90 per group (the exact
+    * complement to q_approx's sketches).
+    */
+  def qMedian(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  override def queries: Map[String, Q] = Map(
+    "q_sql_api" -> (qSqlApi _),
+    "q_window_analytics" -> (qWindowAnalytics _),
+    "q_date_ops" -> (qDateOps _),
+    "q_median" -> (qMedian _))
+
+  override def oracles: Map[String, String] = Map(
+    "q_sql_api" ->
+      s"""SELECT n_name,
+        |  ${Fp.sqlSum2("o_totalprice")} AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q_window_analytics" ->
+      """SELECT o_orderpriority, o_orderkey, totalprice,
+        |  lead(totalprice, 1) OVER w AS next_price,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  cume_dist() OVER w AS cume
+        |FROM (SELECT o_orderpriority, o_orderkey,
+        |        round(o_totalprice, 2) AS totalprice
+        |      FROM orders WHERE o_orderkey % 100 = 0)
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderpriority, totalprice, o_orderkey""".stripMargin,
+    "q_date_ops" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        |  strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS q_start
+        |FROM orders WHERE o_orderkey % 250 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_median" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+}
