@@ -25,7 +25,11 @@ object DedupQueries extends QueryModule {
 
   /** F2 — MinHash + banded LSH candidates, exact-Jaccard verified. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    // the shingle relation feeds four plan branches (both self-join
+    // sides, both verify sides); persist instead of recomputing the
+    // explode+distinct+md5 chain per branch
     val sh = Dedup.shingleRows(Tables.documents(spark, dir), "doc_id", "text")
+      .persist()
     val pairs = Dedup.bucketPairs(Dedup.minhashBuckets(sh))
     Dedup.jaccardVerify(pairs, sh, 0.5).orderBy("doc_a", "doc_b")
   }
@@ -33,6 +37,7 @@ object DedupQueries extends QueryModule {
   /** F3 — SimHash banding + hamming verification. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sims = Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
+      .persist() // reused by banding and by hamming verification
     val pairs = Dedup.bucketPairs(Dedup.simhashBuckets(sims))
     Dedup.hammingVerify(pairs, sims, 6).orderBy("doc_a", "doc_b")
   }
