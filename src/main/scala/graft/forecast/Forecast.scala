@@ -127,6 +127,18 @@ object Forecast {
         (col("last_year") + col("step")).as("year"),
         (col("st.l") + col("step") * col("st.b")).as("forecast"))
 
+  /** The reference's run_forecast output shape
+    * (forecast_utils.py:206-215): historical rows union forecast rows
+    * with a `type` discriminator, sorted by year.
+    */
+  def forecastSeries(obs: DataFrame): DataFrame = {
+    val hist = obs.select(col("geo"), col("indicator"), col("year"),
+      col("value"), lit("historical").as("type"))
+    val fut = holtForecast(obs).select(col("geo"), col("indicator"),
+      col("year"), col("forecast").as("value"), lit("forecast").as("type"))
+    hist.unionByName(fut)
+  }
+
   /** E7 — per-series model selection by in-sample one-step RMSE:
     * Holt vs the naive lag-1 baseline (forecast_utils.py:192-204).
     */

@@ -36,13 +36,18 @@ object ForecastQueries extends QueryModule {
   def modelSelect(s: SparkSession, d: String): DataFrame =
     Forecast.modelSelect(obs(s, d)).orderBy("geo", "indicator")
 
+  def forecastSeries(s: SparkSession, d: String): DataFrame =
+    Forecast.forecastSeries(obs(s, d))
+      .orderBy("geo", "indicator", "year", "type")
+
   override def queries: Map[String, Q] = Map(
     "lag_features" -> (lagFeatures _),
     "train_test_split" -> (trainTestSplit _),
     "rmse_eval" -> (rmseEval _),
     "holt_forecast" -> (holtForecast _),
     "gbt_forecast" -> (gbtForecast _),
-    "model_select" -> (modelSelect _))
+    "model_select" -> (modelSelect _),
+    "forecast_series" -> (forecastSeries _))
 
   private val cte = Observations.sqlCte
 

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** The load-bearing claim behind the oracle gate: results are
+  * bit-identical regardless of physical partitioning (decimal-exact
+  * aggregation is order-independent). Shuffle-partition count and
+  * input partitioning must not change a single byte.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("q1_agg identical under different input partitioning") {
+    val base = canon(graft.relational.Relational.q1Agg(spark, sf))
+    val li = graft.sources.Tables.lineitem(spark, sf).repartition(7)
+    li.createOrReplaceTempView("li_repart")
+    // rebuild the same aggregate over the repartitioned input
+    import org.apache.spark.sql.functions._
+    val re = li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(Fp.dsum2(col("l_quantity")).as("sum_qty"),
+        Fp.dsum2(col("l_extendedprice")).as("sum_base_price"),
+        Fp.dsum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        Fp.davg(col("l_quantity")).as("avg_qty"),
+        Fp.davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+    assert(canon(re) == base)
+  }
+
+  test("insights_trend identical across repeated runs") {
+    val a = canon(graft.analytics.Insights.insightsTrend(spark, sf))
+    val b = canon(graft.analytics.Insights.insightsTrend(spark, sf))
+    assert(a == b)
+  }
+}
