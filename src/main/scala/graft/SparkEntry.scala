@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{Dashboard, Insights}
 import graft.dedup.DedupQueries
 import graft.etl.EtlQueries
-import graft.relational.{Relational, SqlApi}
+import graft.relational.{AsOf, Relational, SqlApi}
 import graft.forecast.ForecastQueries
 import graft.sim.SimQueries
 import graft.streaming.StreamQueries
@@ -21,7 +21,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational, EtlQueries, Dashboard, Insights,
     TextQueries, DedupQueries, SimQueries, RagQueries, ForecastQueries,
-    StreamQueries, SqlApi)
+    StreamQueries, SqlApi, AsOf)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
