@@ -51,11 +51,20 @@ object RagQueries extends QueryModule {
   /** Postings + smooth-idf CTEs over an arbitrary corpus CTE named
     * `corpus(id, txt)`.
     */
+  private val stopList: String =
+    Tfidf.stopwords.map(s => s"'$s'").mkString(", ")
+
   private def tfidfCtes(corpusName: String): String =
-    s"""p AS (SELECT id, term, count(*) AS tf
-       |     FROM (SELECT id, unnest(string_split_regex(lower(txt), '[^a-z0-9]+')) AS term
-       |           FROM $corpusName)
-       |     WHERE length(term) > 0 GROUP BY 1, 2),
+    s"""toks AS (SELECT id,
+       |       list_filter(string_split_regex(lower(txt), '[^a-z0-9]+'),
+       |         t -> length(t) > 0 AND t NOT IN ($stopList)) AS tk
+       |     FROM $corpusName),
+       |p AS (SELECT id, term, count(*) AS tf
+       |     FROM (SELECT id, unnest(tk ||
+       |             [tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)]
+       |              FOR i IN range(1, len(tk))]) AS term
+       |           FROM toks)
+       |     GROUP BY 1, 2),
        |i AS (SELECT term, count(DISTINCT id) AS df,
        |     CAST(CAST(ln((1.0 + (SELECT count(*) FROM $corpusName))
        |                  / (1.0 + count(DISTINCT id))) + 1.0
@@ -65,15 +74,20 @@ object RagQueries extends QueryModule {
        |     FROM p JOIN i ON p.term = i.term)""".stripMargin
 
   private def searchSql(queryText: String, outIdCol: String): String =
-    s"""nrm AS (SELECT id, CAST(sum(CAST(w * w AS DECIMAL(24,12))) AS DOUBLE) AS nsq
+    s"""nrm AS (SELECT id, CAST(sum(CAST(w * w AS DECIMAL(24,8))) AS DOUBLE) AS nsq
        |     FROM w GROUP BY id),
+       |qt AS (SELECT list_filter(string_split_regex(lower('$queryText'), '[^a-z0-9]+'),
+       |         t -> length(t) > 0 AND t NOT IN ($stopList)) AS tk),
        |qp AS (SELECT term, count(*) AS tf
-       |     FROM (SELECT unnest(string_split_regex(lower('$queryText'), '[^a-z0-9]+')) AS term)
-       |     WHERE length(term) > 0 GROUP BY 1),
+       |     FROM (SELECT unnest(tk ||
+       |             [tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)]
+       |              FOR i IN range(1, len(tk))]) AS term
+       |           FROM qt)
+       |     GROUP BY 1),
        |qw AS (SELECT qp.term, qp.tf * i.idf AS qw FROM qp JOIN i ON qp.term = i.term),
-       |qn AS (SELECT CAST(sum(CAST(qw * qw AS DECIMAL(24,12))) AS DOUBLE) AS qnsq
+       |qn AS (SELECT CAST(sum(CAST(qw * qw AS DECIMAL(24,8))) AS DOUBLE) AS qnsq
        |     FROM qw),
-       |dots AS (SELECT w.id, CAST(sum(CAST(w.w * qw.qw AS DECIMAL(24,12))) AS DOUBLE) AS dot
+       |dots AS (SELECT w.id, CAST(sum(CAST(w.w * qw.qw AS DECIMAL(24,8))) AS DOUBLE) AS dot
        |     FROM w JOIN qw ON w.term = qw.term GROUP BY 1)
        |SELECT dots.id AS $outIdCol, dot / (sqrt(nrm.nsq) * sqrt(qn.qnsq)) AS cosine
        |FROM dots JOIN nrm ON dots.id = nrm.id CROSS JOIN qn

@@ -17,15 +17,27 @@ import org.apache.spark.sql.functions._
   */
 object Tfidf {
 
-  /** (id, term, tf) postings; tokens are alphanumeric runs (the
-    * sklearn-vectorizer-style token pattern, so punctuation-adjacent
-    * words still match).
+  /** Stopwords removed before n-gram construction, as sklearn does. */
+  val stopwords: Seq[String] = Analysis.stopwords
+
+  /** (id, term, tf) postings with the reference's vectorizer
+    * semantics (rag_engine.py:29-32): alphanumeric-run tokens,
+    * stopword removal, then unigrams + bigrams.
     */
-  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"),
-        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
-      .filter(length(col("term")) > 0)
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    docs.select(col(idCol).as("id"), lower(col(textCol)).as("_txt"))
+      .withColumn("_tk", expr(
+        s"""filter(split(_txt, '[^a-z0-9]+'),
+           |  t -> length(t) > 0 AND NOT t IN ($stopList))""".stripMargin))
+      .withColumn("_grams", expr(
+        """concat(_tk, IF(size(_tk) >= 2,
+          |  transform(sequence(1, size(_tk) - 1),
+          |    i -> concat(element_at(_tk, i), ' ', element_at(_tk, i + 1))),
+          |  array()))""".stripMargin))
+      .select(col("id"), explode(col("_grams")).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+  }
 
   /** (term, df, idf) with sklearn smooth idf, decimal-quantized. */
   def idf(postings: DataFrame, nDocs: Long): DataFrame =
@@ -43,7 +55,7 @@ object Tfidf {
   /** Quantized-exact L2 norm per id over sparse weights. */
   def norms(weights: DataFrame): DataFrame =
     weights.groupBy("id")
-      .agg(expr("cast(sum(cast(w * w as decimal(24,12))) as double)").as("nsq"))
+      .agg(expr("cast(sum(cast(w * w as decimal(24,8))) as double)").as("nsq"))
 
   /** Cosine top-k of `queryText` against the corpus. */
   def searchTopK(spark: SparkSession, docs: DataFrame, idCol: String,
@@ -62,7 +74,7 @@ object Tfidf {
       .select(col("nsq").as("qnsq"))
     val dots = w.join(broadcast(qw), "term")
       .groupBy("id")
-      .agg(expr("cast(sum(cast(w * qw as decimal(24,12))) as double)").as("dot"))
+      .agg(expr("cast(sum(cast(w * qw as decimal(24,8))) as double)").as("dot"))
     dots.join(nrm, "id").crossJoin(broadcast(qn))
       .withColumn("cosine", col("dot") / (sqrt(col("nsq")) * sqrt(col("qnsq"))))
       .select(col("id"), col("cosine"))

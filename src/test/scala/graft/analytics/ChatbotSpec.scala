@@ -16,7 +16,7 @@ class ChatbotSpec extends SparkSpec {
     val (m1, df1) = Chatbot.answer(spark, sf, "which urgent segment is rising?")
     assert(m1 == Chatbot.Intent)
     assert(df1.count() == 1)
-    val (m2, df2) = Chatbot.answer(spark, sf, "stable trends in transport")
+    val (m2, df2) = Chatbot.answer(spark, sf, "overall declining indicator")
     assert(m2 == Chatbot.Semantic)
     assert(df2.count() == 5)
   }
