@@ -35,7 +35,8 @@ object Dedup {
 
   /** One row per (doc_id, distinct char-5-gram). */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), lower(col(textCol)).as("txt"))
+    docs.repartition(16) // single-file scan: spread the explode+md5 work
+      .select(col(idCol).as("doc_id"), lower(col(textCol)).as("txt"))
       .filter(length(col("txt")) >= 5)
       .select(col("doc_id"),
         explode(expr("sequence(1, length(txt) - 4)")).as("i"), col("txt"))
@@ -123,7 +124,7 @@ object Dedup {
     // Same collect-then-fold shape as minhashBuckets: one aggregate
     // gathers the per-doc token hashes, one projection does the 32-bit
     // majority vote — no |tokens|×32-row shuffle.
-    docs
+    docs.repartition(16) // single-file scan: spread tokenize+hash
       .select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), " ")).as("w"))
       .distinct()

@@ -26,16 +26,22 @@ object Tfidf {
     */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val stopList = stopwords.map(s => s"'$s'").mkString(", ")
-    docs.select(col(idCol).as("id"), lower(col(textCol)).as("_txt"))
-      .withColumn("_tk", expr(
-        s"""filter(split(_txt, '[^a-z0-9]+'),
-           |  t -> length(t) > 0 AND NOT t IN ($stopList))""".stripMargin))
-      .withColumn("_grams", expr(
-        """concat(_tk, IF(size(_tk) >= 2,
-          |  transform(sequence(1, size(_tk) - 1),
-          |    i -> concat(element_at(_tk, i), ' ', element_at(_tk, i + 1))),
-          |  array()))""".stripMargin))
-      .select(col("id"), explode(col("_grams")).as("term"))
+    // posexplode keeps the tokenize+filter inside the generator (one
+    // evaluation per doc); bigrams come from a window lead, NOT from
+    // array indexing — element_at lambdas over a projected array get
+    // re-inlined by CollapseProject into O(len·tokens) per doc.
+    val toks = docs
+      .select(col(idCol).as("id"), posexplode(expr(
+        s"""filter(split(lower($textCol), '[^a-z0-9]+'),
+           |  t -> length(t) > 0 AND NOT t IN ($stopList))""".stripMargin)))
+      .toDF("id", "pos", "term")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val bigrams = toks
+      .withColumn("nxt", lead("term", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("id"), concat_ws(" ", col("term"), col("nxt")).as("term"))
+    toks.select("id", "term").unionByName(bigrams)
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
   }
 
