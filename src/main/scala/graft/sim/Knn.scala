@@ -18,16 +18,36 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
-  /** Random-hyperplane signature bucket (8 planes → 8-bit bucket). */
-  def lshBucket(embCol: String): org.apache.spark.sql.Column = expr(
-    s"""aggregate(sequence(0, 7), cast(0 as bigint), (acc, h) ->
-       |  acc + IF(
-       |    cast(aggregate(sequence(0, 63), cast(0 as decimal(24,12)), (pacc, d) ->
-       |      cast(pacc + cast(cast(element_at($embCol, d + 1) as double)
-       |        * ((cast((1103515245L * (h * 64 + d) + 12345L) % 2147483647L as double)
-       |            / 2147483647.0) - 0.5)
-       |        as decimal(24,12)) as decimal(24,12))) as double) > 0,
-       |    shiftleft(cast(1 as bigint), h), cast(0 as bigint)))""".stripMargin)
+  /** The LCG hyperplane value for (plane h, dim d) — the single
+    * source of truth mirrored by the DuckDB oracle.
+    */
+  def planeValue(h: Int, d: Int): Double =
+    ((1103515245L * (h * 64 + d) + 12345L) % 2147483647L).toDouble /
+      2147483647.0 - 0.5
+
+  /** Random-hyperplane signature bucket (8 planes → 8-bit bucket).
+    *
+    * Hybrid fast/exact sign test: the codegen'd float dot against the
+    * materialized plane decides the sign when it is clearly away from
+    * zero (float-plane error ≲1e-6, margin 1e-4); only near-zero
+    * projections fall back to the decimal-quantized reduction the
+    * oracle computes — so results stay bit-compatible while the
+    * BigDecimal path almost never runs.
+    */
+  def lshBucket(embCol: String): org.apache.spark.sql.Column = {
+    (0 until 8).map { h =>
+      val plane = (0 until 64).map(d => planeValue(h, d).toFloat).toArray
+      val fast = graft.plans.VectorExpressions.dotF32(col(embCol), typedLit(plane))
+      val exact = expr(
+        s"""cast(aggregate(sequence(0, 63), cast(0 as decimal(24,12)), (pacc, d) ->
+           |  cast(pacc + cast(cast(element_at($embCol, d + 1) as double)
+           |    * ((cast((1103515245L * ($h * 64 + d) + 12345L) % 2147483647L as double)
+           |        / 2147483647.0) - 0.5)
+           |    as decimal(24,12)) as decimal(24,12))) as double)""".stripMargin)
+      when(abs(fast) > 1e-4, (fast > 0).cast("long") * (1L << h))
+        .otherwise((exact > 0).cast("long") * (1L << h))
+    }.reduce(_ + _)
+  }
 
   private def withCosine(pairs: DataFrame): DataFrame =
     pairs.withColumn("cosine",

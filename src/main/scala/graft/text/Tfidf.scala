@@ -67,10 +67,12 @@ object Tfidf {
   def searchTopK(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, queryText: String, k: Int): DataFrame = {
     import spark.implicits._
-    val p = postings(docs, idCol, textCol)
+    // postings feed idf + weights, weights feed norms + dots: persist
+    // both fan-out points (callers release via catalog.clearCache)
+    val p = postings(docs, idCol, textCol).persist()
     val n = docs.count()
     val idfT = idf(p, n)
-    val w = weights(p, idfT)
+    val w = weights(p, idfT).persist()
     val nrm = norms(w)
     val qp = postings(
       Seq((0L, queryText)).toDF(idCol, textCol), idCol, textCol)
