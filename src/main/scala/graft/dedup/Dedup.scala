@@ -74,12 +74,11 @@ object Dedup {
       // one partition and serialize the (compute-heavy) signature
       // derivation; byte-based coalescing is blind to CPU cost
       .repartition(32, col("doc_id"))
-      .select(col("doc_id"), expr(
-        s"""transform(sequence(0, ${NumHashes - 1}), k ->
-           |  array_min(transform(xs, x ->
-           |    (((1103515245L * (k + 1) + 12345L) % $P) * x
-           |     + ((1103515245L * (k + 101) + 12345L) % $P)) % $P)))""".stripMargin)
-        .as("mh"))
+      // codegen MinHashSig: same LCG arithmetic as the DuckDB oracle,
+      // primitive loop instead of nested interpreted lambdas
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.minhashSig(col("xs"), NumHashes, P)
+          .as("mh"))
       .select(col("doc_id"), col("mh"),
         explode(expr(s"sequence(0, ${Bands - 1})")).as("band"))
       .withColumn("bucket", expr(
