@@ -26,22 +26,20 @@ object Tfidf {
     */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val stopList = stopwords.map(s => s"'$s'").mkString(", ")
-    // posexplode keeps the tokenize+filter inside the generator (one
-    // evaluation per doc); bigrams come from a window lead, NOT from
-    // array indexing — element_at lambdas over a projected array get
-    // re-inlined by CollapseProject into O(len·tokens) per doc.
-    val toks = docs
-      .select(col(idCol).as("id"), posexplode(expr(
-        s"""filter(split(lower($textCol), '[^a-z0-9]+'),
-           |  t -> length(t) > 0 AND NOT t IN ($stopList))""".stripMargin)))
-      .toDF("id", "pos", "term")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy("pos")
-    val bigrams = toks
-      .withColumn("nxt", lead("term", 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .select(col("id"), concat_ws(" ", col("term"), col("nxt")).as("term"))
-    toks.select("id", "term").unionByName(bigrams)
+    // One generator produces unigrams + bigrams. Bigrams pair the
+    // token array with its shifted self via zip_with — NOT per-index
+    // element_at lambdas, which re-evaluate the array expression per
+    // element. The tokenizer appears a constant number of times in
+    // the generator tree (per-row cost), and no window/union/extra
+    // shuffle is needed.
+    val tk =
+      s"""filter(split(lower($textCol), '[^a-z0-9]+'),
+         |  t -> length(t) > 0 AND NOT t IN ($stopList))""".stripMargin
+    docs.select(col(idCol).as("id"), explode(expr(
+        s"""concat($tk,
+           |  filter(zip_with($tk, slice($tk, 2, greatest(size($tk) - 1, 0)),
+           |                  (a, b) -> concat(a, ' ', b)),
+           |         x -> x IS NOT NULL))""".stripMargin)).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
   }
 
