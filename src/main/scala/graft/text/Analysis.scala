@@ -27,13 +27,16 @@ object Analysis {
     val stopHits = size(filter(ws(t), x => x.isin(stopwords.map(lit): _*)))
     val punct = nChars - length(regexp_replace(t, "[.,!?;:']", ""))
     val digits = nChars - length(regexp_replace(t, "[0-9]", ""))
+    // nullif guards: ANSI mode raises DIVIDE_BY_ZERO on empty text
+    val safeChars = nullif(nChars, lit(0))
+    val safeTokens = nullif(nTokens, lit(0))
     df.withColumn("n_chars_m", nChars)
       .withColumn("n_tokens", nTokens)
-      .withColumn("stopword_ratio", stopHits.cast("double") / nTokens)
-      .withColumn("punct_ratio", punct.cast("double") / nChars)
-      .withColumn("digit_ratio", digits.cast("double") / nChars)
+      .withColumn("stopword_ratio", stopHits.cast("double") / safeTokens)
+      .withColumn("punct_ratio", punct.cast("double") / safeChars)
+      .withColumn("digit_ratio", digits.cast("double") / safeChars)
       .withColumn("avg_word_len",
-        (nChars - (nTokens - lit(1))).cast("double") / nTokens)
+        (nChars - (nTokens - lit(1))).cast("double") / safeTokens)
   }
 
   /** H3 — whitespace and BPE-ish token counts. */

@@ -82,13 +82,13 @@ object TextQueries extends QueryModule {
         |  CAST(len(string_split(t, ' ')) AS INTEGER) AS n_tokens,
         |  CAST(len(list_filter(string_split(t, ' '),
         |    x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-        |    / len(string_split(t, ' ')) AS stopword_ratio,
+        |    / nullif(len(string_split(t, ' ')), 0) AS stopword_ratio,
         |  CAST(length(t) - length(regexp_replace(t, '[.,!?;:'']', '', 'g')) AS DOUBLE)
-        |    / length(t) AS punct_ratio,
+        |    / nullif(length(t), 0) AS punct_ratio,
         |  CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS DOUBLE)
-        |    / length(t) AS digit_ratio,
+        |    / nullif(length(t), 0) AS digit_ratio,
         |  CAST(length(t) - (len(string_split(t, ' ')) - 1) AS DOUBLE)
-        |    / len(string_split(t, ' ')) AS avg_word_len
+        |    / nullif(len(string_split(t, ' ')), 0) AS avg_word_len
         |FROM (SELECT doc_id, lower(text) AS t FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "token_count" ->

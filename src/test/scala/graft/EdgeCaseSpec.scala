@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input robustness: empty strings, single tokens, and
+  * texts shorter than k-gram/shingle windows must flow through the
+  * text/dedup operators without errors (they are filtered or yield
+  * empty results, never crash).
+  */
+class EdgeCaseSpec extends SparkSpec {
+
+  private def tiny = {
+    import spark.implicits._
+    Seq(
+      (1L, ""),
+      (2L, "a"),
+      (3L, "ab"),
+      (4L, "the the the"),
+      (5L, "hello world this is a reasonable document for testing"))
+      .toDF("doc_id", "text")
+  }
+
+  test("quality/token metrics survive empty and single-char texts") {
+    val q = graft.text.Analysis.quality(tiny, "text").collect()
+    assert(q.length == 5)
+    val t = graft.text.Analysis.tokenCounts(tiny, "text").collect()
+    assert(t.length == 5)
+  }
+
+  test("fingerprints skip texts shorter than the window") {
+    val f = graft.text.Fingerprint.fingerprints(tiny, "doc_id", "text")
+    val ids = f.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(1L) && !ids.contains(2L))
+    assert(ids.contains(5L))
+  }
+
+  test("tf-idf postings: stopword-only text produces no postings") {
+    val p = graft.text.Tfidf.postings(tiny, "doc_id", "text")
+    val ids = p.select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(1L)) // empty
+    assert(!ids.contains(4L)) // "the the the" all stopwords
+    assert(ids.contains(5L))
+    // doc 5 has bigrams
+    assert(p.filter(col("id") === 5L && col("term").contains(" ")).count() > 0)
+  }
+
+  test("minhash pipeline tolerates sub-shingle-length docs") {
+    val sh = graft.dedup.Dedup.shingleRows(tiny, "doc_id", "text")
+    val ids = sh.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(1L) && !ids.contains(2L) && !ids.contains(3L))
+    val buckets = graft.dedup.Dedup.minhashBuckets(sh)
+    assert(buckets.count() > 0)
+  }
+
+  test("simhash handles empty token sets without crashing") {
+    val sims = graft.dedup.Dedup.simhash(tiny, "doc_id", "text").collect()
+    assert(sims.length == 5) // empty text still yields a (degenerate) hash
+  }
+}
