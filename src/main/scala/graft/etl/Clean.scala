@@ -36,4 +36,21 @@ object Clean {
     }
     df.write.mode(saveMode).parquet(path)
   }
+
+  /** Partitioned sink: hive-style directories on `partitionCols` so
+    * downstream year/geo filters prune whole partitions at the file
+    * index — the layout a 100 TB warehouse table wants. With
+    * `dynamic` partition-overwrite, re-loading one partition leaves
+    * the others untouched (idempotent incremental refresh).
+    */
+  def loadPartitioned(df: DataFrame, path: String, mode: String,
+      partitionCols: Seq[String]): Unit = {
+    val saveMode = mode match {
+      case "append" => SaveMode.Append
+      case "truncate" | "full-refresh" => SaveMode.Overwrite
+      case other => throw new IllegalArgumentException(s"unknown load mode: $other")
+    }
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode(saveMode).partitionBy(partitionCols: _*).parquet(path)
+  }
 }
