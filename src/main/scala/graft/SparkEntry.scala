@@ -7,7 +7,7 @@ import graft.dedup.DedupQueries
 import graft.etl.EtlQueries
 import graft.relational.{AsOf, Relational, SqlApi}
 import graft.forecast.ForecastQueries
-import graft.sim.SimQueries
+import graft.sim.{Ivf, SimQueries}
 import graft.streaming.StreamQueries
 import graft.text.{RagQueries, TextQueries}
 
@@ -21,7 +21,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational, EtlQueries, Dashboard, Insights,
     TextQueries, DedupQueries, SimQueries, RagQueries, ForecastQueries,
-    StreamQueries, SqlApi, AsOf)
+    StreamQueries, SqlApi, AsOf, Ivf)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

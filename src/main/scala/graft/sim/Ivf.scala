@@ -1,0 +1,80 @@
+package graft.sim
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryModule
+import graft.sources.Tables
+
+/** IVF approximate nearest neighbor (SURVEY §2 G2b): a KMeans coarse
+  * quantizer partitions the corpus into inverted lists; each query
+  * ranks the (tiny, broadcast) centroid table, probes its nProbe
+  * nearest lists, and exact-reranks only inside them.
+  *
+  * Scale shape: probe selection touches nLists rows per query, the
+  * candidate join is an equi-join on list_id (co-partitioned), and a
+  * query reads ~nProbe/nLists of the corpus — the standard
+  * billion-vector inverted-file layout expressed as DataFrames.
+  */
+object Ivf extends QueryModule {
+
+  val NumLists = 16
+  val NProbe = 4
+
+  /** Top-k cosine via nProbe inverted lists. */
+  def knn(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val feats = emb.repartition(16).withColumn("features",
+      array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(NumLists).setSeed(42)
+      .setFeaturesCol("features").setPredictionCol("list_id")
+      .fit(feats)
+    val listed = model.transform(feats).drop("features")
+      .withColumn("nsq", Vectors.normSq("embedding"))
+      .persist()
+
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("list_id", "centroid")
+
+    val queries = listed.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+        col("nsq").as("nq"))
+
+    // probe selection: nLists rows per query
+    val probeRank = Window.partitionBy("query_id")
+      .orderBy(desc("c_cos"), asc("list_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", Vectors.dotFast("eq", "centroid"))
+      .withColumn("prnk", row_number().over(probeRank))
+      .filter(col("prnk") <= NProbe)
+      .select("query_id", "eq", "nq", "list_id")
+
+    val cand = listed.filter(!queryPred)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"),
+        col("nsq").as("nc"), col("list_id"))
+
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    probes.join(cand, "list_id")
+      .withColumn("cosine",
+        Vectors.cosineFrom(Vectors.dot("eq", "ec"), col("nq"), col("nc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine", "list_id")
+      .orderBy("query_id", "rank")
+  }
+
+  def knnIvf(spark: SparkSession, dir: String): DataFrame =
+    knn(Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      col("vec_id") < 5, 3)
+
+  override def queries: Map[String, Q] = Map("knn_ivf" -> (knnIvf _))
+
+  /** KMeans is not ANSI-SQL-expressible → rows-only driver check. */
+  override def oracles: Map[String, String] = Map.empty
+}
