@@ -82,7 +82,8 @@ object EtlQueries extends QueryModule {
   /** A7 — the composed pipeline: warehouse → tidy observations panel. */
   def etlObservations(spark: SparkSession, dir: String): DataFrame =
     Observations.build(spark, dir)
-      .select("dataset_code", "region", "geo", "indicator", "year", "value", "n_obs")
+      .select("dataset_code", "region", "geo", "indicator", "indicator_label",
+        "year", "value", "n_obs")
       .orderBy("geo", "indicator", "year")
 
   override def queries: Map[String, Q] = Map(
@@ -132,6 +133,7 @@ object EtlQueries extends QueryModule {
         |  ${graft.Fp.sqlSum2("c_acctbal * 2")} AS sum_bal
         |FROM customer""".stripMargin,
     "etl_observations" -> (Observations.sqlCte +
-      """SELECT dataset_code, region, geo, indicator, year, value, n_obs
+      """SELECT dataset_code, region, geo, indicator, indicator_label,
+        |  year, value, n_obs
         |FROM observations ORDER BY geo, indicator, year""".stripMargin))
 }

@@ -38,6 +38,11 @@ object Observations {
       .agg(graft.Fp.dsum2(col("o_totalprice")).as("value"),
         count(lit(1)).as("n_obs"))
       .withColumn("dataset_code", lit("orders"))
+      // indicator_label: the reference's code→label mapping
+      // (etl/main.py:119-120, build_knowledge_base.py:35-48)
+      .withColumn("indicator_label",
+        concat(lit("Order volume – priority "),
+          substring(col("indicator"), 1, 1)))
   }
 
   /** DuckDB CTE producing the identical panel — prefix for oracles. */
@@ -48,7 +53,9 @@ object Observations {
       |         CAST(year(o_orderdate) AS INTEGER) AS year,
       |         CAST(round(sum(CAST(o_totalprice AS DECIMAL(27,6))), 2) AS DOUBLE) AS value,
       |         count(*) AS n_obs,
-      |         'orders' AS dataset_code
+      |         'orders' AS dataset_code,
+      |         'Order volume – priority ' || substr(o_orderpriority, 1, 1)
+      |           AS indicator_label
       |  FROM orders
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN nation ON c_nationkey = n_nationkey
