@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{Dashboard, Insights}
-import graft.dedup.DedupQueries
+import graft.dedup.{Clusters, DedupQueries}
 import graft.etl.EtlQueries
 import graft.relational.{AsOf, Relational, SqlApi}
 import graft.forecast.ForecastQueries
@@ -21,7 +21,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational, EtlQueries, Dashboard, Insights,
     TextQueries, DedupQueries, SimQueries, RagQueries, ForecastQueries,
-    StreamQueries, SqlApi, AsOf, Ivf)
+    StreamQueries, SqlApi, AsOf, Ivf, Clusters)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
