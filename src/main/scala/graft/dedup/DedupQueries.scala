@@ -83,24 +83,21 @@ object DedupQueries extends QueryModule {
 
   private val P = Dedup.P
 
-  /** Shared shingle CTE (char 5-grams, distinct). */
-  private val shCte =
-    """WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents
+  /** Shared shingle CTE body (char 5-grams, distinct) — no WITH. */
+  private val shCteBody =
+    """t AS (SELECT doc_id, lower(text) AS txt FROM documents
       |           WHERE length(text) >= 5),
       |sh AS (SELECT DISTINCT doc_id, substr(txt, CAST(i AS INT), 5) AS g
-      |       FROM t, UNNEST(range(1, length(txt) - 3)) u(i))
-      |""".stripMargin
+      |       FROM t, UNNEST(range(1, length(txt) - 3)) u(i))""".stripMargin
 
-  override def oracles: Map[String, String] = Map(
-    "dedup_exact" ->
-      """SELECT keeper_id, n_copies FROM (
-        |  SELECT md5(text) AS h, min(doc_id) AS keeper_id,
-        |         count(*) AS n_copies
-        |  FROM (SELECT doc_id, text FROM documents
-        |        UNION ALL SELECT doc_id + 10000, text FROM documents)
-        |  GROUP BY md5(text))
-        |ORDER BY keeper_id""".stripMargin,
-    "dedup_minhash" -> (shCte.stripSuffix("\n") + s""",
+  private val shCte = "WITH " + shCteBody + "\n"
+
+  /** Full MinHash→LSH→exact-Jaccard chain ending in a `pairs`
+    * (doc_a, doc_b, jaccard ≥ 0.5) CTE — shared by the dedup_minhash
+    * oracle and the dedup_clusters recursive-CTE oracle.
+    */
+  private[dedup] def minhashPairsCtes(recursive: Boolean = false): String =
+    (if (recursive) "WITH RECURSIVE " else "WITH ") + shCteBody + s""",
         |xs AS (SELECT doc_id, g,
         |         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % $P AS x FROM sh),
         |params AS (SELECT CAST(k AS BIGINT) AS k,
@@ -121,13 +118,24 @@ object DedupQueries extends QueryModule {
         |       FROM cand c
         |       JOIN sh s1 ON s1.doc_id = c.doc_a
         |       JOIN sh s2 ON s2.doc_id = c.doc_b AND s1.g = s2.g
-        |       GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-        |           JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin),
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b,
+        |         CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |       FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |                  JOIN sizes sb ON doc_b = sb.doc_id
+        |       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5)""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT keeper_id, n_copies FROM (
+        |  SELECT md5(text) AS h, min(doc_id) AS keeper_id,
+        |         count(*) AS n_copies
+        |  FROM (SELECT doc_id, text FROM documents
+        |        UNION ALL SELECT doc_id + 10000, text FROM documents)
+        |  GROUP BY md5(text))
+        |ORDER BY keeper_id""".stripMargin,
+    "dedup_minhash" -> (minhashPairsCtes() +
+      "\nSELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"),
     "dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents),
         |words AS (SELECT DISTINCT doc_id, w
