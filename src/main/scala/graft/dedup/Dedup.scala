@@ -35,7 +35,7 @@ object Dedup {
 
   /** One row per (doc_id, distinct char-5-gram). */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.repartition(16) // single-file scan: spread the explode+md5 work
+    graft.Par.spread(docs) // single-file scan: spread the explode+md5 work
       .select(col(idCol).as("doc_id"), lower(col(textCol)).as("txt"))
       .filter(length(col("txt")) >= 5)
       .select(col("doc_id"),
@@ -73,7 +73,7 @@ object Dedup {
       // explicit partition count: AQE would coalesce these few MB to
       // one partition and serialize the (compute-heavy) signature
       // derivation; byte-based coalescing is blind to CPU cost
-      .repartition(32, col("doc_id"))
+      .transform(graft.Par.spreadBy(_, "doc_id"))
       // codegen MinHashSig: same LCG arithmetic as the DuckDB oracle,
       // primitive loop instead of nested interpreted lambdas
       .select(col("doc_id"),
@@ -123,13 +123,13 @@ object Dedup {
     // Same collect-then-fold shape as minhashBuckets: one aggregate
     // gathers the per-doc token hashes, one projection does the 32-bit
     // majority vote — no |tokens|×32-row shuffle.
-    docs.repartition(16) // single-file scan: spread tokenize+hash
+    graft.Par.spread(docs) // single-file scan: spread tokenize+hash
       .select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), " ")).as("w"))
       .distinct()
       .select(col("doc_id"), hash32("w").as("h"))
       .groupBy("doc_id").agg(collect_list("h").as("hs"))
-      .repartition(32, col("doc_id")) // see minhashBuckets note on AQE
+      .transform(graft.Par.spreadBy(_, "doc_id")) // see minhashBuckets note on AQE
       .select(col("doc_id"), expr(
         """aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) ->
           |  acc + IF(2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) > size(hs),
@@ -154,24 +154,64 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  /** F4 — exact word-trigram Jaccard pairs via a token join (the
-    * LSH-free exact variant; at 100 TB this runs within LSH buckets).
+  /** Candidate grams with document frequency above this are excluded
+    * from candidate *generation* (never from the exact verify): a
+    * stop-phrase trigram shared by d documents would otherwise emit
+    * d² join rows onto one reducer. Bounds any gram's join fanout at
+    * MaxGramDf² while exact Jaccard still counts every shared gram.
     */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      tau: Double): DataFrame = {
-    val grams = docs
+  val MaxGramDf = 128
+
+  /** (doc_id, distinct word-trigram) rows. Trigrams come from zipping
+    * the token array with its two shifted selves — no per-index
+    * element_at arithmetic, so documents shorter than three tokens
+    * yield an empty array instead of an out-of-bounds error (zip_with
+    * null-pads the shorter side; the nulls are filtered).
+    */
+  def trigramRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("ws"))
       .select(col("doc_id"),
         explode(expr(
-          """array_distinct(transform(sequence(1, size(ws) - 2), i ->
-            |  concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
-            |            element_at(ws, i + 2))))""".stripMargin)).as("g"))
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = grams.select(col("doc_id").as("doc_a"), col("g"))
-      .join(grams.select(col("doc_id").as("doc_b"), col("g")), "g")
+          """array_distinct(filter(
+            |  zip_with(
+            |    zip_with(ws, slice(ws, 2, greatest(size(ws) - 1, 0)),
+            |             (a, b) -> concat(a, ' ', b)),
+            |    slice(ws, 3, greatest(size(ws) - 2, 0)),
+            |    (ab, c) -> concat(ab, ' ', c)),
+            |  x -> x IS NOT NULL))""".stripMargin)).as("g"))
+
+  /** F4 — word-trigram Jaccard pairs: candidates from a df-capped
+    * gram self-join (see [[MaxGramDf]]), exact Jaccard over the FULL
+    * gram sets.
+    *
+    * The intersection splits as inter = shared-rare + shared-hot:
+    * shared-rare falls out of the candidate self-join itself (one
+    * pass, no re-verify join), and shared-hot is a correction join
+    * that only touches each candidate pair's few hot grams — so the
+    * exact Jaccard costs one bounded self-join plus a near-empty
+    * patch, never a quadratic reducer on a stop-phrase gram.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      tau: Double): DataFrame = {
+    // grams feed the df count, both candidate sides, the hot patch,
+    // and the per-doc sizes
+    val grams = trigramRows(docs, idCol, textCol).persist()
+    val gdf = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val rare = grams.join(gdf.filter(col("df") <= MaxGramDf).select("g"), "g")
+    val hot = grams.join(gdf.filter(col("df") > MaxGramDf).select("g"), "g")
+    val interRare = rare.select(col("doc_id").as("doc_a"), col("g"))
+      .join(rare.select(col("doc_id").as("doc_b"), col("g")), "g")
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ir"))
+    val interHot = interRare.select("doc_a", "doc_b")
+      .join(hot.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(hot.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ih"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    interRare
+      .join(interHot, Seq("doc_a", "doc_b"), "left")
+      .withColumn("inter", col("ir") + coalesce(col("ih"), lit(0L)))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",

@@ -47,30 +47,49 @@ object DedupQueries extends QueryModule {
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text", 0.5)
       .orderBy("doc_a", "doc_b")
 
-  /** F5 — embedding cosine near-duplicate pairs (brute verify; the
-    * LSH-bucketed scale path is `knn_lsh`).
+  /** F5 — embedding cosine near-duplicate pairs, exact, via a
+    * grid-blocked θ-join.
+    *
+    * An exact τ=0.45 similarity self-join is inherently all-pairs (at
+    * this weak-similarity threshold no LSH family separates pairs
+    * from the bulk with full recall — the per-hyperplane likelihood
+    * ratio vs the background is ~1.3), so the scale design makes the
+    * quadratic *distributed and even* instead of pretending it away:
+    * hash each vector into one of K blocks, enumerate the K(K+1)/2
+    * unordered block-pair cells, and equi-join on the (bi, bj) cell
+    * key — a co-partitioned shuffled join (NO cartesian/nested-loop
+    * node, no single-task hotspot), shuffle volume O(n·K) with
+    * K ≈ √(8·parallelism). Pairs stream through the codegen float
+    * prefilter; only near-threshold survivors pay the exact
+    * (oracle-matching) decimal cosine. Results are bit-identical to
+    * brute force — recall is exactly 1; the *approximate* scale paths
+    * (when quadratic is simply too big) are `knn_lsh` / `knn_ivf`.
     */
   def embeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val k = graft.Par.gridSide(spark)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), Vectors.normSq("embedding").as("nsq"))
-    // nested-loop join parallelism = left-side partitions; a single
-    // parquet footer would otherwise pin all pairs to one core
-    val a = e.repartition(16)
-      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-        col("nsq").as("na"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-      col("nsq").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      // cheap double prefilter over all pairs; the exact (oracle-
-      // matching) decimal cosine only runs for survivors near/above
-      // the threshold — ~1000x fewer BigDecimal reductions
+      .withColumn("blk", (col("vec_id") % k).cast("int"))
+    // block bi participates as the left role of cells (bi, bi..K-1)
+    // and the right role of cells (0..bi, bi)
+    val a = e.withColumn("bj", explode(expr(s"sequence(blk, ${k - 1})")))
+      .select(col("blk").as("bi"), col("bj"), col("vec_id").as("ida"),
+        col("embedding").as("ea"), col("nsq").as("na"))
+    val b = e.withColumn("bi", explode(expr("sequence(0, blk)")))
+      .select(col("bi"), col("blk").as("bj"), col("vec_id").as("idb"),
+        col("embedding").as("eb"), col("nsq").as("nb"))
+    a.join(b, Seq("bi", "bj"))
+      // diagonal cells see both orders + self-pairs; off-diagonal
+      // cells see each unordered pair exactly once
+      .filter(col("bi") =!= col("bj") || col("ida") < col("idb"))
       .withColumn("cos_fast",
         Vectors.cosineFrom(Vectors.dotFast("ea", "eb"), col("na"), col("nb")))
       .filter(col("cos_fast") >= 0.45 - 1e-6)
       .withColumn("cosine",
         Vectors.cosineFrom(Vectors.dot("ea", "eb"), col("na"), col("nb")))
       .filter(col("cosine") >= 0.45)
-      .select("vec_a", "vec_b", "cosine")
+      .select(least(col("ida"), col("idb")).as("vec_a"),
+        greatest(col("ida"), col("idb")).as("vec_b"), col("cosine"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -163,15 +182,22 @@ object DedupQueries extends QueryModule {
         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 6
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
         |           FROM documents),
         |grams AS (SELECT DISTINCT doc_id,
         |         ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)]
         |           || ' ' || ws[CAST(i + 2 AS INT)] AS g
         |       FROM t, UNNEST(range(1, len(ws) - 1)) u(i)),
+        |rareg AS (SELECT g FROM grams GROUP BY g
+        |       HAVING count(*) <= ${Dedup.MaxGramDf}),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM grams a JOIN rareg USING (g)
+        |       JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |       FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |       FROM cand c
+        |       JOIN grams ga ON ga.doc_id = c.doc_a
+        |       JOIN grams gb ON gb.doc_id = c.doc_b AND ga.g = gb.g
         |       GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
         |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard

@@ -29,7 +29,7 @@ object Ivf extends QueryModule {
       k: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val feats = emb.repartition(16).withColumn("features",
+    val feats = graft.Par.spread(emb).withColumn("features",
       array_to_vector(col("embedding").cast("array<double>")))
     val model = new KMeans().setK(NumLists).setSeed(42)
       .setFeaturesCol("features").setPredictionCol("list_id")

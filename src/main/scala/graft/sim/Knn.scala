@@ -66,7 +66,7 @@ object Knn {
       k: Int): DataFrame = {
     // single-file parquet → one input partition; spread the per-pair
     // reductions before the (partition-preserving) broadcast join
-    val e = emb.repartition(16)
+    val e = graft.Par.spread(emb)
       .select(col("vec_id"), col("embedding"),
         Vectors.normSq("embedding").as("nsq"))
     val q = e.filter(queryPred).select(col("vec_id").as("query_id"),
@@ -81,7 +81,7 @@ object Knn {
     */
   def lsh(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
       k: Int): DataFrame = {
-    val e = emb.repartition(16) // see bruteForce note
+    val e = graft.Par.spread(emb) // see bruteForce note
       .select(col("vec_id"), col("embedding"),
         Vectors.normSq("embedding").as("nsq"),
         lshBucket("embedding").as("bucket"))

@@ -11,7 +11,7 @@ object TextQueries extends QueryModule {
 
   /** H1 — trigram-profile language ID over documents. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).repartition(16)
+    val docs = graft.Par.spread(Tables.documents(spark, dir))
     val profile = LangId.profiles(docs.select("lang", "text"), "text", "lang")
     LangId.classify(docs, profile, "doc_id", "text")
       .orderBy("doc_id")
@@ -19,7 +19,7 @@ object TextQueries extends QueryModule {
 
   /** H2 — quality metrics per document. */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    Analysis.quality(Tables.documents(spark, dir).select("doc_id", "text").repartition(16), "text")
+    Analysis.quality(graft.Par.spread(Tables.documents(spark, dir).select("doc_id", "text")), "text")
       .select("doc_id", "n_chars_m", "n_tokens", "stopword_ratio",
         "punct_ratio", "digit_ratio", "avg_word_len")
       .orderBy("doc_id")
@@ -27,7 +27,7 @@ object TextQueries extends QueryModule {
 
   /** H3 — token counts per document. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
-    Analysis.tokenCounts(Tables.documents(spark, dir).select("doc_id", "text").repartition(16), "text")
+    Analysis.tokenCounts(graft.Par.spread(Tables.documents(spark, dir).select("doc_id", "text")), "text")
       .select("doc_id", "ws_tokens", "bpe_ish_tokens")
       .orderBy("doc_id")
   }
@@ -37,7 +37,7 @@ object TextQueries extends QueryModule {
     */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     Fingerprint.fingerprints(
-      Tables.documents(spark, dir).select("doc_id", "text").repartition(16),
+      graft.Par.spread(Tables.documents(spark, dir).select("doc_id", "text")),
       "doc_id", "text")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_fps"), min("fingerprint").as("min_fp"),

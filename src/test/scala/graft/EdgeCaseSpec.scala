@@ -52,6 +52,18 @@ class EdgeCaseSpec extends SparkSpec {
     assert(buckets.count() > 0)
   }
 
+  test("ngram jaccard tolerates docs with fewer than three tokens") {
+    // docs 1-3 have <3 whitespace tokens: they must contribute zero
+    // trigrams (not crash on out-of-range indexing)
+    val g = graft.dedup.Dedup.trigramRows(tiny, "doc_id", "text")
+    val ids = g.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == Set(4L, 5L))
+    // and the full pair pipeline runs end-to-end on the tiny corpus
+    val pairs = graft.dedup.Dedup
+      .ngramJaccardPairs(tiny, "doc_id", "text", 0.5).collect()
+    assert(pairs.isEmpty)
+  }
+
   test("simhash handles empty token sets without crashing") {
     val sims = graft.dedup.Dedup.simhash(tiny, "doc_id", "text").collect()
     assert(sims.length == 5) // empty text still yields a (degenerate) hash

@@ -59,4 +59,31 @@ class DedupSpec extends SparkSpec {
       assert(c >= 0.45 && c <= 1.0 + 1e-9)
     }
   }
+
+  test("embedding near-dup plan is a grid equi-join, not a nested loop") {
+    val plan = DedupQueries.embeddingNeardup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "nested loop in plan")
+    assert(!plan.contains("CartesianProduct"), "cartesian product in plan")
+  }
+
+  test("embedding near-dup grid join equals brute force exactly") {
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        graft.sim.Vectors.normSq("embedding").as("nsq"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nsq").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nsq").as("nb"))
+    val brute = a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine", graft.sim.Vectors.cosineFrom(
+        graft.sim.Vectors.dot("ea", "eb"), col("na"), col("nb")))
+      .filter(col("cosine") >= 0.45)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val grid = DedupQueries.embeddingNeardup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(grid == brute, s"grid vs brute diff: ${grid.diff(brute)} / ${brute.diff(grid)}")
+  }
 }
