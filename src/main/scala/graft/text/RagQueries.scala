@@ -16,14 +16,10 @@ object RagQueries extends QueryModule {
   val question = "spark table join fast"
 
   /** D1 — tf-idf weighted postings over the documents corpus. */
-  def tfidf(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val p = Tfidf.postings(docs, "doc_id", "text")
-    val i = Tfidf.idf(p, docs.count())
-    Tfidf.weights(p, i)
+  def tfidf(spark: SparkSession, dir: String): DataFrame =
+    Tfidf.index(Tables.documents(spark, dir), "doc_id", "text").weights
       .select(col("id").as("doc_id"), col("term"), col("w"))
       .orderBy("doc_id", "term")
-  }
 
   /** D2 — cosine top-5 documents for a query string. */
   def cosineTopkDocs(spark: SparkSession, dir: String): DataFrame =

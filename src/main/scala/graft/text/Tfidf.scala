@@ -1,7 +1,11 @@
 package graft.text
 
+import scala.collection.concurrent.TrieMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** TF-IDF + cosine retrieval (SURVEY §2 D; reference:
   * llm_app/rag_engine.py — sklearn TfidfVectorizer + cosine top-k).
@@ -14,6 +18,13 @@ import org.apache.spark.sql.functions._
   * anywhere, which is what makes this run at 100 TB corpus size (the
   * vocabulary aggregate and the query vector broadcast; the posting
   * join shuffles on term once).
+  *
+  * The corpus-side build (postings → idf → weights → norms) is
+  * packaged as a [[TfidfIndex]], memoized per (session, corpus):
+  * repeated searches — or different operators over the same corpus in
+  * one session — reuse one persisted build instead of re-deriving the
+  * chain per query. N rides along the idf aggregate as a broadcast
+  * 1-row count, so indexing triggers no separate driver-side action.
   */
 object Tfidf {
 
@@ -43,12 +54,17 @@ object Tfidf {
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
   }
 
-  /** (term, df, idf) with sklearn smooth idf, decimal-quantized. */
-  def idf(postings: DataFrame, nDocs: Long): DataFrame =
+  /** (term, df, idf) with sklearn smooth idf, decimal-quantized.
+    * The corpus size joins in as a broadcast 1-row aggregate — no
+    * separate `docs.count()` action/scan.
+    */
+  def idf(postings: DataFrame, docs: DataFrame): DataFrame =
     postings.groupBy("term")
       .agg(countDistinct("id").as("df"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
       .withColumn("idf", expr(
-        s"cast(cast(ln((1.0 + $nDocs) / (1.0 + df)) + 1.0 as decimal(18,9)) as double)"))
+        "cast(cast(ln((1.0 + n_docs) / (1.0 + df)) + 1.0 as decimal(18,9)) as double)"))
+      .select("term", "df", "idf")
 
   /** (id, term, w) weighted postings. */
   def weights(postings: DataFrame, idf: DataFrame): DataFrame =
@@ -61,27 +77,56 @@ object Tfidf {
     weights.groupBy("id")
       .agg(expr("cast(sum(cast(w * w as decimal(24,8))) as double)").as("nsq"))
 
-  /** Cosine top-k of `queryText` against the corpus. */
+  private val indexCache =
+    TrieMap.empty[(SparkSession, LogicalPlan, String, String), TfidfIndex]
+
+  /** The memoized corpus index. Revalidated against the session's
+    * cache state: `catalog.clearCache()` (or explicit unpersist)
+    * invalidates the entry and the next call rebuilds fresh.
+    */
+  def index(docs: DataFrame, idCol: String, textCol: String): TfidfIndex = {
+    val key = (docs.sparkSession,
+      docs.queryExecution.analyzed.canonicalized, idCol, textCol)
+    indexCache.get(key) match {
+      case Some(ix) if ix.postings.storageLevel != StorageLevel.NONE => ix
+      case _ =>
+        val p = postings(docs, idCol, textCol).persist()
+        val i = idf(p, docs).persist()
+        val w = weights(p, i).persist()
+        val ix = TfidfIndex(docs, idCol, textCol, p, i, w, norms(w))
+        indexCache.put(key, ix)
+        ix
+    }
+  }
+
+  /** Cosine top-k of `queryText` against the corpus (memoized
+    * index under the hood).
+    */
   def searchTopK(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, queryText: String, k: Int): DataFrame = {
+      textCol: String, queryText: String, k: Int): DataFrame =
+    index(docs, idCol, textCol).searchTopK(queryText, k)
+}
+
+/** A built (persisted) TF-IDF index over one corpus. */
+final case class TfidfIndex(docs: DataFrame, idCol: String, textCol: String,
+    postings: DataFrame, idf: DataFrame, weights: DataFrame, norms: DataFrame) {
+
+  /** Cosine top-k against the indexed corpus: the query vector
+    * weights/norm broadcast; the posting join is the only shuffle.
+    */
+  def searchTopK(queryText: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    // postings feed idf + weights, weights feed norms + dots: persist
-    // both fan-out points (callers release via catalog.clearCache)
-    val p = postings(docs, idCol, textCol).persist()
-    val n = docs.count()
-    val idfT = idf(p, n)
-    val w = weights(p, idfT).persist()
-    val nrm = norms(w)
-    val qp = postings(
+    val qp = Tfidf.postings(
       Seq((0L, queryText)).toDF(idCol, textCol), idCol, textCol)
-    val qw = weights(qp, idfT)
+    val qw = Tfidf.weights(qp, idf)
       .select(col("term"), col("w").as("qw"))
-    val qn = norms(qw.select(lit(0L).as("id"), col("term"), col("qw").as("w")))
+    val qn = Tfidf.norms(qw.select(lit(0L).as("id"), col("term"), col("qw").as("w")))
       .select(col("nsq").as("qnsq"))
-    val dots = w.join(broadcast(qw), "term")
+    val dots = weights.join(broadcast(qw), "term")
       .groupBy("id")
       .agg(expr("cast(sum(cast(w * qw as decimal(24,8))) as double)").as("dot"))
-    dots.join(nrm, "id").crossJoin(broadcast(qn))
+    dots.join(norms, "id").crossJoin(broadcast(qn))
       .withColumn("cosine", col("dot") / (sqrt(col("nsq")) * sqrt(col("qnsq"))))
       .select(col("id"), col("cosine"))
       .orderBy(desc("cosine"), asc("id"))

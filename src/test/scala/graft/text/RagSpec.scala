@@ -9,7 +9,7 @@ class RagSpec extends SparkSpec {
   test("tfidf: idf decreases with document frequency") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val p = Tfidf.postings(docs, "doc_id", "text")
-    val i = Tfidf.idf(p, docs.count()).collect()
+    val i = Tfidf.idf(p, docs).collect()
     val byDf = i.map(r => r.getAs[Long]("df") -> r.getAs[Double]("idf"))
     byDf.foreach { case (df1, idf1) =>
       byDf.foreach { case (df2, idf2) =>
