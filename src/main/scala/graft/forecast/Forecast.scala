@@ -15,15 +15,25 @@ import org.apache.spark.sql.functions._
   *   series; series are short (years), so the array per group is tiny
   *   while parallelism comes from the number of series, exactly how a
   *   100 TB panel wants to be partitioned.
+  * - smoothing parameters are FITTED per series (statsmodels
+  *   `.fit()`, forecast_utils.py:129): a broadcast (α, β) grid cross
+  *   joins the series arrays, each combination folds once, and a
+  *   min_by picks the in-sample-SSE argmin — a few hundred tiny folds
+  *   per series, all inside one hash aggregate, no driver loop.
   *
   * Rolling mean/std are derived from decimal-exact Σx and Σx² so the
   * DuckDB oracle reproduces them bit-for-bit (see graft.Fp).
   */
 object Forecast {
 
-  val Alpha = 0.8 // level smoothing
-  val Beta = 0.2 // trend smoothing
   val Horizon = 5
+
+  /** The α/β search grid: 0.1 … 0.9 in 0.1 steps plus the 0.05/0.95
+    * edges (statsmodels' optimizer often lands near the boundary) —
+    * 121 combinations, each a single tiny fold per series.
+    */
+  val GridValues: Seq[Double] =
+    Seq(0.05) ++ (1 to 9).map(_ * 0.1) ++ Seq(0.95)
 
   private val series = Seq("geo", "indicator")
 
@@ -89,7 +99,7 @@ object Forecast {
   }
 
   /** Sorted value array per series (years are unique per series). */
-  private def seriesArrays(obs: DataFrame): DataFrame =
+  private[forecast] def seriesArrays(obs: DataFrame): DataFrame =
     obs.groupBy("geo", "indicator")
       .agg(expr(
         "transform(array_sort(collect_list(struct(year, value))), s -> s.value)")
@@ -97,60 +107,118 @@ object Forecast {
         max("year").as("last_year"))
       .filter(size(col("vs")) >= 2)
 
-  /** Holt state fold: l₀=x₁, b₀=x₂−x₁; per step
-    * l' = αx + (1−α)(l+b), b' = β(l'−l) + (1−β)b, accumulating
-    * one-step-ahead squared error (forecast_utils.py:117-148 semantics
-    * with fixed smoothing instead of statsmodels' fitted params).
+  /** Fit Holt per series over the array column `arr`: the codegen
+    * [[graft.plans.HoltGridFit]] folds every grid point through the
+    * series in one primitive double pass and keeps the in-sample-SSE
+    * argmin (ties break on (α, β)) — a projection, no cross join, no
+    * interpreted lambdas. `carry` columns ride along untouched.
     */
-  private val holtState =
-    s"""aggregate(slice(vs, 2, size(vs) - 1),
-       |  named_struct('l', element_at(vs, 1),
-       |               'b', element_at(vs, 2) - element_at(vs, 1),
-       |               'sse', cast(0 as double), 'n', cast(0 as int)),
-       |  (st, x) -> named_struct(
-       |    'l', $Alpha * x + ${1 - Alpha} * (st.l + st.b),
-       |    'b', $Beta * (($Alpha * x + ${1 - Alpha} * (st.l + st.b)) - st.l)
-       |         + ${1 - Beta} * st.b,
-       |    'sse', st.sse + (x - (st.l + st.b)) * (x - (st.l + st.b)),
-       |    'n', st.n + 1))""".stripMargin
+  private def fitHolt(seriesDf: DataFrame, arr: String,
+      carry: Seq[String]): DataFrame =
+    // spread first: AQE coalesces the tiny post-aggregate frame to
+    // one partition, which would serialize every series' grid folds
+    graft.Par.spreadBy(seriesDf, "geo", "indicator")
+      .withColumn("fit",
+        graft.plans.VectorExpressions.holtGridFit(col(arr), GridValues))
+      .filter(col("fit").isNotNull)
+      .select(col("geo") +: col("indicator") +: col("fit") +:
+        carry.map(col): _*)
 
-  /** E2 + E6 — recursive multi-step Holt forecast, one row per
-    * (series, horizon step).
+  /** E2 + E6 — recursive multi-step Holt forecast with per-series
+    * fitted (α, β), one row per (series, horizon step) — the
+    * reference's full-series refit + forecast
+    * (forecast_utils.py:136-137).
     */
   def holtForecast(obs: DataFrame): DataFrame =
-    seriesArrays(obs)
-      .withColumn("st", expr(holtState))
-      .select(col("geo"), col("indicator"), col("last_year"),
-        col("st"),
+    fitHolt(seriesArrays(obs), "vs", Seq("last_year"))
+      .select(col("geo"), col("indicator"), col("last_year"), col("fit"),
         explode(expr(s"sequence(1, $Horizon)")).as("step"))
       .select(col("geo"), col("indicator"),
         (col("last_year") + col("step")).as("year"),
-        (col("st.l") + col("step") * col("st.b")).as("forecast"))
+        (col("fit.l") + col("step") * col("fit.b")).as("forecast"))
 
-  /** The reference's run_forecast output shape
-    * (forecast_utils.py:206-215): historical rows union forecast rows
-    * with a `type` discriminator, sorted by year.
+  /** Per-series fitted (α, β) — exposed for inspection/specs. */
+  def holtParams(obs: DataFrame): DataFrame =
+    fitHolt(seriesArrays(obs), "vs", Seq("last_year"))
+      .select(col("geo"), col("indicator"), col("fit.alpha").as("alpha"),
+        col("fit.beta").as("beta"), col("fit.sse").as("sse"))
+
+  /** Series arrays + the reference's holdout split
+    * (test_size = min(5, max(2, n/3)), forecast_utils.py:185) as
+    * train/test array columns; only series the reference would
+    * forecast at all (n ≥ 5, run_forecast guard).
+    */
+  private[forecast] def holdoutArrays(obs: DataFrame): DataFrame =
+    seriesArrays(obs)
+      .withColumn("n", size(col("vs")))
+      .filter(col("n") >= 5)
+      .withColumn("test_size",
+        least(lit(5), greatest(lit(2), expr("cast(n div 3 as int)"))))
+      .withColumn("train", expr("slice(vs, 1, n - test_size)"))
+      .withColumn("test", expr("slice(vs, n - test_size + 1, test_size)"))
+
+  /** Per-series Holt holdout RMSE (the reference's _train_es eval,
+    * forecast_utils.py:124-133): fit on the train prefix, forecast
+    * the held-out tail, RMSE against it. Series where ES is not a
+    * candidate (n ≤ test_size + 2) are excluded.
+    */
+  def holtHoldoutRmse(obs: DataFrame): DataFrame =
+    fitHolt(
+      holdoutArrays(obs).filter(col("n") > col("test_size") + 2),
+      "train", Seq("test_size", "test"))
+      .withColumn("rmse_holt", expr(
+        s"""sqrt(aggregate(sequence(1, test_size), 0d,
+           |  (acc, h) -> acc + (element_at(test, h) - (fit.l + h * fit.b))
+           |            * (element_at(test, h) - (fit.l + h * fit.b)))
+           | / test_size)""".stripMargin))
+      .select("geo", "indicator", "rmse_holt")
+
+  /** E7 — per-series model selection by holdout RMSE: pooled GBT vs
+    * fitted Holt (forecast_utils.py:192-204; ties go to the GBT
+    * candidate, mirroring the reference's sort order). Series where
+    * only one model qualifies select it outright.
+    */
+  def modelSelect(obs: DataFrame): DataFrame =
+    Gbt.holdoutRmse(obs)
+      .join(holtHoldoutRmse(obs), Seq("geo", "indicator"), "full")
+      .withColumn("model_used",
+        when(col("rmse_gbt").isNull, "holt")
+          .when(col("rmse_holt").isNull, "gbt")
+          .when(col("rmse_gbt") <= col("rmse_holt"), "gbt")
+          .otherwise("holt"))
+      .select("geo", "indicator", "rmse_gbt", "rmse_holt", "model_used")
+
+  /** E8 — the reference's run_forecast output shape
+    * (forecast_utils.py:206-215): the WINNER's historical rows union
+    * its forecast rows with a `type` discriminator. A GBT winner's
+    * history is the supervised (post-dropna) frame, a Holt winner's
+    * the full series — exactly what the reference concatenates.
     */
   def forecastSeries(obs: DataFrame): DataFrame = {
-    val hist = obs.select(col("geo"), col("indicator"), col("year"),
-      col("value"), lit("historical").as("type"))
-    val fut = holtForecast(obs).select(col("geo"), col("indicator"),
-      col("year"), col("forecast").as("value"), lit("forecast").as("type"))
+    // the winner table feeds four branches (two history roles, two
+    // future roles) — materialize it once
+    val winner = modelSelect(obs).select("geo", "indicator", "model_used")
+      .persist()
+    val histAll = obs.select(col("geo"), col("indicator"), col("year"),
+      col("value"))
+    val histGbt = Gbt.supervisedHistory(obs)
+    val hist =
+      histAll.join(winner.filter(col("model_used") === "holt"),
+          Seq("geo", "indicator"))
+        .unionByName(
+          histGbt.join(winner.filter(col("model_used") === "gbt"),
+            Seq("geo", "indicator")))
+        .select(col("geo"), col("indicator"), col("year"), col("value"),
+          lit("historical").as("type"))
+    val futHolt = holtForecast(obs)
+      .join(winner.filter(col("model_used") === "holt"), Seq("geo", "indicator"))
+    val futGbt = Gbt.forecast(obs)
+      .join(winner.filter(col("model_used") === "gbt"), Seq("geo", "indicator"))
+    val fut = futHolt.select(col("geo"), col("indicator"), col("year"),
+        col("forecast").as("value"))
+      .unionByName(futGbt.select(col("geo"), col("indicator"), col("year"),
+        col("forecast").as("value")))
+      .withColumn("type", lit("forecast"))
     hist.unionByName(fut)
-  }
-
-  /** E7 — per-series model selection by in-sample one-step RMSE:
-    * Holt vs the naive lag-1 baseline (forecast_utils.py:192-204).
-    */
-  def modelSelect(obs: DataFrame): DataFrame = {
-    val holt = seriesArrays(obs)
-      .withColumn("st", expr(holtState))
-      .select(col("geo"), col("indicator"),
-        sqrt(col("st.sse") / col("st.n")).as("rmse_holt"))
-    rmseNaive(obs)
-      .join(holt, Seq("geo", "indicator"))
-      .withColumn("model_used",
-        when(col("rmse_holt") <= col("rmse_naive"), "holt").otherwise("naive"))
-      .select("geo", "indicator", "rmse_naive", "rmse_holt", "model_used")
   }
 }

@@ -123,6 +123,122 @@ case class MinHashSig(child: Expression, numHashes: Int, p: Long)
     copy(child = newChild)
 }
 
+/** Whole Holt (α, β) grid fit in one pass over a series' value array:
+  * for every grid pair, fold l/b/one-step-SSE through the series and
+  * keep the SSE argmin (ties to the smallest (α, β), matching the
+  * relational min_by formulation). Replaces |grid| interpreted
+  * higher-order-function folds per series — a cross join the
+  * optimizer can't fuse — with a tight primitive double loop; the
+  * arithmetic is operation-for-operation the SQL fold's, so results
+  * are bit-identical.
+  *
+  * Returns struct(alpha, beta, l, b, sse, n); null for series shorter
+  * than 2 points.
+  */
+case class HoltGridFit(child: Expression, gridValues: Seq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("alpha", DoubleType, nullable = false),
+    StructField("beta", DoubleType, nullable = false),
+    StructField("l", DoubleType, nullable = false),
+    StructField("b", DoubleType, nullable = false),
+    StructField("sse", DoubleType, nullable = false),
+    StructField("n", IntegerType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(in: Any): Any = {
+    val vs = in.asInstanceOf[ArrayData]
+    val n = vs.numElements()
+    if (n < 2) return null
+    val g = gridValues.toArray
+    var bestSse = Double.PositiveInfinity
+    var bestA = 0.0; var bestB = 0.0; var bestL = 0.0; var bestBb = 0.0
+    var ai = 0
+    while (ai < g.length) {
+      val a = g(ai)
+      var bi = 0
+      while (bi < g.length) {
+        val be = g(bi)
+        var l = vs.getDouble(0)
+        var bb = vs.getDouble(1) - vs.getDouble(0)
+        var sse = 0.0
+        var i = 1
+        while (i < n) {
+          val x = vs.getDouble(i)
+          val pred = l + bb
+          sse += (x - pred) * (x - pred)
+          val l2 = a * x + (1 - a) * pred
+          bb = be * (l2 - l) + (1 - be) * bb
+          l = l2
+          i += 1
+        }
+        if (sse < bestSse) {
+          bestSse = sse; bestA = a; bestB = be; bestL = l; bestBb = bb
+        }
+        bi += 1
+      }
+      ai += 1
+    }
+    InternalRow(bestA, bestB, bestL, bestBb, bestSse, n - 1)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gridArr = gridValues.mkString(", ")
+    nullSafeCodeGen(ctx, ev, vs => {
+      val n = ctx.freshName("n")
+      val g = ctx.freshName("g")
+      val bs = ctx.freshName("bestSse")
+      val ba = ctx.freshName("bestA"); val bbv = ctx.freshName("bestB")
+      val bl = ctx.freshName("bestL"); val bbb = ctx.freshName("bestBb")
+      val ai = ctx.freshName("ai"); val bi = ctx.freshName("bi")
+      val a = ctx.freshName("a"); val be = ctx.freshName("be")
+      val l = ctx.freshName("l"); val bb = ctx.freshName("bb")
+      val sse = ctx.freshName("sse"); val i = ctx.freshName("i")
+      val x = ctx.freshName("x"); val pred = ctx.freshName("pred")
+      val l2 = ctx.freshName("l2")
+      s"""
+         |int $n = $vs.numElements();
+         |if ($n < 2) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $g = new double[]{$gridArr};
+         |  double $bs = Double.POSITIVE_INFINITY;
+         |  double $ba = 0.0, $bbv = 0.0, $bl = 0.0, $bbb = 0.0;
+         |  for (int $ai = 0; $ai < $g.length; $ai++) {
+         |    double $a = $g[$ai];
+         |    for (int $bi = 0; $bi < $g.length; $bi++) {
+         |      double $be = $g[$bi];
+         |      double $l = $vs.getDouble(0);
+         |      double $bb = $vs.getDouble(1) - $vs.getDouble(0);
+         |      double $sse = 0.0;
+         |      for (int $i = 1; $i < $n; $i++) {
+         |        double $x = $vs.getDouble($i);
+         |        double $pred = $l + $bb;
+         |        $sse += ($x - $pred) * ($x - $pred);
+         |        double $l2 = $a * $x + (1 - $a) * $pred;
+         |        $bb = $be * ($l2 - $l) + (1 - $be) * $bb;
+         |        $l = $l2;
+         |      }
+         |      if ($sse < $bs) {
+         |        $bs = $sse; $ba = $a; $bbv = $be; $bl = $l; $bbb = $bb;
+         |      }
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{$ba, $bbv, $bl, $bbb, $bs, $n - 1});
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HoltGridFit =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API for the codegen'd dot product. */
   def dotF32(x: Column, y: Column): Column =
@@ -130,4 +246,7 @@ object VectorExpressions {
 
   def minhashSig(xs: Column, numHashes: Int, p: Long): Column =
     Bridge.column(MinHashSig(Bridge.expression(xs), numHashes, p))
+
+  def holtGridFit(vs: Column, grid: Seq[Double]): Column =
+    Bridge.column(HoltGridFit(Bridge.expression(vs), grid))
 }

@@ -3,7 +3,6 @@ package graft.text
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -77,8 +76,10 @@ object Tfidf {
     weights.groupBy("id")
       .agg(expr("cast(sum(cast(w * w as decimal(24,8))) as double)").as("nsq"))
 
+  // plan keyed by its canonicalized TEXT — file-source relations
+  // compare by reference, so plan-object equality would always miss
   private val indexCache =
-    TrieMap.empty[(SparkSession, LogicalPlan, String, String), TfidfIndex]
+    TrieMap.empty[(SparkSession, String, String, String), TfidfIndex]
 
   /** The memoized corpus index. Revalidated against the session's
     * cache state: `catalog.clearCache()` (or explicit unpersist)
@@ -86,7 +87,7 @@ object Tfidf {
     */
   def index(docs: DataFrame, idCol: String, textCol: String): TfidfIndex = {
     val key = (docs.sparkSession,
-      docs.queryExecution.analyzed.canonicalized, idCol, textCol)
+      docs.queryExecution.analyzed.canonicalized.treeString, idCol, textCol)
     indexCache.get(key) match {
       case Some(ix) if ix.postings.storageLevel != StorageLevel.NONE => ix
       case _ =>

@@ -20,13 +20,13 @@ object TimeOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = graft.SparkEntry.queries(name)
-    (1 to reps).foreach { i =>
+    for (q <- name.split(",").toSeq; i <- 1 to reps) {
+      val fn = graft.SparkEntry.queries(q)
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val t1 = System.nanoTime()
       spark.catalog.clearCache()
-      println(f"TIMEONE $name rep$i: ${(t1 - t0) / 1e9}%.2f s rows=$n")
+      println(f"TIMEONE $q rep$i: ${(t1 - t0) / 1e9}%.2f s rows=$n")
     }
     spark.stop()
   }

@@ -41,18 +41,36 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
-  test("holt forecast matches a reference Scala implementation") {
+  /** Plain-Scala Holt fold: returns (l, b, sse) for one (α, β). */
+  private def holtFold(values: Seq[Double], alpha: Double,
+      beta: Double): (Double, Double, Double) = {
+    var l = values(0)
+    var b = values(1) - values(0)
+    var sse = 0.0
+    values.drop(1).foreach { x =>
+      sse += (x - (l + b)) * (x - (l + b))
+      val l2 = alpha * x + (1 - alpha) * (l + b)
+      val b2 = beta * (l2 - l) + (1 - beta) * b
+      l = l2; b = b2
+    }
+    (l, b, sse)
+  }
+
+  /** Grid argmin with the engine's tie-break: (sse, alpha, beta). */
+  private def fitHolt(values: Seq[Double]): (Double, Double, Double, Double) =
+    (for (a <- Forecast.GridValues; b <- Forecast.GridValues) yield {
+      val (l, bb, sse) = holtFold(values, a, b)
+      (sse, a, b, l, bb)
+    }).minBy(t => (t._1, t._2, t._3)) match {
+      case (_, a, b, l, bb) => (a, b, l, bb)
+    }
+
+  test("holt forecast matches a grid-fitted reference implementation") {
     val series = obs
       .filter(col("geo") === "NATION_0" && col("indicator") === "1-URGENT")
       .orderBy("year").collect()
       .map(r => r.getAs[Int]("year") -> r.getAs[Double]("value"))
-    var l = series(0)._2
-    var b = series(1)._2 - series(0)._2
-    series.drop(1).foreach { case (_, x) =>
-      val l2 = Forecast.Alpha * x + (1 - Forecast.Alpha) * (l + b)
-      val b2 = Forecast.Beta * (l2 - l) + (1 - Forecast.Beta) * b
-      l = l2; b = b2
-    }
+    val (_, _, l, b) = fitHolt(series.map(_._2).toSeq)
     val lastYear = series.last._1
     val expected = (1 to Forecast.Horizon)
       .map(i => (lastYear + i) -> (l + i * b)).toMap
@@ -66,18 +84,90 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
-  test("gbt forecast produces finite predictions on the test split") {
-    val rows = ForecastQueries.gbtForecast(spark, sf).collect()
-    assert(rows.nonEmpty)
-    assert(rows.forall(r => !r.getAs[Double]("prediction").isNaN))
+  test("fitted holt beats or equals fixed smoothing in-sample") {
+    val params = Forecast.holtParams(obs).collect()
+    assert(params.nonEmpty)
+    params.foreach { r =>
+      val geo = r.getAs[String]("geo")
+      val ind = r.getAs[String]("indicator")
+      val values = obs.filter(col("geo") === geo && col("indicator") === ind)
+        .orderBy("year").collect().map(_.getAs[Double]("value")).toSeq
+      val (_, _, fixedSse) = holtFold(values, 0.8, 0.2)
+      assert(r.getAs[Double]("sse") <= fixedSse + 1e-9,
+        s"$geo/$ind fitted sse worse than fixed")
+    }
   }
 
-  test("model_select picks the lower-rmse model") {
-    ForecastQueries.modelSelect(spark, sf).collect().foreach { r =>
-      val naive = r.getAs[Double]("rmse_naive")
-      val holt = r.getAs[Double]("rmse_holt")
+  test("gbt forecast emits a full recursive horizon per series") {
+    val rows = ForecastQueries.gbtForecast(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => !r.getAs[Double]("forecast").isNaN))
+    val bySeries = rows.groupBy(r =>
+      (r.getAs[String]("geo"), r.getAs[String]("indicator")))
+    bySeries.values.foreach { grp =>
+      assert(grp.length == Gbt.Horizon)
+      val years = grp.map(_.getAs[Int]("year")).sorted
+      assert(years.zip(years.tail).forall { case (a, b) => b == a + 1 },
+        "horizon years must be consecutive")
+    }
+    // every horizon year is in the future of the observed panel
+    val lastYears = obs.groupBy("geo", "indicator")
+      .agg(max("year").as("ly")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Int]("ly")).toMap
+    bySeries.foreach { case (k, grp) =>
+      assert(grp.map(_.getAs[Int]("year")).min == lastYears(k) + 1)
+    }
+  }
+
+  test("model_select picks the lower holdout rmse of gbt vs holt") {
+    val rows = ForecastQueries.modelSelect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val gbt = Option(r.getAs[java.lang.Double]("rmse_gbt")).map(_.toDouble)
+      val holt = Option(r.getAs[java.lang.Double]("rmse_holt")).map(_.toDouble)
       val used = r.getAs[String]("model_used")
-      assert(if (holt <= naive) used == "holt" else used == "naive")
+      (gbt, holt) match {
+        case (Some(g), Some(h)) =>
+          assert(if (g <= h) used == "gbt" else used == "holt")
+        case (Some(_), None) => assert(used == "gbt")
+        case (None, Some(_)) => assert(used == "holt")
+        case (None, None) => fail("series with no candidate model")
+      }
+    }
+  }
+
+  test("holt holdout rmse matches a train-prefix refit oracle") {
+    val r0 = Forecast.holtHoldoutRmse(obs)
+      .filter(col("geo") === "NATION_0" && col("indicator") === "1-URGENT")
+      .collect()
+    assert(r0.length == 1)
+    val values = obs
+      .filter(col("geo") === "NATION_0" && col("indicator") === "1-URGENT")
+      .orderBy("year").collect().map(_.getAs[Double]("value")).toSeq
+    val ts = math.min(5, math.max(2, values.length / 3))
+    val (_, _, l, b) = fitHolt(values.dropRight(ts))
+    val test = values.takeRight(ts)
+    val rmse = math.sqrt(test.zipWithIndex.map { case (x, i) =>
+      val f = l + (i + 1) * b; (x - f) * (x - f)
+    }.sum / ts)
+    assert(math.abs(r0(0).getAs[Double]("rmse_holt") - rmse) < 1e-9)
+  }
+
+  test("forecast_series unions the winner's history and horizon") {
+    val fs = ForecastQueries.forecastSeries(spark, sf)
+    val sel = ForecastQueries.modelSelect(spark, sf).collect()
+      .map(r => (r.getAs[String]("geo"), r.getAs[String]("indicator")) ->
+        r.getAs[String]("model_used")).toMap
+    val byType = fs.groupBy("geo", "indicator", "type")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getString(2)) ->
+        r.getAs[Long]("n")).toMap
+    sel.foreach { case (k, used) =>
+      assert(byType(k -> "forecast") == Forecast.Horizon, s"$k horizon rows")
+      val nHist = byType(k -> "historical")
+      // gbt history is the post-dropna supervised frame (3 fewer rows)
+      if (used == "holt") assert(nHist >= 5)
+      else assert(nHist >= 2)
     }
   }
 }
