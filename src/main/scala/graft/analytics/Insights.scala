@@ -58,16 +58,37 @@ object Insights extends QueryModule {
         "end_value", "n_years", "slope_per_year", "growth_pct", "trend_label")
       .orderBy("geo", "indicator")
 
-  /** C2 — NL insight string (build_knowledge_base.py:151-160). */
-  def insightText(spark: SparkSession, dir: String): DataFrame =
+  /** C2 — NL insight string (build_knowledge_base.py:148-160),
+    * including the change phrase: `(+12.3% over 5 years)` when
+    * growth_pct is defined, `(±u.uu units over N years)` when the
+    * start value is 0.
+    *
+    * The percent is rounded to tenths with EXPLICIT integer
+    * arithmetic (floor(|g|·1000 + 0.5)) rather than printf: both
+    * engines run identical double ops and an identical floor, whereas
+    * Java's %.1f HALF_UPs the shortest decimal repr and C's rounds
+    * the exact binary — they disagree on boundary values. The units
+    * fallback formats 2-decimal-exact values, which is safe.
+    */
+  def insightText(spark: SparkSession, dir: String): DataFrame = {
+    val changePhrase = expr(
+      """CASE WHEN growth_pct IS NOT NULL THEN concat(
+        |  IF(growth_pct >= 0, '+', '-'),
+        |  cast(cast(floor(abs(growth_pct) * 1000 + 0.5d) as bigint) div 10 as string),
+        |  '.',
+        |  cast(cast(floor(abs(growth_pct) * 1000 + 0.5d) as bigint) % 10 as string),
+        |  '% over ', cast(n_years as string), ' years')
+        |ELSE format_string('%+.2f units over %d years',
+        |                   end_value - start_value, n_years) END""".stripMargin)
     trendStats(spark, dir)
       .select(col("geo"), col("indicator"),
         format_string(
-          "For %s, the indicator '%s' changed from %.2f in %d to %.2f in %d. Overall trend: %s.",
+          "For %s, the indicator '%s' changed from %.2f in %d to %.2f in %d (%s). Overall trend: %s.",
           col("geo"), col("indicator"), col("start_value"), col("start_year"),
-          col("end_value"), col("end_year"), col("trend_label"))
+          col("end_value"), col("end_year"), changePhrase, col("trend_label"))
           .as("insight_text"))
       .orderBy("geo", "indicator")
+  }
 
   /** C3 — fastest-rising intent (chatbot.py:9-46): argmax slope. */
   def fastestRising(spark: SparkSession, dir: String): DataFrame =
@@ -113,16 +134,33 @@ object Insights extends QueryModule {
       |  FROM trend)
       |""".stripMargin
 
+  /** DuckDB mirror of the full insight string (text + change phrase),
+    * shared with the semantic_search oracle's corpus CTE. Careful:
+    * this fragment is interpolated into margin strings that call
+    * .stripMargin AFTER interpolation — no line may start with `|`,
+    * so every `||` concatenation trails its line.
+    */
+  val insightTextSql: String =
+    """printf('For %s, the indicator ''%s'' changed from %.2f in %d to %.2f in %d (%s). Overall trend: %s.',
+      |         geo, indicator, start_value, start_year, end_value, end_year,
+      |         CASE WHEN growth_pct IS NOT NULL THEN
+      |           (CASE WHEN growth_pct >= 0 THEN '+' ELSE '-' END) ||
+      |           CAST(CAST(floor(abs(growth_pct) * 1000 + 0.5) AS BIGINT) // 10 AS VARCHAR) ||
+      |           '.' ||
+      |           CAST(CAST(floor(abs(growth_pct) * 1000 + 0.5) AS BIGINT) % 10 AS VARCHAR) ||
+      |           '% over ' || CAST(n_years AS VARCHAR) || ' years'
+      |         ELSE printf('%+.2f units over %d years',
+      |                     end_value - start_value, n_years) END,
+      |         trend_label)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "insights_trend" -> (labeledCte +
       """SELECT geo, indicator, start_year, end_year, start_value, end_value,
         |  n_years, slope_per_year, growth_pct, trend_label
         |FROM labeled ORDER BY geo, indicator""".stripMargin),
     "insight_text" -> (labeledCte +
-      """SELECT geo, indicator,
-        |  printf('For %s, the indicator ''%s'' changed from %.2f in %d to %.2f in %d. Overall trend: %s.',
-        |         geo, indicator, start_value, start_year, end_value, end_year,
-        |         trend_label) AS insight_text
+      s"""SELECT geo, indicator,
+        |  $insightTextSql AS insight_text
         |FROM labeled ORDER BY geo, indicator""".stripMargin),
     "fastest_rising" -> (labeledCte +
       """SELECT geo, indicator, start_year, end_year, start_value, end_value,

@@ -36,7 +36,13 @@ object Tables {
         .withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else raw
+    } else
+      // without the nanosAsLong legacy read (e.g. a library user's own
+      // session) parquet nanos arrive truncated to a µs timestamp —
+      // synthesize ts_ns so operators referencing it (sessionize,
+      // as-of join) still resolve
+      raw.withColumn("ts_ns",
+        org.apache.spark.sql.functions.expr("unix_micros(ts) * 1000"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

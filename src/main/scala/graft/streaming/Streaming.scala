@@ -65,29 +65,47 @@ object Streaming {
       end_ms: Long)
 
   /** J2 streaming variant — explicit session state per user via
-    * flatMapGroupsWithState with processing-time timeout.
+    * flatMapGroupsWithState with an EVENT-TIME timeout tied to the
+    * session gap: once the watermark passes a session's last event +
+    * gap, the state emits its session and is removed — per-user state
+    * is bounded by active users within the watermark horizon, never
+    * grows forever.
     */
-  def sessionizeStream(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+  def sessionizeStream(events: Dataset[Event], gapMs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
+        GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          var st = state.getOption.orNull
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            st match {
-              case null => st = SessionState(t, t, 1)
-              case s if t - s.last > gapMs =>
-                closed += SessionOut(user, s.n, s.start, s.last)
-                st = SessionState(t, t, 1)
-              case s => st = SessionState(s.start, t, s.n + 1)
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: the open session can never
+            // be extended — close and drop the state
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.n, s.start, s.last))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.orNull
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              st match {
+                case null => st = SessionState(t, t, 1)
+                case s if t - s.last > gapMs =>
+                  closed += SessionOut(user, s.n, s.start, s.last)
+                  st = SessionState(t, t, 1)
+                case s => st = SessionState(s.start, t, s.n + 1)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.last + gapMs)
+            }
+            closed.iterator
           }
-          if (st != null) state.update(st)
-          closed.iterator
       }
   }
 

@@ -101,9 +101,7 @@ object RagQueries extends QueryModule {
     "semantic_search" -> (Insights.labeledCte +
       s""", corpus AS (
         |  SELECT geo || '|' || indicator AS id,
-        |    printf('For %s, the indicator ''%s'' changed from %.2f in %d to %.2f in %d. Overall trend: %s.',
-        |           geo, indicator, start_value, start_year, end_value, end_year,
-        |           trend_label) AS txt
+        |    ${Insights.insightTextSql} AS txt
         |  FROM labeled),
         |${tfidfCtes("corpus")},
         |${searchSql("which country trend rising fastest", "insight_key")}""".stripMargin))

@@ -38,12 +38,15 @@ class AnalyticsSpec extends SparkSpec {
       all.map(_.getAs[Double]("slope_per_year")).max)
   }
 
-  test("insight_text embeds the trend label") {
+  test("insight_text embeds the trend label and the change phrase") {
     val r = Insights.insightText(spark, sf).limit(5).collect()
+    val phrase = """\([+-]\d+\.\d% over \d+ years\)|\([+-]\d+\.\d\d units over \d+ years\)""".r
     r.foreach { row =>
       val t = row.getAs[String]("insight_text")
       assert(t.startsWith(s"For ${row.getAs[String]("geo")},"))
       assert(t.contains("Overall trend:"))
+      assert(phrase.findFirstIn(t).isDefined,
+        s"missing change phrase in: $t")
     }
   }
 }

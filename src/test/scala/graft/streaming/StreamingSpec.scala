@@ -68,6 +68,32 @@ class StreamingSpec extends SparkSpec {
     assert(out(0) == SessionOut(7, 2, 1000, 30000))
   }
 
+  test("event-time timeout closes idle sessions once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionizeStream(mem.toDS(), gapMs = 60000)
+      .writeStream.format("memory").queryName("sess_timeout_out")
+      .outputMode("append").start()
+    // user 9's session ends at t=30s; nothing further from user 9
+    mem.addData(
+      Event(1, new Timestamp(1000), 9, "click", 1.0),
+      Event(2, new Timestamp(30000), 9, "click", 1.0))
+    q.processAllAvailable()
+    // a much later event from ANOTHER user advances the watermark
+    // beyond 30s + gap; the next batch fires user 9's timeout
+    mem.addData(Event(3, new Timestamp(7200000), 8, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(4, new Timestamp(7260000), 8, "view", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("sess_timeout_out").as[SessionOut].collect()
+    q.stop()
+    assert(out.contains(SessionOut(9, 2, 1000, 30000)),
+      s"user 9 session not emitted by timeout: ${out.toSeq}")
+    // user 8's session is still open (no gap, watermark not past it)
+    assert(!out.exists(_.user_id == 8))
+  }
+
   test("streaming dedup drops re-delivered event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
