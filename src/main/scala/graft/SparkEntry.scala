@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{Dashboard, Insights}
 import graft.dedup.{Clusters, DedupQueries}
 import graft.etl.EtlQueries
+import graft.pipeline.Corpus
 import graft.relational.{AsOf, Relational, SqlApi}
 import graft.forecast.ForecastQueries
 import graft.sim.{Ivf, SimQueries}
@@ -21,7 +22,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational, EtlQueries, Dashboard, Insights,
     TextQueries, DedupQueries, SimQueries, RagQueries, ForecastQueries,
-    StreamQueries, SqlApi, AsOf, Ivf, Clusters)
+    StreamQueries, SqlApi, AsOf, Ivf, Clusters, Corpus)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

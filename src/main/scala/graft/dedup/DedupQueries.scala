@@ -115,7 +115,7 @@ object DedupQueries extends QueryModule {
     * (doc_a, doc_b, jaccard ≥ 0.5) CTE — shared by the dedup_minhash
     * oracle and the dedup_clusters recursive-CTE oracle.
     */
-  private[dedup] def minhashPairsCtes(recursive: Boolean = false): String =
+  private[graft] def minhashPairsCtes(recursive: Boolean = false): String =
     (if (recursive) "WITH RECURSIVE " else "WITH ") + shCteBody + s""",
         |xs AS (SELECT doc_id, g,
         |         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % $P AS x FROM sh),

@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryModule
+import graft.dedup.{Clusters, Dedup, DedupQueries}
+import graft.sources.Tables
+import graft.text.Analysis
+
+/** SURVEY §2 L — corpus-preparation composition ops: what a training
+  * pipeline actually runs end-to-end over its document store.
+  *
+  * L1 `corpus_sample`: deterministic hash bucketing into
+  * train/val/test — the only split that works at 100 TB (no global
+  * shuffle or count; any worker can re-derive any doc's split from
+  * its id; adding data never reshuffles old assignments). Same
+  * md5-prefix integer both engines compute identically.
+  *
+  * L2 `corpus_clean`: the keep-list = quality gate ∧ exact-dup keeper
+  * ∧ near-dup cluster representative — composes H2 quality metrics,
+  * F1 exact dedup and F2/F6 MinHash clustering into one verdict per
+  * document. Every stage is the already-scale-shaped operator; the
+  * composition adds two hash joins on doc_id.
+  */
+object Corpus extends QueryModule {
+
+  /** Quality gate thresholds (tokens ≥ 20, stopword ratio ≤ 0.25). */
+  val MinTokens = 20
+  val MaxStopwordRatio = 0.25
+
+  /** L1 — deterministic train/val/test hash split (800/100/100). */
+  def corpusSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select("doc_id", "lang")
+      .withColumn("bucket", expr(
+        """cast(conv(substring(md5(concat('smp|', cast(doc_id as string))),
+          |  1, 8), 16, 10) as bigint) % 1000""".stripMargin))
+      .withColumn("split",
+        when(col("bucket") < 800, "train")
+          .when(col("bucket") < 900, "val")
+          .otherwise("test"))
+      .select("doc_id", "lang", "bucket", "split")
+      .orderBy("doc_id")
+
+  /** L2 — per-document keep-list with the three gate verdicts. */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val quality = Analysis
+      .quality(graft.Par.spread(docs.select("doc_id", "text")), "text")
+      .select(col("doc_id"),
+        (col("n_tokens") >= MinTokens &&
+          col("stopword_ratio") <= MaxStopwordRatio).as("keep_quality"))
+    val keepExact = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("keeper",
+        min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .select(col("doc_id"), (col("doc_id") === col("keeper")).as("keep_exact"))
+    val sh = Dedup.shingleRows(docs, "doc_id", "text").persist()
+    val neardup = Clusters.connectedComponents(
+      Dedup.jaccardVerify(
+        Dedup.bucketPairs(Dedup.minhashBuckets(sh)), sh, 0.5))
+      .select(col("doc_id"), (col("doc_id") === col("cluster")).as("nd_keep"))
+    quality
+      .join(keepExact, "doc_id")
+      .join(neardup, Seq("doc_id"), "left")
+      .withColumn("keep_neardup", coalesce(col("nd_keep"), lit(true)))
+      .withColumn("keep",
+        col("keep_quality") && col("keep_exact") && col("keep_neardup"))
+      .select("doc_id", "keep_quality", "keep_exact", "keep_neardup", "keep")
+      .orderBy("doc_id")
+  }
+
+  override def queries: Map[String, Q] = Map(
+    "corpus_sample" -> (corpusSample _),
+    "corpus_clean" -> (corpusClean _))
+
+  override def oracles: Map[String, String] = Map(
+    "corpus_sample" ->
+      """SELECT doc_id, lang,
+        |  CAST('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |       AS BIGINT) % 1000 AS bucket,
+        |  CASE WHEN CAST('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |            AS BIGINT) % 1000 < 800 THEN 'train'
+        |       WHEN CAST('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |            AS BIGINT) % 1000 < 900 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "corpus_clean" -> (DedupQueries.minhashPairsCtes(recursive = true) + s""",
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(rdoc, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.rdoc),
+        |cc AS (SELECT rdoc AS doc_id, min(r) AS cluster_rep
+        |       FROM reach GROUP BY rdoc),
+        |kq AS (SELECT doc_id,
+        |         CAST(len(string_split(lt, ' ')) AS INTEGER) >= $MinTokens AND
+        |         (CAST(len(list_filter(string_split(lt, ' '),
+        |            x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |          / nullif(len(string_split(lt, ' ')), 0)) <= $MaxStopwordRatio
+        |         AS keep_quality
+        |       FROM (SELECT doc_id, lower(text) AS lt FROM documents)),
+        |ex AS (SELECT doc_id,
+        |         doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep_exact
+        |       FROM documents)
+        |SELECT d.doc_id, kq.keep_quality, ex.keep_exact,
+        |  COALESCE(cc.doc_id = cc.cluster_rep, TRUE) AS keep_neardup,
+        |  kq.keep_quality AND ex.keep_exact
+        |    AND COALESCE(cc.doc_id = cc.cluster_rep, TRUE) AS keep
+        |FROM documents d
+        |JOIN kq USING (doc_id) JOIN ex USING (doc_id)
+        |LEFT JOIN cc ON cc.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin))
+}

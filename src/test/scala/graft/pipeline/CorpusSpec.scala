@@ -1,0 +1,42 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusSpec extends SparkSpec {
+
+  test("corpus_sample: deterministic, exhaustive, roughly 80/10/10") {
+    val rows = Corpus.corpusSample(spark, sf).collect()
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length == n) // every doc assigned exactly once
+    val bySplit = rows.groupBy(_.getAs[String]("split")).view.mapValues(_.length)
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    // stability: re-running yields identical assignments
+    val again = Corpus.corpusSample(spark, sf).collect()
+    assert(rows.map(_.toSeq.toList).toList == again.map(_.toSeq.toList).toList)
+  }
+
+  test("corpus_clean: verdict columns compose into keep") {
+    val rows = Corpus.corpusClean(spark, sf).collect()
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length == n) // one verdict per doc
+    rows.foreach { r =>
+      val expected = r.getAs[Boolean]("keep_quality") &&
+        r.getAs[Boolean]("keep_exact") && r.getAs[Boolean]("keep_neardup")
+      assert(r.getAs[Boolean]("keep") == expected)
+    }
+    // the corpus has no exact dups, so every doc is its own keeper
+    assert(rows.forall(_.getAs[Boolean]("keep_exact")))
+    // quality gate actually discriminates on this corpus
+    assert(rows.exists(!_.getAs[Boolean]("keep_quality")))
+    assert(rows.exists(_.getAs[Boolean]("keep_quality")))
+    // near-dup losers are exactly the non-representative cluster members
+    val ccLosers = graft.dedup.Clusters.dedupClusters(spark, sf).collect()
+      .filter(!_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSet
+    val ndLosers = rows.filter(!_.getAs[Boolean]("keep_neardup"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(ndLosers == ccLosers)
+  }
+}
