@@ -50,6 +50,53 @@ object StressBench {
       val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
       li.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).count()
     }
+
+    // --- LLM-pipeline ops under amplification -------------------------
+    // Copies must NOT near-dup each other, or pair counts grow
+    // quadratically in mult and measure output size, not operator
+    // scaling. A per-copy letter substitution (text) / dimension
+    // rotation (embeddings) preserves every WITHIN-copy similarity
+    // exactly while making cross-copy pairs random — so true near-dup
+    // work is mult× the base, and runtime should track that.
+    val subAlpha = "etaoinshr"
+    def docsAmp = (0 until mult).map { i =>
+      val subst = subAlpha.drop(i % subAlpha.length) + subAlpha.take(i % subAlpha.length)
+      graft.sources.Tables.table(spark, sfDir, "documents")
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
+        .withColumn("text", translate(col("text"), subAlpha, subst))
+    }.reduce(_ unionByName _)
+    def embAmp = (0 until mult).map { i =>
+      val off = (i * 8) % 64
+      graft.sources.Tables.table(spark, sfDir, "embeddings")
+        .withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L))
+        .withColumn("embedding", expr(
+          s"concat(slice(embedding, ${off + 1}, ${64 - off}), slice(embedding, 1, $off))"))
+    }.reduce(_ unionByName _)
+    println(s"rows: documents=${docsAmp.count()} embeddings=${embAmp.count()}")
+
+    time("minhash_pairs_x" + mult) {
+      val sh = graft.dedup.Dedup.shingleRows(docsAmp, "doc_id", "text").persist()
+      val n = graft.dedup.Dedup.jaccardVerify(
+        graft.dedup.Dedup.bucketPairs(graft.dedup.Dedup.minhashBuckets(sh)),
+        sh, 0.5).count()
+      sh.unpersist()
+      n
+    }
+    time("ngram_jaccard_x" + mult) {
+      graft.dedup.Dedup.ngramJaccardPairs(docsAmp, "doc_id", "text", 0.5).count()
+    }
+    time("embedding_neardup_x" + mult) {
+      graft.dedup.DedupQueries.neardupPairs(embAmp, 0.45).count()
+    }
+    time("neardup_clusters_x" + mult) {
+      val sh = graft.dedup.Dedup.shingleRows(docsAmp, "doc_id", "text").persist()
+      val pairs = graft.dedup.Dedup.jaccardVerify(
+        graft.dedup.Dedup.bucketPairs(graft.dedup.Dedup.minhashBuckets(sh)),
+        sh, 0.5)
+      val n = graft.dedup.Clusters.connectedComponents(pairs).count()
+      sh.unpersist()
+      n
+    }
     spark.stop()
   }
 }

@@ -32,8 +32,12 @@ object Clusters extends QueryModule {
 
   /** (doc_id, cluster) — cluster = min doc_id reachable via pairs. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // persist the pair relation FIRST: edges unions two projections of
+    // it, and without the cache each union branch re-runs the whole
+    // upstream candidate+verify pipeline on materialization
+    val p = pairs.persist()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     var cached = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
@@ -73,6 +77,7 @@ object Clusters extends QueryModule {
         s"WARN connectedComponents: not converged after $MaxIterations " +
           "rounds; labels may span unmerged components")
     edges.unpersist()
+    p.unpersist()
     labels
   }
 

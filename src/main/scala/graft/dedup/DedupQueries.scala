@@ -65,9 +65,14 @@ object DedupQueries extends QueryModule {
     * brute force — recall is exactly 1; the *approximate* scale paths
     * (when quadratic is simply too big) are `knn_lsh` / `knn_ivf`.
     */
-  def embeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingNeardup(spark: SparkSession, dir: String): DataFrame =
+    neardupPairs(Tables.embeddings(spark, dir), 0.45)
+
+  /** The grid-blocked exact θ-join over any (vec_id, embedding) frame. */
+  def neardupPairs(emb: DataFrame, tau: Double): DataFrame = {
+    val spark = emb.sparkSession
     val k = graft.Par.gridSide(spark)
-    val e = Tables.embeddings(spark, dir)
+    val e = emb
       .select(col("vec_id"), col("embedding"), Vectors.normSq("embedding").as("nsq"))
       .withColumn("blk", (col("vec_id") % k).cast("int"))
     // block bi participates as the left role of cells (bi, bi..K-1)
@@ -84,10 +89,10 @@ object DedupQueries extends QueryModule {
       .filter(col("bi") =!= col("bj") || col("ida") < col("idb"))
       .withColumn("cos_fast",
         Vectors.cosineFrom(Vectors.dotFast("ea", "eb"), col("na"), col("nb")))
-      .filter(col("cos_fast") >= 0.45 - 1e-6)
+      .filter(col("cos_fast") >= tau - 1e-6)
       .withColumn("cosine",
         Vectors.cosineFrom(Vectors.dot("ea", "eb"), col("na"), col("nb")))
-      .filter(col("cosine") >= 0.45)
+      .filter(col("cosine") >= tau)
       .select(least(col("ida"), col("idb")).as("vec_a"),
         greatest(col("ida"), col("idb")).as("vec_b"), col("cosine"))
       .orderBy("vec_a", "vec_b")

@@ -31,16 +31,26 @@ object Ivf extends QueryModule {
     import spark.implicits._
     val feats = graft.Par.spread(emb).withColumn("features",
       array_to_vector(col("embedding").cast("array<double>")))
+    // Fit the coarse quantizer on a key-hash-partitioned layout with a
+    // FIXED partition count: kmeans|| init depends on the input
+    // partitioning, so fitting on the parallelism-derived layout makes
+    // list assignment (and thus recall) vary with the session's core
+    // count. Quantizer training is sample-sized at scale anyway — a
+    // fixed small count costs nothing and makes the model a pure
+    // function of (data, seed).
     val model = new KMeans().setK(NumLists).setSeed(42)
       .setFeaturesCol("features").setPredictionCol("list_id")
-      .fit(feats)
+      .fit(feats.repartition(4, col("vec_id")).sortWithinPartitions("vec_id"))
     val listed = model.transform(feats).drop("features")
       .withColumn("nsq", Vectors.normSq("embedding"))
       .persist()
 
     val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-      .toSeq.toDF("list_id", "centroid")
+      .map { case (c, i) =>
+        val arr = c.toArray.map(_.toFloat)
+        (i, arr, c.toArray.map(v => v * v).sum)
+      }
+      .toSeq.toDF("list_id", "centroid", "c_nsq")
 
     val queries = listed.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("eq"),
@@ -49,8 +59,12 @@ object Ivf extends QueryModule {
     // probe selection: nLists rows per query
     val probeRank = Window.partitionBy("query_id")
       .orderBy(desc("c_cos"), asc("list_id"))
+    // rank lists by cosine, not raw dot: centroid norms differ, and an
+    // un-normalized dot lets one large-norm centroid hijack every
+    // query's probe set (query norm is constant per query, so it
+    // cannot change the per-query ranking and is skipped)
     val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("c_cos", Vectors.dotFast("eq", "centroid"))
+      .withColumn("c_cos", Vectors.dotFast("eq", "centroid") / sqrt(col("c_nsq")))
       .withColumn("prnk", row_number().over(probeRank))
       .filter(col("prnk") <= NProbe)
       .select("query_id", "eq", "nq", "list_id")
