@@ -32,12 +32,15 @@ object Clusters extends QueryModule {
 
   /** (doc_id, cluster) — cluster = min doc_id reachable via pairs. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    // persist the pair relation FIRST: edges unions two projections of
-    // it, and without the cache each union branch re-runs the whole
-    // upstream candidate+verify pipeline on materialization
-    val p = pairs.persist()
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Both edge directions from ONE pass over the pair pipeline: a
+    // union of two projections scans the (expensive, un-cached)
+    // upstream candidate+verify plan twice on first materialization —
+    // the cache is still being populated during that same action, so
+    // the second branch misses it. explode never re-reads upstream.
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     var cached = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
@@ -72,12 +75,13 @@ object Clusters extends QueryModule {
       converged = changed == 0
       iter += 1
     }
-    if (!converged)
+    if (converged)
+      System.err.println(s"[graft] connectedComponents converged in $iter rounds")
+    else
       System.err.println(
         s"WARN connectedComponents: not converged after $MaxIterations " +
           "rounds; labels may span unmerged components")
     edges.unpersist()
-    p.unpersist()
     labels
   }
 

@@ -10,6 +10,42 @@ class EngineSqlSpec extends SparkSpec {
     assert(r == 11.0)
   }
 
+  test("minhash_sig from SQL matches the Column-API signature") {
+    import graft.dedup.Dedup
+    val sqlRow = spark.sql(
+      s"SELECT minhash_sig(array(7L, 42L, 1000L), ${Dedup.NumHashes}, ${Dedup.P}) AS sig")
+      .collect()(0).getSeq[Long](0)
+    val colRow = spark.range(1).select(
+      graft.plans.VectorExpressions.minhashSig(
+        org.apache.spark.sql.functions.expr("array(7L, 42L, 1000L)"),
+        Dedup.NumHashes, Dedup.P).as("sig"))
+      .collect()(0).getSeq[Long](0)
+    assert(sqlRow == colRow)
+    assert(sqlRow.length == Dedup.NumHashes)
+  }
+
+  test("minhash_sig rejects a non-literal hash count") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array(1L), cast(id as int), 97) FROM range(1)")
+        .collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
+  test("holt_grid_fit from SQL matches the Column-API fit") {
+    import graft.forecast.Forecast
+    val grid = Forecast.GridValues.mkString("array(", ", ", ")")
+    val series = "array(1.0d, 2.0d, 4.0d, 7.0d, 11.0d)"
+    val sqlRow = spark.sql(s"SELECT holt_grid_fit($series, $grid) AS fit")
+      .collect()(0).getStruct(0)
+    val colRow = spark.range(1).select(
+      graft.plans.VectorExpressions.holtGridFit(
+        org.apache.spark.sql.functions.expr(series), Forecast.GridValues).as("fit"))
+      .collect()(0).getStruct(0)
+    assert(sqlRow == colRow)
+    assert(sqlRow.getAs[Double]("alpha") > 0.0)
+  }
+
   test("cube_agg covers all four grouping-set combinations") {
     val rows = graft.relational.Relational.cubeAgg(spark, sf).collect()
     val statuses = rows.count(r => !r.isNullAt(0) && r.isNullAt(1))

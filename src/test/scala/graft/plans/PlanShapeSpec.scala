@@ -1,0 +1,65 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** Scale-invariant plan-shape regressions over the ENTIRE query
+  * surface: properties that must hold for the plan to survive a 100×
+  * scale-up, asserted on the physical plan of every `SparkEntry`
+  * query. A violation here is a plan knee, not a wrong answer — the
+  * oracle gate can't catch it, so it's pinned here.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private lazy val plans: Map[String, String] =
+    graft.SparkEntry.queries.map { case (name, q) =>
+      val plan = q(spark, sf).queryExecution.executedPlan.toString
+      spark.catalog.clearCache()
+      name -> plan
+    }
+
+  test("no query plan contains a CartesianProduct") {
+    val offenders = plans.collect {
+      case (name, plan) if plan.contains("CartesianProduct") => name
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
+  test("no parquet scan reads more than 8 columns (column pruning)") {
+    val scanWidth = "ReadSchema: struct<([^>]*)>".r
+    val offenders = plans.collect {
+      case (name, plan)
+          if scanWidth.findAllMatchIn(plan)
+            .exists(_.group(1).count(_ == ',') + 1 > 8) =>
+        name
+    }
+    assert(offenders.isEmpty, s"wide scans in: ${offenders.mkString(", ")}")
+  }
+
+  test("broadcast nested-loop joins appear only in known tiny-side sites") {
+    // BNLJ is O(|left|·|right|) — acceptable ONLY where one side is a
+    // handful of broadcast rows by construction: the knn/semantic
+    // query-vector sides, IVF centroids, grid-blocked dedup cells,
+    // the 1-row corpus-count frames in tf-idf scoring, and insight
+    // frames joining a 1-row latest-year bound.
+    val allowed = Set(
+      "knn_brute", "knn_lsh", "knn_ivf", "semantic_search",
+      "embedding_neardup", "cosine_topk_docs", "tfidf",
+      "insight_text", "insights_trend", "fastest_rising",
+      "corpus_clean", "dedup_clusters")
+    val offenders = plans.collect {
+      case (name, plan)
+          if plan.contains("BroadcastNestedLoopJoin") && !allowed(name) =>
+        name
+    }
+    assert(offenders.isEmpty, s"unexpected BNLJ in: ${offenders.mkString(", ")}")
+  }
+
+  test("flagship scans push filters down to parquet") {
+    val plan = graft.analytics.Dashboard.explorerFilter(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["),
+      "explorer_filter scan lost its pushed filters")
+    assert(!plan.replaceAll("PushedFilters: \\[[^\\]]*\\]", "")
+      .contains("PushedFilters"), "scan printed no filter list")
+  }
+}
