@@ -1,0 +1,32 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped memo of SMALL derived frames (model selections,
+  * fitted parameters, forecast horizons — O(#series) rows, never raw
+  * data), eagerly localCheckpoint'ed: materialized once, lineage
+  * truncated, blocks outside the SQL cache manager so
+  * `catalog.clearCache()` between queries doesn't force a rebuild.
+  * Multiple operators composing the same expensive derivation (e.g.
+  * model_select inside forecast_series) each pay it once per session.
+  *
+  * Keys are tag + the input frame's canonicalized plan TEXT —
+  * file-source relations compare by reference, so plan-object
+  * equality would never hit. Entries of stopped sessions are evicted;
+  * builds are serialized so concurrent first calls can't double-run.
+  */
+object Memo {
+
+  private val cache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def small(tag: String, input: DataFrame)(build: => DataFrame): DataFrame = {
+    val key = (input.sparkSession,
+      tag + "|" + input.queryExecution.analyzed.canonicalized.treeString)
+    cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    cache.synchronized {
+      cache.getOrElseUpdate(key, build.localCheckpoint(true))
+    }
+  }
+}

@@ -54,23 +54,44 @@ object StressBench {
     // --- LLM-pipeline ops under amplification -------------------------
     // Copies must NOT near-dup each other, or pair counts grow
     // quadratically in mult and measure output size, not operator
-    // scaling. A per-copy letter substitution (text) / dimension
-    // rotation (embeddings) preserves every WITHIN-copy similarity
-    // exactly while making cross-copy pairs random — so true near-dup
-    // work is mult× the base, and runtime should track that.
+    // scaling. A per-copy letter substitution (text) / coordinate
+    // permutation (embeddings) preserves every WITHIN-copy similarity
+    // exactly while making cross-copy pairs random. Both transforms
+    // are indexed by the copy's Lehmer code (the i-th lexicographic
+    // permutation), so no two copies below 9! / 64! share a transform
+    // — a simple rotation would alias with period 9 / 8 and reintroduce
+    // quadratic cross-copy pairs at larger mult.
+    def lehmerPerm(n: Int, idx: Long): Array[Int] = {
+      val fact = new Array[Long](n)
+      fact(0) = 1
+      for (k <- 1 until n)
+        fact(k) = if (fact(k - 1) > Long.MaxValue / k) Long.MaxValue
+                  else fact(k - 1) * k
+      val avail = scala.collection.mutable.ArrayBuffer.range(0, n)
+      val out = new Array[Int](n)
+      var rem = if (fact(n - 1) < Long.MaxValue / n) idx % (fact(n - 1) * n) else idx
+      for (pos <- 0 until n) {
+        val f = fact(n - 1 - pos)
+        val d = math.min(rem / f, avail.length - 1).toInt
+        rem -= d * f
+        out(pos) = avail.remove(d)
+      }
+      out
+    }
     val subAlpha = "etaoinshr"
     def docsAmp = (0 until mult).map { i =>
-      val subst = subAlpha.drop(i % subAlpha.length) + subAlpha.take(i % subAlpha.length)
+      val subst = lehmerPerm(subAlpha.length, i.toLong).map(subAlpha).mkString
       graft.sources.Tables.table(spark, sfDir, "documents")
         .withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
         .withColumn("text", translate(col("text"), subAlpha, subst))
     }.reduce(_ unionByName _)
     def embAmp = (0 until mult).map { i =>
-      val off = (i * 8) % 64
+      val p = lehmerPerm(64, i.toLong)
       graft.sources.Tables.table(spark, sfDir, "embeddings")
         .withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L))
         .withColumn("embedding", expr(
-          s"concat(slice(embedding, ${off + 1}, ${64 - off}), slice(embedding, 1, $off))"))
+          p.map(d => s"element_at(embedding, ${d + 1})")
+            .mkString("array(", ", ", ")")))
     }.reduce(_ unionByName _)
     println(s"rows: documents=${docsAmp.count()} embeddings=${embAmp.count()}")
 

@@ -86,18 +86,15 @@ object Clusters extends QueryModule {
   }
 
   /** F6 — cluster the MinHash near-dup pairs; one row per clustered
-    * doc with its representative and a keep/drop verdict.
+    * doc with its representative and a keep/drop verdict. Pairs and
+    * labels come from the memoized [[NearDup]] index shared with
+    * dedup_minhash and corpus_clean.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingleRows(Tables.documents(spark, dir), "doc_id", "text")
-      .persist()
-    val pairs = Dedup.jaccardVerify(
-      Dedup.bucketPairs(Dedup.minhashBuckets(sh)), sh, 0.5)
-    connectedComponents(pairs)
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    NearDup.index(Tables.documents(spark, dir)).labels
       .withColumn("keep", col("doc_id") === col("cluster"))
       .select(col("cluster").as("cluster_rep"), col("doc_id"), col("keep"))
       .orderBy("cluster_rep", "doc_id")
-  }
 
   override def queries: Map[String, Q] = Map(
     "dedup_clusters" -> (dedupClusters _))

@@ -191,6 +191,19 @@ object Dedup {
     * that only touches each candidate pair's few hot grams — so the
     * exact Jaccard costs one bounded self-join plus a near-empty
     * patch, never a quadratic reducer on a stop-phrase gram.
+    *
+    * Recall bound: a pair is a candidate iff it shares at least one
+    * rare (df ≤ [[MaxGramDf]]) gram, OR both docs consist entirely of
+    * hot grams and their trigram-set MinHash signatures band-collide.
+    * The all-hot fallback covers the template-corpus case (thousands
+    * of boilerplate near-dups whose every gram is hot) without
+    * reopening the quadratic reducer: those docs' candidates come
+    * from banded LSH over their trigram sets, never a raw hot-gram
+    * join. The one remaining blind spot — a MIXED pair (one doc has
+    * rare grams, the other none shared) whose overlap is purely hot —
+    * cannot reach jaccard ≥ tau unless hot grams dominate both docs,
+    * in which case both docs are nearly-all-hot and band collision
+    * catches them with MinHash's standard s^rows-band probability.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       tau: Double): DataFrame = {
@@ -208,10 +221,21 @@ object Dedup {
       .join(hot.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
       .join(hot.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ih"))
+    // all-hot fallback: docs with NO rare gram are invisible to the
+    // rare self-join — band them by trigram-set MinHash instead
+    val allHot = grams.select("doc_id").distinct()
+      .join(rare.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    val hotSh = hot.join(allHot, "doc_id").select("doc_id", "g")
+    val interAllHot = bucketPairs(minhashBuckets(hotSh))
+      .join(hotSh.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(hotSh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     interRare
       .join(interHot, Seq("doc_a", "doc_b"), "left")
-      .withColumn("inter", col("ir") + coalesce(col("ih"), lit(0L)))
+      .select(col("doc_a"), col("doc_b"),
+        (col("ir") + coalesce(col("ih"), lit(0L))).as("inter"))
+      .unionByName(interAllHot)
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",

@@ -23,16 +23,13 @@ object DedupQueries extends QueryModule {
       .orderBy("keeper_id")
   }
 
-  /** F2 — MinHash + banded LSH candidates, exact-Jaccard verified. */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    // the shingle relation feeds four plan branches (both self-join
-    // sides, both verify sides); persist instead of recomputing the
-    // explode+distinct+md5 chain per branch
-    val sh = Dedup.shingleRows(Tables.documents(spark, dir), "doc_id", "text")
-      .persist()
-    val pairs = Dedup.bucketPairs(Dedup.minhashBuckets(sh))
-    Dedup.jaccardVerify(pairs, sh, 0.5).orderBy("doc_a", "doc_b")
-  }
+  /** F2 — MinHash + banded LSH candidates, exact-Jaccard verified;
+    * the build is the memoized [[NearDup]] index shared with
+    * dedup_clusters and corpus_clean.
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    NearDup.index(Tables.documents(spark, dir)).pairs
+      .orderBy("doc_a", "doc_b")
 
   /** F3 — SimHash banding + hamming verification. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
@@ -74,7 +71,9 @@ object DedupQueries extends QueryModule {
     val k = graft.Par.gridSide(spark)
     val e = emb
       .select(col("vec_id"), col("embedding"), Vectors.normSq("embedding").as("nsq"))
-      .withColumn("blk", (col("vec_id") % k).cast("int"))
+      // pmod, not %: a negative id would yield a negative block and
+      // descending sequence() bounds below, producing bogus grid cells
+      .withColumn("blk", pmod(col("vec_id"), lit(k)).cast("int"))
     // block bi participates as the left role of cells (bi, bi..K-1)
     // and the right role of cells (0..bi, bi)
     val a = e.withColumn("bj", explode(expr(s"sequence(blk, ${k - 1})")))
@@ -203,10 +202,34 @@ object DedupQueries extends QueryModule {
         |       FROM cand c
         |       JOIN grams ga ON ga.doc_id = c.doc_a
         |       JOIN grams gb ON gb.doc_id = c.doc_b AND ga.g = gb.g
-        |       GROUP BY 1, 2)
+        |       GROUP BY 1, 2),
+        |allhot AS (SELECT DISTINCT doc_id FROM grams
+        |       EXCEPT SELECT DISTINCT doc_id FROM grams JOIN rareg USING (g)),
+        |hsh AS (SELECT doc_id, g FROM grams JOIN allhot USING (doc_id)),
+        |xs2 AS (SELECT doc_id, g,
+        |         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % $P AS x FROM hsh),
+        |params AS (SELECT CAST(k AS BIGINT) AS k,
+        |         (1103515245 * (k + 1) + 12345) % $P AS a,
+        |         (1103515245 * (k + 101) + 12345) % $P AS b
+        |       FROM (SELECT unnest(range(0, ${Dedup.NumHashes})) AS k)),
+        |mh2 AS (SELECT doc_id, k, min((a * x + b) % $P) AS m
+        |       FROM xs2, params GROUP BY doc_id, k),
+        |b2 AS (SELECT doc_id, k // ${Dedup.Rows} AS band,
+        |         CAST(sum(m * CAST(pow(31, k % ${Dedup.Rows}) AS BIGINT)) AS BIGINT) AS bucket
+        |       FROM mh2 GROUP BY doc_id, band),
+        |cand2 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM b2 a JOIN b2 b
+        |         ON a.band = b.band AND a.bucket = b.bucket
+        |            AND a.doc_id < b.doc_id),
+        |inter2 AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |       FROM cand2 c
+        |       JOIN hsh ga ON ga.doc_id = c.doc_a
+        |       JOIN hsh gb ON gb.doc_id = c.doc_b AND ga.g = gb.g
+        |       GROUP BY 1, 2),
+        |allinter AS (SELECT * FROM inter UNION ALL SELECT * FROM inter2)
         |SELECT doc_a, doc_b,
         |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |FROM allinter JOIN sizes sa ON doc_a = sa.doc_id
         |           JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,

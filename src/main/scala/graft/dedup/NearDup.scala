@@ -1,0 +1,61 @@
+package graft.dedup
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+
+/** The shared near-duplicate index over one corpus: verified MinHash
+  * pair set and its connected-component labels, memoized per
+  * (session, corpus plan, tau).
+  *
+  * dedup_minhash, dedup_clusters and corpus_clean all consume the
+  * same shingle → MinHash → LSH-bucket → exact-Jaccard chain; without
+  * sharing, each re-derives it from the raw corpus — at 100 TB that
+  * is the dominant cost paid three times. The chain's RESULTS are
+  * tiny (O(#near-dup docs) rows), so they are eagerly
+  * localCheckpoint'ed: materialized once, lineage truncated, blocks
+  * outside the SQL cache manager so `catalog.clearCache()` between
+  * queries doesn't force a rebuild. Labels are computed lazily — a
+  * pairs-only consumer never pays for the component iteration.
+  *
+  * (Executor-local checkpoint blocks are the standard trade: an
+  * executor loss costs a rebuild; a long-lived serving index would
+  * use a reliable checkpoint dir.)
+  */
+object NearDup {
+
+  final class Index private[NearDup] (val pairs: DataFrame) {
+    /** Connected-component labels (doc_id, cluster) over the pair
+      * graph — built on first use, checkpointed like the pairs.
+      */
+    lazy val labels: DataFrame =
+      Clusters.connectedComponents(pairs).localCheckpoint(true)
+  }
+
+  private val cache = TrieMap.empty[(SparkSession, String, Double), Index]
+
+  /** The memoized index for a (doc_id, text) corpus at threshold tau. */
+  def index(docs: DataFrame, tau: Double = 0.5): Index = {
+    val key = (docs.sparkSession,
+      docs.queryExecution.analyzed.canonicalized.treeString, tau)
+    cache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+    cache.synchronized {
+      cache.get(key) match {
+        case Some(ix) => ix
+        case None =>
+          // the shingle relation feeds four plan branches (both
+          // self-join sides, both verify sides); persist for the
+          // build, release once the pair set is materialized
+          val sh = Dedup.shingleRows(docs, "doc_id", "text").persist()
+          val pairs = Dedup.jaccardVerify(
+            Dedup.bucketPairs(Dedup.minhashBuckets(sh)), sh, tau)
+            .localCheckpoint(true)
+          sh.unpersist()
+          val ix = new Index(pairs)
+          cache.put(key, ix)
+          ix
+      }
+    }
+  }
+}

@@ -130,12 +130,14 @@ object Forecast {
     * (forecast_utils.py:136-137).
     */
   def holtForecast(obs: DataFrame): DataFrame =
-    fitHolt(seriesArrays(obs), "vs", Seq("last_year"))
-      .select(col("geo"), col("indicator"), col("last_year"), col("fit"),
-        explode(expr(s"sequence(1, $Horizon)")).as("step"))
-      .select(col("geo"), col("indicator"),
-        (col("last_year") + col("step")).as("year"),
-        (col("fit.l") + col("step") * col("fit.b")).as("forecast"))
+    graft.Memo.small("holtForecast", obs) {
+      fitHolt(seriesArrays(obs), "vs", Seq("last_year"))
+        .select(col("geo"), col("indicator"), col("last_year"), col("fit"),
+          explode(expr(s"sequence(1, $Horizon)")).as("step"))
+        .select(col("geo"), col("indicator"),
+          (col("last_year") + col("step")).as("year"),
+          (col("fit.l") + col("step") * col("fit.b")).as("forecast"))
+    }
 
   /** Per-series fitted (α, β) — exposed for inspection/specs. */
   def holtParams(obs: DataFrame): DataFrame =
@@ -179,14 +181,16 @@ object Forecast {
     * only one model qualifies select it outright.
     */
   def modelSelect(obs: DataFrame): DataFrame =
-    Gbt.holdoutRmse(obs)
-      .join(holtHoldoutRmse(obs), Seq("geo", "indicator"), "full")
-      .withColumn("model_used",
-        when(col("rmse_gbt").isNull, "holt")
-          .when(col("rmse_holt").isNull, "gbt")
-          .when(col("rmse_gbt") <= col("rmse_holt"), "gbt")
-          .otherwise("holt"))
-      .select("geo", "indicator", "rmse_gbt", "rmse_holt", "model_used")
+    graft.Memo.small("modelSelect", obs) {
+      Gbt.holdoutRmse(obs)
+        .join(holtHoldoutRmse(obs), Seq("geo", "indicator"), "full")
+        .withColumn("model_used",
+          when(col("rmse_gbt").isNull, "holt")
+            .when(col("rmse_holt").isNull, "gbt")
+            .when(col("rmse_gbt") <= col("rmse_holt"), "gbt")
+            .otherwise("holt"))
+        .select("geo", "indicator", "rmse_gbt", "rmse_holt", "model_used")
+    }
 
   /** E8 — the reference's run_forecast output shape
     * (forecast_utils.py:206-215): the WINNER's historical rows union

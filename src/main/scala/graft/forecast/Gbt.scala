@@ -55,17 +55,35 @@ object Gbt {
   private val modelCache =
     TrieMap.empty[(SparkSession, String), (GBTRegressionModel, DataFrame)]
 
-  private def trained(obs: DataFrame): (GBTRegressionModel, DataFrame) =
-    modelCache.getOrElseUpdate(
-      (obs.sparkSession, obs.queryExecution.analyzed.canonicalized.treeString), {
-        System.err.println("[graft] training pooled GBT forecaster")
-        val feats = supervised(obs).persist()
-        val model = new GBTRegressor()
-          .setLabelCol("value").setFeaturesCol("features")
-          .setMaxIter(20).setMaxDepth(3).setStepSize(0.1).setSeed(42)
-          .fit(assembler.transform(feats.filter(col("split") === "train")))
-        (model, feats)
-      })
+  private def trained(obs: DataFrame): (GBTRegressionModel, DataFrame) = {
+    val key = (obs.sparkSession,
+      obs.queryExecution.analyzed.canonicalized.treeString)
+    // entries for stopped sessions hold dead DataFrames/models — drop
+    // them so the map stays bounded across session lifecycles
+    modelCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    // synchronized: TrieMap.getOrElseUpdate may run a thunk twice under
+    // concurrent first calls — training twice is minutes of waste
+    modelCache.synchronized {
+      modelCache.get(key) match {
+        case Some((model, feats)) =>
+          // catalog.clearCache() drops the blocks AND the persist mark;
+          // re-mark so downstream multi-branch plans don't recompute the
+          // supervised chain once per branch
+          if (feats.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            feats.persist()
+          (model, feats)
+        case None =>
+          System.err.println("[graft] training pooled GBT forecaster")
+          val feats = supervised(obs).persist()
+          val model = new GBTRegressor()
+            .setLabelCol("value").setFeaturesCol("features")
+            .setMaxIter(20).setMaxDepth(3).setStepSize(0.1).setSeed(42)
+            .fit(assembler.transform(feats.filter(col("split") === "train")))
+          modelCache.put(key, (model, feats))
+          (model, feats)
+      }
+    }
+  }
 
   /** E5/E6 — recursive multi-step horizon forecast: one row per
     * (series, horizon step). Mirrors forecast_utils.py:88-110 —
@@ -75,7 +93,7 @@ object Gbt {
     * training frame's is the sample std (pandas rolling().std()) —
     * the reference's own inconsistency, kept for fidelity.
     */
-  def forecast(obs: DataFrame): DataFrame = {
+  def forecast(obs: DataFrame): DataFrame = graft.Memo.small("gbtForecast", obs) {
     val (model, feats) = trained(obs)
     var state = feats
       .groupBy("geo", "indicator")
@@ -115,14 +133,18 @@ object Gbt {
     }
     // the final history array ends with exactly the Horizon appended
     // predictions — read the forecasts off the cached state instead
-    // of unioning per-step frames (whose lineage is gone)
-    state
+    // of unioning per-step frames (whose lineage is gone). Checkpoint
+    // the (tiny) horizon before dropping the state cache it reads.
+    val out = state
       .select(col("geo"), col("indicator"), col("last_year"),
         posexplode(expr(s"slice(hist, -$Horizon, $Horizon)")))
       .select(col("geo"), col("indicator"),
         (col("last_year") + col("pos") + 1).as("year"),
         col("col").as("forecast"))
       .orderBy("geo", "indicator", "year")
+      .localCheckpoint(true)
+    state.unpersist()
+    out
   }
 
   /** Per-series holdout RMSE of the pooled model on the test split —

@@ -1,10 +1,11 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryModule
-import graft.dedup.{Clusters, Dedup, DedupQueries}
+import graft.dedup.{DedupQueries, NearDup}
 import graft.sources.Tables
 import graft.text.Analysis
 
@@ -54,10 +55,7 @@ object Corpus extends QueryModule {
       .withColumn("keeper",
         min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .select(col("doc_id"), (col("doc_id") === col("keeper")).as("keep_exact"))
-    val sh = Dedup.shingleRows(docs, "doc_id", "text").persist()
-    val neardup = Clusters.connectedComponents(
-      Dedup.jaccardVerify(
-        Dedup.bucketPairs(Dedup.minhashBuckets(sh)), sh, 0.5))
+    val neardup = NearDup.index(docs).labels
       .select(col("doc_id"), (col("doc_id") === col("cluster")).as("nd_keep"))
     quality
       .join(keepExact, "doc_id")
@@ -69,11 +67,85 @@ object Corpus extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** L3 — token budget per packed training sequence. */
+  val PackBudget = 2048
+
+  /** L3 — pack shards: sequences are packed independently within each
+    * hash shard, so the cumulative-sum window parallelizes across
+    * shards instead of being one global ordered scan (the difference
+    * between a 32-task and a 1-task plan at 100 TB; a real run sizes
+    * this to the cluster).
+    */
+  val PackShards = 32
+
+  /** L3 — deterministic sequence packing: documents are concatenated
+    * in doc_id order within their hash shard and cut into
+    * [[PackBudget]]-token training sequences; each doc is assigned
+    * the sequence containing its first token (GPT-style packing with
+    * document spanning). One window per shard — no global sort, no
+    * driver loop.
+    */
+  def corpusPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir).select("doc_id", "text")
+      .withColumn("n_tokens", size(split(lower(col("text")), " ")))
+      .withColumn("bucket", expr(
+        s"""cast(conv(substring(md5(concat('pck|', cast(doc_id as string))),
+           |  1, 8), 16, 10) as bigint) % $PackShards""".stripMargin))
+      .withColumn("tok_start",
+        (sum("n_tokens").over(w) - col("n_tokens")).cast("long"))
+      .withColumn("seq_id", expr(s"tok_start div $PackBudget"))
+      .select("doc_id", "bucket", "n_tokens", "tok_start", "seq_id")
+      .orderBy("doc_id")
+  }
+
+  /** L4 — stratified sampling: rebalance the corpus by downsampling
+    * the dominant language to 25% with the same deterministic
+    * md5-bucket coin as [[corpusSample]] — any worker re-derives any
+    * doc's verdict from its id alone; no global count, no shuffle
+    * beyond the scan.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select("doc_id", "lang")
+      .withColumn("bucket", expr(
+        """cast(conv(substring(md5(concat('str|', cast(doc_id as string))),
+          |  1, 8), 16, 10) as bigint) % 1000""".stripMargin))
+      .withColumn("rate", when(col("lang") === "en", 250).otherwise(1000))
+      .filter(col("bucket") < col("rate"))
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+
   override def queries: Map[String, Q] = Map(
     "corpus_sample" -> (corpusSample _),
-    "corpus_clean" -> (corpusClean _))
+    "corpus_clean" -> (corpusClean _),
+    "corpus_pack" -> (corpusPack _),
+    "stratified_sample" -> (stratifiedSample _))
 
   override def oracles: Map[String, String] = Map(
+    "corpus_pack" ->
+      s"""SELECT doc_id, bucket, n_tokens, tok_start,
+        |  tok_start // $PackBudget AS seq_id
+        |FROM (
+        |  SELECT doc_id, bucket, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_start
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+        |      CAST('0x' || substr(md5('pck|' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |           AS BIGINT) % $PackShards AS bucket
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "stratified_sample" ->
+      """SELECT doc_id, lang, bucket FROM (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5('str|' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |         AS BIGINT) % 1000 AS bucket,
+        |    CASE WHEN lang = 'en' THEN 250 ELSE 1000 END AS rate
+        |  FROM documents)
+        |WHERE bucket < rate
+        |ORDER BY doc_id""".stripMargin,
     "corpus_sample" ->
       """SELECT doc_id, lang,
         |  CAST('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 8)

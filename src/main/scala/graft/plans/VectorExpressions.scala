@@ -133,7 +133,8 @@ case class MinHashSig(child: Expression, numHashes: Int, p: Long)
   * are bit-identical.
   *
   * Returns struct(alpha, beta, l, b, sse, n); null for series shorter
-  * than 2 points.
+  * than 2 points or containing null elements (getDouble on a null
+  * slot would read garbage, not throw).
   */
 case class HoltGridFit(child: Expression, gridValues: Seq[Double])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -154,6 +155,11 @@ case class HoltGridFit(child: Expression, gridValues: Seq[Double])
     val vs = in.asInstanceOf[ArrayData]
     val n = vs.numElements()
     if (n < 2) return null
+    var j = 0
+    while (j < n) {
+      if (vs.isNullAt(j)) return null
+      j += 1
+    }
     val g = gridValues.toArray
     var bestSse = Double.PositiveInfinity
     var bestA = 0.0; var bestB = 0.0; var bestL = 0.0; var bestBb = 0.0
@@ -200,9 +206,15 @@ case class HoltGridFit(child: Expression, gridValues: Seq[Double])
       val sse = ctx.freshName("sse"); val i = ctx.freshName("i")
       val x = ctx.freshName("x"); val pred = ctx.freshName("pred")
       val l2 = ctx.freshName("l2")
+      val hasNull = ctx.freshName("hasNull")
+      val j = ctx.freshName("j")
       s"""
          |int $n = $vs.numElements();
-         |if ($n < 2) {
+         |boolean $hasNull = false;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if ($vs.isNullAt($j)) { $hasNull = true; break; }
+         |}
+         |if ($n < 2 || $hasNull) {
          |  ${ev.isNull} = true;
          |} else {
          |  double[] $g = new double[]{$gridArr};

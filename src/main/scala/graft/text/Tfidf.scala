@@ -81,22 +81,34 @@ object Tfidf {
   private val indexCache =
     TrieMap.empty[(SparkSession, String, String, String), TfidfIndex]
 
-  /** The memoized corpus index. Revalidated against the session's
-    * cache state: `catalog.clearCache()` (or explicit unpersist)
-    * invalidates the entry and the next call rebuilds fresh.
+  /** The memoized corpus index, lazily localCheckpoint'ed: unlike
+    * `persist()`, the materialized blocks live outside the SQL cache
+    * manager, so `catalog.clearCache()` between queries doesn't force
+    * a rebuild — the index survives for the session's lifetime, which
+    * is exactly the sharing a retrieval index wants. (On a real
+    * cluster the blocks are executor-local; an executor loss would
+    * cost a rebuild of that partition's lineage-truncated blocks, the
+    * standard localCheckpoint trade — a long-lived serving index
+    * would use a reliable checkpoint dir instead.) Entries of stopped
+    * sessions are evicted; the build is serialized so concurrent
+    * first calls can't double-build.
     */
   def index(docs: DataFrame, idCol: String, textCol: String): TfidfIndex = {
     val key = (docs.sparkSession,
       docs.queryExecution.analyzed.canonicalized.treeString, idCol, textCol)
-    indexCache.get(key) match {
-      case Some(ix) if ix.postings.storageLevel != StorageLevel.NONE => ix
-      case _ =>
-        val p = postings(docs, idCol, textCol).persist()
-        val i = idf(p, docs).persist()
-        val w = weights(p, i).persist()
-        val ix = TfidfIndex(docs, idCol, textCol, p, i, w, norms(w))
-        indexCache.put(key, ix)
-        ix
+    indexCache.filterInPlace { case ((s, _, _, _), _) => !s.sparkContext.isStopped }
+    indexCache.synchronized {
+      indexCache.get(key) match {
+        case Some(ix) => ix
+        case None =>
+          val p = postings(docs, idCol, textCol).localCheckpoint(false)
+          val i = idf(p, docs).localCheckpoint(false)
+          val w = weights(p, i).localCheckpoint(false)
+          val ix = TfidfIndex(docs, idCol, textCol, p, i, w,
+            norms(w).localCheckpoint(false))
+          indexCache.put(key, ix)
+          ix
+      }
     }
   }
 

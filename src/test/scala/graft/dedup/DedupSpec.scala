@@ -60,6 +60,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ngram jaccard all-hot fallback recovers template near-dups") {
+    import spark.implicits._
+    // 140 identical template docs: every trigram has df = 140 >
+    // MaxGramDf, so the rare-gram path sees NOTHING — only the
+    // trigram-set MinHash fallback can pair them. Two rare-gram docs
+    // ride along to exercise both paths in one plan.
+    val template = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = ((0 until 140).map(i => (i.toLong, template)) ++ Seq(
+      (1000L, "one singular sentence mentioning flightless penguins"),
+      (1001L, "one singular sentence mentioning flightless penguins")))
+      .toDF("doc_id", "text")
+    assert(Dedup.MaxGramDf < 140)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5).collect()
+    val pset = pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pset.contains((1000L, 1001L))) // rare path still live
+    val tpairs = pairs.filter(r => r.getAs[Long]("doc_b") < 140)
+    assert(tpairs.length == 140 * 139 / 2,
+      s"all-hot fallback found ${tpairs.length} of ${140 * 139 / 2}")
+    tpairs.foreach(r => assert(r.getAs[Double]("jaccard") == 1.0))
+  }
+
   test("embedding near-dup plan is a grid equi-join, not a nested loop") {
     val plan = DedupQueries.embeddingNeardup(spark, sf)
       .queryExecution.executedPlan.toString

@@ -22,6 +22,31 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(got(2) == 0.0)
   }
 
+  test("HoltGridFit is null for short series and series with null elements") {
+    import spark.implicits._
+    val grid = graft.forecast.Forecast.GridValues
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (2L, Seq[java.lang.Double](1.0, null, 3.0)), // null slot → null fit
+      (3L, Seq[java.lang.Double](5.0)))            // too short → null fit
+      .toDF("id", "vs")
+    // codegen path
+    val got = df.select(col("id"),
+        VectorExpressions.holtGridFit(col("vs"), grid).as("fit"))
+      .orderBy("id").collect()
+    assert(got(0).get(1) != null)
+    assert(got(1).get(1) == null)
+    assert(got(2).get(1) == null)
+    // interpreted path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val lit = Literal.create(Seq[java.lang.Double](1.0, null, 3.0),
+      ArrayType(DoubleType, containsNull = true))
+    assert(HoltGridFit(lit, grid).eval(null) == null)
+    val ok = Literal.create(Seq(1.0, 2.0, 3.0), ArrayType(DoubleType, false))
+    assert(HoltGridFit(ok, grid).eval(null) != null)
+  }
+
   test("DotF32 agrees with the decimal dot within quantization error") {
     val emb = graft.sources.Tables.embeddings(spark, sf).limit(50)
       .select(col("embedding").as("x"), col("embedding").as("y"))
