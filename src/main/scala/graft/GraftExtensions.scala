@@ -18,6 +18,9 @@ import graft.plans.{DotF32, HoltGridFit, MinHashSig}
   *     signature in one pass (numHashes/prime must be literals)
   *   - `holt_grid_fit(values, grid)` — Holt (α, β) grid fit over a
   *     series' value array (grid must be a literal double array)
+  *   - `collect_topk(item, k, largestFirst)` — bounded-heap per-group
+  *     top-k aggregate (map-side partial; k/largestFirst literals) —
+  *     the aggregate-shaped alternative to `row_number() OVER` + filter
   *
   * `Engine.session` also registers them imperatively, so library
   * sessions get them without the extensions conf.
@@ -81,7 +84,16 @@ object GraftExtensions {
       constLong(exprs(1), "minhash_sig numHashes").toInt,
       constLong(exprs(2), "minhash_sig prime"))),
     "holt_grid_fit" -> ((exprs: Seq[Expression]) => HoltGridFit(
-      exprs(0), constDoubles(exprs(1), "holt_grid_fit grid"))))
+      exprs(0), constDoubles(exprs(1), "holt_grid_fit grid"))),
+    "collect_topk" -> ((exprs: Seq[Expression]) =>
+      org.apache.spark.sql.graftbridge.Bridge.collectTopK(
+        exprs(0),
+        constLong(exprs(1), "collect_topk k").toInt,
+        reverse = constant(exprs(2), "collect_topk largestFirst") match {
+          case b: Boolean => !b
+          case other => throw new IllegalArgumentException(
+            s"collect_topk largestFirst must be a boolean literal, got: $other")
+        })))
 
   /** Imperative registration for an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

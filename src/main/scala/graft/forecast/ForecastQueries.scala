@@ -51,7 +51,63 @@ object ForecastQueries extends QueryModule {
 
   private val cte = Observations.sqlCte
 
+  /** The α/β grid as SQL literals — as STRINGS cast to DOUBLE, not
+    * numeric literals: a numeric literal parses to DECIMAL and
+    * DuckDB's decimal→double cast is not correctly rounded (measured
+    * 1 ulp off for 0.050000000000000044), while VARCHAR→DOUBLE is
+    * strtod-exact. Doubles round-trip through toString, so e.g. 3·0.1
+    * lands bit-identical as 0.30000000000000004 — writing "0.3" would
+    * be a DIFFERENT double and the fold would diverge.
+    */
+  private val gridSql =
+    Forecast.GridValues.map(v => s"'$v'").mkString(", ")
+
+  /** holt_forecast oracle: the [[graft.plans.HoltGridFit]] fold as a
+    * recursive CTE — per (series, grid point) the l/b/SSE state
+    * advances one observation per recursion step with
+    * operation-for-operation the codegen loop's arithmetic, then the
+    * per-series SSE argmin (ties to smallest α, β — the loop's strict
+    * `<` keeps the first minimum in (α, β) iteration order) emits the
+    * 5-step linear horizon. ~125 series × 121 grid points × ~7 steps
+    * at sf0.01: trivial for the oracle engine, while the Spark side
+    * stays one codegen projection per series.
+    */
+  private val holtForecastSql: String =
+    cte.replaceFirst("^WITH ", "WITH RECURSIVE ").trim + ",\n" +
+      s"""s2 AS (SELECT geo, indicator,
+        |    list(value ORDER BY year) AS vs, max(year) AS last_year
+        |  FROM observations GROUP BY 1, 2 HAVING count(*) >= 2),
+        |grid AS (SELECT CAST(ga.a AS DOUBLE) AS a, CAST(gb.be AS DOUBLE) AS be
+        |  FROM (SELECT unnest([$gridSql]) AS a) ga,
+        |       (SELECT unnest([$gridSql]) AS be) gb),
+        |steps(geo, indicator, a, be, i, l, b, sse) AS (
+        |  SELECT geo, indicator, a, be, 2,
+        |    vs[1], vs[2] - vs[1], CAST(0 AS DOUBLE)
+        |  FROM s2, grid
+        |  UNION ALL
+        |  SELECT st.geo, st.indicator, st.a, st.be, st.i + 1,
+        |    st.a * s2.vs[st.i] + (1 - st.a) * (st.l + st.b),
+        |    st.be * ((st.a * s2.vs[st.i] + (1 - st.a) * (st.l + st.b)) - st.l)
+        |      + (1 - st.be) * st.b,
+        |    st.sse + (s2.vs[st.i] - (st.l + st.b)) * (s2.vs[st.i] - (st.l + st.b))
+        |  FROM steps st JOIN s2 ON s2.geo = st.geo AND s2.indicator = st.indicator
+        |  WHERE st.i <= len(s2.vs)),
+        |best AS (SELECT st.geo, st.indicator, st.l, st.b,
+        |    row_number() OVER (PARTITION BY st.geo, st.indicator
+        |                       ORDER BY st.sse, st.a, st.be) AS rn
+        |  FROM steps st JOIN s2 ON s2.geo = st.geo AND s2.indicator = st.indicator
+        |  WHERE st.i = len(s2.vs) + 1)
+        |SELECT b.geo, b.indicator,
+        |  CAST(s2.last_year + u.h AS INTEGER) AS year,
+        |  b.l + u.h * b.b AS forecast
+        |FROM best b
+        |JOIN s2 ON s2.geo = b.geo AND s2.indicator = b.indicator,
+        |  UNNEST(range(1, ${Forecast.Horizon + 1})) u(h)
+        |WHERE b.rn = 1
+        |ORDER BY b.geo, b.indicator, year""".stripMargin
+
   override def oracles: Map[String, String] = Map(
+    "holt_forecast" -> holtForecastSql,
     "lag_features" -> (cte +
       """SELECT geo, indicator, year, value,
         |  lag(value, 1) OVER w AS lag1,

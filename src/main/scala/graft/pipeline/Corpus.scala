@@ -67,16 +67,19 @@ object Corpus extends QueryModule {
       .orderBy("doc_id")
   }
 
-  /** L3 — token budget per packed training sequence. */
-  val PackBudget = 2048
+  /** L3 — token budget per packed training sequence. (512 so the
+    * sf0.01 correctness gate exercises real sequence cuts; a training
+    * run sets its context length here.)
+    */
+  val PackBudget = 512
 
   /** L3 — pack shards: sequences are packed independently within each
     * hash shard, so the cumulative-sum window parallelizes across
     * shards instead of being one global ordered scan (the difference
-    * between a 32-task and a 1-task plan at 100 TB; a real run sizes
-    * this to the cluster).
+    * between a many-task and a 1-task plan at 100 TB; a real run
+    * sizes this to the cluster).
     */
-  val PackShards = 32
+  val PackShards = 8
 
   /** L3 — deterministic sequence packing: documents are concatenated
     * in doc_id order within their hash shard and cut into

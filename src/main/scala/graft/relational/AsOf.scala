@@ -75,9 +75,41 @@ object AsOf extends QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** K13 — follow-window length (30 s). */
+  val FollowWindowUs = 30000000L
+
+  /** K13 — banded range join: for each click, the same-user events in
+    * the following 30 s. A naive θ-join (`t1 > t0 AND t1 <= t0 + w`)
+    * plans as a per-key nested loop; banding each side onto
+    * window-sized time buckets turns it into a co-partitioned
+    * equi-join on (user, bucket) — a probe's matches can only live in
+    * its own or the next bucket, so the probe side explodes onto
+    * exactly those two, and the exact range predicate filters inside
+    * the joined cells. Shuffle volume is 2×|probes| + |events|; no
+    * cartesian node at any scale.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    val probes = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us").as("t0"))
+      .withColumn("bkt", explode(array(
+        expr(s"t0 div $FollowWindowUs"), expr(s"t0 div $FollowWindowUs + 1"))))
+    val cands = e
+      .select(col("user_id"), col("ts_us").as("t1"), col("event_type"))
+      .withColumn("bkt", expr(s"t1 div $FollowWindowUs"))
+    probes.join(cands, Seq("user_id", "bkt"))
+      .filter(col("t1") > col("t0") && col("t1") <= col("t0") + FollowWindowUs)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_follow"),
+        countDistinct("event_type").as("n_types"))
+      .orderBy("event_id")
+  }
+
   override def queries: Map[String, Q] = Map(
     "q_asof_join" -> (qAsofJoin _),
-    "q_skew_join" -> (qSkewJoin _))
+    "q_skew_join" -> (qSkewJoin _),
+    "q_range_join" -> (qRangeJoin _))
 
   override def oracles: Map[String, String] = Map(
     "q_asof_join" ->
@@ -100,5 +132,15 @@ object AsOf extends QueryModule {
         |  count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin)
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_range_join" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |           FROM events)
+        |SELECT p.event_id, count(*) AS n_follow,
+        |  count(DISTINCT c.event_type) AS n_types
+        |FROM e p JOIN e c ON c.user_id = p.user_id
+        |  AND c.ts_us > p.ts_us AND c.ts_us <= p.ts_us + $FollowWindowUs
+        |WHERE p.event_type = 'click'
+        |GROUP BY p.event_id
+        |ORDER BY p.event_id""".stripMargin)
 }

@@ -81,13 +81,34 @@ object SqlApi extends QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** K14 — semi-structured ops: extract a field from the events
+    * stream's JSON `props` payload and aggregate it — the everyday
+    * "my event log carries a JSON blob" query. `get_json_object`
+    * evaluates inside codegen (no UDF); at scale this is a map-only
+    * parse feeding a partial aggregate.
+    */
+  def qJsonOps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
   override def queries: Map[String, Q] = Map(
     "q_sql_api" -> (qSqlApi _),
     "q_window_analytics" -> (qWindowAnalytics _),
     "q_date_ops" -> (qDateOps _),
-    "q_median" -> (qMedian _))
+    "q_median" -> (qMedian _),
+    "q_json_ops" -> (qJsonOps _))
 
   override def oracles: Map[String, String] = Map(
+    "q_json_ops" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+        |  min(CAST(props->>'k' AS INTEGER)) AS min_k,
+        |  max(CAST(props->>'k' AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sql_api" ->
       s"""SELECT n_name,
         |  ${Fp.sqlSum2("o_totalprice")} AS revenue,

@@ -73,12 +73,11 @@ object Ivf extends QueryModule {
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"),
         col("nsq").as("nc"), col("list_id"))
 
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
-    probes.join(cand, "list_id")
+    val scored = probes.join(cand, "list_id")
       .withColumn("cosine",
         Vectors.cosineFrom(Vectors.dot("eq", "ec"), col("nq"), col("nc")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.plans.AggExpressions
+      .topKPerKey(scored, "query_id", "cosine", "neighbor_id", Seq("list_id"), k)
       .select("query_id", "rank", "neighbor_id", "cosine", "list_id")
       .orderBy("query_id", "rank")
   }

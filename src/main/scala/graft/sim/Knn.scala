@@ -53,13 +53,11 @@ object Knn {
     pairs.withColumn("cosine",
       Vectors.cosineFrom(Vectors.dot("eq", "ec"), col("nq"), col("nc")))
 
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    graft.plans.AggExpressions
+      .topKPerKey(scored, "query_id", "cosine", "neighbor_id", Nil, k)
       .select("query_id", "rank", "neighbor_id", "cosine")
       .orderBy("query_id", "rank")
-  }
 
   /** G1 — exact top-k: broadcast queries × corpus scan. */
   def bruteForce(emb: DataFrame, queryPred: org.apache.spark.sql.Column,

@@ -112,4 +112,25 @@ object Streaming {
   /** J3 — streaming dedup by key within the watermark horizon. */
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  /** J4 — stream-stream interval join (the streaming face of the
+    * batch q_range_join): each click joined to the same user's
+    * follow-up events within `windowSec`. Watermarks on BOTH sides
+    * bound the join state — Spark derives from the interval condition
+    * how long a buffered row can still match and evicts it once the
+    * watermark passes, so state is O(active window), not O(stream).
+    */
+  def followWithinStream(clicks: DataFrame, others: DataFrame,
+      windowSec: Int, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+    val o = others.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("o_user"), col("ts").as("o_ts"),
+        col("event_type").as("o_type"))
+    c.join(o, col("o_user") === col("user_id") &&
+      col("o_ts") > col("c_ts") &&
+      col("o_ts") <= col("c_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select("click_id", "user_id", "c_ts", "o_ts", "o_type")
+  }
 }

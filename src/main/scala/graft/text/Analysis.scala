@@ -46,4 +46,53 @@ object Analysis {
       .withColumn("bpe_ish_tokens",
         size(regexp_extract_all(t, lit(bpeIshPattern), lit(0))))
   }
+
+  /** H5 — within-document repetition profile: the fraction of
+    * repeated tokens and the weight of the single most frequent
+    * token — the standard boilerplate/spam gates a corpus filter
+    * stacks on top of [[quality]].
+    *
+    * Shape: explode → two hash aggregates (both map-side
+    * combinable), not nested array lambdas — an inner
+    * `filter(ws, ...)` inside a per-distinct-token `transform`
+    * re-evaluates the tokenizer per element once CollapseProject
+    * inlines it, turning a scan into O(distinct · |doc|) regex work.
+    * The aggregate shape is also what distributes: one shuffle on
+    * (doc, token), one on doc.
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(ws(lower(col(textCol)))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("int").as("n_tokens"),
+        count(lit(1)).cast("int").as("n_distinct"),
+        max("c").cast("int").as("top_count"))
+      .withColumn("repetition_ratio",
+        (col("n_tokens") - col("n_distinct")).cast("double")
+          / nullif(col("n_tokens"), lit(0)))
+      .withColumn("top_token_ratio",
+        col("top_count").cast("double") / nullif(col("n_tokens"), lit(0)))
+
+  /** H6 — PII patterns, dialect-portable (no lookaround, no \b):
+    * run in both Spark (java.util.regex) and DuckDB (RE2) with
+    * identical match semantics.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
+
+  /** H6 — PII redaction: count and mask email/phone occurrences.
+    * Pure codegen'd projections — a map-only scan at 100 TB.
+    */
+  def piiRedact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("txt"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("txt"), lit(EmailRe), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("txt"), lit(PhoneRe), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("txt"), EmailRe, "<email>"),
+          PhoneRe, "<phone>"))
+      .select("doc_id", "n_emails", "n_phones", "redacted")
 }

@@ -45,11 +45,35 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** H5 — repetition profile per document. */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame =
+    Analysis.repetition(
+      graft.Par.spread(Tables.documents(spark, dir).select("doc_id", "text")),
+      "doc_id", "text")
+      .select("doc_id", "n_tokens", "n_distinct", "top_count",
+        "repetition_ratio", "top_token_ratio")
+      .orderBy("doc_id")
+
+  /** H6 — PII redaction. The synthetic corpus carries no PII, so a
+    * deterministic email+phone is appended per document first — every
+    * row exercises both patterns and the masked text is hash-gated.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = graft.Par.spread(
+      Tables.documents(spark, dir).select("doc_id", "text"))
+      .withColumn("pii_text", concat(lower(col("text")),
+        lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+    Analysis.piiRedact(withPii, "doc_id", "pii_text").orderBy("doc_id")
+  }
+
   override def queries: Map[String, Q] = Map(
     "lang_id" -> (langId _),
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
-    "doc_fingerprint" -> (docFingerprint _))
+    "doc_fingerprint" -> (docFingerprint _),
+    "repetition_ratio" -> (repetitionRatio _),
+    "pii_redact" -> (piiRedact _))
 
   override def oracles: Map[String, String] = Map(
     "lang_id" ->
@@ -97,6 +121,34 @@ object TextQueries extends QueryModule {
         |  CAST(len(regexp_extract_all(t, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_ish_tokens
         |FROM (SELECT doc_id, lower(text) AS t FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "repetition_ratio" ->
+      """WITH toks AS (SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS INTEGER) AS n_tokens,
+        |    CAST(count(*) AS INTEGER) AS n_distinct,
+        |    CAST(max(c) AS INTEGER) AS top_count
+        |  FROM toks GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct, top_count,
+        |  CAST(n_tokens - n_distinct AS DOUBLE) / nullif(n_tokens, 0)
+        |    AS repetition_ratio,
+        |  CAST(top_count AS DOUBLE) / nullif(n_tokens, 0) AS top_token_ratio
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "pii_redact" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    lower(text) || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(txt, '${Analysis.EmailRe}')) AS INTEGER)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(txt, '${Analysis.PhoneRe}')) AS INTEGER)
+        |    AS n_phones,
+        |  regexp_replace(regexp_replace(txt, '${Analysis.EmailRe}', '<email>', 'g'),
+        |    '${Analysis.PhoneRe}', '<phone>', 'g') AS redacted
+        |FROM t ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents
         |            WHERE length(text) >= ${Fingerprint.K + Fingerprint.W - 1}),

@@ -46,6 +46,19 @@ class EngineSqlSpec extends SparkSpec {
     assert(sqlRow.getAs[Double]("alpha") > 0.0)
   }
 
+  test("collect_topk from SQL keeps the k largest per group") {
+    val rows = spark.sql(
+      """SELECT g, sort_array(collect_topk(struct(v, id), 3, true), false) AS top
+        |FROM VALUES (0, 1L, 10.0d), (0, 2L, 30.0d), (0, 3L, 20.0d),
+        |            (0, 4L, 40.0d), (1, 5L, 5.0d)
+        |  AS t(g, id, v)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    val g0 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(g0.map(_.getDouble(0)) == Seq(40.0, 30.0, 20.0))
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(0))
+      == Seq(5.0))
+  }
+
   test("cube_agg covers all four grouping-set combinations") {
     val rows = graft.relational.Relational.cubeAgg(spark, sf).collect()
     val statuses = rows.count(r => !r.isNullAt(0) && r.isNullAt(1))

@@ -39,4 +39,38 @@ class CorpusSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).toSet
     assert(ndLosers == ccLosers)
   }
+
+  test("corpus_pack: within-shard cumulative offsets and budget cuts") {
+    val rows = Corpus.corpusPack(spark, sf).collect()
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length == n)
+    rows.groupBy(_.getAs[Long]("bucket")).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("tok_start") == cum)
+        assert(r.getAs[Long]("seq_id") == cum / Corpus.PackBudget)
+        cum += r.getAs[Int]("n_tokens")
+      }
+    }
+    // packing actually cuts whenever some shard exceeds one budget
+    val maxShardTokens = rows.groupBy(_.getAs[Long]("bucket"))
+      .values.map(_.map(_.getAs[Int]("n_tokens").toLong).sum).max
+    if (maxShardTokens > Corpus.PackBudget)
+      assert(rows.exists(_.getAs[Long]("seq_id") > 0))
+  }
+
+  test("stratified_sample: en downsampled to its bucket rate, rest kept") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Corpus.stratifiedSample(spark, sf).collect()
+    val keptByLang = kept.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    byLang.foreach { case (lang, total) =>
+      if (lang == "en") {
+        assert(keptByLang("en") < total) // actually downsampled
+        kept.filter(_.getAs[String]("lang") == "en")
+          .foreach(r => assert(r.getAs[Long]("bucket") < 250))
+      } else assert(keptByLang(lang).toLong == total) // others untouched
+    }
+  }
 }

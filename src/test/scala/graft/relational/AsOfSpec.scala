@@ -49,4 +49,27 @@ class AsOfSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted == plain)
   }
+
+  test("banded range join equals the naive theta join, with no cartesian") {
+    import org.apache.spark.sql.functions._
+    val banded = AsOf.qRangeJoin(spark, sf)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val e = graft.sources.Tables.events(spark, sf)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    val p = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us").as("t0"))
+    val c = e.select(col("user_id").as("cu"), col("ts_us").as("t1"),
+      col("event_type").as("ct"))
+    val naive = p.join(c, col("cu") === col("user_id") &&
+        col("t1") > col("t0") &&
+        col("t1") <= col("t0") + AsOf.FollowWindowUs)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_follow"), countDistinct("ct").as("n_types"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = banded.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == naive)
+  }
 }

@@ -109,4 +109,30 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(n == 2)
   }
+
+  test("stream-stream interval join pairs clicks with follow-ups only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val others = MemoryStream[Event]
+    val q = followWithinStream(clicks.toDF(), others.toDF(), windowSec = 30)
+      .writeStream.format("memory").queryName("follow_out")
+      .outputMode("append").start()
+    clicks.addData(Event(1, new Timestamp(10000), 7, "click", 1.0))
+    others.addData(
+      Event(2, new Timestamp(5000), 7, "view", 1.0),      // before: no
+      Event(3, new Timestamp(25000), 7, "purchase", 1.0), // within 30s: yes
+      Event(4, new Timestamp(45000), 7, "view", 1.0),     // past window: no
+      Event(5, new Timestamp(20000), 8, "purchase", 1.0)) // other user: no
+    q.processAllAvailable()
+    // advance both watermarks so the joined rows are emittable
+    clicks.addData(Event(9, new Timestamp(7200000), 99, "click", 1.0))
+    others.addData(Event(10, new Timestamp(7200000), 98, "view", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("follow_out").collect()
+    q.stop()
+    assert(out.length == 1, s"got: ${out.toSeq}")
+    assert(out(0).getAs[Long]("click_id") == 1)
+    assert(out(0).getAs[String]("o_type") == "purchase")
+  }
 }

@@ -44,4 +44,41 @@ class TextSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("fingerprint")).toSet
     assert(got == expected)
   }
+
+  test("repetition profile matches a local recount") {
+    val rows = TextQueries.repetitionRatio(spark, sf).limit(50).collect()
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id")).toLowerCase.split(" ", -1)
+      val counts = toks.groupBy(identity).view.mapValues(_.length)
+      assert(r.getAs[Int]("n_tokens") == toks.length)
+      assert(r.getAs[Int]("n_distinct") == counts.size)
+      assert(r.getAs[Int]("top_count") == counts.values.max)
+      assert(r.getAs[Double]("repetition_ratio") ==
+        (toks.length - counts.size).toDouble / toks.length)
+    }
+  }
+
+  test("pii_redact masks emails and phones, leaves clean text alone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at jane.doe@corp.example.org thanks"),
+      (2L, "call +44-20-7946-0958 now"),
+      (3L, "nothing sensitive here at all"),
+      (4L, "two mails a@b.io and c.d@e.net plus +1-555-0100"))
+      .toDF("doc_id", "text")
+    val out = graft.text.Analysis.piiRedact(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1).getAs[Int]("n_emails") == 1)
+    assert(out(1).getAs[String]("redacted") == "reach me at <email> thanks")
+    assert(out(2).getAs[Int]("n_phones") == 1)
+    assert(out(2).getAs[String]("redacted") == "call <phone> now")
+    assert(out(3).getAs[String]("redacted") == "nothing sensitive here at all")
+    assert(out(4).getAs[Int]("n_emails") == 2)
+    assert(out(4).getAs[Int]("n_phones") == 1)
+    assert(out(4).getAs[String]("redacted") ==
+      "two mails <email> and <email> plus <phone>")
+  }
 }
