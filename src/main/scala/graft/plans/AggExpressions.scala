@@ -5,17 +5,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
 
 /** Aggregate-shaped top-k (SURVEY §4): per-group top-k WITHOUT a
-  * per-group full sort.
+  * per-group sort.
   *
-  * The window formulation — `row_number() OVER (PARTITION BY key
-  * ORDER BY ord) <= k` — shuffles EVERY candidate row to its group's
-  * reducer and sorts the whole group, for k rows of output. Catalyst's
-  * `CollectTopK` aggregate instead keeps a bounded k-heap per group
-  * inside each map task (partial aggregation), so the shuffle carries
-  * at most k rows per (task, group) and no sort ever sees more than k
-  * elements. At 100 TB candidate volume — every LSH/IVF re-rank —
-  * that is the difference between shuffling the candidate set and
-  * shuffling the answer.
+  * Catalyst's `CollectTopK` aggregate keeps a bounded k-heap per
+  * group inside each map task (partial aggregation), so the shuffle
+  * carries at most k rows per (task, group) and no sort ever sees
+  * more than k elements. Spark 4's `InferWindowGroupLimit` already
+  * prunes the `row_number() OVER … <= k` window form map-side too —
+  * the aggregate shape still drops the per-group sort machinery and
+  * the full-row shuffle of the surviving k·tasks rows per group, and
+  * it exposes top-k as a reusable aggregate (`collect_topk` in SQL)
+  * instead of a window + filter idiom the optimizer must recognize.
   */
 object AggExpressions {
 

@@ -95,14 +95,41 @@ object SqlApi extends QueryModule {
         min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** K15 — unpivot/melt: the four lineitem measures as (metric, val)
+    * rows, re-aggregated per metric — wide→long reshaping without N
+    * scans (Spark's `unpivot` Expand node reads the table once).
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "val")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), Fp.dsum2(col("val")).as("sum_val"))
+      .orderBy("metric")
+
   override def queries: Map[String, Q] = Map(
     "q_sql_api" -> (qSqlApi _),
     "q_window_analytics" -> (qWindowAnalytics _),
     "q_date_ops" -> (qDateOps _),
     "q_median" -> (qMedian _),
-    "q_json_ops" -> (qJsonOps _))
+    "q_json_ops" -> (qJsonOps _),
+    "q_unpivot" -> (qUnpivot _))
 
   override def oracles: Map[String, String] = Map(
+    "q_unpivot" ->
+      s"""SELECT metric, count(*) AS n,
+        |  ${Fp.sqlSum2("val")} AS sum_val
+        |FROM (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |GROUP BY metric ORDER BY metric""".stripMargin,
     "q_json_ops" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,

@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval (SURVEY §2 D4) — the standard ranking function a
+  * training-data pipeline uses for corpus retrieval, sharing the
+  * memoized [[Tfidf]] posting index (same tokenizer, same postings,
+  * same df table; only the weighting differs).
+  *
+  * Okapi BM25 with the Lucene-style non-negative idf:
+  *   idf(t)   = ln((N - df + 0.5) / (df + 0.5) + 1)
+  *   score(d) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  * Query terms contribute once each (distinct; the k3 query-tf factor
+  * is 1 for short queries).
+  *
+  * Scale/parity shape mirrors the tfidf path: postings join on term
+  * (the only shuffle), corpus stats ride along as broadcast 1-row
+  * aggregates, idf is decimal-quantized at the ln boundary and
+  * per-term scores quantize before the final sum so both engines add
+  * exactly.
+  */
+object Bm25 {
+
+  val K1 = 1.2
+  val B = 0.75
+  /** k1 + 1 computed once in Scala; the oracle interpolates this
+    * exact double's toString (VARCHAR→DOUBLE) rather than re-deriving
+    * it in SQL decimal arithmetic.
+    */
+  val K1p1: Double = K1 + 1
+
+  /** Top-k documents for `queryText` by BM25 score. */
+  def topK(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, queryText: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val ix = Tfidf.index(docs, idCol, textCol)
+    val p = ix.postings // (id, term, tf)
+    val dl = p.groupBy("id").agg(sum("tf").as("dl"))
+    val stats = broadcast(
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(dl.agg(sum("dl").as("tot_dl"))))
+    val bidf = ix.idf.select(col("term"), col("df"))
+      .crossJoin(stats.select("n_docs"))
+      .withColumn("bidf", expr(
+        """cast(cast(ln((cast(n_docs - df as double) + 0.5d)
+          |             / (cast(df as double) + 0.5d) + 1.0d)
+          |     as decimal(18,9)) as double)""".stripMargin))
+      .select("term", "bidf")
+    val qt = Tfidf.postings(
+        Seq((0L, queryText)).toDF(idCol, textCol), idCol, textCol)
+      .select("term").distinct()
+    p.join(broadcast(qt), "term")
+      .join(dl, "id")
+      .join(broadcast(bidf), "term")
+      .crossJoin(stats)
+      .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
+      .withColumn("ts",
+        col("bidf") * (col("tf") * lit(K1p1)) /
+          (col("tf") + lit(K1) *
+            (lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy("id")
+      .agg(expr("cast(sum(cast(ts as decimal(24,8))) as double)").as("score"))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+  }
+}

@@ -39,10 +39,17 @@ object RagQueries extends QueryModule {
       .select(col("id").as("insight_key"), col("cosine"))
   }
 
+  /** D4 — BM25 top-5 documents for the same query string. */
+  def bm25TopkDocs(spark: SparkSession, dir: String): DataFrame =
+    Bm25.topK(spark, Tables.documents(spark, dir), "doc_id", "text",
+        question, 5)
+      .select(col("id").as("doc_id"), col("score"))
+
   override def queries: Map[String, Q] = Map(
     "tfidf" -> (tfidf _),
     "cosine_topk_docs" -> (cosineTopkDocs _),
-    "semantic_search" -> (semanticSearch _))
+    "semantic_search" -> (semanticSearch _),
+    "bm25_topk_docs" -> (bm25TopkDocs _))
 
   /** Postings + smooth-idf CTEs over an arbitrary corpus CTE named
     * `corpus(id, txt)`.
@@ -89,7 +96,46 @@ object RagQueries extends QueryModule {
        |FROM dots JOIN nrm ON dots.id = nrm.id CROSS JOIN qn
        |ORDER BY cosine DESC, dots.id ASC LIMIT 5""".stripMargin
 
+  /** BM25 over the `p`/`i` CTEs from [[tfidfCtes]]; constants are
+    * interpolated from the Scala doubles' toString as VARCHAR→DOUBLE
+    * (numeric literals would parse as DECIMAL and DuckDB's
+    * decimal→double cast is not correctly rounded).
+    */
+  private def bm25Sql(queryText: String, outIdCol: String): String = {
+    val k1 = s"CAST('${Bm25.K1}' AS DOUBLE)"
+    val k1p1 = s"CAST('${Bm25.K1p1}' AS DOUBLE)"
+    val b = s"CAST('${Bm25.B}' AS DOUBLE)"
+    s"""dl AS (SELECT id, sum(tf) AS dl FROM p GROUP BY id),
+       |st AS (SELECT (SELECT count(*) FROM corpus) AS n_docs,
+       |              (SELECT sum(dl) FROM dl) AS tot_dl),
+       |bidf AS (SELECT term,
+       |    CAST(CAST(ln((CAST(n_docs - df AS DOUBLE) + 0.5)
+       |                  / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+       |         AS DECIMAL(18,9)) AS DOUBLE) AS bidf
+       |  FROM i, st),
+       |qt AS (SELECT DISTINCT term
+       |  FROM (SELECT unnest(tk ||
+       |          [tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)]
+       |           FOR i IN range(1, len(tk))]) AS term
+       |        FROM (SELECT list_filter(
+       |            string_split_regex(lower('$queryText'), '[^a-z0-9]+'),
+       |            t -> length(t) > 0 AND t NOT IN ($stopList)) AS tk))),
+       |sc AS (SELECT p.id,
+       |    bidf.bidf * (p.tf * $k1p1)
+       |      / (p.tf + $k1 * (1.0 - $b + $b * dl.dl
+       |           / (CAST(st.tot_dl AS DOUBLE) / st.n_docs))) AS ts
+       |  FROM p JOIN qt USING (term) JOIN dl USING (id)
+       |  JOIN bidf USING (term), st)
+       |SELECT id AS $outIdCol,
+       |  CAST(sum(CAST(ts AS DECIMAL(24,8))) AS DOUBLE) AS score
+       |FROM sc GROUP BY id ORDER BY score DESC, $outIdCol ASC LIMIT 5""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "bm25_topk_docs" ->
+      s"""WITH corpus AS (SELECT doc_id AS id, text AS txt FROM documents),
+        |${tfidfCtes("corpus")},
+        |${bm25Sql(question, "doc_id")}""".stripMargin,
     "tfidf" ->
       s"""WITH corpus AS (SELECT doc_id AS id, text AS txt FROM documents),
         |${tfidfCtes("corpus")}

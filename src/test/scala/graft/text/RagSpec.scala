@@ -31,4 +31,16 @@ class RagSpec extends SparkSpec {
     assert(rows.length == 5)
     assert(rows.forall(_.getAs[Double]("cosine") > 0))
   }
+
+  test("bm25 ranks higher-tf matches first and drops non-matching docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join join join table"),
+      (2L, "spark join table"),
+      (3L, "completely unrelated words here")).toDF("doc_id", "text")
+    val out = Bm25.topK(spark, docs, "doc_id", "text", "join", 5).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L), out.mkString(","))
+    assert(out(0).getDouble(1) > out(1).getDouble(1))
+    assert(out.forall(_.getDouble(1) > 0.0))
+  }
 }
