@@ -20,7 +20,7 @@ object Dashboard extends QueryModule {
   private val years = (1995 to 2001).toSeq
 
   private def obs(spark: SparkSession, dir: String): DataFrame =
-    Observations.build(spark, dir)
+    Observations.panel(spark, dir)
 
   /** B1 — top 10 geos by mean value in the latest year
     * (streamlit_app.py:94-107).
@@ -50,7 +50,9 @@ object Dashboard extends QueryModule {
     * (streamlit_app.py:157-167). Conjunctive pushed predicates.
     */
   def explorerFilter(spark: SparkSession, dir: String): DataFrame = {
-    obs(spark, dir)
+    // direct build, not the memoized panel: this is the pushdown
+    // showcase — geo/indicator/year predicates belong in the scan
+    Observations.build(spark, dir)
       .filter(col("geo") === "NATION_1" && col("indicator") === "5-LOW"
         && col("year").between(1996, 2000))
       .select("geo", "indicator", "year", "value", "n_obs")

@@ -29,7 +29,7 @@ object Insights extends QueryModule {
 
   /** C1 core: one row per (geo, indicator) with trend stats. */
   def trendStats(spark: SparkSession, dir: String): DataFrame = {
-    Observations.build(spark, dir)
+    Observations.panel(spark, dir)
       .groupBy("geo", "indicator")
       .agg(
         min("year").as("start_year"),

@@ -37,11 +37,18 @@ object Clusters extends QueryModule {
     // upstream candidate+verify plan twice on first materialization —
     // the cache is still being populated during that same action, so
     // the second branch misses it. explode never re-reads upstream.
+    // Eager checkpoint, not lazy persist: every round's job has TWO
+    // branches reading edges (neighbor join + initial labels), and a
+    // lazily-persisted frame is computed per-branch on the first
+    // action — the cache is still filling while the second branch
+    // scans, so an expensive upstream (candidate+verify) pipeline runs
+    // multiple times concurrently. Materializing once up front costs
+    // one action and truncates the lineage every later round replays.
     val edges = pairs.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist()
+      .localCheckpoint(true)
     var cached = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
       .persist()
@@ -81,7 +88,6 @@ object Clusters extends QueryModule {
       System.err.println(
         s"WARN connectedComponents: not converged after $MaxIterations " +
           "rounds; labels may span unmerged components")
-    edges.unpersist()
     labels
   }
 

@@ -45,6 +45,21 @@ object Observations {
           substring(col("indicator"), 1, 1)))
   }
 
+  /** The session-memoized panel: [[build]]'s output is tiny
+    * (geo × indicator × year — KBs regardless of input SF) and more
+    * than a dozen dashboard / insight / forecast operators consume
+    * it, several in multi-branch plans that would otherwise replay
+    * the orders⋈dims rollup once per branch. Materialized once per
+    * (session, warehouse), like any warehouse materializes its core
+    * rollup. `etl_observations` (the materialization op itself) and
+    * `explorer_filter` (the predicate-pushdown path, where filters
+    * belong in the scan) stay on the direct build.
+    */
+  def panel(spark: SparkSession, dir: String): DataFrame = {
+    val b = build(spark, dir)
+    graft.Memo.small("obsPanel", b)(b)
+  }
+
   /** DuckDB CTE producing the identical panel — prefix for oracles. */
   val sqlCte: String =
     """WITH observations AS (

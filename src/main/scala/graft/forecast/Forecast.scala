@@ -200,9 +200,9 @@ object Forecast {
     */
   def forecastSeries(obs: DataFrame): DataFrame = {
     // the winner table feeds four branches (two history roles, two
-    // future roles) — materialize it once
+    // future roles) — modelSelect is already a checkpointed memo, so
+    // each branch re-reads tiny materialized blocks, no extra persist
     val winner = modelSelect(obs).select("geo", "indicator", "model_used")
-      .persist()
     val histAll = obs.select(col("geo"), col("indicator"), col("year"),
       col("value"))
     val histGbt = Gbt.supervisedHistory(obs)

@@ -14,7 +14,7 @@ import graft.etl.Observations
 object ForecastQueries extends QueryModule {
 
   private def obs(s: SparkSession, d: String): DataFrame =
-    Observations.build(s, d)
+    Observations.panel(s, d)
 
   def lagFeatures(s: SparkSession, d: String): DataFrame =
     Forecast.lagFeatures(obs(s, d)).orderBy("geo", "indicator", "year")

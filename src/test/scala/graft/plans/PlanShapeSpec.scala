@@ -43,7 +43,7 @@ class PlanShapeSpec extends SparkSpec {
     // frames joining a 1-row latest-year bound.
     val allowed = Set(
       "knn_brute", "knn_lsh", "knn_ivf", "semantic_search",
-      "embedding_neardup", "cosine_topk_docs", "tfidf",
+      "embedding_neardup", "cosine_topk_docs", "tfidf", "bm25_topk_docs",
       "insight_text", "insights_trend", "fastest_rising",
       "corpus_clean", "dedup_clusters")
     val offenders = plans.collect {
