@@ -21,9 +21,26 @@ object Memo {
 
   private val cache = TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** The memo key text for a frame: canonicalized plan text PLUS the
+    * ids of any RDD-backed leaves. Canonicalization normalizes
+    * exprIds — which also means two DIFFERENT checkpointed frames
+    * with the same schema print identically (a LogicalRDD leaf
+    * carries no identity in its canonical text), so a memo built on
+    * one checkpoint would silently serve a memo keyed on another.
+    * The RDD ids restore that identity; everything else stays
+    * canonical so re-reads of the same source still hit.
+    */
+  def planKey(input: DataFrame): String = {
+    val plan = input.queryExecution.analyzed
+    val rddIds = plan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+    plan.canonicalized.treeString +
+      (if (rddIds.isEmpty) "" else rddIds.mkString("|rdd:", ",", ""))
+  }
+
   def small(tag: String, input: DataFrame)(build: => DataFrame): DataFrame = {
-    val key = (input.sparkSession,
-      tag + "|" + input.queryExecution.analyzed.canonicalized.treeString)
+    val key = (input.sparkSession, tag + "|" + planKey(input))
     cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     cache.synchronized {
       cache.getOrElseUpdate(key, build.localCheckpoint(true))

@@ -56,37 +56,30 @@ object StressBench {
     // quadratically in mult and measure output size, not operator
     // scaling. A per-copy letter substitution (text) / coordinate
     // permutation (embeddings) preserves every WITHIN-copy similarity
-    // exactly while making cross-copy pairs random. Both transforms
-    // are indexed by the copy's Lehmer code (the i-th lexicographic
-    // permutation), so no two copies below 9! / 64! share a transform
-    // — a simple rotation would alias with period 9 / 8 and reintroduce
-    // quadratic cross-copy pairs at larger mult.
-    def lehmerPerm(n: Int, idx: Long): Array[Int] = {
-      val fact = new Array[Long](n)
-      fact(0) = 1
-      for (k <- 1 until n)
-        fact(k) = if (fact(k - 1) > Long.MaxValue / k) Long.MaxValue
-                  else fact(k - 1) * k
-      val avail = scala.collection.mutable.ArrayBuffer.range(0, n)
-      val out = new Array[Int](n)
-      var rem = if (fact(n - 1) < Long.MaxValue / n) idx % (fact(n - 1) * n) else idx
-      for (pos <- 0 until n) {
-        val f = fact(n - 1 - pos)
-        val d = math.min(rem / f, avail.length - 1).toInt
-        rem -= d * f
-        out(pos) = avail.remove(d)
+    // exactly while making cross-copy pairs random. Each copy's
+    // transform is a seeded Fisher-Yates permutation — uniformly
+    // mixed for EVERY index. (A rotation aliases with period n; a
+    // Lehmer-indexed permutation is worse: for index i « n! only the
+    // last few positions move, so copies share all but ~log(i)
+    // coordinates and cross-copy cosines sit near 1.)
+    def rngPerm(n: Int, seed: Long): Array[Int] = {
+      val r = new java.util.Random(seed * 0x9E3779B97F4A7C15L + n)
+      val out = Array.range(0, n)
+      for (k <- n - 1 to 1 by -1) {
+        val j = r.nextInt(k + 1)
+        val t = out(k); out(k) = out(j); out(j) = t
       }
       out
     }
     val subAlpha = "etaoinshr"
     def docsAmp = (0 until mult).map { i =>
-      val subst = lehmerPerm(subAlpha.length, i.toLong).map(subAlpha).mkString
+      val subst = rngPerm(subAlpha.length, i.toLong).map(subAlpha).mkString
       graft.sources.Tables.table(spark, sfDir, "documents")
         .withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
         .withColumn("text", translate(col("text"), subAlpha, subst))
     }.reduce(_ unionByName _)
     def embAmp = (0 until mult).map { i =>
-      val p = lehmerPerm(64, i.toLong)
+      val p = rngPerm(64, i.toLong)
       graft.sources.Tables.table(spark, sfDir, "embeddings")
         .withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L))
         .withColumn("embedding", expr(

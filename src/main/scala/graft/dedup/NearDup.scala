@@ -37,8 +37,7 @@ object NearDup {
 
   /** The memoized index for a (doc_id, text) corpus at threshold tau. */
   def index(docs: DataFrame, tau: Double = 0.5): Index = {
-    val key = (docs.sparkSession,
-      docs.queryExecution.analyzed.canonicalized.treeString, tau)
+    val key = (docs.sparkSession, graft.Memo.planKey(docs), tau)
     cache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
     cache.synchronized {
       cache.get(key) match {

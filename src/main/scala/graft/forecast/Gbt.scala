@@ -56,8 +56,7 @@ object Gbt {
     TrieMap.empty[(SparkSession, String), (GBTRegressionModel, DataFrame)]
 
   private def trained(obs: DataFrame): (GBTRegressionModel, DataFrame) = {
-    val key = (obs.sparkSession,
-      obs.queryExecution.analyzed.canonicalized.treeString)
+    val key = (obs.sparkSession, graft.Memo.planKey(obs))
     // entries for stopped sessions hold dead DataFrames/models — drop
     // them so the map stays bounded across session lifecycles
     modelCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }

@@ -119,13 +119,112 @@ object Corpus extends QueryModule {
       .select("doc_id", "lang", "bucket")
       .orderBy("doc_id")
 
+  /** L5 — word n-gram size for contamination detection: long enough
+    * that a shared gram means real textual overlap (the GPT-2/GPT-3
+    * decontamination range), short enough that these short synthetic
+    * docs can collide at all.
+    */
+  val DecontamN = 5
+
+  /** L5 — benchmark decontamination: training docs that share at
+    * least one word [[DecontamN]]-gram with the held-out test split
+    * (the [[corpusSample]] coin decides membership, so any worker
+    * re-derives the split). The join is train-gram rows against the
+    * DISTINCT eval gram set — linear in corpus gram volume, never a
+    * doc × doc pair join, so a stop-phrase gram cannot create a
+    * quadratic reducer at any scale.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val n = DecontamN
+    val g = graft.Par.spread(
+        Tables.documents(spark, dir).select("doc_id", "text"))
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      // guard before sequence(): sequence(1, 0) DESCENDS in Spark
+      .select(col("doc_id"), explode(expr(
+        s"""IF(size(ws) >= $n,
+           |   array_distinct(transform(sequence(1, size(ws) - ${n - 1}),
+           |     i -> concat_ws(' ', slice(ws, i, $n)))),
+           |   array())""".stripMargin)).as("g"))
+      .withColumn("bucket", expr(
+        """cast(conv(substring(md5(concat('smp|', cast(doc_id as string))),
+          |  1, 8), 16, 10) as bigint) % 1000""".stripMargin))
+    val evalGrams = g.filter(col("bucket") >= 900).select("g").distinct()
+    val train = g.filter(col("bucket") < 800)
+    val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    train.join(evalGrams, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .join(totals, "doc_id")
+      .withColumn("contam_ratio",
+        col("n_shared").cast("double") / col("n_grams"))
+      .select("doc_id", "n_shared", "n_grams", "contam_ratio")
+      .orderBy("doc_id")
+  }
+
+  /** L6 — shard count for the deterministic training shuffle. */
+  val ShuffleShards = 16
+
+  /** L6 — deterministic global shuffle for training-order
+    * randomization: shard by one md5 coin, order within the shard by
+    * the full md5 key — a per-shard window, never a global sort, and
+    * any re-run derives the identical order (the property a resumable
+    * training job needs from its data order).
+    */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select("doc_id")
+      .withColumn("k", md5(concat(lit("shu|"), col("doc_id").cast("string"))))
+      .withColumn("shard", expr(
+        s"""cast(conv(substring(k, 1, 8), 16, 10) as bigint)
+           |  % $ShuffleShards""".stripMargin))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy("k", "doc_id")))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+
   override def queries: Map[String, Q] = Map(
     "corpus_sample" -> (corpusSample _),
     "corpus_clean" -> (corpusClean _),
     "corpus_pack" -> (corpusPack _),
-    "stratified_sample" -> (stratifiedSample _))
+    "stratified_sample" -> (stratifiedSample _),
+    "decontaminate" -> (decontaminate _),
+    "corpus_shuffle" -> (corpusShuffle _))
+
+  /** The DuckDB mirror of the Spark-side gram generator: 1-based list
+    * indexing, range(a, b) is [a, b).
+    */
+  private val gramSelSql: String =
+    (0 until DecontamN).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
 
   override def oracles: Map[String, String] = Map(
+    "decontaminate" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ws,
+        |    CAST('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |         AS BIGINT) % 1000 AS bucket
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, bucket,
+        |    unnest(list_transform(range(1, len(ws) - ${DecontamN - 2}),
+        |                          i -> $gramSelSql)) AS g
+        |  FROM t),
+        |ev AS (SELECT DISTINCT g FROM g WHERE bucket >= 900),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM g
+        |        WHERE bucket < 800 GROUP BY doc_id)
+        |SELECT h.doc_id, h.n_shared, tot.n_grams,
+        |  CAST(h.n_shared AS DOUBLE) / tot.n_grams AS contam_ratio
+        |FROM (SELECT g.doc_id, count(*) AS n_shared
+        |      FROM g JOIN ev USING (g) WHERE bucket < 800
+        |      GROUP BY g.doc_id) h
+        |JOIN tot USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "corpus_shuffle" ->
+      s"""SELECT doc_id, shard, CAST(row_number() OVER (
+        |    PARTITION BY shard ORDER BY k, doc_id) AS INTEGER) AS pos
+        |FROM (
+        |  SELECT doc_id, md5('shu|' || CAST(doc_id AS VARCHAR)) AS k,
+        |    CAST('0x' || substr(md5('shu|' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |         AS BIGINT) % $ShuffleShards AS shard
+        |  FROM documents)
+        |ORDER BY shard, pos""".stripMargin,
     "corpus_pack" ->
       s"""SELECT doc_id, bucket, n_tokens, tok_start,
         |  tok_start // $PackBudget AS seq_id

@@ -94,8 +94,7 @@ object Tfidf {
     * first calls can't double-build.
     */
   def index(docs: DataFrame, idCol: String, textCol: String): TfidfIndex = {
-    val key = (docs.sparkSession,
-      docs.queryExecution.analyzed.canonicalized.treeString, idCol, textCol)
+    val key = (docs.sparkSession, graft.Memo.planKey(docs), idCol, textCol)
     indexCache.filterInPlace { case ((s, _, _, _), _) => !s.sparkContext.isStopped }
     indexCache.synchronized {
       indexCache.get(key) match {

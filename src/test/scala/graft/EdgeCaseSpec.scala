@@ -68,4 +68,17 @@ class EdgeCaseSpec extends SparkSpec {
     val sims = graft.dedup.Dedup.simhash(tiny, "doc_id", "text").collect()
     assert(sims.length == 5) // empty text still yields a (degenerate) hash
   }
+
+  test("memo planKey distinguishes same-schema checkpointed frames") {
+    import spark.implicits._
+    // two DIFFERENT checkpoints with identical schemas: canonicalized
+    // plan text alone cannot tell them apart (exprIds normalize and a
+    // LogicalRDD leaf has no identity in canonical form) — the key
+    // must differ or a memo built on one silently serves the other
+    val a = Seq((1L, "a")).toDF("id", "v").localCheckpoint(true)
+    val b = Seq((2L, "b")).toDF("id", "v").localCheckpoint(true)
+    assert(graft.Memo.planKey(a) != graft.Memo.planKey(b))
+    // while repeated keying of the same frame is stable
+    assert(graft.Memo.planKey(a) == graft.Memo.planKey(a))
+  }
 }

@@ -59,6 +59,54 @@ class CorpusSpec extends SparkSpec {
       assert(rows.exists(_.getAs[Long]("seq_id") > 0))
   }
 
+  test("decontaminate: flags exactly the train docs sharing an eval 5-gram") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"smp|$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 1000
+    }
+    def grams(t: String): Set[String] = {
+      val ws = t.toLowerCase.split(" ", -1)
+      if (ws.length < Corpus.DecontamN) Set.empty
+      else ws.sliding(Corpus.DecontamN).map(_.mkString(" ")).toSet
+    }
+    val evalGrams = docs.collect {
+      case (id, t) if bucket(id) >= 900 => grams(t)
+    }.foldLeft(Set.empty[String])(_ ++ _)
+    val expected = docs.collect {
+      case (id, t) if bucket(id) < 800 && grams(t).intersect(evalGrams).nonEmpty =>
+        id -> grams(t).intersect(evalGrams).size
+    }.toMap
+    val rows = Corpus.decontaminate(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == expected.keySet)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_shared") == expected(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Double]("contam_ratio") > 0.0 &&
+        r.getAs[Double]("contam_ratio") <= 1.0)
+    }
+    assert(rows.nonEmpty) // the corpus actually has cross-split overlap
+  }
+
+  test("corpus_shuffle: a deterministic permutation, contiguous per shard") {
+    val rows = Corpus.corpusShuffle(spark, sf).collect()
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length == n) // every doc placed exactly once
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, docs) =>
+      assert(docs.map(_.getAs[Int]("pos")).sorted.toList ==
+        (1 to docs.length).toList)
+    }
+    // deterministic: identical on re-run
+    val again = Corpus.corpusShuffle(spark, sf).collect()
+    assert(rows.map(_.toSeq.toList).toList == again.map(_.toSeq.toList).toList)
+    // it actually permutes: doc_id order differs from shuffle order
+    val inOrder = rows.sortBy(r => (r.getAs[Long]("shard"), r.getAs[Int]("pos")))
+      .map(_.getAs[Long]("doc_id"))
+    assert(inOrder.toList != inOrder.sorted.toList)
+  }
+
   test("stratified_sample: en downsampled to its bucket rate, rest kept") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val byLang = docs.groupBy("lang").count().collect()
