@@ -14,8 +14,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  // One reader per (session, dir, table): `spark.read.parquet` lists
+  // files and reads footers eagerly, so re-creating the frame per
+  // query repays that fixed cost dozens of times per session. Reusing
+  // the DataFrame (an immutable plan) is what any caller would do by
+  // hand; the cached file listing means a mid-session change to the
+  // underlying directory isn't visible — the semantics of one
+  // consistent snapshot per session, which is what a benchmark (and
+  // most batch jobs) want. Entries die with their session.
+  private val readers =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, String), DataFrame]
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    readers.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+    readers.getOrElseUpdate((spark, sfDir, name),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
