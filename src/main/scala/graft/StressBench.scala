@@ -89,7 +89,7 @@ object StressBench {
     println(s"rows: documents=${docsAmp.count()} embeddings=${embAmp.count()}")
 
     time("minhash_pairs_x" + mult) {
-      val sh = graft.dedup.Dedup.shingleRows(docsAmp, "doc_id", "text").persist()
+      val sh = graft.dedup.Dedup.shingleSets(docsAmp, "doc_id", "text").persist()
       val n = graft.dedup.Dedup.jaccardVerify(
         graft.dedup.Dedup.bucketPairs(graft.dedup.Dedup.minhashBuckets(sh)),
         sh, 0.5).count()
@@ -103,7 +103,7 @@ object StressBench {
       graft.dedup.DedupQueries.neardupPairs(embAmp, 0.45).count()
     }
     time("neardup_clusters_x" + mult) {
-      val sh = graft.dedup.Dedup.shingleRows(docsAmp, "doc_id", "text").persist()
+      val sh = graft.dedup.Dedup.shingleSets(docsAmp, "doc_id", "text").persist()
       val pairs = graft.dedup.Dedup.jaccardVerify(
         graft.dedup.Dedup.bucketPairs(graft.dedup.Dedup.minhashBuckets(sh)),
         sh, 0.5)

@@ -33,7 +33,11 @@ object Dedup {
   val Rows = 4 // minhashes per band
   val Bands: Int = NumHashes / Rows // 8
 
-  /** One row per (doc_id, distinct char-5-gram). */
+  /** One row per (doc_id, distinct char-5-gram) — the row-shaped
+    * face, used where a per-gram relation is genuinely needed (the
+    * spec's brute-force oracle). The production pipeline uses
+    * [[shingleSets]]: same content, two fewer shuffles.
+    */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.Par.spread(docs) // single-file scan: spread the explode+md5 work
       .select(col(idCol).as("doc_id"), lower(col(textCol)).as("txt"))
@@ -42,6 +46,27 @@ object Dedup {
         explode(expr("sequence(1, length(txt) - 4)")).as("i"), col("txt"))
       .select(col("doc_id"), expr("substring(txt, i, 5)").as("g"))
       .distinct()
+
+  /** One row per doc: (doc_id, gs = distinct char-5-gram array).
+    *
+    * The set shape drops two whole shuffles versus rows: a global
+    * `.distinct()` exchange becomes per-doc dedup inside ONE
+    * collect_set aggregate — and since a doc's exploded gram rows are
+    * co-located in its input partition, the partial aggregate builds
+    * each set map-side and the exchange ships one compact set per
+    * doc, already deduplicated. Downstream, signatures derive
+    * per-element from the array ([[minhashBuckets]]) and exact
+    * verification intersects two arrays per candidate pair
+    * ([[jaccardVerify]]) instead of re-shuffling gram rows.
+    */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.Par.spread(docs)
+      .select(col(idCol).as("doc_id"), lower(col(textCol)).as("txt"))
+      .filter(length(col("txt")) >= 5)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(txt) - 4)")).as("i"), col("txt"))
+      .select(col("doc_id"), expr("substring(txt, i, 5)").as("g"))
+      .groupBy("doc_id").agg(collect_set("g").as("gs"))
 
   /** The shared 32-bit md5-prefix hash. */
   def hash32(c: String): org.apache.spark.sql.Column =
@@ -57,23 +82,23 @@ object Dedup {
     }.toDF("k", "a", "b")
   }
 
-  /** F2 — MinHash signatures + banded LSH buckets, one row per
-    * (doc, band). shingles → hash/row → ⨯32 params (broadcast) →
-    * two hash aggregates. Map-side combine shrinks each step.
+  /** F2 — MinHash signatures + banded LSH buckets from
+    * [[shingleSets]]-shaped input, one row per (doc, band): hash each
+    * set element in place, then one codegen pass derives all k
+    * minima — no per-gram shuffle at any point. The permutation
+    * constants are inlined arithmetic (same LCG as hashParams / the
+    * DuckDB oracle).
     */
-  def minhashBuckets(sh: DataFrame): DataFrame = {
-    // Collect each doc's shingle hashes once (the aggregate is an
-    // optimizer barrier), then derive all k minima in one in-memory
-    // pass per doc — versus shuffling |shingles|×k rows into a
-    // (doc, k) aggregate, this removes the dominant shuffle entirely.
-    // The permutation constants are inlined arithmetic (same LCG as
-    // hashParams / the DuckDB oracle).
-    sh.select(col("doc_id"), (hash32("g") % P).as("x"))
-      .groupBy("doc_id").agg(collect_list("x").as("xs"))
+  def minhashBuckets(sets: DataFrame): DataFrame = {
+    sets
       // explicit partition count: AQE would coalesce these few MB to
       // one partition and serialize the (compute-heavy) signature
       // derivation; byte-based coalescing is blind to CPU cost
       .transform(graft.Par.spreadBy(_, "doc_id"))
+      .select(col("doc_id"), expr(
+        s"""transform(gs, g ->
+           |  cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint) % $P)"""
+          .stripMargin).as("xs"))
       // codegen MinHashSig: same LCG arithmetic as the DuckDB oracle,
       // primitive loop instead of nested interpreted lambdas
       .select(col("doc_id"),
@@ -99,21 +124,22 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Exact Jaccard for candidate pairs via shingle-row joins. */
-  def jaccardVerify(pairs: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+  /** Exact Jaccard for candidate pairs from [[shingleSets]]-shaped
+    * input: two hash joins pull each pair's sets, one array
+    * intersection per pair — candidate count is O(near-dups), so no
+    * gram rows ever shuffle for verification.
+    */
+  def jaccardVerify(pairs: DataFrame, sets: DataFrame, tau: Double): DataFrame =
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("ga")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("gs").as("gb")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("ga"), col("gb"))).cast("long"))
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        col("inter").cast("double")
+          / (size(col("ga")).cast("long") + size(col("gb")) - col("inter")))
       .filter(col("jaccard") >= tau)
       .select("doc_a", "doc_b", "jaccard")
-  }
 
   /** F3 — 32-bit SimHash over distinct whitespace tokens:
     * tokens → hash/row → ⨯32 bit positions → majority vote per bit →
@@ -226,7 +252,8 @@ object Dedup {
     val allHot = grams.select("doc_id").distinct()
       .join(rare.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
     val hotSh = hot.join(allHot, "doc_id").select("doc_id", "g")
-    val interAllHot = bucketPairs(minhashBuckets(hotSh))
+    val interAllHot = bucketPairs(minhashBuckets(
+        hotSh.groupBy("doc_id").agg(collect_set("g").as("gs"))))
       .join(hotSh.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
       .join(hotSh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))

@@ -43,10 +43,10 @@ object NearDup {
       cache.get(key) match {
         case Some(ix) => ix
         case None =>
-          // the shingle relation feeds four plan branches (both
-          // self-join sides, both verify sides); persist for the
-          // build, release once the pair set is materialized
-          val sh = Dedup.shingleRows(docs, "doc_id", "text").persist()
+          // the shingle-set relation feeds three plan branches (the
+          // signature derivation and both verify sides); persist for
+          // the build, release once the pair set is materialized
+          val sh = Dedup.shingleSets(docs, "doc_id", "text").persist()
           val pairs = Dedup.jaccardVerify(
             Dedup.bucketPairs(Dedup.minhashBuckets(sh)), sh, tau)
             .localCheckpoint(true)

@@ -45,7 +45,7 @@ class EdgeCaseSpec extends SparkSpec {
   }
 
   test("minhash pipeline tolerates sub-shingle-length docs") {
-    val sh = graft.dedup.Dedup.shingleRows(tiny, "doc_id", "text")
+    val sh = graft.dedup.Dedup.shingleSets(tiny, "doc_id", "text")
     val ids = sh.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(!ids.contains(1L) && !ids.contains(2L) && !ids.contains(3L))
     val buckets = graft.dedup.Dedup.minhashBuckets(sh)
