@@ -113,6 +113,25 @@ object Streaming {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  /** J5 — streaming corpus ingestion: the continuous form of the
+    * batch keep-list's quality ∧ exact-dup stages (L2): arriving
+    * documents are content-hashed, deduplicated within the watermark
+    * horizon (first arrival wins; the hash state is bounded by the
+    * watermark, not the stream), and gated on the same H2 quality
+    * thresholds the batch pipeline uses. What a training pipeline
+    * runs between a document firehose and its corpus store.
+    */
+  def corpusIngestStream(docs: DataFrame,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    graft.text.Analysis.quality(
+        docs.withWatermark("ts", watermarkDelay)
+          .withColumn("h", md5(col("text")))
+          .dropDuplicates("h"),
+        "text")
+      .filter(col("n_tokens") >= graft.pipeline.Corpus.MinTokens &&
+        col("stopword_ratio") <= graft.pipeline.Corpus.MaxStopwordRatio)
+      .select("doc_id", "ts", "h", "n_tokens", "stopword_ratio")
+
   /** J4 — stream-stream interval join (the streaming face of the
     * batch q_range_join): each click joined to the same user's
     * follow-up events within `windowSec`. Watermarks on BOTH sides

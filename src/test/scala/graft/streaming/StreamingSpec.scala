@@ -135,4 +135,28 @@ class StreamingSpec extends SparkSpec {
     assert(out(0).getAs[Long]("click_id") == 1)
     assert(out(0).getAs[String]("o_type") == "purchase")
   }
+
+  test("streaming corpus ingest dedups by content and gates on quality") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = corpusIngestStream(
+        mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("ingest_out")
+      .outputMode("append").start()
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    val good = Array.fill(graft.pipeline.Corpus.MinTokens)("word").mkString(" ")
+    mem.addData(
+      (1L, t, good),                       // passes, first arrival
+      (2L, t, good),                       // exact dup of 1: dropped
+      (3L, t, "too short"),                // quality-gated: dropped
+      (4L, t, good + " extra tail"))       // distinct content: passes
+    q.processAllAvailable()
+    val out = spark.table("ingest_out").collect()
+    q.stop()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 4L))
+    out.foreach { r =>
+      assert(r.getAs[Int]("n_tokens") >= graft.pipeline.Corpus.MinTokens)
+    }
+  }
 }
