@@ -74,10 +74,18 @@ object Gbt {
         case None =>
           System.err.println("[graft] training pooled GBT forecaster")
           val feats = supervised(obs).persist()
+          // fixed key-partitioned training layout (same reasoning as
+          // the IVF quantizer): boosting runs ~2 jobs per tree over
+          // the training frame, so task count — not data volume —
+          // dominates at panel size, and a deterministic layout makes
+          // the fitted model a pure function of (data, seed) instead
+          // of the session's core count
           val model = new GBTRegressor()
             .setLabelCol("value").setFeaturesCol("features")
             .setMaxIter(20).setMaxDepth(3).setStepSize(0.1).setSeed(42)
-            .fit(assembler.transform(feats.filter(col("split") === "train")))
+            .fit(assembler.transform(feats.filter(col("split") === "train"))
+              .repartition(4, col("geo"), col("indicator"))
+              .sortWithinPartitions("geo", "indicator", "year"))
           modelCache.put(key, (model, feats))
           (model, feats)
       }

@@ -51,4 +51,50 @@ object Blob {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions(_.map(decodeOne))
   }
+
+  /** Resize: 1:1 row transform — new dimensions scaled to fit
+    * `maxDim` (aspect preserved, never upscaled), payload re-encoded
+    * by the stub codec (a byte prefix proportional to the area
+    * ratio; a real deployment swaps in the scaler). Metadata-only
+    * consumers still never touch the bytes.
+    */
+  def resize(blobs: Dataset[BlobRow], maxDim: Int): Dataset[BlobRow] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { b =>
+      val longest = math.max(math.max(b.width, b.height), 1)
+      val scale = math.min(1.0, maxDim.toDouble / longest)
+      val (w, h) = (math.max((b.width * scale).toInt, 1),
+        math.max((b.height * scale).toInt, 1))
+      // ??? <- real scaler goes here; stub keeps an area-proportional
+      // byte prefix so payload size tracks the resize like a codec's
+      val keep = math.max((b.payload.length * scale * scale).toInt, 1)
+      b.copy(width = w, height = h,
+        payload = b.payload.take(math.min(keep, b.payload.length)))
+    })
+  }
+
+  case class Frame(id: Long, frame_idx: Int, ts_ms: Long, n_bytes: Int)
+
+  /** Frame sampling: the fan-out shape — one output row per sampled
+    * timestamp (every `everyMs` through the blob's duration),
+    * derived per partition with no driver loop; a real deployment
+    * decodes the frame at `ts_ms` where the stub takes a byte slice.
+    */
+  def frameSample(blobs: Dataset[BlobRow], everyMs: Long): Dataset[Frame] = {
+    import blobs.sparkSession.implicits._
+    blobs.flatMap { b =>
+      val n = math.max((b.duration_ms / everyMs).toInt, 0)
+      (0 to n).iterator.map { i =>
+        val ts = i * everyMs
+        if (ts > b.duration_ms) None
+        else {
+          // ??? <- real frame decode at ts; stub slices bytes evenly
+          val span = math.max(b.duration_ms, 1L)
+          val off = ((b.payload.length * ts) / span).toInt
+          Some(Frame(b.id, i, ts,
+            math.min(b.payload.length - off, 16).max(0)))
+        }
+      }.flatten
+    }
+  }
 }

@@ -136,6 +136,10 @@ object Corpus extends QueryModule {
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val n = DecontamN
+    // g feeds three branches (eval set, train join side, train
+    // totals) and is deliberately NOT cached: it is a map-only
+    // projection of the scan, and at corpus scale re-running a
+    // projection beats materializing TBs of gram rows
     val g = graft.Par.spread(
         Tables.documents(spark, dir).select("doc_id", "text"))
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
