@@ -45,11 +45,28 @@ object RagQueries extends QueryModule {
         question, 5)
       .select(col("id").as("doc_id"), col("score"))
 
+  /** D5 — vocabulary size for induction. */
+  val VocabK = 500
+
+  /** D5 — tokenizer vocabulary induction: top-[[VocabK]] terms by
+    * corpus frequency over the shared posting index — the counting
+    * pass every tokenizer training (BPE and friends) starts from.
+    * One map-side-combinable aggregate + a bounded top-k
+    * (TakeOrdered), never a full sort.
+    */
+  def vocabTopk(spark: SparkSession, dir: String): DataFrame =
+    Tfidf.index(Tables.documents(spark, dir), "doc_id", "text").postings
+      .groupBy("term")
+      .agg(sum("tf").as("n_tokens"), countDistinct("id").as("df"))
+      .orderBy(desc("n_tokens"), asc("term"))
+      .limit(VocabK)
+
   override def queries: Map[String, Q] = Map(
     "tfidf" -> (tfidf _),
     "cosine_topk_docs" -> (cosineTopkDocs _),
     "semantic_search" -> (semanticSearch _),
-    "bm25_topk_docs" -> (bm25TopkDocs _))
+    "bm25_topk_docs" -> (bm25TopkDocs _),
+    "vocab_topk" -> (vocabTopk _))
 
   /** Postings + smooth-idf CTEs over an arbitrary corpus CTE named
     * `corpus(id, txt)`.
@@ -140,6 +157,13 @@ object RagQueries extends QueryModule {
       s"""WITH corpus AS (SELECT doc_id AS id, text AS txt FROM documents),
         |${tfidfCtes("corpus")}
         |SELECT id AS doc_id, term, w FROM w ORDER BY doc_id, term""".stripMargin,
+    "vocab_topk" ->
+      s"""WITH corpus AS (SELECT doc_id AS id, text AS txt FROM documents),
+        |${tfidfCtes("corpus")}
+        |SELECT term, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  count(DISTINCT id) AS df
+        |FROM p GROUP BY term
+        |ORDER BY n_tokens DESC, term LIMIT $VocabK""".stripMargin,
     "cosine_topk_docs" ->
       s"""WITH corpus AS (SELECT doc_id AS id, text AS txt FROM documents),
         |${tfidfCtes("corpus")},

@@ -43,4 +43,32 @@ class RagSpec extends SparkSpec {
     assert(out(0).getDouble(1) > out(1).getDouble(1))
     assert(out.forall(_.getDouble(1) > 0.0))
   }
+
+  test("vocab induction counts match an independent token count") {
+    val rows = RagQueries.vocabTopk(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= RagQueries.VocabK)
+    // descending frequency, ties broken by term
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (na, nb) = (a.getAs[Long]("n_tokens"), b.getAs[Long]("n_tokens"))
+      assert(na > nb || (na == nb &&
+        a.getAs[String]("term") < b.getAs[String]("term")))
+    }
+    // spot-check the top term's count against a raw re-tokenization
+    val top = rows(0)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val term = top.getAs[String]("term")
+    val expected =
+      if (term.contains(" ")) { // bigram
+        val Array(t1, t2) = term.split(" ")
+        docs.map { t =>
+          val tk = t.toLowerCase.split("[^a-z0-9]+").filter(w =>
+            w.nonEmpty && !Tfidf.stopwords.contains(w))
+          tk.sliding(2).count(p => p.length == 2 && p(0) == t1 && p(1) == t2)
+        }.sum
+      } else
+        docs.map(_.toLowerCase.split("[^a-z0-9]+").filter(w =>
+          w.nonEmpty && !Tfidf.stopwords.contains(w)).count(_ == term)).sum
+    assert(top.getAs[Long]("n_tokens") == expected.toLong)
+  }
 }
