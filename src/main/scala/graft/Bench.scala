@@ -14,8 +14,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up JIT/codegen/parquet paths before timing: flagship query
-    // at the smallest SF plus a window + HOF so interpreter and
-    // codegen hot paths are compiled. Not counted.
+    // at the smallest SF plus a window + HOF + the text/hash path
+    // (md5, explode, regex split, collect_set) so interpreter and
+    // codegen hot paths are compiled — warmed on sf0.001 data, never
+    // the benched SF. Not counted.
     try {
       SparkEntry.entry(spark).count()
       spark.sql(
@@ -23,6 +25,12 @@ object Bench {
           |  SELECT aggregate(sequence(1, 50), 0L, (a, x) -> a + x)
           |    + row_number() OVER (ORDER BY id) AS v
           |  FROM range(1000))""".stripMargin).count()
+      graft.dedup.Dedup.shingleSets(
+        graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+          .limit(50), "doc_id", "text").count()
+      graft.text.Tfidf.postings(
+        graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+          .limit(50), "doc_id", "text").count()
     } catch { case _: Throwable => () }
     // sorted: stable attribution of shared-index build costs to the
     // alphabetically-first consumer, comparable across rounds

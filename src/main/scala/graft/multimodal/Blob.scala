@@ -83,18 +83,16 @@ object Blob {
   def frameSample(blobs: Dataset[BlobRow], everyMs: Long): Dataset[Frame] = {
     import blobs.sparkSession.implicits._
     blobs.flatMap { b =>
+      // frames at t = 0, everyMs, ... — floor keeps every ts within
+      // the duration
       val n = math.max((b.duration_ms / everyMs).toInt, 0)
       (0 to n).iterator.map { i =>
         val ts = i * everyMs
-        if (ts > b.duration_ms) None
-        else {
-          // ??? <- real frame decode at ts; stub slices bytes evenly
-          val span = math.max(b.duration_ms, 1L)
-          val off = ((b.payload.length * ts) / span).toInt
-          Some(Frame(b.id, i, ts,
-            math.min(b.payload.length - off, 16).max(0)))
-        }
-      }.flatten
+        // ??? <- real frame decode at ts; stub slices bytes evenly
+        val span = math.max(b.duration_ms, 1L)
+        val off = ((b.payload.length * ts) / span).toInt
+        Frame(b.id, i, ts, math.min(b.payload.length - off, 16).max(0))
+      }
     }
   }
 }
