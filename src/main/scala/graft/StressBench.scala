@@ -52,16 +52,27 @@ object StressBench {
     }
 
     // --- LLM-pipeline ops under amplification -------------------------
-    // Copies must NOT near-dup each other, or pair counts grow
-    // quadratically in mult and measure output size, not operator
-    // scaling. A per-copy letter substitution (text) / coordinate
-    // permutation (embeddings) preserves every WITHIN-copy similarity
-    // exactly while making cross-copy pairs random. Each copy's
-    // transform is a seeded Fisher-Yates permutation — uniformly
-    // mixed for EVERY index. (A rotation aliases with period n; a
-    // Lehmer-indexed permutation is worse: for index i « n! only the
-    // last few positions move, so copies share all but ~log(i)
-    // coordinates and cross-copy cosines sit near 1.)
+    // Text copies must NOT near-dup each other, or pair counts grow
+    // quadratically in mult and CC measures output size, not operator
+    // scaling. A per-copy letter substitution preserves every
+    // WITHIN-copy similarity exactly while making cross-copy Jaccard
+    // land below tau. Each copy's transform is a seeded Fisher-Yates
+    // permutation — uniformly mixed for EVERY index. (A rotation
+    // aliases with period n; a Lehmer-indexed permutation is worse:
+    // for index i « n! only the last few positions move, so copies
+    // share all but ~log(i) coordinates.)
+    //
+    // Embeddings get the same permutation treatment, but with a
+    // different expectation: a vector's cosine against a permuted
+    // copy of ITSELF (its permutation autocorrelation) clears a 0.45
+    // threshold with ~constant probability for clustered vectors, and
+    // the number of (vector, copy-pair) combinations grows as mult² —
+    // so cross-copy pairs appear at large mult under ANY fixed
+    // per-copy isometry. That is fine for THIS op's diagnostic: F5 is
+    // exact quadratic-work by design (the grid θ-join), so the check
+    // is time ≲ mult² (observed ×12→×24: 3.2× for 4× work), while the
+    // LINEAR checks (pair counts ≈ mult × base, CC rounds flat) are
+    // read from the text ops, whose cross-copy leakage is zero.
     def rngPerm(n: Int, seed: Long): Array[Int] = {
       val r = new java.util.Random(seed * 0x9E3779B97F4A7C15L + n)
       val out = Array.range(0, n)
