@@ -67,15 +67,52 @@ object TextQueries extends QueryModule {
     Analysis.piiRedact(withPii, "doc_id", "pii_text").orderBy("doc_id")
   }
 
+  /** H7 — bigram LM score per document (perplexity-style filter). */
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    Lm.score(graft.Par.spread(Tables.documents(spark, dir)
+        .select("doc_id", "text")), "doc_id", "text")
+      .orderBy("doc_id")
+
   override def queries: Map[String, Q] = Map(
     "lang_id" -> (langId _),
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
     "doc_fingerprint" -> (docFingerprint _),
     "repetition_ratio" -> (repetitionRatio _),
-    "pii_redact" -> (piiRedact _))
+    "pii_redact" -> (piiRedact _),
+    "lm_score" -> (lmScore _))
 
   override def oracles: Map[String, String] = Map(
+    "lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ws,
+        |    CAST('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |         AS BIGINT) % 1000 AS bucket
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, bucket, ws[CAST(i AS INT)] AS w1,
+        |    ws[CAST(i + 1 AS INT)] AS w2
+        |  FROM t, UNNEST(range(1, len(ws))) AS u(i)),
+        |tb AS (SELECT w1, w2, count(*) AS cb FROM bi
+        |       WHERE bucket < 800 GROUP BY w1, w2),
+        |tu AS (SELECT w1, count(*) AS cu FROM (
+        |         SELECT unnest(ws) AS w1 FROM t WHERE bucket < 800)
+        |       GROUP BY w1),
+        |v AS (SELECT count(*) AS v FROM tu),
+        |lp AS (
+        |  SELECT bi.doc_id,
+        |    CAST(CAST(ln(CAST(COALESCE(tb.cb, 0) + 1 AS DOUBLE)
+        |                 / CAST(COALESCE(tu.cu, 0) + v.v AS DOUBLE))
+        |         AS DECIMAL(18,9)) AS DOUBLE) AS logp
+        |  FROM bi LEFT JOIN tb ON bi.w1 = tb.w1 AND bi.w2 = tb.w2
+        |          LEFT JOIN tu ON bi.w1 = tu.w1
+        |          CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CAST(logp AS DECIMAL(24,9))) AS DOUBLE) AS sum_logp,
+        |  CAST(sum(CAST(logp AS DECIMAL(24,9))) AS DOUBLE) / count(*)
+        |    AS avg_logp
+        |FROM lp GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "lang_id" ->
       """WITH t AS (SELECT doc_id, lang, lower(text) AS txt FROM documents
         |           WHERE length(text) >= 3),

@@ -81,4 +81,47 @@ class TextSpec extends SparkSpec {
     assert(out(4).getAs[String]("redacted") ==
       "two mails <email> and <email> plus <phone>")
   }
+
+  test("lm_score matches a local bigram-LM re-implementation") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"smp|$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 1000
+    }
+    def tokens(t: String): Array[String] = t.toLowerCase.split(" ", -1)
+    val train = docs.collect { case (id, t) if bucket(id) < 800 => t }
+    val cu = train.flatMap(tokens).groupBy(identity).view.mapValues(_.size)
+    val cb = train.flatMap(t => tokens(t).sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size)
+    val v = cu.size
+    def q9(x: Double): Double = // the decimal(18,9) quantization
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = graft.text.TextQueries.lmScore(spark, sf).collect()
+    // every doc with >= 2 tokens scored exactly once
+    val expectIds = docs.collect {
+      case (id, t) if tokens(t).length >= 2 => id
+    }.toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == expectIds)
+    // exact re-computation on a sample of docs (train and non-train)
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.toSeq.sortBy(_._1).take(20).foreach { case (id, t) =>
+      val tk = tokens(t)
+      if (tk.length >= 2) {
+        val lps = tk.sliding(2).filter(_.length == 2).map { p =>
+          q9(math.log((cb.getOrElse((p(0), p(1)), 0) + 1).toDouble /
+            (cu.getOrElse(p(0), 0) + v)))
+        }.toSeq
+        val r = byId(id)
+        assert(r.getAs[Long]("n_bigrams") == lps.length.toLong)
+        assert(math.abs(r.getAs[Double]("sum_logp") -
+          lps.map(BigDecimal(_)).sum.toDouble) < 1e-9, s"doc $id")
+        // lower scores for shuffled-vocab docs than for the corpus mode
+        assert(r.getAs[Double]("avg_logp") < 0.0)
+      }
+    }
+  }
 }
