@@ -44,7 +44,7 @@ class PlanShapeSpec extends SparkSpec {
     val allowed = Set(
       "knn_brute", "knn_lsh", "knn_ivf", "semantic_search",
       "embedding_neardup", "cosine_topk_docs", "tfidf", "bm25_topk_docs",
-      "insight_text", "insights_trend", "fastest_rising",
+      "lm_score", "insight_text", "insights_trend", "fastest_rising",
       "corpus_clean", "dedup_clusters")
     val offenders = plans.collect {
       case (name, plan)
