@@ -61,4 +61,23 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** CSV ingest with an EXPLICIT schema (never inference — a schema
+    * scan over 100 TB of CSV is a full extra pass) and a selectable
+    * malformed-row policy: PERMISSIVE nulls bad fields into
+    * `_corrupt_record`, DROPMALFORMED discards, FAILFAST aborts —
+    * the three contracts a production loader chooses between.
+    */
+  def fromCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      mode: String = "PERMISSIVE"): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true").option("mode", mode)
+      .csv(path)
+
+  /** JSON-lines ingest, same explicit-schema + mode contract. */
+  def fromJsonLines(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      mode: String = "PERMISSIVE"): DataFrame =
+    spark.read.schema(schema).option("mode", mode).json(path)
 }

@@ -36,4 +36,15 @@ class DeterminismSpec extends SparkSpec {
     val b = canon(graft.analytics.Insights.insightsTrend(spark, sf))
     assert(a == b)
   }
+
+  test("q3_join identical with AQE disabled") {
+    // AQE rewrites join strategies and coalesces partitions at
+    // runtime — none of which may change a byte of output
+    val withAqe = canon(graft.relational.Relational.q3Join(spark, sf))
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      assert(canon(graft.relational.Relational.q3Join(spark, sf)) == withAqe)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
 }
