@@ -54,6 +54,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unexpected BNLJ in: ${offenders.mkString(", ")}")
   }
 
+  test("flagship aggregates keep a map-side partial phase") {
+    // partial aggregation is the difference between shuffling raw
+    // rows and shuffling one row per (task, group) at 100 TB
+    for (name <- Seq("q1_agg", "top_countries_sum", "dedup_exact"))
+      assert(plans(name).contains("partial_"),
+        s"$name aggregate lost its partial phase")
+  }
+
   test("flagship scans push filters down to parquet") {
     val plan = graft.analytics.Dashboard.explorerFilter(spark, sf)
       .queryExecution.executedPlan.toString
