@@ -13,6 +13,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark) // graft SQL functions, as Engine does
     // Warm up JIT/codegen/parquet paths before timing: flagship query
     // at the smallest SF plus a window + HOF + the text/hash path
     // (md5, explode, regex split, collect_set) so interpreter and
