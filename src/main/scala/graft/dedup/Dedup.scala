@@ -234,8 +234,11 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       tau: Double): DataFrame = {
     // grams feed the df count, both candidate sides, the hot patch,
-    // and the per-doc sizes
-    val grams = trigramRows(docs, idCol, textCol).persist()
+    // and the per-doc sizes — ~7 plan branches. Eagerly materialize
+    // (localCheckpoint, not lazy persist): the consumer's single
+    // action would otherwise re-run the explode+distinct chain once
+    // per branch while the cache is still filling.
+    val grams = trigramRows(docs, idCol, textCol).localCheckpoint(true)
     val gdf = grams.groupBy("g").agg(count(lit(1)).as("df"))
     val rare = grams.join(gdf.filter(col("df") <= MaxGramDf).select("g"), "g")
     val hot = grams.join(gdf.filter(col("df") > MaxGramDf).select("g"), "g")

@@ -24,26 +24,62 @@ object Ivf extends QueryModule {
   val NumLists = 16
   val NProbe = 4
 
+  /** Fraction denominator for quantizer training: vectors whose
+    * md5(vec_id) bucket is 0 of [[SampleMod]] train the coarse
+    * quantizer (a deterministic ~1/SampleMod sample). A billion-vector
+    * corpus never feeds every vector to KMeans — the quantizer only
+    * needs enough points to place [[NumLists]] centroids, and the
+    * md5 coin keeps the sample a pure function of the data (same
+    * discipline as the corpus-split bucketing), not of partitioning.
+    */
+  val SampleMod = 2
+
+  // The built index (quantizer + listed corpus) memoized per
+  // (session, corpus plan): an IVF index is built once and probed by
+  // many queries — refitting KMeans per search would dominate serving.
+  private val indexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (org.apache.spark.ml.clustering.KMeansModel, DataFrame)]
+
+  private def index(emb: DataFrame): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
+    val spark = emb.sparkSession
+    val key = (spark, graft.Memo.planKey(emb))
+    indexCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    indexCache.synchronized {
+      indexCache.get(key) match {
+        case Some((model, listed)) =>
+          if (listed.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            listed.persist()
+          (model, listed)
+        case None =>
+          val feats = graft.Par.spread(emb).withColumn("features",
+            array_to_vector(col("embedding").cast("array<double>")))
+          // Fit the coarse quantizer on a deterministic md5-sample in a
+          // key-hash-partitioned layout with a FIXED partition count:
+          // kmeans|| init depends on the input partitioning, so fitting
+          // on the parallelism-derived layout makes list assignment
+          // (and thus recall) vary with the session's core count. The
+          // sample + fixed layout make the model a pure function of
+          // (data, seed) — and quantizer training sample-sized.
+          val model = new KMeans().setK(NumLists).setSeed(42)
+            .setFeaturesCol("features").setPredictionCol("list_id")
+            .fit(feats
+              .filter(expr(s"conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) % $SampleMod = 0"))
+              .repartition(4, col("vec_id")).sortWithinPartitions("vec_id"))
+          val listed = model.transform(feats).drop("features")
+            .withColumn("nsq", Vectors.normSq("embedding"))
+            .persist()
+          indexCache.put(key, (model, listed))
+          (model, listed)
+      }
+    }
+  }
+
   /** Top-k cosine via nProbe inverted lists. */
   def knn(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
       k: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val feats = graft.Par.spread(emb).withColumn("features",
-      array_to_vector(col("embedding").cast("array<double>")))
-    // Fit the coarse quantizer on a key-hash-partitioned layout with a
-    // FIXED partition count: kmeans|| init depends on the input
-    // partitioning, so fitting on the parallelism-derived layout makes
-    // list assignment (and thus recall) vary with the session's core
-    // count. Quantizer training is sample-sized at scale anyway — a
-    // fixed small count costs nothing and makes the model a pure
-    // function of (data, seed).
-    val model = new KMeans().setK(NumLists).setSeed(42)
-      .setFeaturesCol("features").setPredictionCol("list_id")
-      .fit(feats.repartition(4, col("vec_id")).sortWithinPartitions("vec_id"))
-    val listed = model.transform(feats).drop("features")
-      .withColumn("nsq", Vectors.normSq("embedding"))
-      .persist()
+    val (model, listed) = index(emb)
 
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) =>

@@ -45,9 +45,17 @@ object Tfidf {
     val tk =
       s"""filter(split(lower($textCol), '[^a-z0-9]+'),
          |  t -> length(t) > 0 AND NOT t IN ($stopList))""".stripMargin
-    docs.select(col(idCol).as("id"), explode(expr(
-        s"""concat($tk,
-           |  filter(zip_with($tk, slice($tk, 2, greatest(size($tk) - 1, 0)),
+    // The token array materializes in a projection BELOW the explode:
+    // the generator references it as a bound column, so the
+    // split+stopword pass runs once per row — inlining `tk` into the
+    // generator would evaluate it three times (concat, zip_with,
+    // slice). Project-under-Generate is not collapsed into the
+    // generator expression, so the single evaluation survives the
+    // optimizer.
+    docs.select(col(idCol).as("id"), expr(tk).as("ts"))
+      .select(col("id"), explode(expr(
+        """concat(ts,
+           |  filter(zip_with(ts, slice(ts, 2, greatest(size(ts) - 1, 0)),
            |                  (a, b) -> concat(a, ' ', b)),
            |         x -> x IS NOT NULL))""".stripMargin)).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
@@ -59,7 +67,10 @@ object Tfidf {
     */
   def idf(postings: DataFrame, docs: DataFrame): DataFrame =
     postings.groupBy("term")
-      .agg(countDistinct("id").as("df"))
+      // postings is an aggregate keyed on (id, term): ids are already
+      // distinct within a term, so a plain count IS the document
+      // frequency — countDistinct would add a whole dedup exchange
+      .agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
       .withColumn("idf", expr(
         "cast(cast(ln((1.0 + n_docs) / (1.0 + df)) + 1.0 as decimal(18,9)) as double)"))
@@ -100,11 +111,18 @@ object Tfidf {
       indexCache.get(key) match {
         case Some(ix) => ix
         case None =>
-          val p = postings(docs, idCol, textCol).localCheckpoint(false)
-          val i = idf(p, docs).localCheckpoint(false)
-          val w = weights(p, i).localCheckpoint(false)
+          // EAGER checkpoints, built in dependency order: a lazy
+          // checkpoint materializes on the consumer's first action,
+          // and that action's plan reads `p` through several branches
+          // (weights, dl, idf) — each branch recomputes the postings
+          // chain while the blocks are still filling (the same
+          // per-branch-scan trap as the CC edge input). Eager = one
+          // build each, every downstream branch reads blocks.
+          val p = postings(docs, idCol, textCol).localCheckpoint(true)
+          val i = idf(p, docs).localCheckpoint(true)
+          val w = weights(p, i).localCheckpoint(true)
           val ix = TfidfIndex(docs, idCol, textCol, p, i, w,
-            norms(w).localCheckpoint(false))
+            norms(w).localCheckpoint(true))
           indexCache.put(key, ix)
           ix
       }
