@@ -180,6 +180,54 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** F7 substring-dedup window width (chars). */
+  val SubstrWin = 30
+
+  /** F7 — cross-document repeated-substring profile (the exact
+    * substring-dedup signal from "Deduplicating Training Data Makes
+    * Language Models Better": verbatim text reuse shows up as long
+    * character windows shared across documents, even when whole-doc
+    * similarity is low). Every stride-1 window of [[SubstrWin]]
+    * lower-cased chars is hashed; a window is *duplicated* when it
+    * occurs in ≥ 2 distinct documents; each doc reports its distinct
+    * window count, how many of those are cross-doc duplicated, and
+    * the ratio (the "remove docs / spans above X% verbatim overlap"
+    * filter a corpus pipeline thresholds on).
+    *
+    * Scale shape: linear in corpus size end-to-end — one explode to
+    * (doc, window-hash) rows, per-doc dedup inside a map-side
+    * combinable aggregate, ONE co-partitioned shuffle on the hash for
+    * the cross-doc count, and a hash-join back. No doc×doc pairs
+    * anywhere (the df aggregate collapses a viral window to one row),
+    * so a boilerplate window shared by a million docs costs one
+    * reducer row, not 10¹² join rows.
+    */
+  def substringDup(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = SubstrWin): DataFrame = {
+    val dw = graft.Par.spread(docs)
+      .select(col(idCol).as("doc_id"), lower(col(textCol)).as("txt"))
+      .filter(length(col("txt")) >= w)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, length(txt) - ${w - 1})")).as("i"),
+        col("txt"))
+      .select(col("doc_id"), expr(s"md5(substring(txt, i, $w))").as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("_occ")) // distinct (doc, h)
+      .select("doc_id", "h")
+      // eager: three plan branches below (df count, totals, dup join)
+      // would each re-run the explode+hash chain under a lazy persist
+      .localCheckpoint(true)
+    val shared = dw.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val tot = dw.groupBy("doc_id").agg(count(lit(1)).as("n_win"))
+    val dup = dw.join(shared, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    tot.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_win"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_ratio", col("n_dup").cast("double") / col("n_win"))
+      .orderBy("doc_id")
+  }
+
   /** Candidate grams with document frequency above this are excluded
     * from candidate *generation* (never from the exact verify): a
     * stop-phrase trigram shared by d documents would otherwise emit

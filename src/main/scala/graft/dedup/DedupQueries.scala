@@ -97,12 +97,19 @@ object DedupQueries extends QueryModule {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** F7 — cross-doc repeated-substring profile (exact substring-dedup
+    * signal); see [[Dedup.substringDup]].
+    */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringDup(Tables.documents(spark, dir), "doc_id", "text")
+
   override def queries: Map[String, Q] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
-    "embedding_neardup" -> (embeddingNeardup _))
+    "embedding_neardup" -> (embeddingNeardup _),
+    "substring_dedup" -> (substringDedup _))
 
   private val P = Dedup.P
 
@@ -148,7 +155,22 @@ object DedupQueries extends QueryModule {
         |                  JOIN sizes sb ON doc_b = sb.doc_id
         |       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5)""".stripMargin
 
+  private val W = Dedup.SubstrWin
+
   override def oracles: Map[String, String] = Map(
+    "substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents
+        |           WHERE length(text) >= $W),
+        |dw AS (SELECT DISTINCT doc_id, md5(substr(txt, CAST(i AS INT), $W)) AS h
+        |       FROM t, UNNEST(range(1, length(txt) - ${W - 2})) u(i)),
+        |sh AS (SELECT h FROM dw GROUP BY h HAVING count(*) >= 2),
+        |tot AS (SELECT doc_id, count(*) AS n_win FROM dw GROUP BY doc_id),
+        |dup AS (SELECT dw.doc_id, count(*) AS n_dup
+        |        FROM dw JOIN sh USING (h) GROUP BY dw.doc_id)
+        |SELECT tot.doc_id, tot.n_win, COALESCE(dup.n_dup, 0) AS n_dup,
+        |  CAST(COALESCE(dup.n_dup, 0) AS DOUBLE) / tot.n_win AS dup_ratio
+        |FROM tot LEFT JOIN dup USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT keeper_id, n_copies FROM (
         |  SELECT md5(text) AS h, min(doc_id) AS keeper_id,

@@ -30,10 +30,51 @@ object SimQueries extends QueryModule {
         size(col("embedding")).as("dims"))
       .orderBy("vec_id")
 
+  /** G4 — symmetric int8 vector quantization: the 4×-memory scale
+    * path for a 100 TB embedding store (serve the int8 copy, keep
+    * floats cold). Per vector: scale = max|x| / 127, q_i = round
+    * half-up of x_i/scale (so q ∈ [-127, 127] with no clamp needed),
+    * and the quality surface a pipeline thresholds on — cosine of
+    * the vector with its dequantized self, the max absolute
+    * reconstruction error, and the saturated-lane count. One
+    * map-only projection pass; the only aggregate-ish work is the
+    * per-row array folds.
+    *
+    * FP parity: float→double casts, x/scale, q·scale and
+    * floor(_ + 0.5) are all bit-exact in both engines; the cosine
+    * reductions go through the same DECIMAL(24,12) term quantization
+    * as every other vector reduction ([[Vectors]]).
+    */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame =
+    embeddingQuantizeFrame(emb(spark, dir))
+
+  /** The quantization body over any (vec_id, embedding) frame. */
+  def embeddingQuantizeFrame(e: DataFrame): DataFrame =
+    graft.Par.spread(e)
+      .withColumn("amax",
+        expr("array_max(transform(embedding, v -> abs(cast(v as double))))"))
+      .withColumn("scale", col("amax") / 127.0d)
+      .withColumn("q", expr(
+        """IF(amax = 0d, transform(embedding, v -> 0),
+          |   transform(embedding,
+          |     v -> cast(floor(cast(v as double) / scale + 0.5d) as int)))"""
+          .stripMargin))
+      .withColumn("dq", expr("transform(q, qv -> qv * scale)"))
+      .withColumn("n_sat", size(expr("filter(q, v -> abs(v) = 127)")))
+      .withColumn("max_abs_err", expr(
+        "array_max(zip_with(embedding, dq, (xv, dv) -> abs(cast(xv as double) - dv)))"))
+      .withColumn("cos_q",
+        when(col("amax") === 0d, lit(null).cast("double"))
+          .otherwise(Vectors.cosineFrom(Vectors.dot("embedding", "dq"),
+            Vectors.normSq("embedding"), Vectors.normSq("dq"))))
+      .select("vec_id", "scale", "n_sat", "cos_q", "max_abs_err")
+      .orderBy("vec_id")
+
   override def queries: Map[String, Q] = Map(
     "knn_brute" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
-    "vector_ops" -> (vectorOps _))
+    "vector_ops" -> (vectorOps _),
+    "embedding_quantize" -> (embeddingQuantize _))
 
   /** Shared relational CTEs: per-dimension components + norms. */
   private val compCte =
@@ -92,6 +133,36 @@ object SimQueries extends QueryModule {
       |       FROM scored)
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM ranked
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      v -> abs(CAST(v AS DOUBLE)))) AS amax
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, embedding, amax,
+        |    amax / CAST(127 AS DOUBLE) AS scale FROM e),
+        |q AS (SELECT vec_id, embedding, amax, scale,
+        |    CASE WHEN amax = 0 THEN list_transform(embedding, v -> 0)
+        |         ELSE list_transform(embedding,
+        |           v -> CAST(floor(CAST(v AS DOUBLE) / scale + 0.5) AS INT))
+        |    END AS qv
+        |  FROM s),
+        |comp AS (SELECT vec_id,
+        |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x,
+        |    qv[CAST(i AS INT)] * scale AS d
+        |  FROM q, UNNEST(range(1, 65)) u(i)),
+        |sums AS (SELECT vec_id,
+        |    CAST(sum(CAST(x * d AS DECIMAL(24,12))) AS DOUBLE) AS dot,
+        |    CAST(sum(CAST(x * x AS DECIMAL(24,12))) AS DOUBLE) AS nx,
+        |    CAST(sum(CAST(d * d AS DECIMAL(24,12))) AS DOUBLE) AS nd,
+        |    max(abs(x - d)) AS max_abs_err
+        |  FROM comp GROUP BY vec_id)
+        |SELECT q.vec_id, q.scale,
+        |  CAST(len(list_filter(q.qv, v -> abs(v) = 127)) AS INTEGER) AS n_sat,
+        |  CASE WHEN q.amax = 0 THEN NULL
+        |       ELSE s2.dot / (sqrt(s2.nx) * sqrt(s2.nd)) END AS cos_q,
+        |  s2.max_abs_err
+        |FROM q JOIN sums s2 USING (vec_id)
+        |ORDER BY q.vec_id""".stripMargin,
     "vector_ops" -> (compCte.stripSuffix("\n") + """
       |SELECT e.vec_id, sqrt(n.nsq) AS l2_norm,
       |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_c,

@@ -107,4 +107,38 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
     assert(grid == brute, s"grid vs brute diff: ${grid.diff(brute)} / ${brute.diff(grid)}")
   }
+
+  test("substring_dedup flags planted cross-doc windows and only those") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog repeatedly"
+    val docs = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"completely different opening $shared closing words"),
+      (3L, "a unique document with no overlapping character windows at all here"),
+      (4L, "tiny")) // shorter than the window: excluded entirely
+      .toDF("doc_id", "text")
+    val rows = Dedup.substringDup(docs, "doc_id", "text").collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!byId.contains(4L))
+    assert(byId(3L).getAs[Long]("n_dup") == 0L)
+    assert(byId(3L).getAs[Double]("dup_ratio") == 0.0)
+    // both planted docs carry duplicated windows: every in-doc window
+    // fully inside the shared span is cross-doc
+    Seq(1L, 2L).foreach { id =>
+      val r = byId(id)
+      // the common span includes the space on each side of $shared
+      // (both docs delimit it with spaces), so it is len+2 chars wide
+      val expected = (shared.length + 2) - Dedup.SubstrWin + 1
+      assert(r.getAs[Long]("n_dup") == expected,
+        s"doc $id n_dup=${r.getAs[Long]("n_dup")} expected=$expected")
+      assert(r.getAs[Long]("n_win") > r.getAs[Long]("n_dup"))
+      assert(r.getAs[Double]("dup_ratio") > 0 && r.getAs[Double]("dup_ratio") < 1)
+    }
+    // a window repeated only WITHIN one doc is not cross-doc duplicated
+    val selfRep = Seq((10L, "zq " * 40 + "end"), (11L, "totally unrelated text that is long enough to window"))
+      .toDF("doc_id", "text")
+    val r10 = Dedup.substringDup(selfRep, "doc_id", "text").collect()
+      .find(_.getAs[Long]("doc_id") == 10L).get
+    assert(r10.getAs[Long]("n_dup") == 0L)
+  }
 }

@@ -51,4 +51,39 @@ class SimSpec extends SparkSpec {
       assert(r.getAs[Double]("max_c") >= r.getAs[Double]("min_c"))
     }
   }
+
+  test("embedding_quantize: error bounded by scale/2, high cosine, max lane saturates") {
+    val rows = SimQueries.embeddingQuantize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      assert(scale > 0)
+      // round-half-up quantization error is at most half a step
+      assert(r.getAs[Double]("max_abs_err") <= scale / 2 + 1e-12)
+      // the max-|x| lane hits exactly +/-127
+      assert(r.getAs[Int]("n_sat") >= 1)
+      assert(r.getAs[Double]("cos_q") > 0.99)
+    }
+  }
+
+  test("embedding_quantize round-trips a hand vector and nulls the zero vector") {
+    import spark.implicits._
+    // plant: one simple vector and one all-zero vector through the same op
+    val planted = Seq(
+      (100000L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (100001L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = SimQueries.embeddingQuantizeFrame(planted).collect()
+    val byId = rows.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val v = byId(100000L)
+    // amax=1.0, scale=1/127; q = (127, -64, 32, 0) -> errors: 0, 0.5/127 ...
+    assert(math.abs(v.getAs[Double]("scale") - 1.0 / 127) < 1e-15)
+    assert(v.getAs[Int]("n_sat") == 1)
+    assert(v.getAs[Double]("max_abs_err") <= v.getAs[Double]("scale") / 2 + 1e-12)
+    val z = byId(100001L)
+    assert(z.getAs[Double]("scale") == 0.0)
+    assert(z.isNullAt(z.fieldIndex("cos_q")))
+    assert(z.getAs[Int]("n_sat") == 0)
+    assert(z.getAs[Double]("max_abs_err") == 0.0)
+  }
 }
