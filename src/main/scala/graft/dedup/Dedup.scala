@@ -89,7 +89,10 @@ object Dedup {
     * constants are inlined arithmetic (same LCG as hashParams / the
     * DuckDB oracle).
     */
-  def minhashBuckets(sets: DataFrame): DataFrame = {
+  /** (doc_id, mh = all-k MinHash signature array) from
+    * [[shingleSets]]-shaped input.
+    */
+  def minhashSigs(sets: DataFrame): DataFrame =
     sets
       // explicit partition count: AQE would coalesce these few MB to
       // one partition and serialize the (compute-heavy) signature
@@ -104,6 +107,13 @@ object Dedup {
       .select(col("doc_id"),
         graft.plans.VectorExpressions.minhashSig(col("xs"), NumHashes, P)
           .as("mh"))
+
+  def minhashBuckets(sets: DataFrame): DataFrame =
+    bandBuckets(minhashSigs(sets))
+
+  /** Banded LSH buckets from a (doc_id, mh) signature table. */
+  def bandBuckets(sigs: DataFrame): DataFrame =
+    sigs
       .select(col("doc_id"), col("mh"),
         explode(expr(s"sequence(0, ${Bands - 1})")).as("band"))
       .withColumn("bucket", expr(
@@ -111,7 +121,6 @@ object Dedup {
            |  (acc, r) -> acc + element_at(mh, band * $Rows + r + 1)
            |              * cast(pow(31, r) as bigint))""".stripMargin))
       .select("doc_id", "band", "bucket")
-  }
 
   /** Candidate pairs from any (doc_id, band, bucket) table: a
     * self-join co-partitioned on the bucket key.

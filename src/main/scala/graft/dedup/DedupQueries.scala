@@ -103,13 +103,46 @@ object DedupQueries extends QueryModule {
   def substringDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.substringDup(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** F8 — sketch-accuracy surface: per LSH candidate pair, the
+    * MinHash-estimated Jaccard (signature agreement fraction — what a
+    * 100 TB pipeline would THRESHOLD on to skip the exact verify
+    * entirely) next to the exact Jaccard and the estimation error.
+    * This is the measurement that justifies sketch-only dedup at
+    * scale: est is computed from two 32-long signature arrays per
+    * pair (O(candidates)), never from gram rows.
+    */
+  def minhashEst(spark: SparkSession, dir: String): DataFrame = {
+    val sets = Dedup.shingleSets(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .localCheckpoint(true) // feeds signatures AND both exact-verify sides
+    val sigs = Dedup.minhashSigs(sets)
+      .localCheckpoint(true) // feeds banding AND both agreement sides
+    val nh = Dedup.NumHashes
+    Dedup.bucketPairs(Dedup.bandBuckets(sigs))
+      .join(sigs.select(col("doc_id").as("doc_a"), col("mh").as("ma")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("mh").as("mb")), "doc_b")
+      .withColumn("est_jaccard", expr(
+        s"size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v)) / cast($nh as double)"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("ga")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("gs").as("gb")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double")
+          / (size(col("ga")).cast("long") + size(col("gb")) - col("inter")))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+      .select("doc_a", "doc_b", "est_jaccard", "jaccard", "abs_err")
+      .orderBy("doc_a", "doc_b")
+  }
+
   override def queries: Map[String, Q] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "embedding_neardup" -> (embeddingNeardup _),
-    "substring_dedup" -> (substringDedup _))
+    "substring_dedup" -> (substringDedup _),
+    "minhash_est" -> (minhashEst _))
 
   private val P = Dedup.P
 
@@ -127,6 +160,17 @@ object DedupQueries extends QueryModule {
     * oracle and the dedup_clusters recursive-CTE oracle.
     */
   private[graft] def minhashPairsCtes(recursive: Boolean = false): String =
+    minhashChainCtes(recursive) + s""",
+        |pairs AS (SELECT doc_a, doc_b,
+        |         CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |       FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |                  JOIN sizes sb ON doc_b = sb.doc_id
+        |       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5)""".stripMargin
+
+  /** The chain through candidates/sizes/inter, WITHOUT the tau-filtered
+    * `pairs` — shared by the minhash oracles and minhash_est's.
+    */
+  private def minhashChainCtes(recursive: Boolean = false): String =
     (if (recursive) "WITH RECURSIVE " else "WITH ") + shCteBody + s""",
         |xs AS (SELECT doc_id, g,
         |         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % $P AS x FROM sh),
@@ -148,12 +192,7 @@ object DedupQueries extends QueryModule {
         |       FROM cand c
         |       JOIN sh s1 ON s1.doc_id = c.doc_a
         |       JOIN sh s2 ON s2.doc_id = c.doc_b AND s1.g = s2.g
-        |       GROUP BY 1, 2),
-        |pairs AS (SELECT doc_a, doc_b,
-        |         CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-        |       FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-        |                  JOIN sizes sb ON doc_b = sb.doc_id
-        |       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5)""".stripMargin
+        |       GROUP BY 1, 2)""".stripMargin
 
   private val W = Dedup.SubstrWin
 
@@ -181,6 +220,26 @@ object DedupQueries extends QueryModule {
         |ORDER BY keeper_id""".stripMargin,
     "dedup_minhash" -> (minhashPairsCtes() +
       "\nSELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"),
+    "minhash_est" -> (minhashChainCtes() + s""",
+      |agree AS (SELECT c.doc_a, c.doc_b,
+      |         CAST(count(*) FILTER (ma.m = mb.m) AS DOUBLE)
+      |           / CAST(${Dedup.NumHashes} AS DOUBLE) AS est_jaccard
+      |       FROM cand c
+      |       JOIN mh ma ON ma.doc_id = c.doc_a
+      |       JOIN mh mb ON mb.doc_id = c.doc_b AND mb.k = ma.k
+      |       GROUP BY 1, 2),
+      |ex AS (SELECT c.doc_a, c.doc_b, COALESCE(i.i, 0) AS i
+      |       FROM cand c LEFT JOIN inter i
+      |         ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b),
+      |exj AS (SELECT ex.doc_a, ex.doc_b,
+      |         CAST(ex.i AS DOUBLE) / (sa.n + sb.n - ex.i) AS jaccard
+      |       FROM ex JOIN sizes sa ON ex.doc_a = sa.doc_id
+      |               JOIN sizes sb ON ex.doc_b = sb.doc_id)
+      |SELECT a.doc_a, a.doc_b, a.est_jaccard, e.jaccard,
+      |  abs(a.est_jaccard - e.jaccard) AS abs_err
+      |FROM agree a JOIN exj e
+      |  ON a.doc_a = e.doc_a AND a.doc_b = e.doc_b
+      |ORDER BY a.doc_a, a.doc_b""".stripMargin),
     "dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents),
         |words AS (SELECT DISTINCT doc_id, w

@@ -62,6 +62,45 @@ object Forecast {
         when(cnt === 3, sqrt((sxxc - sxc * sxc / 3) / 2) / 100))
   }
 
+  /** E1b — calendar gap fill with linear interpolation: the panel-prep
+    * step a forecasting pipeline runs before lag features (pandas
+    * users reach for reindex+interpolate; the reference implicitly
+    * assumes dense series). Per series, every year in
+    * [min(year), max(year)] gets a row; missing years interpolate
+    * linearly between the bracketing observations. Shape: one tiny
+    * per-series bounds aggregate, a sequence() explode (years per
+    * series, never data-sized), a co-partitioned left join back, and
+    * ONE window pass computing both bracketing neighbors — edges are
+    * always observed (bounds come from the data), so the
+    * interpolation is total.
+    */
+  def gapFill(obs: DataFrame): DataFrame = {
+    val bounds = obs.groupBy("geo", "indicator")
+      .agg(min("year").as("y0"), max("year").as("y1"))
+    val full = bounds.select(col("geo"), col("indicator"),
+      explode(expr("sequence(y0, y1)")).as("year"))
+    val w = Window.partitionBy(series.map(col): _*).orderBy("year")
+    val back = w.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    full
+      .join(obs.select("geo", "indicator", "year", "value"),
+        Seq("geo", "indicator", "year"), "left")
+      .withColumn("pv", last("value", ignoreNulls = true).over(back))
+      .withColumn("py",
+        last(when(col("value").isNotNull, col("year")), ignoreNulls = true)
+          .over(back))
+      .withColumn("nv", first("value", ignoreNulls = true).over(fwd))
+      .withColumn("ny",
+        first(when(col("value").isNotNull, col("year")), ignoreNulls = true)
+          .over(fwd))
+      .withColumn("is_filled", col("value").isNull)
+      .withColumn("value_filled",
+        when(!col("is_filled"), col("value"))
+          .otherwise(col("pv") + (col("nv") - col("pv"))
+            * (col("year") - col("py")) / (col("ny") - col("py"))))
+      .select("geo", "indicator", "year", "value_filled", "is_filled")
+  }
+
   /** E3 — last-k holdout per series with the reference's
     * test_size = min(5, max(2, n/3)) (forecast_utils.py:185).
     */

@@ -19,6 +19,9 @@ object ForecastQueries extends QueryModule {
   def lagFeatures(s: SparkSession, d: String): DataFrame =
     Forecast.lagFeatures(obs(s, d)).orderBy("geo", "indicator", "year")
 
+  def gapFill(s: SparkSession, d: String): DataFrame =
+    Forecast.gapFill(obs(s, d)).orderBy("geo", "indicator", "year")
+
   def trainTestSplit(s: SparkSession, d: String): DataFrame =
     Forecast.trainTestSplit(obs(s, d)).orderBy("geo", "indicator", "year")
 
@@ -41,6 +44,7 @@ object ForecastQueries extends QueryModule {
       .orderBy("geo", "indicator", "year", "type")
 
   override def queries: Map[String, Q] = Map(
+    "gap_fill" -> (gapFill _),
     "lag_features" -> (lagFeatures _),
     "train_test_split" -> (trainTestSplit _),
     "rmse_eval" -> (rmseEval _),
@@ -107,6 +111,34 @@ object ForecastQueries extends QueryModule {
         |ORDER BY b.geo, b.indicator, year""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "gap_fill" -> (cte +
+      """SELECT geo, indicator, year,
+        |  CASE WHEN value IS NOT NULL THEN value
+        |       ELSE pv + (nv - pv) * (year - py) / (ny - py) END AS value_filled,
+        |  value IS NULL AS is_filled
+        |FROM (
+        |  SELECT geo, indicator, year, value,
+        |    last_value(value IGNORE NULLS) OVER back AS pv,
+        |    last_value(CASE WHEN value IS NOT NULL THEN year END IGNORE NULLS)
+        |      OVER back AS py,
+        |    first_value(value IGNORE NULLS) OVER fwd AS nv,
+        |    first_value(CASE WHEN value IS NOT NULL THEN year END IGNORE NULLS)
+        |      OVER fwd AS ny
+        |  FROM (
+        |    SELECT f.geo, f.indicator, f.year, o.value
+        |    FROM (
+        |      SELECT geo, indicator, CAST(u.y AS INTEGER) AS year
+        |      FROM (SELECT geo, indicator, min(year) AS y0, max(year) AS y1
+        |            FROM observations GROUP BY 1, 2) b,
+        |        UNNEST(range(b.y0, b.y1 + 1)) u(y)) f
+        |    LEFT JOIN observations o
+        |      ON o.geo = f.geo AND o.indicator = f.indicator
+        |         AND o.year = f.year)
+        |  WINDOW back AS (PARTITION BY geo, indicator ORDER BY year
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         fwd AS (PARTITION BY geo, indicator ORDER BY year
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |ORDER BY geo, indicator, year""".stripMargin),
     "holt_forecast" -> holtForecastSql,
     "lag_features" -> (cte +
       """SELECT geo, indicator, year, value,

@@ -141,4 +141,39 @@ class DedupSpec extends SparkSpec {
       .find(_.getAs[Long]("doc_id") == 10L).get
     assert(r10.getAs[Long]("n_dup") == 0L)
   }
+
+  test("minhash_est: exact duplicates estimate 1.0; error bounded on real pairs") {
+    import spark.implicits._
+    val base = "a quirky corpus sentence about distributed shingle hashing for lsh"
+    val docs = Seq(
+      (1L, base), (2L, base),                      // identical: est must be exactly 1
+      (3L, base + " with one trailing change"),    // near-dup of 1/2
+      (4L, "entirely different content that shares nothing with the others"))
+      .toDF("doc_id", "text")
+    val sets = Dedup.shingleSets(docs, "doc_id", "text")
+    val sigs = Dedup.minhashSigs(sets)
+    val cand = Dedup.bucketPairs(Dedup.bandBuckets(sigs)).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(cand.contains((1L, 2L)))
+    val rows = DedupQueries.minhashEst(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val ex = r.getAs[Double]("jaccard")
+      assert(est >= 0 && est <= 1 && ex >= 0 && ex <= 1)
+      assert(r.getAs[Double]("abs_err") == math.abs(est - ex))
+      // 32 hashes: binomial std <= 0.09; 4 sigma plus band-selection
+      // bias margin — a loose sanity bound, not a tight CI
+      assert(r.getAs[Double]("abs_err") <= 0.5)
+    }
+    // identical docs: signature agreement is exactly 32/32
+    val estPlanted = {
+      val s2 = Dedup.shingleSets(docs, "doc_id", "text")
+      val g2 = Dedup.minhashSigs(s2)
+      g2.as("a").join(g2.as("b"), $"a.doc_id" === 1L && $"b.doc_id" === 2L)
+        .selectExpr("size(filter(zip_with(a.mh, b.mh, (x, y) -> x = y), v -> v)) as agree")
+        .collect().head.getAs[Int]("agree")
+    }
+    assert(estPlanted == Dedup.NumHashes)
+  }
 }

@@ -170,4 +170,29 @@ class ForecastSpec extends SparkSpec {
       else assert(nHist >= 2)
     }
   }
+
+  test("gap_fill interpolates planted gaps linearly and leaves observed rows alone") {
+    import spark.implicits._
+    // series A: years 2000..2005 missing 2002, 2003 -> linear ramp
+    // 10 -> 40 interpolates 20, 30; series B: dense, untouched
+    val obs = Seq(
+      ("x", "A", 2000, 10.0), ("x", "A", 2001, 10.0), ("x", "A", 2004, 40.0),
+      ("x", "A", 2005, 45.0),
+      ("y", "B", 2010, 1.0), ("y", "B", 2011, 2.0))
+      .toDF("geo", "indicator", "year", "value")
+    val rows = Forecast.gapFill(obs).collect()
+      .map(r => (r.getAs[String]("geo"), r.getAs[Int]("year")) ->
+        (r.getAs[Double]("value_filled"), r.getAs[Boolean]("is_filled"))).toMap
+    assert(rows.size == 8) // 6 years for A, 2 for B
+    assert(rows(("x", 2002)) == (20.0, true))
+    assert(rows(("x", 2003)) == (30.0, true))
+    assert(rows(("x", 2001)) == (10.0, false))
+    assert(rows(("x", 2005)) == (45.0, false))
+    assert(rows(("y", 2010)) == (1.0, false))
+    // on the real panel, filled rows are exactly the added rows
+    val panel = graft.etl.Observations.panel(spark, sf)
+    val filled = Forecast.gapFill(panel)
+    assert(filled.filter(col("is_filled")).count() ==
+      filled.count() - panel.count())
+  }
 }
