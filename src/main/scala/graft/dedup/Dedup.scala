@@ -219,7 +219,13 @@ object Dedup {
       .select(col("doc_id"),
         explode(expr(s"sequence(1, length(txt) - ${w - 1})")).as("i"),
         col("txt"))
-      .select(col("doc_id"), expr(s"md5(substring(txt, i, $w))").as("h"))
+      // 60-bit md5-prefix hash: the shuffle key is 8 bytes, not a
+      // 32-char hex string; ~2^-61 per-pair collision odds (and the
+      // oracle derives the identical integer, so even a collision
+      // cannot split the gate)
+      .select(col("doc_id"),
+        expr(s"cast(conv(substring(md5(substring(txt, i, $w)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
       .groupBy("doc_id", "h").agg(count(lit(1)).as("_occ")) // distinct (doc, h)
       .select("doc_id", "h")
       // eager: three plan branches below (df count, totals, dup join)

@@ -112,11 +112,11 @@ object DedupQueries extends QueryModule {
     * pair (O(candidates)), never from gram rows.
     */
   def minhashEst(spark: SparkSession, dir: String): DataFrame = {
-    val sets = Dedup.shingleSets(
-        Tables.documents(spark, dir), "doc_id", "text")
-      .localCheckpoint(true) // feeds signatures AND both exact-verify sides
-    val sigs = Dedup.minhashSigs(sets)
-      .localCheckpoint(true) // feeds banding AND both agreement sides
+    // shares the memoized NearDup build: sets/sigs are the same
+    // relations dedup_minhash/dedup_clusters/corpus_clean index from
+    val ix = NearDup.index(Tables.documents(spark, dir))
+    val sets = ix.sets
+    val sigs = ix.sigs
     val nh = Dedup.NumHashes
     Dedup.bucketPairs(Dedup.bandBuckets(sigs))
       .join(sigs.select(col("doc_id").as("doc_a"), col("mh").as("ma")), "doc_a")
@@ -200,7 +200,9 @@ object DedupQueries extends QueryModule {
     "substring_dedup" ->
       s"""WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents
         |           WHERE length(text) >= $W),
-        |dw AS (SELECT DISTINCT doc_id, md5(substr(txt, CAST(i AS INT), $W)) AS h
+        |dw AS (SELECT DISTINCT doc_id,
+        |         CAST('0x' || substr(md5(substr(txt, CAST(i AS INT), $W)), 1, 15)
+        |              AS BIGINT) AS h
         |       FROM t, UNNEST(range(1, length(txt) - ${W - 2})) u(i)),
         |sh AS (SELECT h FROM dw GROUP BY h HAVING count(*) >= 2),
         |tot AS (SELECT doc_id, count(*) AS n_win FROM dw GROUP BY doc_id),

@@ -25,7 +25,13 @@ import org.apache.spark.sql.SparkSession
   */
 object NearDup {
 
-  final class Index private[NearDup] (val pairs: DataFrame) {
+  /** sets = per-doc shingle arrays (the exact-verify side — partitioned
+    * on doc_id, the layout a serving index keeps it in), sigs = per-doc
+    * MinHash signatures (32 longs/doc — tiny), pairs = the verified
+    * near-dup pair set.
+    */
+  final class Index private[NearDup] (val sets: DataFrame,
+      val sigs: DataFrame, val pairs: DataFrame) {
     /** Connected-component labels (doc_id, cluster) over the pair
       * graph — built on first use, checkpointed like the pairs.
       */
@@ -43,15 +49,18 @@ object NearDup {
       cache.get(key) match {
         case Some(ix) => ix
         case None =>
-          // the shingle-set relation feeds three plan branches (the
-          // signature derivation and both verify sides); persist for
-          // the build, release once the pair set is materialized
-          val sh = Dedup.shingleSets(docs, "doc_id", "text").persist()
-          val pairs = Dedup.jaccardVerify(
-            Dedup.bucketPairs(Dedup.minhashBuckets(sh)), sh, tau)
+          // each stage materializes EAGERLY before the next consumes
+          // it: the pair build reads sets through three plan branches
+          // (signatures + both verify sides) — under a lazy persist
+          // each branch would re-run the shingle chain while the
+          // cache fills
+          val sh = Dedup.shingleSets(docs, "doc_id", "text")
             .localCheckpoint(true)
-          sh.unpersist()
-          val ix = new Index(pairs)
+          val sigs = Dedup.minhashSigs(sh).localCheckpoint(true)
+          val pairs = Dedup.jaccardVerify(
+            Dedup.bucketPairs(Dedup.bandBuckets(sigs)), sh, tau)
+            .localCheckpoint(true)
+          val ix = new Index(sh, sigs, pairs)
           cache.put(key, ix)
           ix
       }
