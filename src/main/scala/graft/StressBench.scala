@@ -113,6 +113,16 @@ object StressBench {
     time("embedding_neardup_x" + mult) {
       graft.dedup.DedupQueries.neardupPairs(embAmp, 0.45).count()
     }
+    // substring windows are 30 chars, so the per-copy letter
+    // substitution breaks every cross-copy window — duplicated-window
+    // volume stays mult × base and time should track it linearly
+    time("substring_dedup_x" + mult) {
+      graft.dedup.Dedup.substringDup(docsAmp, "doc_id", "text").count()
+    }
+    // map-only projection: the trivially-linear control
+    time("embedding_quantize_x" + mult) {
+      graft.sim.SimQueries.embeddingQuantizeFrame(embAmp).count()
+    }
     time("neardup_clusters_x" + mult) {
       val sh = graft.dedup.Dedup.shingleSets(docsAmp, "doc_id", "text").persist()
       val pairs = graft.dedup.Dedup.jaccardVerify(
