@@ -61,12 +61,42 @@ object RagQueries extends QueryModule {
       .orderBy(desc("n_tokens"), asc("term"))
       .limit(VocabK)
 
+  /** C5 canned questions — one per routing branch
+    * (chatbot.py:54-64: "rising"+"gep/urgent" → exact handler,
+    * everything else → semantic search).
+    */
+  val QIntent = "which country is rising fastest in urgent orders"
+  val QSemantic = "which declining indicator changed most"
+
+  /** C5 — the chatbot routing layer as a driver query: both canned
+    * questions flow through [[graft.analytics.Chatbot.answer]] and
+    * the branch results normalize to one
+    * (question, mode, answer_key, score) frame — so the ROUTING
+    * decision itself is inside the oracle gate, not just the two
+    * handlers separately.
+    */
+  def chatbotAnswer(spark: SparkSession, dir: String): DataFrame = {
+    import graft.analytics.Chatbot
+    def one(q: String): DataFrame = Chatbot.answer(spark, dir, q) match {
+      case (Chatbot.Intent, df) =>
+        df.select(lit(q).as("question"), lit("intent").as("mode"),
+          concat_ws("|", col("geo"), col("indicator")).as("answer_key"),
+          col("slope_per_year").as("score"))
+      case (Chatbot.Semantic, df) =>
+        df.select(lit(q).as("question"), lit("semantic").as("mode"),
+          col("id").as("answer_key"), col("cosine").as("score"))
+    }
+    one(QIntent).unionByName(one(QSemantic))
+      .orderBy(col("question"), desc("score"), col("answer_key"))
+  }
+
   override def queries: Map[String, Q] = Map(
     "tfidf" -> (tfidf _),
     "cosine_topk_docs" -> (cosineTopkDocs _),
     "semantic_search" -> (semanticSearch _),
     "bm25_topk_docs" -> (bm25TopkDocs _),
-    "vocab_topk" -> (vocabTopk _))
+    "vocab_topk" -> (vocabTopk _),
+    "chatbot_answer" -> (chatbotAnswer _))
 
   /** Postings + smooth-idf CTEs over an arbitrary corpus CTE named
     * `corpus(id, txt)`.
@@ -94,6 +124,17 @@ object RagQueries extends QueryModule {
        |     FROM p JOIN i ON p.term = i.term)""".stripMargin
 
   private def searchSql(queryText: String, outIdCol: String): String =
+    s"""${searchCtes(queryText)}
+       |SELECT dots.id AS $outIdCol, dot / (sqrt(nrm.nsq) * sqrt(qn.qnsq)) AS cosine
+       |FROM dots JOIN nrm ON dots.id = nrm.id CROSS JOIN qn
+       |ORDER BY cosine DESC, dots.id ASC LIMIT 5""".stripMargin
+
+  /** The query-side scoring CTEs (nrm/qt/qp/qw/qn/dots) over the
+    * `w`/`i` CTEs from [[tfidfCtes]], without the final projection —
+    * reusable where the top-k select needs different columns
+    * (chatbot_answer).
+    */
+  private def searchCtes(queryText: String): String =
     s"""nrm AS (SELECT id, CAST(sum(CAST(w * w AS DECIMAL(24,8))) AS DOUBLE) AS nsq
        |     FROM w GROUP BY id),
        |qt AS (SELECT list_filter(string_split_regex(lower('$queryText'), '[^a-z0-9]+'),
@@ -108,10 +149,7 @@ object RagQueries extends QueryModule {
        |qn AS (SELECT CAST(sum(CAST(qw * qw AS DECIMAL(24,8))) AS DOUBLE) AS qnsq
        |     FROM qw),
        |dots AS (SELECT w.id, CAST(sum(CAST(w.w * qw.qw AS DECIMAL(24,8))) AS DOUBLE) AS dot
-       |     FROM w JOIN qw ON w.term = qw.term GROUP BY 1)
-       |SELECT dots.id AS $outIdCol, dot / (sqrt(nrm.nsq) * sqrt(qn.qnsq)) AS cosine
-       |FROM dots JOIN nrm ON dots.id = nrm.id CROSS JOIN qn
-       |ORDER BY cosine DESC, dots.id ASC LIMIT 5""".stripMargin
+       |     FROM w JOIN qw ON w.term = qw.term GROUP BY 1)""".stripMargin
 
   /** BM25 over the `p`/`i` CTEs from [[tfidfCtes]]; constants are
     * interpolated from the Scala doubles' toString as VARCHAR→DOUBLE
@@ -168,6 +206,26 @@ object RagQueries extends QueryModule {
       s"""WITH corpus AS (SELECT doc_id AS id, text AS txt FROM documents),
         |${tfidfCtes("corpus")},
         |${searchSql(question, "doc_id")}""".stripMargin,
+    "chatbot_answer" -> (Insights.labeledCte +
+      s""", corpus AS (
+        |  SELECT geo || '|' || indicator AS id,
+        |    ${Insights.insightTextSql} AS txt
+        |  FROM labeled),
+        |${tfidfCtes("corpus")},
+        |${searchCtes(QSemantic)}
+        |SELECT * FROM (
+        |  SELECT '$QIntent' AS question, 'intent' AS mode,
+        |    geo || '|' || indicator AS answer_key, slope_per_year AS score
+        |  FROM labeled WHERE indicator = '1-URGENT'
+        |  ORDER BY slope_per_year DESC, geo ASC LIMIT 1)
+        |UNION ALL
+        |SELECT * FROM (
+        |  SELECT '$QSemantic' AS question, 'semantic' AS mode,
+        |    dots.id AS answer_key,
+        |    dot / (sqrt(nrm.nsq) * sqrt(qn.qnsq)) AS score
+        |  FROM dots JOIN nrm ON dots.id = nrm.id CROSS JOIN qn
+        |  ORDER BY score DESC, dots.id ASC LIMIT 5)
+        |ORDER BY question, score DESC, answer_key""".stripMargin),
     "semantic_search" -> (Insights.labeledCte +
       s""", corpus AS (
         |  SELECT geo || '|' || indicator AS id,
