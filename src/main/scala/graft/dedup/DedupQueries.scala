@@ -135,7 +135,58 @@ object DedupQueries extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** F9 — incremental near-dup: the production shape. A standing
+    * corpus (md5-coin buckets 0-7, "indexed") already carries its
+    * shingle sets / signatures / band buckets; a new batch (buckets
+    * 8-9) probes the index and dedups within itself — near-dup pairs
+    * are (new doc, indexed doc) plus (new doc, earlier new doc),
+    * NEVER (indexed, indexed): the standing corpus is not re-paired
+    * nightly. Work per batch is O(batch grams) for signatures plus a
+    * co-partitioned band join against the index buckets — the whole
+    * point vs re-running the full self-join at every ingest.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val coin = expr(
+      """cast(conv(substring(md5(concat('inc|', cast(doc_id as string))),
+        |  1, 8), 16, 10) as bigint) % 10""".stripMargin)
+    incrementalPairs(docs, docs.select(col("doc_id"), (coin >= 8).as("is_new")))
+  }
+
+  /** The incremental join for any (doc_id, text) corpus and explicit
+    * (doc_id, is_new) batch flags.
+    */
+  def incrementalPairs(docs: DataFrame, flags: DataFrame): DataFrame = {
+    val sets = Dedup.shingleSets(docs, "doc_id", "text")
+      .join(flags, "doc_id")
+      .localCheckpoint(true) // feeds signatures AND both verify sides
+    val buckets = Dedup.bandBuckets(Dedup.minhashSigs(sets))
+      .join(flags, "doc_id")
+    val probe = buckets.filter(col("is_new"))
+      .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
+    val index = buckets
+      .select(col("doc_id").as("dup_of"), col("band"), col("bucket"),
+        col("is_new").as("other_new"))
+    val cand = probe.join(index, Seq("band", "bucket"))
+      // an indexed doc, or an EARLIER doc of the same batch — never
+      // an (indexed, indexed) pair
+      .filter(!col("other_new") || col("dup_of") < col("new_id"))
+      .select("new_id", "dup_of").distinct()
+    cand
+      .join(sets.select(col("doc_id").as("new_id"), col("gs").as("ga")), "new_id")
+      .join(sets.select(col("doc_id").as("dup_of"), col("gs").as("gb")), "dup_of")
+      .withColumn("inter",
+        size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double")
+          / (size(col("ga")).cast("long") + size(col("gb")) - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select("new_id", "dup_of", "jaccard")
+      .orderBy("new_id", "dup_of")
+  }
+
   override def queries: Map[String, Q] = Map(
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -170,7 +221,8 @@ object DedupQueries extends QueryModule {
   /** The chain through candidates/sizes/inter, WITHOUT the tau-filtered
     * `pairs` — shared by the minhash oracles and minhash_est's.
     */
-  private def minhashChainCtes(recursive: Boolean = false): String =
+  /** shingles → hashes → signatures → band buckets (no pairing). */
+  private def minhashBucketCtes(recursive: Boolean = false): String =
     (if (recursive) "WITH RECURSIVE " else "WITH ") + shCteBody + s""",
         |xs AS (SELECT doc_id, g,
         |         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % $P AS x FROM sh),
@@ -182,7 +234,10 @@ object DedupQueries extends QueryModule {
         |       FROM xs, params GROUP BY doc_id, k),
         |buckets AS (SELECT doc_id, k // ${Dedup.Rows} AS band,
         |         CAST(sum(m * CAST(pow(31, k % ${Dedup.Rows}) AS BIGINT)) AS BIGINT) AS bucket
-        |       FROM mh GROUP BY doc_id, band),
+        |       FROM mh GROUP BY doc_id, band)""".stripMargin
+
+  private def minhashChainCtes(recursive: Boolean = false): String =
+    minhashBucketCtes(recursive) + s""",
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |       FROM buckets a JOIN buckets b
         |         ON a.band = b.band AND a.bucket = b.bucket
@@ -197,6 +252,29 @@ object DedupQueries extends QueryModule {
   private val W = Dedup.SubstrWin
 
   override def oracles: Map[String, String] = Map(
+    "dedup_incremental" -> (minhashBucketCtes() + s""",
+      |flags AS (SELECT doc_id,
+      |         (CAST('0x' || substr(md5('inc|' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |               AS BIGINT) % 10) >= 8 AS is_new
+      |       FROM documents),
+      |cand2 AS (SELECT DISTINCT p.doc_id AS new_id, x.doc_id AS dup_of
+      |       FROM buckets p
+      |       JOIN flags fp ON fp.doc_id = p.doc_id AND fp.is_new
+      |       JOIN buckets x ON x.band = p.band AND x.bucket = p.bucket
+      |       JOIN flags fx ON fx.doc_id = x.doc_id
+      |       WHERE (NOT fx.is_new) OR x.doc_id < p.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter2 AS (SELECT c.new_id, c.dup_of, count(*) AS i
+      |       FROM cand2 c
+      |       JOIN sh s1 ON s1.doc_id = c.new_id
+      |       JOIN sh s2 ON s2.doc_id = c.dup_of AND s1.g = s2.g
+      |       GROUP BY 1, 2)
+      |SELECT i2.new_id, i2.dup_of,
+      |  CAST(i2.i AS DOUBLE) / (sa.n + sb.n - i2.i) AS jaccard
+      |FROM inter2 i2 JOIN sizes sa ON i2.new_id = sa.doc_id
+      |               JOIN sizes sb ON i2.dup_of = sb.doc_id
+      |WHERE CAST(i2.i AS DOUBLE) / (sa.n + sb.n - i2.i) >= 0.5
+      |ORDER BY new_id, dup_of""".stripMargin),
     "substring_dedup" ->
       s"""WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents
         |           WHERE length(text) >= $W),

@@ -176,4 +176,25 @@ class DedupSpec extends SparkSpec {
     }
     assert(estPlanted == Dedup.NumHashes)
   }
+
+  test("dedup_incremental pairs new docs against the index, never index-internal") {
+    import spark.implicits._
+    val tpl = "a long enough document body that shingles nicely into many five grams"
+    val docs = Seq(
+      (1L, tpl), (2L, tpl),            // both indexed: their dup must NOT appear
+      (3L, tpl + " fresh suffix"),     // new: near-dup of 1 and 2
+      (4L, "another body entirely unrelated to the template wording here"),
+      (5L, "another body entirely unrelated to the template wording here nearly"))
+      .toDF("doc_id", "text")          // 4 indexed, 5 new: 5 pairs 4
+    val flags = Seq((1L, false), (2L, false), (3L, true), (4L, false), (5L, true))
+      .toDF("doc_id", "is_new")
+    val rows = DedupQueries.incrementalPairs(docs, flags).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"))).toSet
+    assert(rows.contains((3L, 1L)) && rows.contains((3L, 2L)))
+    assert(rows.contains((5L, 4L)))
+    // the standing (1, 2) duplicate pair is index-internal: not re-reported
+    assert(!rows.exists { case (a, b) => Set(a, b) == Set(1L, 2L) })
+    // every reported pair has a NEW probe side
+    assert(rows.forall { case (n, _) => Set(3L, 5L)(n) })
+  }
 }
