@@ -34,7 +34,11 @@ object DedupQueries extends QueryModule {
   /** F3 — SimHash banding + hamming verification. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sims = Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
-      .persist() // reused by banding and by hamming verification
+      // eager: banding (twice, via the bucket self-join) and both
+      // hamming-verify sides read this in ONE action — a lazy persist
+      // would re-run the tokenize+vote chain per branch while the
+      // cache fills
+      .localCheckpoint(true)
     val pairs = Dedup.bucketPairs(Dedup.simhashBuckets(sims))
     Dedup.hammingVerify(pairs, sims, 6).orderBy("doc_a", "doc_b")
   }

@@ -64,16 +64,15 @@ object Gbt {
     // concurrent first calls — training twice is minutes of waste
     modelCache.synchronized {
       modelCache.get(key) match {
-        case Some((model, feats)) =>
-          // catalog.clearCache() drops the blocks AND the persist mark;
-          // re-mark so downstream multi-branch plans don't recompute the
-          // supervised chain once per branch
-          if (feats.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-            feats.persist()
-          (model, feats)
+        case Some(hit) => hit
         case None =>
           System.err.println("[graft] training pooled GBT forecaster")
-          val feats = supervised(obs).persist()
+          // eager checkpoint: blocks live outside the SQL cache
+          // (clearCache-proof, no re-mark dance), and the multi-branch
+          // consumers (holdoutRmse reads feats through its counts AND
+          // transform branches) read materialized blocks instead of
+          // racing the cache fill
+          val feats = supervised(obs).localCheckpoint(true)
           // fixed key-partitioned training layout (same reasoning as
           // the IVF quantizer): boosting runs ~2 jobs per tree over
           // the training frame, so task count — not data volume —

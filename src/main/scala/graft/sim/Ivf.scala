@@ -46,10 +46,7 @@ object Ivf extends QueryModule {
     indexCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     indexCache.synchronized {
       indexCache.get(key) match {
-        case Some((model, listed)) =>
-          if (listed.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-            listed.persist()
-          (model, listed)
+        case Some(hit) => hit
         case None =>
           val feats = graft.Par.spread(emb).withColumn("features",
             array_to_vector(col("embedding").cast("array<double>")))
@@ -65,9 +62,13 @@ object Ivf extends QueryModule {
             .fit(feats
               .filter(expr(s"conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) % $SampleMod = 0"))
               .repartition(4, col("vec_id")).sortWithinPartitions("vec_id"))
+          // eager checkpoint, not lazy persist: the knn action reads
+          // the listed corpus through BOTH the query and candidate
+          // filter branches — and the blocks survive clearCache, so
+          // a served index never rebuilds mid-session
           val listed = model.transform(feats).drop("features")
             .withColumn("nsq", Vectors.normSq("embedding"))
-            .persist()
+            .localCheckpoint(true)
           indexCache.put(key, (model, listed))
           (model, listed)
       }
