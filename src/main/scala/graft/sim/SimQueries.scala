@@ -70,11 +70,50 @@ object SimQueries extends QueryModule {
       .select("vec_id", "scale", "n_sat", "cos_q", "max_abs_err")
       .orderBy("vec_id")
 
+  /** G5 — top-k over the INT8 copy (the serving path G4's
+    * quantization exists for): ranking needs only the integer dot and
+    * integer norms, because the per-vector scales cancel in the
+    * cosine — cos(q_a·s_a, q_b·s_b) = qdot/√(qnsq_a·qnsq_b). All
+    * arithmetic until the final division is exact int64, so the
+    * ranking is bit-deterministic with no decimal machinery, and the
+    * memory traffic is ¼ of the float path.
+    */
+  def knnQint8(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Par.spread(emb(spark, dir))
+      .withColumn("amax",
+        expr("array_max(transform(embedding, v -> abs(cast(v as double))))"))
+      .withColumn("scale", col("amax") / 127.0d)
+      .withColumn("q", expr(
+        """IF(amax = 0d, transform(embedding, v -> 0),
+          |   transform(embedding,
+          |     v -> cast(floor(cast(v as double) / scale + 0.5d) as int)))"""
+          .stripMargin))
+      .withColumn("qnsq",
+        expr("aggregate(q, 0L, (a, v) -> a + cast(v as bigint) * v)"))
+      .select("vec_id", "q", "qnsq")
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"),
+        col("qnsq").as("na"))
+    val cs = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+        col("qnsq").as("nb"))
+    val scored = cs.crossJoin(broadcast(qs))
+      .withColumn("qdot", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> cast(x as bigint) * y), 0L, (a, v) -> a + v)"))
+      .withColumn("cos_q8",
+        col("qdot").cast("double") / sqrt((col("na") * col("nb")).cast("double")))
+    graft.plans.AggExpressions
+      .topKPerKey(scored, "query_id", "cos_q8", "neighbor_id", Seq(), 3)
+      .select("query_id", "rank", "neighbor_id", "cos_q8")
+      .orderBy("query_id", "rank")
+  }
+
   override def queries: Map[String, Q] = Map(
     "knn_brute" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
     "vector_ops" -> (vectorOps _),
-    "embedding_quantize" -> (embeddingQuantize _))
+    "embedding_quantize" -> (embeddingQuantize _),
+    "knn_qint8" -> (knnQint8 _))
 
   /** Shared relational CTEs: per-dimension components + norms. */
   private val compCte =
@@ -133,6 +172,41 @@ object SimQueries extends QueryModule {
       |       FROM scored)
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM ranked
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+    "knn_qint8" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      v -> abs(CAST(v AS DOUBLE)))) AS amax
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, embedding, amax,
+        |    amax / CAST(127 AS DOUBLE) AS scale FROM e),
+        |q AS (SELECT vec_id,
+        |    CASE WHEN amax = 0 THEN list_transform(embedding, v -> 0)
+        |         ELSE list_transform(embedding,
+        |           v -> CAST(floor(CAST(v AS DOUBLE) / scale + 0.5) AS INT))
+        |    END AS qv
+        |  FROM s),
+        |comp AS (SELECT vec_id, CAST(i AS INT) AS i,
+        |    CAST(qv[CAST(i AS INT)] AS BIGINT) AS v
+        |  FROM q, UNNEST(range(1, 65)) u(i)),
+        |qn AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS qnsq
+        |  FROM comp GROUP BY vec_id),
+        |dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(sum(a.v * b.v) AS BIGINT) AS qdot
+        |  FROM comp a JOIN comp b ON a.i = b.i
+        |    AND a.vec_id < 5 AND b.vec_id >= 5
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT query_id, neighbor_id,
+        |    CAST(qdot AS DOUBLE)
+        |      / sqrt(CAST(qa.qnsq * qb.qnsq AS DOUBLE)) AS cos_q8
+        |  FROM dots JOIN qn qa ON query_id = qa.vec_id
+        |            JOIN qn qb ON neighbor_id = qb.vec_id),
+        |ranked AS (SELECT query_id, neighbor_id, cos_q8,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos_q8 DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos_q8
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "embedding_quantize" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    list_max(list_transform(embedding,

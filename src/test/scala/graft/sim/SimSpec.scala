@@ -86,4 +86,25 @@ class SimSpec extends SparkSpec {
     assert(z.getAs[Int]("n_sat") == 0)
     assert(z.getAs[Double]("max_abs_err") == 0.0)
   }
+
+  test("knn_qint8 ranks like the exact float path within quantization noise") {
+    val q8 = SimQueries.knnQint8(spark, sf).collect()
+    assert(q8.nonEmpty)
+    q8.groupBy(_.getAs[Long]("query_id")).values.foreach { grp =>
+      val byRank = grp.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.length <= 3)
+      val cos = byRank.map(_.getAs[Double]("cos_q8"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+      cos.foreach(c => assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+    }
+    // int8 quantization perturbs cosines by ~1e-3 — top-1 should agree
+    // with the exact float path on most queries
+    val brute1 = SimQueries.knnBrute(spark, sf).collect()
+      .filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val q81 = q8.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val agree = brute1.count { case (q, n) => q81.get(q).contains(n) }
+    assert(agree * 2 > brute1.size, s"top-1 agreement too low: $agree/${brute1.size}")
+  }
 }
