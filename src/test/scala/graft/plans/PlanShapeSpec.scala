@@ -45,7 +45,10 @@ class PlanShapeSpec extends SparkSpec {
       "knn_brute", "knn_lsh", "knn_ivf", "semantic_search",
       "embedding_neardup", "cosine_topk_docs", "tfidf", "bm25_topk_docs",
       "lm_score", "insight_text", "insights_trend", "fastest_rising",
-      "corpus_clean", "dedup_clusters")
+      "corpus_clean", "dedup_clusters",
+      // round 5: chatbot_answer embeds the semantic search (1-row
+      // query-norm frame); knn_qint8 broadcasts the 5-vector query set
+      "chatbot_answer", "knn_qint8")
     val offenders = plans.collect {
       case (name, plan)
           if plan.contains("BroadcastNestedLoopJoin") && !allowed(name) =>
