@@ -37,12 +37,64 @@ object StreamQueries extends QueryModule {
           .as("content_hash"))
       .orderBy("doc_id")
 
+  /** K16 — ordered funnel over the event stream (view → click →
+    * purchase, each step strictly after the previous): the
+    * sequence-matching shape product analytics runs daily. Expressed
+    * as three chained min-after-min aggregates, every one keyed on
+    * user_id — co-partitioned joins, no window over the raw stream, no
+    * per-user driver work; at 100 TB each stage shuffles one row per
+    * qualifying user, not the event volume.
+    */
+  def qFunnel(s: SparkSession, d: String): DataFrame =
+    funnel(Tables.events(s, d))
+
+  /** The funnel body over any (user_id, event_type, ts) frame. */
+  def funnel(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts)").as("ts_us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("view_us"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts_us") > col("view_us"))
+      .groupBy("user_id").agg(min("ts_us").as("click_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts_us") > col("click_us"))
+      .groupBy("user_id").agg(min("ts_us").as("purchase_us"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .withColumn("stage",
+        lit(1) + col("click_us").isNotNull.cast("int")
+          + col("purchase_us").isNotNull.cast("int"))
+      .select("user_id", "view_us", "click_us", "purchase_us", "stage")
+      .orderBy("user_id")
+  }
+
   override def queries: Map[String, Q] = Map(
     "events_windowed" -> (eventsWindowed _),
     "sessionize" -> (sessionizeQ _),
-    "blob_pipeline" -> (blobPipeline _))
+    "blob_pipeline" -> (blobPipeline _),
+    "q_funnel" -> (qFunnel _))
 
   override def oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |           FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS view_us FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts_us) AS click_us
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts_us > v.view_us
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts_us) AS purchase_us
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts_us > c.click_us
+        |      GROUP BY 1)
+        |SELECT v.user_id, v.view_us, c.click_us, p.purchase_us,
+        |  CAST(1 + CAST(c.click_us IS NOT NULL AS INT)
+        |         + CAST(p.purchase_us IS NOT NULL AS INT) AS INTEGER) AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
     "events_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
         |  event_type, count(*) AS n_events,

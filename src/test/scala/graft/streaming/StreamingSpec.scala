@@ -159,4 +159,23 @@ class StreamingSpec extends SparkSpec {
       assert(r.getAs[Int]("n_tokens") >= graft.pipeline.Corpus.MinTokens)
     }
   }
+
+  test("q_funnel stages require strict view -> click -> purchase order") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val events = Seq(
+      // full funnel in order -> stage 3
+      (1L, "view", t(0)), (1L, "click", t(1)), (1L, "purchase", t(2)),
+      // purchase BEFORE the first click -> stage 2 only
+      (2L, "view", t(0)), (2L, "purchase", t(1)), (2L, "click", t(2)),
+      // click before the first view -> that click can't count; none after
+      (3L, "click", t(0)), (3L, "view", t(1)),
+      // no view at all -> excluded from the funnel entirely
+      (4L, "click", t(0)), (4L, "purchase", t(1)))
+      .toDF("user_id", "event_type", "ts")
+    val rows = StreamQueries.funnel(events).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("stage")).toMap
+    assert(rows == Map(1L -> 3, 2L -> 2, 3L -> 1))
+  }
 }
