@@ -69,13 +69,49 @@ object StreamQueries extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** K17 — weekly retention cohorts: users grouped by the ISO week of
+    * their first event; each later active week contributes to
+    * (cohort_week, week_offset, distinct users) — the other
+    * product-analytics staple next to [[qFunnel]]. Shape: one
+    * first-event aggregate, a co-partitioned join on user_id, one
+    * distinct-count aggregate — the cohort matrix is
+    * O(weeks²) rows regardless of event volume.
+    */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame =
+    cohorts(Tables.events(s, d))
+
+  /** The cohort body over any (user_id, ts) frame. */
+  def cohorts(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"),
+      date_trunc("week", col("ts")).as("w"))
+    val first = e.groupBy("user_id").agg(min("w").as("cw"))
+    e.join(first, "user_id")
+      .groupBy(
+        date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        ((expr("unix_micros(w)") - expr("unix_micros(cw)"))
+          / lit(7L * 86400L * 1000000L)).cast("int").as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   override def queries: Map[String, Q] = Map(
     "events_windowed" -> (eventsWindowed _),
     "sessionize" -> (sessionizeQ _),
     "blob_pipeline" -> (blobPipeline _),
-    "q_funnel" -> (qFunnel _))
+    "q_funnel" -> (qFunnel _),
+    "retention_cohorts" -> (retentionCohorts _))
 
   override def oracles: Map[String, String] = Map(
+    "retention_cohorts" ->
+      """WITH e AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+        |f AS (SELECT user_id, min(w) AS cw FROM e GROUP BY 1)
+        |SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+        |  CAST((epoch_us(e.w) - epoch_us(f.cw))
+        |       // CAST(604800000000 AS BIGINT) AS INTEGER) AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
         |           FROM events),

@@ -178,4 +178,24 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("stage")).toMap
     assert(rows == Map(1L -> 3, 2L -> 2, 3L -> 1))
   }
+
+  test("retention_cohorts buckets users by first-event week and offset") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 2023-12-25 is a Monday: week boundaries are deterministic
+    def t(day: Int) = new Timestamp(1703462400000L + day * 86400000L)
+    val events = Seq(
+      (1L, t(0)), (1L, t(1)),  // same week twice: ONE distinct user row
+      (1L, t(15)),             // week offset 2
+      (2L, t(0)),              // same cohort as user 1
+      (3L, t(7)))              // next week's cohort
+      .toDF("user_id", "ts")
+    val rows = StreamQueries.cohorts(events).collect()
+      .map(r => (r.getAs[String]("cohort_week"), r.getAs[Int]("week_offset"))
+        -> r.getAs[Long]("n_users")).toMap
+    assert(rows == Map(
+      ("2023-12-25", 0) -> 2L,   // users 1 and 2, dup event collapsed
+      ("2023-12-25", 2) -> 1L,   // user 1 returns two weeks later
+      ("2024-01-01", 0) -> 1L))  // user 3's own cohort
+  }
 }
