@@ -81,4 +81,43 @@ class EdgeCaseSpec extends SparkSpec {
     // while repeated keying of the same frame is stable
     assert(graft.Memo.planKey(a) == graft.Memo.planKey(a))
   }
+
+  test("substring_dedup tolerates sub-window docs and empty corpora") {
+    import spark.implicits._
+    val out = graft.dedup.Dedup.substringDup(tiny, "doc_id", "text").collect()
+    // only doc 5 reaches the 30-char window; nothing shares, so no dups
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(5L))
+    assert(out.forall(_.getAs[Long]("n_dup") == 0L))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.dedup.Dedup.substringDup(empty, "doc_id", "text").count() == 0)
+  }
+
+  test("incremental dedup with an all-new or all-indexed corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a long enough document body that shingles nicely into grams"),
+      (2L, "a long enough document body that shingles nicely into grams"))
+      .toDF("doc_id", "text")
+    // all indexed: nothing to probe -> no pairs
+    val allOld = docs.sparkSession.createDataFrame(
+      Seq((1L, false), (2L, false))).toDF("doc_id", "is_new")
+    assert(graft.dedup.DedupQueries.incrementalPairs(docs, allOld).count() == 0)
+    // all new: within-batch dedup still pairs them once
+    val allNew = docs.sparkSession.createDataFrame(
+      Seq((1L, true), (2L, true))).toDF("doc_id", "is_new")
+    val rows = graft.dedup.DedupQueries.incrementalPairs(docs, allNew).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("new_id") == 2L
+      && rows.head.getAs[Long]("dup_of") == 1L)
+  }
+
+  test("funnel and cohorts survive an empty event stream") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val empty = Seq.empty[(Long, String, Timestamp)]
+      .toDF("user_id", "event_type", "ts")
+    assert(graft.streaming.StreamQueries.funnel(empty).count() == 0)
+    assert(graft.streaming.StreamQueries.cohorts(
+      empty.select("user_id", "ts")).count() == 0)
+  }
 }
