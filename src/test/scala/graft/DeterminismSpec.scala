@@ -47,4 +47,24 @@ class DeterminismSpec extends SparkSpec {
       assert(canon(graft.relational.Relational.q3Join(spark, sf)) == withAqe)
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
+
+  test("round-5 ops identical under repartitioned inputs") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val a1 = canon(graft.dedup.Dedup.substringDup(docs, "doc_id", "text"))
+    val a2 = canon(graft.dedup.Dedup.substringDup(
+      docs.repartition(7), "doc_id", "text"))
+    assert(a1 == a2)
+    val ev = graft.sources.Tables.events(spark, sf)
+    assert(canon(graft.streaming.StreamQueries.funnel(ev)) ==
+      canon(graft.streaming.StreamQueries.funnel(ev.repartition(5))))
+    assert(canon(graft.streaming.StreamQueries.cohorts(
+        ev.select("user_id", "ts"))) ==
+      canon(graft.streaming.StreamQueries.cohorts(
+        ev.select("user_id", "ts").repartition(5))))
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+    assert(canon(graft.sim.SimQueries.embeddingQuantizeFrame(emb)) ==
+      canon(graft.sim.SimQueries.embeddingQuantizeFrame(emb.repartition(3))))
+  }
 }
