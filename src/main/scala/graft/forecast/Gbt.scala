@@ -101,14 +101,19 @@ object Gbt {
     */
   def forecast(obs: DataFrame): DataFrame = graft.Memo.small("gbtForecast", obs) {
     val (model, feats) = trained(obs)
+    // Each step MUST materialize before the next consumes it: step
+    // s+1 references step s's `hist` (which embeds the model scorer)
+    // from ~6 expressions, and CollapseProject would inline the
+    // scorer+assembler into every reference — multiplicatively per
+    // step. An eager checkpoint per step keeps the recursion one
+    // cheap job per horizon step over O(#series) rows.
     var state = feats
       .groupBy("geo", "indicator")
       .agg(expr(
         "transform(array_sort(collect_list(struct(year, value))), s -> s.value)")
         .as("hist"),
         max("year").as("last_year"))
-      .persist()
-    state.count() // materialize so each step starts from a cached frame
+      .localCheckpoint(true)
     for (step <- 1 to Horizon) {
       val withFeats = state
         .withColumn("year", col("last_year") + step)
@@ -128,19 +133,14 @@ object Gbt {
             |        / size(wv)),
             |   0d)""".stripMargin))
       val scored = model.transform(assembler.transform(withFeats))
-      val prev = state
       state = scored
         .select(col("geo"), col("indicator"),
           concat(col("hist"), array(col("prediction"))).as("hist"),
           col("last_year"))
-        .persist()
-      state.count()
-      prev.unpersist()
+        .localCheckpoint(true)
     }
     // the final history array ends with exactly the Horizon appended
-    // predictions — read the forecasts off the cached state instead
-    // of unioning per-step frames (whose lineage is gone). Checkpoint
-    // the (tiny) horizon before dropping the state cache it reads.
+    // predictions — read the forecasts off the checkpointed state.
     val out = state
       .select(col("geo"), col("indicator"), col("last_year"),
         posexplode(expr(s"slice(hist, -$Horizon, $Horizon)")))
@@ -149,7 +149,6 @@ object Gbt {
         col("col").as("forecast"))
       .orderBy("geo", "indicator", "year")
       .localCheckpoint(true)
-    state.unpersist()
     out
   }
 
