@@ -109,6 +109,63 @@ object Streaming {
       }
   }
 
+  case class FunnelState(viewMs: Long, clickMs: Long, purchaseMs: Long)
+  case class FunnelOut(user_id: Long, stage: Int, at_ms: Long)
+
+  /** J6 — the streaming face of K16's ordered funnel: per-user state
+    * tracks the earliest view / click-after-view / purchase-after-
+    * click; a row is emitted whenever the user's stage ADVANCES
+    * (stage changes are monotone, so output is append-mode). State is
+    * bounded two ways: a completed funnel (stage 3) drops its state
+    * immediately, and an event-time timeout expires any funnel not
+    * advanced within `windowMs` past the watermark — per-user state
+    * never outlives the conversion window, the same discipline as the
+    * session gap timeout.
+    */
+  def funnelStream(events: Dataset[Event], windowMs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            // conversion window closed without completing — drop
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              e.event_type match {
+                case "view" if st.viewMs < 0 =>
+                  st = st.copy(viewMs = t); out += FunnelOut(user, 1, t)
+                case "click" if st.viewMs >= 0 && st.clickMs < 0 &&
+                    t > st.viewMs =>
+                  st = st.copy(clickMs = t); out += FunnelOut(user, 2, t)
+                case "purchase" if st.clickMs >= 0 && st.purchaseMs < 0 &&
+                    t > st.clickMs =>
+                  st = st.copy(purchaseMs = t); out += FunnelOut(user, 3, t)
+                case _ => ()
+              }
+            }
+            if (st.purchaseMs >= 0) {
+              // funnel complete: no further advance possible
+              if (state.exists) state.remove()
+            } else if (st.viewMs >= 0) {
+              state.update(st)
+              val last = Seq(st.viewMs, st.clickMs, st.purchaseMs).max
+              state.setTimeoutTimestamp(last + windowMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** J3 — streaming dedup by key within the watermark horizon. */
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")

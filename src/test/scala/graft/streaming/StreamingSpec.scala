@@ -198,4 +198,30 @@ class StreamingSpec extends SparkSpec {
       ("2023-12-25", 2) -> 1L,   // user 1 returns two weeks later
       ("2024-01-01", 0) -> 1L))  // user 3's own cohort
   }
+
+  test("funnelStream emits one row per stage advance, in order, state-bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = funnelStream(mem.toDS(), windowMs = 3600000L)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    // user 7: purchase before any click is ignored; then the ordered
+    // walk advances one stage per event. user 8: click with no view
+    // emits nothing.
+    mem.addData(
+      Event(1, new Timestamp(1000), 7, "purchase", 1.0),
+      Event(2, new Timestamp(2000), 7, "view", 1.0),
+      Event(3, new Timestamp(3000), 8, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(
+      Event(4, new Timestamp(4000), 7, "click", 1.0),
+      Event(5, new Timestamp(5000), 7, "purchase", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("funnel_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage"),
+        r.getAs[Long]("at_ms"))).toSet
+    q.stop()
+    assert(out == Set((7L, 1, 2000L), (7L, 2, 4000L), (7L, 3, 5000L)))
+  }
 }
