@@ -43,6 +43,33 @@ object Corpus extends QueryModule {
       .select("doc_id", "lang", "bucket", "split")
       .orderBy("doc_id")
 
+  /** L7 — corpus composition report: per (split, lang) doc counts,
+    * whitespace-token and byte volumes, and each cell's share of the
+    * corpus — the reporting rollup a data team watches while L1-L6
+    * run. One map-side-combinable aggregate over a projection; the
+    * corpus total rides along as a broadcast 1-row aggregate (no
+    * separate count action), same shape as the tf-idf corpus stats.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+      .withColumn("bucket", expr(
+        """cast(conv(substring(md5(concat('smp|', cast(doc_id as string))),
+          |  1, 8), 16, 10) as bigint) % 1000""".stripMargin))
+      .withColumn("split",
+        when(col("bucket") < 800, "train")
+          .when(col("bucket") < 900, "val")
+          .otherwise("test"))
+    d.groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("bigint")).as("n_tokens"),
+        sum(octet_length(col("text")).cast("bigint")).as("n_bytes"))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("n_total"))))
+      .withColumn("doc_share",
+        col("n_docs").cast("double") / col("n_total"))
+      .select("split", "lang", "n_docs", "n_tokens", "n_bytes", "doc_share")
+      .orderBy("split", "lang")
+  }
+
   /** L2 — per-document keep-list with the three gate verdicts. */
   def corpusClean(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -190,7 +217,8 @@ object Corpus extends QueryModule {
     "corpus_pack" -> (corpusPack _),
     "stratified_sample" -> (stratifiedSample _),
     "decontaminate" -> (decontaminate _),
-    "corpus_shuffle" -> (corpusShuffle _))
+    "corpus_shuffle" -> (corpusShuffle _),
+    "corpus_stats" -> (corpusStats _))
 
   /** The DuckDB mirror of the Spark-side gram generator: 1-based list
     * indexing, range(a, b) is [a, b).
@@ -199,6 +227,23 @@ object Corpus extends QueryModule {
     (0 until DecontamN).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
 
   override def oracles: Map[String, String] = Map(
+    "corpus_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |         AS BIGINT) % 1000 AS bucket
+        |  FROM documents),
+        |s AS (SELECT lang, text,
+        |    CASE WHEN bucket < 800 THEN 'train'
+        |         WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
+        |  FROM d),
+        |g AS (SELECT split, lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes
+        |  FROM s GROUP BY 1, 2)
+        |SELECT split, lang, n_docs, n_tokens, n_bytes,
+        |  CAST(n_docs AS DOUBLE) / (SELECT count(*) FROM documents) AS doc_share
+        |FROM g ORDER BY split, lang""".stripMargin,
     "decontaminate" ->
       s"""WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS ws,

@@ -121,4 +121,22 @@ class CorpusSpec extends SparkSpec {
       } else assert(keptByLang(lang).toLong == total) // others untouched
     }
   }
+
+  test("corpus_stats cells reconcile with the corpus and L1 split") {
+    val rows = Corpus.corpusStats(spark, sf).collect()
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    assert(math.abs(rows.map(_.getAs[Double]("doc_share")).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      assert(Set("train", "val", "test")(r.getAs[String]("split")))
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_bytes") > 0)
+    }
+    // split totals agree with corpus_sample's assignment
+    val sampleSplits = Corpus.corpusSample(spark, sf).collect()
+      .groupBy(_.getAs[String]("split")).view.mapValues(_.length.toLong).toMap
+    val statSplits = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(statSplits == sampleSplits)
+  }
 }
