@@ -47,8 +47,9 @@ class PlanShapeSpec extends SparkSpec {
       "lm_score", "insight_text", "insights_trend", "fastest_rising",
       "corpus_clean", "dedup_clusters",
       // round 5: chatbot_answer embeds the semantic search (1-row
-      // query-norm frame); knn_qint8 broadcasts the 5-vector query set
-      "chatbot_answer", "knn_qint8")
+      // query-norm frame); knn_qint8 broadcasts the 5-vector query
+      // set; corpus_stats crosses in its broadcast 1-row corpus total
+      "chatbot_answer", "knn_qint8", "corpus_stats")
     val offenders = plans.collect {
       case (name, plan)
           if plan.contains("BroadcastNestedLoopJoin") && !allowed(name) =>
