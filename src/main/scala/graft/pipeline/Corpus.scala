@@ -191,6 +191,50 @@ object Corpus extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** L8 — shard count for the domain-mixture windows: the cumsum that
+    * enforces a token budget runs per (source, shard), so budget
+    * enforcement parallelizes across sources × shards instead of one
+    * ordered scan per source (a real run sizes this to the cluster).
+    */
+  val MixShards = 4
+
+  /** L8 — sources treated as the over-represented crawl slice. */
+  val MixDownweighted: Seq[String] = Seq("src0", "src1", "src2")
+
+  /** L8 — token-budget domain mixture: sample each source down to a
+    * target token share (the crawl-heavy sources to 20%, the rest to
+    * 80%) — how a training run actually weights its data sources: by
+    * TOKENS, not documents. Docs are taken in deterministic md5-coin
+    * order within (source, shard) until the shard's budget
+    * (source_tokens × weight / shards) is hit, so the cut is exact
+    * per shard, any re-run keeps the identical docs, and the plan is
+    * one map-side-combinable totals aggregate (broadcast back) + one
+    * window per (source, shard) — no global sort, no driver loop.
+    */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "source", "text")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+      .withColumn("k", md5(concat(lit("mix|"), col("doc_id").cast("string"))))
+      .withColumn("shard", expr(
+        s"cast(conv(substring(k, 1, 8), 16, 10) as bigint) % $MixShards"))
+      .drop("text")
+    val totals = d.groupBy("source")
+      .agg(sum("n_tokens").as("tot_tokens"))
+    val w = Window.partitionBy("source", "shard").orderBy("k", "doc_id")
+    d.join(broadcast(totals), "source")
+      .withColumn("weight",
+        when(col("source").isin(MixDownweighted: _*), 0.2d).otherwise(0.8d))
+      .withColumn("budget",
+        floor(col("tot_tokens").cast("double") * col("weight")
+          / lit(MixShards.toDouble)).cast("bigint"))
+      .withColumn("cum_before",
+        (sum("n_tokens").over(w) - col("n_tokens")).cast("bigint"))
+      .withColumn("keep", col("cum_before") < col("budget"))
+      .select("doc_id", "source", "shard", "n_tokens", "budget",
+        "cum_before", "keep")
+      .orderBy("doc_id")
+  }
+
   /** L6 — shard count for the deterministic training shuffle. */
   val ShuffleShards = 16
 
@@ -218,7 +262,8 @@ object Corpus extends QueryModule {
     "stratified_sample" -> (stratifiedSample _),
     "decontaminate" -> (decontaminate _),
     "corpus_shuffle" -> (corpusShuffle _),
-    "corpus_stats" -> (corpusStats _))
+    "corpus_stats" -> (corpusStats _),
+    "domain_mix" -> (domainMix _))
 
   /** The DuckDB mirror of the Spark-side gram generator: 1-based list
     * indexing, range(a, b) is [a, b).
@@ -227,6 +272,32 @@ object Corpus extends QueryModule {
     (0 until DecontamN).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
 
   override def oracles: Map[String, String] = Map(
+    // weight literals go VARCHAR→DOUBLE: DuckDB's decimal→double cast
+    // is not correctly rounded (same discipline as the Holt oracle)
+    "domain_mix" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5('mix|' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents),
+        |s AS (SELECT d.*,
+        |    CAST('0x' || substr(k, 1, 8) AS BIGINT) % $MixShards AS shard
+        |  FROM d),
+        |t AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tot_tokens
+        |      FROM d GROUP BY source),
+        |x AS (SELECT s.doc_id, s.source, s.shard, s.n_tokens,
+        |    CAST(floor(CAST(t.tot_tokens AS DOUBLE) *
+        |      (CASE WHEN s.source IN (${MixDownweighted.map(x => s"'$x'").mkString(", ")})
+        |            THEN CAST('0.2' AS DOUBLE)
+        |            ELSE CAST('0.8' AS DOUBLE) END)
+        |      / $MixShards.0) AS BIGINT) AS budget,
+        |    CAST(sum(s.n_tokens) OVER (PARTITION BY s.source, s.shard
+        |           ORDER BY s.k, s.doc_id ROWS UNBOUNDED PRECEDING)
+        |         - s.n_tokens AS BIGINT) AS cum_before
+        |  FROM s JOIN t USING (source))
+        |SELECT doc_id, source, shard, n_tokens, budget, cum_before,
+        |  cum_before < budget AS keep
+        |FROM x ORDER BY doc_id""".stripMargin,
     "corpus_stats" ->
       """WITH d AS (
         |  SELECT doc_id, lang, text,

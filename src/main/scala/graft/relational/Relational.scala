@@ -120,6 +120,46 @@ object Relational extends QueryModule {
         asc_nulls_first("o_orderpriority"))
   }
 
+  /** K18 — explicit GROUPING SETS (the general form K5's ROLLUP/CUBE
+    * are sugar for): per (flag, status), per flag, and grand total in
+    * ONE scan + one Expand — not three unioned aggregates. grouping_id
+    * disambiguates a NULL group key from a rolled-up one; Spark 4's
+    * `Dataset.groupingSets` plans the same Expand+partial-agg shape as
+    * cube/rollup, so map-side combine still applies at 100 TB.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        Fp.dsum2(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n_rows")
+      .orderBy(asc("gid"), asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+  }
+
+  /** K19 — set operations (INTERSECT / EXCEPT): the year-over-year
+    * customer-churn question every warehouse asks. Spark plans these
+    * as aggregate/anti-join shapes on the distinct key sets — the key
+    * sets are the small derived frames, never the fact table itself.
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    def buyers(year: Int) = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select("o_custkey").distinct()
+    val y95 = buyers(1995)
+    val y96 = buyers(1996)
+    y95.intersect(y96).withColumn("tag", lit("both"))
+      .unionByName(y95.except(y96).withColumn("tag", lit("only_1995")))
+      .unionByName(y96.except(y95).withColumn("tag", lit("only_1996")))
+      .select("tag", "o_custkey")
+      .orderBy("tag", "o_custkey")
+  }
+
   /** K6 — approximate distinct (HLL) + approximate quantiles: the
     * constant-memory path for 100 TB cardinality/percentile questions.
     * No SQL oracle (sketch internals are engine-specific); spec asserts
@@ -143,6 +183,8 @@ object Relational extends QueryModule {
     "q_window_rank" -> (qWindowRank _),
     "rollup_agg" -> (rollupAgg _),
     "cube_agg" -> (cubeAgg _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_set_ops" -> (qSetOps _),
     "q_approx" -> (qApprox _))
 
   override def oracles: Map[String, String] = Map(
@@ -205,5 +247,31 @@ object Relational extends QueryModule {
         |  count(*) AS n_orders
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+        |  ${Fp.sqlSum2("l_quantity")} AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())
+        |ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_set_ops" ->
+      """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'),
+        |y96 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT 'both' AS tag, o_custkey FROM
+        |  (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+        |UNION ALL
+        |SELECT 'only_1995', o_custkey FROM
+        |  (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+        |UNION ALL
+        |SELECT 'only_1996', o_custkey FROM
+        |  (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y95)
+        |ORDER BY tag, o_custkey""".stripMargin)
 }

@@ -112,8 +112,30 @@ object SqlApi extends QueryModule {
       .agg(count(lit(1)).as("n"), Fp.dsum2(col("val")).as("sum_val"))
       .orderBy("metric")
 
+  /** K20 — correlated scalar subquery: orders priced far above their
+    * own customer's average — the classic "vs my group's baseline"
+    * ad-hoc query. Catalyst decorrelates the subquery into ONE
+    * aggregate + join (never a per-row re-scan), so the 100 TB plan is
+    * two passes over orders, not N. The inner mean uses the exact
+    * decimal-sum discipline ([[Fp]]) so the `>` cut is bit-identical
+    * in both engines.
+    */
+  def qCorrSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  round(o_totalprice, 2) AS totalprice
+        |FROM orders_v o
+        |WHERE o_totalprice > 1.8 * (
+        |  SELECT cast(sum(cast(o2.o_totalprice AS decimal(27,6))) AS double)
+        |         / count(*)
+        |  FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   override def queries: Map[String, Q] = Map(
     "q_sql_api" -> (qSqlApi _),
+    "q_corr_subquery" -> (qCorrSubquery _),
     "q_window_analytics" -> (qWindowAnalytics _),
     "q_date_ops" -> (qDateOps _),
     "q_median" -> (qMedian _),
@@ -121,6 +143,15 @@ object SqlApi extends QueryModule {
     "q_unpivot" -> (qUnpivot _))
 
   override def oracles: Map[String, String] = Map(
+    "q_corr_subquery" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(o_totalprice, 2) AS totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.8 * (
+        |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+        |         / count(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_unpivot" ->
       s"""SELECT metric, count(*) AS n,
         |  ${Fp.sqlSum2("val")} AS sum_val

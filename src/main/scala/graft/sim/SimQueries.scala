@@ -108,12 +108,33 @@ object SimQueries extends QueryModule {
       .orderBy("query_id", "rank")
   }
 
+  /** G6 — ANN quality eval: recall@k of the LSH index against the
+    * brute-force ground truth, per query — the measurement loop every
+    * approximate index ships with (you don't deploy an ANN index
+    * without its recall curve). Both inputs are top-k outputs
+    * (|queries|·k rows — tiny at any corpus size), so the eval join
+    * costs nothing next to the searches themselves; queries the LSH
+    * path misses entirely still score via the left join.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = knnBrute(spark, dir).select("query_id", "neighbor_id")
+    val got = knnLsh(spark, dir).select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1))
+    truth.join(got, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count("hit").as("n_hit"))
+      .withColumn("recall_at_k", col("n_hit").cast("double") / lit(3.0d))
+      .select("query_id", "n_hit", "recall_at_k")
+      .orderBy("query_id")
+  }
+
   override def queries: Map[String, Q] = Map(
     "knn_brute" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
     "vector_ops" -> (vectorOps _),
     "embedding_quantize" -> (embeddingQuantize _),
-    "knn_qint8" -> (knnQint8 _))
+    "knn_qint8" -> (knnQint8 _),
+    "ann_recall" -> (annRecall _))
 
   /** Shared relational CTEs: per-dimension components + norms. */
   private val compCte =
@@ -237,6 +258,50 @@ object SimQueries extends QueryModule {
         |  s2.max_abs_err
         |FROM q JOIN sums s2 USING (vec_id)
         |ORDER BY q.vec_id""".stripMargin,
+    "ann_recall" -> (compCte.stripSuffix("\n") + """,
+      |bdots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CAST(sum(CAST(q.v * c.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
+      |       FROM comp q JOIN comp c ON q.i = c.i
+      |         AND q.vec_id < 5 AND c.vec_id >= 5
+      |       GROUP BY 1, 2),
+      |branked AS (SELECT query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY dot / (sqrt(nq.nsq) * sqrt(nc.nsq)) DESC,
+      |                    neighbor_id ASC) AS rank
+      |       FROM bdots JOIN norms nq ON query_id = nq.vec_id
+      |                  JOIN norms nc ON neighbor_id = nc.vec_id),
+      |planes AS (SELECT h, d,
+      |         (CAST((1103515245 * (h * 64 + d) + 12345) % 2147483647 AS DOUBLE)
+      |          / 2147483647.0) - 0.5 AS pv
+      |       FROM UNNEST(range(0, 8)) u(h), UNNEST(range(0, 64)) v(d)),
+      |sig AS (SELECT vec_id, h,
+      |         CAST(sum(CAST(c.v * p.pv AS DECIMAL(24,12))) AS DOUBLE) AS s
+      |       FROM comp c JOIN planes p ON c.i = p.d + 1 GROUP BY vec_id, h),
+      |buck AS (SELECT vec_id,
+      |         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(h AS INT))
+      |             ELSE 0 END) AS bucket
+      |       FROM sig GROUP BY vec_id),
+      |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      |       FROM buck q JOIN buck c ON q.bucket = c.bucket
+      |         AND q.vec_id < 5 AND c.vec_id >= 5),
+      |ldots AS (SELECT cand.query_id, cand.neighbor_id,
+      |         CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
+      |       FROM cand JOIN comp a ON a.vec_id = cand.query_id
+      |                 JOIN comp b ON b.vec_id = cand.neighbor_id AND a.i = b.i
+      |       GROUP BY 1, 2),
+      |lranked AS (SELECT query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY dot / (sqrt(nq.nsq) * sqrt(nc.nsq)) DESC,
+      |                    neighbor_id ASC) AS rank
+      |       FROM ldots JOIN norms nq ON query_id = nq.vec_id
+      |                  JOIN norms nc ON neighbor_id = nc.vec_id)
+      |SELECT b.query_id, count(l.neighbor_id) AS n_hit,
+      |  CAST(count(l.neighbor_id) AS DOUBLE) / 3.0 AS recall_at_k
+      |FROM (SELECT query_id, neighbor_id FROM branked WHERE rank <= 3) b
+      |LEFT JOIN (SELECT query_id, neighbor_id FROM lranked WHERE rank <= 3) l
+      |  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+      |GROUP BY b.query_id
+      |ORDER BY b.query_id""".stripMargin),
     "vector_ops" -> (compCte.stripSuffix("\n") + """
       |SELECT e.vec_id, sqrt(n.nsq) AS l2_norm,
       |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_c,

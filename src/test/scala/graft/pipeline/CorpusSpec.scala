@@ -122,6 +122,44 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("domain_mix: per-shard prefix cut at the exact token budget") {
+    val rows = Corpus.domainMix(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == docs) // verdict row per doc, none dropped
+    // budget = floor(source_tokens * weight / shards), same for all
+    // rows of a source; keep == cum_before < budget everywhere
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, grp) =>
+      val tot = grp.map(_.getAs[Long]("n_tokens")).sum
+      val w = if (Corpus.MixDownweighted.contains(src)) 0.2 else 0.8
+      val budget = math.floor(tot.toDouble * w / Corpus.MixShards).toLong
+      assert(grp.map(_.getAs[Long]("budget")).toSet == Set(budget))
+      grp.foreach { r =>
+        assert(r.getAs[Boolean]("keep") ==
+          (r.getAs[Long]("cum_before") < r.getAs[Long]("budget")))
+      }
+      // within each shard, cum_before values form a prefix-sum chain:
+      // sorted ascending, each equals the sum of all earlier n_tokens
+      grp.groupBy(_.getAs[Long]("shard")).values.foreach { sh =>
+        val ordered = sh.sortBy(_.getAs[Long]("cum_before"))
+        var run = 0L
+        ordered.foreach { r =>
+          assert(r.getAs[Long]("cum_before") == run)
+          run += r.getAs[Long]("n_tokens")
+        }
+      }
+      // kept token share lands near the weight (within one doc per shard)
+      val keptTok = grp.filter(_.getAs[Boolean]("keep"))
+        .map(_.getAs[Long]("n_tokens")).sum
+      val maxDoc = grp.map(_.getAs[Long]("n_tokens")).max
+      assert(keptTok <= budget * Corpus.MixShards +
+        maxDoc * Corpus.MixShards)
+    }
+    // deterministic: identical on re-run
+    val again = Corpus.domainMix(spark, sf).collect()
+    assert(rows.map(_.toSeq.toList).toList == again.map(_.toSeq.toList).toList)
+  }
+
   test("corpus_stats cells reconcile with the corpus and L1 split") {
     val rows = Corpus.corpusStats(spark, sf).collect()
     val total = graft.sources.Tables.documents(spark, sf).count()

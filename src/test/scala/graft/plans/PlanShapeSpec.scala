@@ -49,7 +49,10 @@ class PlanShapeSpec extends SparkSpec {
       // round 5: chatbot_answer embeds the semantic search (1-row
       // query-norm frame); knn_qint8 broadcasts the 5-vector query
       // set; corpus_stats crosses in its broadcast 1-row corpus total
-      "chatbot_answer", "knn_qint8", "corpus_stats")
+      "chatbot_answer", "knn_qint8", "corpus_stats",
+      // ann_recall composes knn_brute + knn_lsh, so it inherits their
+      // broadcast 5-query-vector cross joins
+      "ann_recall")
     val offenders = plans.collect {
       case (name, plan)
           if plan.contains("BroadcastNestedLoopJoin") && !allowed(name) =>

@@ -44,6 +44,54 @@ class RelationalSpec extends SparkSpec {
       graft.sources.Tables.lineitem(spark, sf).count())
   }
 
+  test("q_grouping_sets: three set levels reconcile with each other") {
+    val rows = Relational.qGroupingSets(spark, sf).collect()
+    val byGid = rows.groupBy(_.getAs[Int]("gid"))
+    assert(byGid.keySet == Set(0, 1, 3))
+    val total = graft.sources.Tables.lineitem(spark, sf).count()
+    // grand total row
+    val grand = byGid(3)
+    assert(grand.length == 1 && grand.head.getAs[Long]("n_rows") == total)
+    // per-flag rows: linestatus rolled up (null), counts sum to total
+    assert(byGid(1).forall(_.isNullAt(1)))
+    assert(byGid(1).map(_.getAs[Long]("n_rows")).sum == total)
+    // finest level sums to the per-flag level within each flag
+    byGid(1).foreach { f =>
+      val flag = f.getAs[String]("l_returnflag")
+      val fine = byGid(0).filter(_.getAs[String]("l_returnflag") == flag)
+      assert(fine.map(_.getAs[Long]("n_rows")).sum == f.getAs[Long]("n_rows"))
+    }
+  }
+
+  test("q_set_ops: tags partition the two distinct buyer-key sets") {
+    import org.apache.spark.sql.functions._
+    def buyers(y: Int) = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val (y95, y96) = (buyers(1995), buyers(1996))
+    val rows = Relational.qSetOps(spark, sf).collect()
+      .groupBy(_.getAs[String]("tag"))
+      .view.mapValues(_.map(_.getAs[Long]("o_custkey")).toSet).toMap
+    assert(rows("both") == (y95 intersect y96))
+    assert(rows("only_1995") == (y95 diff y96))
+    assert(rows("only_1996") == (y96 diff y95))
+  }
+
+  test("q_corr_subquery matches a brute-force per-customer baseline") {
+    import org.apache.spark.sql.functions._
+    val got = SqlApi.qCorrSubquery(spark, sf).collect()
+      .map(_.getAs[Long]("o_orderkey")).toSet
+    val o = graft.sources.Tables.orders(spark, sf)
+    val avg = o.groupBy(col("o_custkey").as("ck"))
+      .agg((sum(col("o_totalprice").cast("decimal(27,6)")).cast("double") /
+        count(lit(1))).as("cavg"))
+    val want = o.join(avg, col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice") > lit(1.8) * col("cavg"))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("q_approx distinct counts within 5% of exact") {
     import org.apache.spark.sql.functions._
     val approx = Relational.qApprox(spark, sf).collect()

@@ -107,4 +107,24 @@ class SimSpec extends SparkSpec {
     val agree = brute1.count { case (q, n) => q81.get(q).contains(n) }
     assert(agree * 2 > brute1.size, s"top-1 agreement too low: $agree/${brute1.size}")
   }
+
+  test("ann_recall equals the per-query brute∩lsh overlap over k") {
+    val truth = SimQueries.knnBrute(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val lsh = SimQueries.knnLsh(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val rows = SimQueries.annRecall(spark, sf).collect()
+    // one row per brute query, even if LSH found nothing for it
+    assert(rows.map(_.getAs[Long]("query_id")).toSet == truth.keySet)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val hit = (truth(q) intersect lsh.getOrElse(q, Set.empty)).size
+      assert(r.getAs[Long]("n_hit") == hit.toLong)
+      assert(r.getAs[Double]("recall_at_k") == hit / 3.0)
+      assert(r.getAs[Double]("recall_at_k") >= 0.0 &&
+        r.getAs[Double]("recall_at_k") <= 1.0)
+    }
+  }
 }
