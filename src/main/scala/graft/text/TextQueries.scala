@@ -67,6 +67,41 @@ object TextQueries extends QueryModule {
     Analysis.piiRedact(withPii, "doc_id", "pii_text").orderBy("doc_id")
   }
 
+  /** H8 — tokenizer vocabulary size for the encode pass. */
+  val VocabSize = 256
+
+  /** H8 — tokenizer application: induce the top-[[VocabSize]]
+    * whitespace vocabulary (count desc, term asc — D5's ranking) and
+    * encode every document as its ordered token-id sequence with
+    * OOV = 0 — the pass that turns a cleaned corpus into model-ready
+    * ids. The vocab is top-K by construction so it broadcast-joins
+    * map-side at any corpus size; the encode is ONE groupBy that
+    * reassembles ids in position order (emitted as a csv string so
+    * the gate compares exact sequences, not float-ish arrays).
+    */
+  def tokenIds(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = graft.Par.spread(
+        Tables.documents(spark, dir).select("doc_id", "text"))
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
+    // rank over the top-K frame only (256 rows — single task is fine)
+    val vocab = t.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("term")).limit(VocabSize)
+      .withColumn("id",
+        row_number().over(Window.orderBy(desc("cnt"), asc("term"))))
+      .select("term", "id")
+    t.join(broadcast(vocab), Seq("term"), "left")
+      .withColumn("tid", coalesce(col("id"), lit(0)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        concat_ws(",",
+          transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+            x => x.getField("tid").cast("string"))).as("ids_csv"))
+      .orderBy("doc_id")
+  }
+
   /** H7 — bigram LM score per document (perplexity-style filter). */
   def lmScore(spark: SparkSession, dir: String): DataFrame =
     Lm.score(graft.Par.spread(Tables.documents(spark, dir)
@@ -80,9 +115,28 @@ object TextQueries extends QueryModule {
     "doc_fingerprint" -> (docFingerprint _),
     "repetition_ratio" -> (repetitionRatio _),
     "pii_redact" -> (piiRedact _),
-    "lm_score" -> (lmScore _))
+    "lm_score" -> (lmScore _),
+    "token_ids" -> (tokenIds _))
 
   override def oracles: Map[String, String] = Map(
+    "token_ids" ->
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |           FROM documents),
+        |cc AS (SELECT term, count(*) AS cnt FROM (
+        |         SELECT unnest(ws) AS term FROM d) GROUP BY term),
+        |vocab AS (SELECT term, CAST(row_number() OVER (
+        |            ORDER BY cnt DESC, term ASC) AS INT) AS id
+        |          FROM cc ORDER BY cnt DESC, term ASC LIMIT $VocabSize),
+        |t AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |        ws[CAST(i AS INT)] AS term
+        |      FROM d, UNNEST(range(1, len(ws) + 1)) AS u(i)),
+        |j AS (SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS tid,
+        |        CASE WHEN v.id IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM t LEFT JOIN vocab v USING (term))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "lm_score" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS ws,

@@ -124,4 +124,28 @@ class TextSpec extends SparkSpec {
       }
     }
   }
+
+  test("token_ids encodes every doc against a locally rebuilt vocab") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def tokens(t: String) = t.toLowerCase.split(" ", -1).toSeq
+    // local vocab: top-256 by (count desc, term asc), ids 1..256
+    val counts = docs.flatMap(d => tokens(d._2))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(graft.text.TextQueries.VocabSize)
+      .zipWithIndex.map { case ((t, _), i) => t -> (i + 1) }.toMap
+    val rows = graft.text.TextQueries.tokenIds(spark, sf).collect()
+    assert(rows.length == docs.length)
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.foreach { case (id, t) =>
+      val tk = tokens(t)
+      val ids = tk.map(w => vocab.getOrElse(w, 0))
+      val r = byId(id)
+      assert(r.getAs[Long]("n_tokens") == tk.length.toLong)
+      assert(r.getAs[Long]("n_oov") == ids.count(_ == 0).toLong)
+      assert(r.getAs[String]("ids_csv") == ids.mkString(","), s"doc $id")
+    }
+  }
 }
