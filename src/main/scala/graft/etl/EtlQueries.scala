@@ -79,6 +79,46 @@ object EtlQueries extends QueryModule {
       .agg(count(lit(1)).as("n_rows"), graft.Fp.dsum2(col("c_acctbal")).as("sum_bal"))
   }
 
+  /** A9 — SCD type-2 effective date for the staged update batch. */
+  val Scd2EffectiveDate = "1996-06-01"
+
+  /** A9 — slowly-changing-dimension type-2 merge: the incremental
+    * counterpart to A6's load modes — the reference full-refreshes its
+    * small Postgres dimension (etl/main.py:166-207), but a 100 TB
+    * warehouse versions changes instead of rewriting. A staged update
+    * batch (deterministic md5 coin picks ~10% of customers, their
+    * segment changes) merges into the versioned dim: changed keys get
+    * their open row closed (valid_to = effective date) plus a new open
+    * row; unchanged keys pass through untouched. ONE co-partitioned
+    * left join against the dim + a union of the (small) update batch —
+    * the plan MERGE INTO compiles to; with a partitioned sink only
+    * touched partitions rewrite (A6's dynamic overwrite).
+    */
+  def etlScd2(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val updates = dim.filter(expr(
+        """cast(conv(substring(md5(concat('scd|', cast(c_custkey as string))),
+          |  1, 8), 16, 10) as bigint) % 10 = 0""".stripMargin))
+      .select(col("c_custkey"),
+        concat(lit("SEG-"), (col("c_custkey") % 5).cast("string"))
+          .as("new_segment"))
+    val joined = dim.join(updates, Seq("c_custkey"), "left")
+    val oldRows = joined.select(
+      col("c_custkey"), col("segment"),
+      lit("1995-01-01").as("valid_from"),
+      when(col("new_segment").isNotNull, lit(Scd2EffectiveDate))
+        .otherwise(lit(null).cast("string")).as("valid_to"),
+      col("new_segment").isNull.as("is_current"))
+    val newRows = updates.select(
+      col("c_custkey"), col("new_segment").as("segment"),
+      lit(Scd2EffectiveDate).as("valid_from"),
+      lit(null).cast("string").as("valid_to"),
+      lit(true).as("is_current"))
+    oldRows.unionByName(newRows)
+      .orderBy("c_custkey", "valid_from")
+  }
+
   /** A7 — the composed pipeline: warehouse → tidy observations panel. */
   def etlObservations(spark: SparkSession, dir: String): DataFrame =
     Observations.build(spark, dir)
@@ -93,9 +133,27 @@ object EtlQueries extends QueryModule {
     "etl_dropna" -> (etlDropna _),
     "etl_time_parse" -> (etlTimeParse _),
     "etl_load_modes" -> (etlLoadModes _),
+    "etl_scd2" -> (etlScd2 _),
     "etl_observations" -> (etlObservations _))
 
   override def oracles: Map[String, String] = Map(
+    "etl_scd2" ->
+      s"""WITH dim AS (SELECT c_custkey, c_mktsegment AS segment
+        |             FROM customer),
+        |u AS (SELECT c_custkey,
+        |        'SEG-' || CAST(c_custkey % 5 AS VARCHAR) AS new_segment
+        |      FROM dim
+        |      WHERE CAST('0x' || substr(md5('scd|' ||
+        |        CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0)
+        |SELECT d.c_custkey, d.segment, '1995-01-01' AS valid_from,
+        |  CASE WHEN u.c_custkey IS NOT NULL
+        |       THEN '$Scd2EffectiveDate' END AS valid_to,
+        |  u.c_custkey IS NULL AS is_current
+        |FROM dim d LEFT JOIN u USING (c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, new_segment, '$Scd2EffectiveDate', NULL, TRUE
+        |FROM u
+        |ORDER BY c_custkey, valid_from""".stripMargin,
     "etl_unravel" ->
       """SELECT event_id,
         |  (event_id // 1000) % 5 AS dim0,

@@ -50,6 +50,33 @@ class EtlSpec extends SparkSpec {
     intercept[IllegalArgumentException](Clean.load(df, tmp, "bogus"))
   }
 
+  test("etl_scd2: changed keys close + reopen, unchanged pass through") {
+    val rows = EtlQueries.etlScd2(spark, sf).collect()
+    val dim = graft.sources.Tables.customer(spark, sf).count()
+    val byKey = rows.groupBy(_.getAs[Long]("c_custkey"))
+    assert(byKey.keySet.size.toLong == dim)
+    var changed = 0
+    byKey.values.foreach { vs =>
+      // exactly one current row per key, always open-ended
+      val current = vs.filter(_.getAs[Boolean]("is_current"))
+      assert(current.length == 1)
+      assert(current.head.isNullAt(current.head.fieldIndex("valid_to")))
+      if (vs.length == 2) {
+        changed += 1
+        val closed = vs.filter(!_.getAs[Boolean]("is_current")).head
+        // the closed row's end date is the new row's start date
+        assert(closed.getAs[String]("valid_to") ==
+          current.head.getAs[String]("valid_from"))
+        assert(current.head.getAs[String]("segment").startsWith("SEG-"))
+      } else {
+        assert(vs.length == 1)
+        assert(!vs.head.getAs[String]("segment").startsWith("SEG-"))
+      }
+    }
+    // the md5 coin selects roughly 10% of keys
+    assert(changed > dim * 0.03 && changed < dim * 0.25)
+  }
+
   test("observations panel is unique per (geo, indicator, year)") {
     val o = Observations.build(spark, sf)
     assert(o.count() == o.select("geo", "indicator", "year").distinct().count())
