@@ -133,8 +133,25 @@ object SqlApi extends QueryModule {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** K23 — value-distribution histogram: fixed-width bins over order
+    * totals with per-bin count / exact-decimal mass / raw min-max
+    * (min/max of raw doubles are exact input values — no summation,
+    * so no rounding needed). ONE map-side-combinable aggregate; the
+    * profiling pass run before choosing join strategies or salting
+    * thresholds, output O(bins) at any scale.
+    */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / 20000).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        Fp.dsum2(col("o_totalprice")).as("sum_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("bin")
+
   override def queries: Map[String, Q] = Map(
     "q_sql_api" -> (qSqlApi _),
+    "q_histogram" -> (qHistogram _),
     "q_corr_subquery" -> (qCorrSubquery _),
     "q_window_analytics" -> (qWindowAnalytics _),
     "q_date_ops" -> (qDateOps _),
@@ -143,6 +160,13 @@ object SqlApi extends QueryModule {
     "q_unpivot" -> (qUnpivot _))
 
   override def oracles: Map[String, String] = Map(
+    "q_histogram" ->
+      s"""SELECT CAST(floor(o_totalprice / 20000) AS INT) AS bin,
+        |  count(*) AS n,
+        |  ${Fp.sqlSum2("o_totalprice")} AS sum_price,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
     "q_corr_subquery" ->
       """SELECT o_orderkey, o_custkey,
         |  round(o_totalprice, 2) AS totalprice

@@ -123,7 +123,47 @@ object Ivf extends QueryModule {
     knn(Tables.embeddings(spark, dir).select("vec_id", "embedding"),
       col("vec_id") < 5, 3)
 
-  override def queries: Map[String, Q] = Map("knn_ivf" -> (knnIvf _))
+  /** F10 `semdedup` cosine threshold. */
+  val SemDedupTau = 0.45
+
+  /** F10 — SemDeDup (cluster-then-pair semantic dedup, Abbas et al.
+    * 2023 shape): the coarse quantizer's inverted lists ARE the
+    * clusters, so pairwise cosine runs only within a list — the
+    * corpus-wide O(n²) becomes Σ per-list O(m²) with m ≈ n/nLists,
+    * and each list's pair join is an equi-join on list_id (no
+    * cartesian node). Drop rule: a vector is dropped when an
+    * earlier-ordered vector in its list is ≥ τ cosine-similar
+    * (deterministic id order stands in for the paper's
+    * distance-to-centroid order) — one pair join + one distinct +
+    * one left anti-ish flag join, fully parallel, no sequential
+    * greedy loop.
+    */
+  def semdedup(emb: DataFrame): DataFrame = {
+    val (_, listed) = index(emb)
+    val a = listed.select(col("list_id"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("nsq").as("na"))
+    val b = listed.select(col("list_id"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("nsq").as("nb"))
+    val dropped = a.join(b, Seq("list_id"))
+      .filter(col("a") < col("b"))
+      .withColumn("cosine",
+        Vectors.cosineFrom(Vectors.dot("ea", "eb"), col("na"), col("nb")))
+      .filter(col("cosine") >= SemDedupTau)
+      .select(col("b").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    listed.select("vec_id", "list_id")
+      .join(dropped, Seq("vec_id"), "left")
+      .withColumn("keep", col("dropped").isNull)
+      .select("vec_id", "list_id", "keep")
+      .orderBy("vec_id")
+  }
+
+  def semdedupQ(spark: SparkSession, dir: String): DataFrame =
+    semdedup(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+
+  override def queries: Map[String, Q] = Map(
+    "knn_ivf" -> (knnIvf _),
+    "semdedup" -> (semdedupQ _))
 
   /** KMeans is not ANSI-SQL-expressible → rows-only driver check. */
   override def oracles: Map[String, String] = Map.empty

@@ -94,14 +94,101 @@ object StreamQueries extends QueryModule {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** K21 — z-score anomaly detection over the event stream: per
+    * event_type mean/std from ONE map-side-combinable aggregate
+    * (exact decimal sums of value and value², so both engines derive
+    * bit-identical moments), broadcast back onto the stream, flag
+    * |z| > 3. The monitoring primitive every ingestion pipeline runs;
+    * at 100 TB the stats side is one tiny broadcast row per group and
+    * the scan stays map-only.
+    */
+  def tsOutliers(s: SparkSession, d: String): DataFrame =
+    outliers(Tables.events(s, d))
+
+  /** The z-score body over any (event_id, event_type, value) frame. */
+  def outliers(events: DataFrame): DataFrame = {
+    val e = events.select("event_id", "event_type", "value")
+    val stats = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      graft.Fp.dsum6(col("value")).as("s"),
+      sum((col("value") * col("value")).cast("decimal(27,6)"))
+        .cast("double").as("sq"))
+    val mean = col("s") / col("n")
+    // sd > 0 guard: a constant series gives z = 0/0 = NaN, and BOTH
+    // engines order NaN above every number — without the guard every
+    // row of a degenerate series would "outlie"
+    e.join(broadcast(stats), "event_type")
+      .withColumn("sd", sqrt(col("sq") / col("n") - mean * mean))
+      .withColumn("z", (col("value") - mean) / col("sd"))
+      .filter(col("sd") > 0 && abs(col("z")) > 3)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("z").cast("decimal(18,6)").cast("double").as("z"))
+      .orderBy("event_id")
+  }
+
+  /** K22 — time-RANGE window frame: per event, the trailing-30 s
+    * count and exact-decimal value sum within its event_type — the
+    * moving-aggregate shape ROWS frames can't express (physical time,
+    * not row counts). One shuffle on event_type, one ordered window
+    * pass; output thinned to every 20th event so the gate result
+    * stays bounded while every row still exercises the frame.
+    */
+  def qRangeFrame(s: SparkSession, d: String): DataFrame =
+    rangeFrame(Tables.events(s, d))
+
+  /** The trailing-window body over any (event_id, event_type, ts,
+    * value) frame.
+    */
+  def rangeFrame(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_id"), col("event_type"),
+      expr("unix_micros(ts)").as("ts_us"), col("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("ts_us")
+      .rangeBetween(-30L * 1000000L, 0L)
+    e.withColumn("n_30s", count(lit(1)).over(w))
+      .withColumn("sum_30s",
+        sum(col("value").cast("decimal(27,6)")).over(w)
+          .cast("double"))
+      .filter(col("event_id") % 20 === 0)
+      .select("event_id", "event_type", "ts_us", "n_30s", "sum_30s")
+      .orderBy("event_id")
+  }
+
   override def queries: Map[String, Q] = Map(
     "events_windowed" -> (eventsWindowed _),
     "sessionize" -> (sessionizeQ _),
     "blob_pipeline" -> (blobPipeline _),
     "q_funnel" -> (qFunnel _),
-    "retention_cohorts" -> (retentionCohorts _))
+    "retention_cohorts" -> (retentionCohorts _),
+    "ts_outliers" -> (tsOutliers _),
+    "q_range_frame" -> (qRangeFrame _))
 
   override def oracles: Map[String, String] = Map(
+    "ts_outliers" ->
+      """WITH s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(value*value AS DECIMAL(27,6))) AS DOUBLE) AS sq
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CAST(CAST((e.value - s.s/s.n)
+        |         / sqrt(s.sq/s.n - (s.s/s.n)*(s.s/s.n))
+        |       AS DECIMAL(18,6)) AS DOUBLE) AS z
+        |FROM events e JOIN s USING (event_type)
+        |WHERE sqrt(s.sq/s.n - (s.s/s.n)*(s.s/s.n)) > 0
+        |  AND abs((e.value - s.s/s.n)
+        |          / sqrt(s.sq/s.n - (s.s/s.n)*(s.s/s.n))) > 3
+        |ORDER BY e.event_id""".stripMargin,
+    "q_range_frame" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+        |             value FROM events),
+        |w AS (SELECT event_id, event_type, ts_us,
+        |        count(*) OVER win AS n_30s,
+        |        CAST(sum(CAST(value AS DECIMAL(27,6))) OVER win
+        |             AS DOUBLE) AS sum_30s
+        |      FROM e WINDOW win AS (PARTITION BY event_type ORDER BY ts_us
+        |        RANGE BETWEEN 30000000 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, ts_us, n_30s, sum_30s
+        |FROM w WHERE event_id % 20 = 0 ORDER BY event_id""".stripMargin,
     "retention_cohorts" ->
       """WITH e AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
         |f AS (SELECT user_id, min(w) AS cw FROM e GROUP BY 1)

@@ -39,6 +39,14 @@ object RagQueries extends QueryModule {
       .select(col("id").as("insight_key"), col("cosine"))
   }
 
+  /** D6 — overlapping token-window chunking of the documents corpus
+    * (retrieval prep: see [[Chunk]]). Map-only fan-out; the driver
+    * gate hashes every chunk's exact text and bounds.
+    */
+  def docChunk(spark: SparkSession, dir: String): DataFrame =
+    Chunk.chunks(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id", "chunk_id")
+
   /** D4 — BM25 top-5 documents for the same query string. */
   def bm25TopkDocs(spark: SparkSession, dir: String): DataFrame =
     Bm25.topK(spark, Tables.documents(spark, dir), "doc_id", "text",
@@ -96,6 +104,7 @@ object RagQueries extends QueryModule {
     "semantic_search" -> (semanticSearch _),
     "bm25_topk_docs" -> (bm25TopkDocs _),
     "vocab_topk" -> (vocabTopk _),
+    "doc_chunk" -> (docChunk _),
     "chatbot_answer" -> (chatbotAnswer _))
 
   /** Postings + smooth-idf CTEs over an arbitrary corpus CTE named
@@ -187,6 +196,24 @@ object RagQueries extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "doc_chunk" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |n AS (SELECT doc_id, ws,
+        |        CASE WHEN len(ws) <= ${Chunk.Size} THEN 1
+        |             ELSE 1 + CAST((len(ws) - ${Chunk.Size} + ${Chunk.Stride - 1})
+        |                           // ${Chunk.Stride} AS INT) END AS nc
+        |      FROM d),
+        |c AS (SELECT doc_id, ws, CAST(i AS INT) AS chunk_id
+        |      FROM n, UNNEST(range(0, nc)) AS u(i))
+        |SELECT doc_id, chunk_id,
+        |  chunk_id * ${Chunk.Stride} AS start_tok,
+        |  CAST(len(ws[chunk_id * ${Chunk.Stride} + 1 :
+        |             chunk_id * ${Chunk.Stride} + ${Chunk.Size}]) AS INT) AS n_tok,
+        |  array_to_string(ws[chunk_id * ${Chunk.Stride} + 1 :
+        |                     chunk_id * ${Chunk.Stride} + ${Chunk.Size}], ' ')
+        |    AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "bm25_topk_docs" ->
       s"""WITH corpus AS (SELECT doc_id AS id, text AS txt FROM documents),
         |${tfidfCtes("corpus")},
