@@ -119,6 +119,44 @@ object EtlQueries extends QueryModule {
       .orderBy("c_custkey", "valid_from")
   }
 
+  /** A10 — data-quality constraint audit (the dbt-test /
+    * expectations shape a 100 TB warehouse runs on every load):
+    * null / range / uniqueness checks fold into ONE aggregate per
+    * table scan, the FK check is one co-partitioned left join — the
+    * whole audit is two scans + one join regardless of constraint
+    * count, then a constant-size `stack` reshapes counters into one
+    * row per constraint. qty_1_40 is deliberately tighter than the
+    * data so the violation path is exercised, not just the zeros.
+    */
+  def etlValidate(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).agg(
+      count(lit(1)).as("n_o"),
+      sum(when(col("o_totalprice") < 0, 1).otherwise(0)).as("v_price"),
+      sum(when(col("o_orderdate").isNull, 1).otherwise(0)).as("v_date"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_pk"))
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+      .join(
+        Tables.orders(spark, dir).select("o_orderkey").distinct()
+          .withColumn("ex", lit(1)),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(
+        count(lit(1)).as("n_l"),
+        sum(when(col("ex").isNull, 1).otherwise(0)).as("v_fk"),
+        sum(when(!col("l_quantity").between(1, 40), 1).otherwise(0))
+          .as("v_qty"))
+    o.crossJoin(l)
+      .selectExpr(
+        """stack(5,
+          |  'orders.price_nonneg',       n_o, v_price,
+          |  'orders.orderdate_not_null', n_o, v_date,
+          |  'orders.pk_unique',          n_o, v_pk,
+          |  'lineitem.fk_orders',        n_l, v_fk,
+          |  'lineitem.qty_1_40',         n_l, v_qty)
+          |AS (check_name, n_checked, n_violations)""".stripMargin)
+      .withColumn("pass", col("n_violations") === 0)
+      .orderBy("check_name")
+  }
+
   /** A7 — the composed pipeline: warehouse → tidy observations panel. */
   def etlObservations(spark: SparkSession, dir: String): DataFrame =
     Observations.build(spark, dir)
@@ -134,9 +172,36 @@ object EtlQueries extends QueryModule {
     "etl_time_parse" -> (etlTimeParse _),
     "etl_load_modes" -> (etlLoadModes _),
     "etl_scd2" -> (etlScd2 _),
+    "etl_validate" -> (etlValidate _),
     "etl_observations" -> (etlObservations _))
 
   override def oracles: Map[String, String] = Map(
+    "etl_validate" ->
+      """WITH o AS (SELECT count(*) AS n_o,
+        |    CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS v_price,
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS v_date,
+        |    count(*) - count(DISTINCT o_orderkey) AS v_pk
+        |  FROM orders),
+        |l AS (SELECT count(*) AS n_l,
+        |    CAST(sum(CASE WHEN ord.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS v_fk,
+        |    CAST(sum(CASE WHEN li.l_quantity NOT BETWEEN 1 AND 40
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS v_qty
+        |  FROM lineitem li
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) ord
+        |    ON li.l_orderkey = ord.o_orderkey),
+        |s AS (
+        |  SELECT 'orders.price_nonneg' AS check_name, n_o AS n_checked,
+        |    v_price AS n_violations FROM o
+        |  UNION ALL SELECT 'orders.orderdate_not_null', n_o, v_date FROM o
+        |  UNION ALL SELECT 'orders.pk_unique', n_o, v_pk FROM o
+        |  UNION ALL SELECT 'lineitem.fk_orders', n_l, v_fk FROM l
+        |  UNION ALL SELECT 'lineitem.qty_1_40', n_l, v_qty FROM l)
+        |SELECT check_name, n_checked, n_violations,
+        |  n_violations = 0 AS pass
+        |FROM s ORDER BY check_name""".stripMargin,
     "etl_scd2" ->
       s"""WITH dim AS (SELECT c_custkey, c_mktsegment AS segment
         |             FROM customer),

@@ -105,26 +105,28 @@ object StreamQueries extends QueryModule {
   def tsOutliers(s: SparkSession, d: String): DataFrame =
     outliers(Tables.events(s, d))
 
-  /** The z-score body over any (event_id, event_type, value) frame. */
-  def outliers(events: DataFrame): DataFrame = {
-    val e = events.select("event_id", "event_type", "value")
-    val stats = e.groupBy("event_type").agg(
+  /** Per-type exact decimal moments — the "training" aggregate shared
+    * by the batch face and [[Streaming.outlierStream]]'s static side.
+    */
+  def outlierStats(events: DataFrame): DataFrame =
+    events.select("event_type", "value").groupBy("event_type").agg(
       count(lit(1)).as("n"),
       graft.Fp.dsum6(col("value")).as("s"),
       sum((col("value") * col("value")).cast("decimal(27,6)"))
         .cast("double").as("sq"))
-    val mean = col("s") / col("n")
-    // sd > 0 guard: a constant series gives z = 0/0 = NaN, and BOTH
-    // engines order NaN above every number — without the guard every
-    // row of a degenerate series would "outlie"
-    e.join(broadcast(stats), "event_type")
-      .withColumn("sd", sqrt(col("sq") / col("n") - mean * mean))
-      .withColumn("z", (col("value") - mean) / col("sd"))
-      .filter(col("sd") > 0 && abs(col("z")) > 3)
+
+  /** The z-score body over any (event_id, event_type, value) frame.
+    * (sd > 0 guard: a constant series gives z = 0/0 = NaN, and BOTH
+    * engines order NaN above every number — without the guard every
+    * row of a degenerate series would "outlie".)
+    */
+  def outliers(events: DataFrame): DataFrame =
+    Streaming.outlierStream(
+        events.select("event_id", "event_type", "value"),
+        outlierStats(events))
       .select(col("event_id"), col("event_type"), col("value"),
         col("z").cast("decimal(18,6)").cast("double").as("z"))
       .orderBy("event_id")
-  }
 
   /** K22 — time-RANGE window frame: per event, the trailing-30 s
     * count and exact-decimal value sum within its event_type — the
@@ -154,6 +156,38 @@ object StreamQueries extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** K24 — next-event transition matrix (first-order Markov over the
+    * event stream): per-user lag-1 window pairs consecutive events,
+    * then ONE map-side-combinable aggregate counts (from, to) cells
+    * and a window over the O(types²) matrix derives transition
+    * probabilities. The user-journey summary next to [[qFunnel]];
+    * the only event-volume shuffle is the per-user window, and the
+    * probability pass runs on the tiny matrix, never the stream.
+    */
+  def eventTransitions(s: SparkSession, d: String): DataFrame =
+    transitions(Tables.events(s, d))
+
+  /** The transition-matrix body over any (event_id, user_id, ts,
+    * event_type) frame. (event_id tie-breaks equal timestamps so the
+    * pairing is a total order both engines agree on.)
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    val t = events
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy("from_type")
+    t.withColumn("p",
+        col("n").cast("double") / sum("n").over(wTot).cast("double"))
+      .orderBy("from_type", "to_type")
+  }
+
   override def queries: Map[String, Q] = Map(
     "events_windowed" -> (eventsWindowed _),
     "sessionize" -> (sessionizeQ _),
@@ -161,9 +195,23 @@ object StreamQueries extends QueryModule {
     "q_funnel" -> (qFunnel _),
     "retention_cohorts" -> (retentionCohorts _),
     "ts_outliers" -> (tsOutliers _),
-    "q_range_frame" -> (qRangeFrame _))
+    "q_range_frame" -> (qRangeFrame _),
+    "event_transitions" -> (eventTransitions _))
 
   override def oracles: Map[String, String] = Map(
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY epoch_us(ts), event_id)
+        |      AS to_type
+        |  FROM events),
+        |t AS (SELECT event_type AS from_type, to_type, count(*) AS n
+        |      FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
     "ts_outliers" ->
       """WITH s AS (SELECT event_type, count(*) AS n,
         |    CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s,

@@ -189,6 +189,25 @@ object Streaming {
         col("stopword_ratio") <= graft.pipeline.Corpus.MaxStopwordRatio)
       .select("doc_id", "ts", "h", "n_tokens", "stopword_ratio")
 
+  /** J7 — streaming anomaly flags (the streaming face of the batch
+    * ts_outliers): arriving events join a PRECOMPUTED per-type stats
+    * profile (a tiny broadcast stream-static join — the profile comes
+    * from the batch aggregate over history, the standard lambda
+    * split: training moments batch-refreshed, scoring continuous) and
+    * rows beyond `zThreshold` standard deviations flow through in
+    * append mode. Stateless — no watermark or store needed; the
+    * static side pins one broadcast per micro-batch.
+    */
+  def outlierStream(events: DataFrame, stats: DataFrame,
+      zThreshold: Double = 3.0): DataFrame = {
+    val mean = col("s") / col("n")
+    events.join(broadcast(stats), "event_type")
+      .withColumn("sd", sqrt(col("sq") / col("n") - mean * mean))
+      .withColumn("z", (col("value") - mean) / col("sd"))
+      .filter(col("sd") > 0 && abs(col("z")) > zThreshold)
+      .select("event_id", "event_type", "value", "z")
+  }
+
   /** J4 — stream-stream interval join (the streaming face of the
     * batch q_range_join): each click joined to the same user's
     * follow-up events within `windowSec`. Watermarks on BOTH sides

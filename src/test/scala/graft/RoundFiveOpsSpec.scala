@@ -117,6 +117,57 @@ class RoundFiveOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- event_transitions -----------------------------------------
+
+  test("transitions count consecutive pairs per user with probabilities") {
+    val rows = Seq(
+      (1L, 10L, new Timestamp(1000), "view"),
+      (2L, 10L, new Timestamp(2000), "click"),
+      (3L, 10L, new Timestamp(3000), "view"),
+      (4L, 20L, new Timestamp(1000), "view"),
+      (5L, 20L, new Timestamp(2000), "click"),
+      (6L, 30L, new Timestamp(5000), "buy")) // single event: no pair
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = StreamQueries.transitions(rows).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // view->click twice, click->view once; P(view->click)=1,
+    // click splits nothing (only one outgoing)
+    assert(out.toSet == Set(
+      ("click", "view", 1L, 1.0),
+      ("view", "click", 2L, 1.0)))
+  }
+
+  test("transitions tie-break equal timestamps by event_id") {
+    val rows = Seq(
+      (2L, 10L, new Timestamp(1000), "b"),
+      (1L, 10L, new Timestamp(1000), "a"),
+      (3L, 10L, new Timestamp(2000), "c"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = StreamQueries.transitions(rows).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("a", "b"), ("b", "c")))
+  }
+
+  // ---- etl_validate ----------------------------------------------
+
+  test("etl_validate: five constraint rows, qty rule fires, others pass") {
+    val out = graft.etl.EtlQueries.etlValidate(spark, sf).collect()
+    assert(out.length == 5)
+    val byName = out.map(r => r.getAs[String]("check_name") ->
+      ((r.getAs[Long]("n_checked"), r.getAs[Long]("n_violations"),
+        r.getAs[Boolean]("pass")))).toMap
+    val nOrders = graft.sources.Tables.orders(spark, sf).count()
+    val nLines = graft.sources.Tables.lineitem(spark, sf).count()
+    assert(byName("orders.price_nonneg") == ((nOrders, 0L, true)))
+    assert(byName("orders.orderdate_not_null") == ((nOrders, 0L, true)))
+    assert(byName("orders.pk_unique") == ((nOrders, 0L, true)))
+    assert(byName("lineitem.fk_orders") == ((nLines, 0L, true)))
+    // quantities run 1..50 -> the 41..50 tail violates the 1..40 rule
+    val (qn, qv, qp) = byName("lineitem.qty_1_40")
+    assert(qn == nLines && qv > 0 && !qp)
+  }
+
   // ---- semdedup --------------------------------------------------
 
   test("semdedup drops exact-duplicate vectors, keeps the earliest id") {

@@ -224,4 +224,25 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(out == Set((7L, 1, 2000L), (7L, 2, 4000L), (7L, 3, 5000L)))
   }
+
+  test("outlierStream flags only beyond-threshold rows against static stats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static profile: type "m" with mean 10, sd 1 (n=100, s=1000,
+    // sq = sum of v^2 for 100 values at mean 10 sd 1 -> 100*(100+1))
+    val stats = Seq(("m", 100L, 1000.0, 10100.0)).toDF("event_type", "n", "s", "sq")
+    val mem = MemoryStream[Event]
+    val q = Streaming.outlierStream(mem.toDF(), stats)
+      .writeStream.format("memory").queryName("outlier_out")
+      .outputMode("append").start()
+    mem.addData(
+      Event(1, new Timestamp(1000), 1, "m", 10.5),  // z = 0.5
+      Event(2, new Timestamp(2000), 1, "m", 14.0),  // z = 4
+      Event(3, new Timestamp(3000), 2, "x", 99.0))  // no profile -> dropped
+    q.processAllAvailable()
+    val out = spark.table("outlier_out").collect()
+    q.stop()
+    assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(2L))
+    assert(math.abs(out.head.getAs[Double]("z") - 4.0) < 1e-9)
+  }
 }
