@@ -52,7 +52,9 @@ class PlanShapeSpec extends SparkSpec {
       "chatbot_answer", "knn_qint8", "corpus_stats",
       // ann_recall composes knn_brute + knn_lsh, so it inherits their
       // broadcast 5-query-vector cross joins
-      "ann_recall")
+      "ann_recall",
+      // etl_validate crosses its two 1-row per-table audit aggregates
+      "etl_validate")
     val offenders = plans.collect {
       case (name, plan)
           if plan.contains("BroadcastNestedLoopJoin") && !allowed(name) =>
