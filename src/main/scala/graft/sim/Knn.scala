@@ -74,6 +74,29 @@ object Knn {
     topK(withCosine(c.crossJoin(broadcast(q))), k)
   }
 
+  /** G7 — k-NN self-join: EVERY vector retrieves its top-k in-bucket
+    * neighbors (the all-pairs companion to [[lsh]]'s query-set
+    * search — what dedup/graph-construction pipelines run corpus-wide).
+    * The signature frame is eagerly checkpointed ONCE and both join
+    * sides read it, so hyperplane projections aren't recomputed per
+    * branch; the candidate join is a bucket equi-join co-partitioned
+    * on both sides (nothing broadcasts — at 100 TB both sides are the
+    * corpus), pruning ~255/256 of all pairs before the exact re-rank.
+    */
+  def lshJoin(emb: DataFrame, k: Int): DataFrame = {
+    val e = graft.Par.spread(emb)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.normSq("embedding").as("nsq"),
+        lshBucket("embedding").as("bucket"))
+      .localCheckpoint(true)
+    val q = e.select(col("vec_id").as("query_id"),
+      col("embedding").as("eq"), col("nsq").as("nq"), col("bucket"))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ec"), col("nsq").as("nc"), col("bucket"))
+    topK(withCosine(
+      q.join(c, "bucket").filter(col("query_id") =!= col("neighbor_id"))), k)
+  }
+
   /** G2 — LSH-bucketed approximate top-k: candidates share the
     * signature bucket; exact cosine re-rank in bucket.
     */

@@ -20,6 +20,10 @@ object SimQueries extends QueryModule {
   def knnLsh(spark: SparkSession, dir: String): DataFrame =
     Knn.lsh(emb(spark, dir), col("vec_id") < 5, 3)
 
+  /** G7 — corpus-wide k-NN self-join over the LSH buckets. */
+  def knnJoin(spark: SparkSession, dir: String): DataFrame =
+    Knn.lshJoin(emb(spark, dir), 3)
+
   /** G3 — vector ops surface: norm / extrema / dimensionality. */
   def vectorOps(spark: SparkSession, dir: String): DataFrame =
     emb(spark, dir)
@@ -134,6 +138,7 @@ object SimQueries extends QueryModule {
     "vector_ops" -> (vectorOps _),
     "embedding_quantize" -> (embeddingQuantize _),
     "knn_qint8" -> (knnQint8 _),
+    "knn_join" -> (knnJoin _),
     "ann_recall" -> (annRecall _))
 
   /** Shared relational CTEs: per-dimension components + norms. */
@@ -146,7 +151,45 @@ object SimQueries extends QueryModule {
       |       FROM comp GROUP BY vec_id)
       |""".stripMargin
 
+  /** Shared LSH chain (planes → signatures → buckets → in-bucket
+    * candidates → exact re-rank), parameterized by the candidate
+    * predicate — knn_lsh restricts to the query set, knn_join takes
+    * every ordered non-self pair.
+    */
+  private def lshChain(candCond: String) = s""",
+      |planes AS (SELECT h, d,
+      |         (CAST((1103515245 * (h * 64 + d) + 12345) % 2147483647 AS DOUBLE)
+      |          / 2147483647.0) - 0.5 AS pv
+      |       FROM UNNEST(range(0, 8)) u(h), UNNEST(range(0, 64)) v(d)),
+      |sig AS (SELECT vec_id, h,
+      |         CAST(sum(CAST(c.v * p.pv AS DECIMAL(24,12))) AS DOUBLE) AS s
+      |       FROM comp c JOIN planes p ON c.i = p.d + 1 GROUP BY vec_id, h),
+      |buck AS (SELECT vec_id,
+      |         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(h AS INT))
+      |             ELSE 0 END) AS bucket
+      |       FROM sig GROUP BY vec_id),
+      |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      |       FROM buck q JOIN buck c ON q.bucket = c.bucket
+      |         AND $candCond),
+      |dots AS (SELECT cand.query_id, cand.neighbor_id,
+      |         CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
+      |       FROM cand JOIN comp a ON a.vec_id = cand.query_id
+      |                 JOIN comp b ON b.vec_id = cand.neighbor_id AND a.i = b.i
+      |       GROUP BY 1, 2),
+      |scored AS (SELECT query_id, neighbor_id,
+      |         dot / (sqrt(nq.nsq) * sqrt(nc.nsq)) AS cosine
+      |       FROM dots JOIN norms nq ON query_id = nq.vec_id
+      |                 JOIN norms nc ON neighbor_id = nc.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, cosine,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      |       FROM scored)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM ranked
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   override def oracles: Map[String, String] = Map(
+    "knn_join" -> (compCte.stripSuffix("\n") +
+      lshChain("q.vec_id <> c.vec_id")),
     "knn_brute" -> (compCte.stripSuffix("\n") + """,
       |dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |         CAST(sum(CAST(q.v * c.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
@@ -163,36 +206,8 @@ object SimQueries extends QueryModule {
       |       FROM scored)
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM ranked
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
-    "knn_lsh" -> (compCte.stripSuffix("\n") + """,
-      |planes AS (SELECT h, d,
-      |         (CAST((1103515245 * (h * 64 + d) + 12345) % 2147483647 AS DOUBLE)
-      |          / 2147483647.0) - 0.5 AS pv
-      |       FROM UNNEST(range(0, 8)) u(h), UNNEST(range(0, 64)) v(d)),
-      |sig AS (SELECT vec_id, h,
-      |         CAST(sum(CAST(c.v * p.pv AS DECIMAL(24,12))) AS DOUBLE) AS s
-      |       FROM comp c JOIN planes p ON c.i = p.d + 1 GROUP BY vec_id, h),
-      |buck AS (SELECT vec_id,
-      |         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(h AS INT))
-      |             ELSE 0 END) AS bucket
-      |       FROM sig GROUP BY vec_id),
-      |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
-      |       FROM buck q JOIN buck c ON q.bucket = c.bucket
-      |         AND q.vec_id < 5 AND c.vec_id >= 5),
-      |dots AS (SELECT cand.query_id, cand.neighbor_id,
-      |         CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
-      |       FROM cand JOIN comp a ON a.vec_id = cand.query_id
-      |                 JOIN comp b ON b.vec_id = cand.neighbor_id AND a.i = b.i
-      |       GROUP BY 1, 2),
-      |scored AS (SELECT query_id, neighbor_id,
-      |         dot / (sqrt(nq.nsq) * sqrt(nc.nsq)) AS cosine
-      |       FROM dots JOIN norms nq ON query_id = nq.vec_id
-      |                 JOIN norms nc ON neighbor_id = nc.vec_id),
-      |ranked AS (SELECT query_id, neighbor_id, cosine,
-      |         row_number() OVER (PARTITION BY query_id
-      |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
-      |       FROM scored)
-      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM ranked
-      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+    "knn_lsh" -> (compCte.stripSuffix("\n") +
+      lshChain("q.vec_id < 5 AND c.vec_id >= 5")),
     "knn_qint8" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    list_max(list_transform(embedding,

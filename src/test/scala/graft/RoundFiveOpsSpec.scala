@@ -168,6 +168,31 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(qn == nLines && qv > 0 && !qp)
   }
 
+  // ---- knn_join --------------------------------------------------
+
+  test("knn_join: a duplicated vector's top neighbor is its exact copy") {
+    val dim = 40
+    def oneHot(i: Int): Array[Float] =
+      Array.tabulate(dim)(j => if (j == i) 1f else 0f)
+    val emb = ((0 until 40).map(i => (i.toLong, oneHot(i))) ++
+      (0 until 5).map(i => (100L + i, oneHot(i * 3))))
+      .toDF("vec_id", "embedding")
+    val out = graft.sim.Knn.lshJoin(emb, 3).collect()
+    val top1 = out.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))).toMap
+    (0 until 5).foreach { i =>
+      // identical vectors share a bucket and rank each other first
+      assert(top1(100L + i) == ((i * 3L, 1.0)), s"dup ${100 + i}")
+      assert(top1(i * 3L) == ((100L + i, 1.0)), s"orig ${i * 3}")
+    }
+    // ranks are consecutive from 1 within each query
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to rs.length).toSeq)
+    }
+  }
+
   // ---- semdedup --------------------------------------------------
 
   test("semdedup drops exact-duplicate vectors, keeps the earliest id") {
