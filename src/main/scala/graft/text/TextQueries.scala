@@ -108,7 +108,12 @@ object TextQueries extends QueryModule {
         .select("doc_id", "text")), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** H9 — BPE merge induction over the documents corpus. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    Bpe.merges(Tables.documents(spark, dir), "text")
+
   override def queries: Map[String, Q] = Map(
+    "bpe_merges" -> (bpeMerges _),
     "lang_id" -> (langId _),
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
@@ -118,7 +123,40 @@ object TextQueries extends QueryModule {
     "lm_score" -> (lmScore _),
     "token_ids" -> (tokenIds _))
 
+  /** One BPE round: pairs from sN → argmax tN → merged sN+1. */
+  private def bpeRound(n: Int): String = {
+    val (s, t, sn) = (s"s${n - 1}", s"t$n", s"s$n")
+    s"""p$n AS (SELECT arr[CAST(i AS INT)] AS a, arr[CAST(i AS INT) + 1] AS b,
+      |    CAST(sum(freq) AS BIGINT) AS cnt
+      |  FROM (SELECT freq, string_split(substr(syms, 2, length(syms) - 2),
+      |                '&#124;&#124;') AS arr FROM $s) sp,
+      |       UNNEST(range(1, len(arr))) u(i)
+      |  GROUP BY 1, 2),
+      |$t AS (SELECT $n AS merge_no, a, b, a &#124;&#124; b AS merged, cnt
+      |       FROM p$n ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+      |$sn AS (SELECT freq,
+      |    replace(syms, '&#124;' &#124;&#124; t.a &#124;&#124; '&#124;&#124;' &#124;&#124; t.b &#124;&#124; '&#124;',
+      |            '&#124;' &#124;&#124; t.a &#124;&#124; t.b &#124;&#124; '&#124;') AS syms
+      |  FROM $s, $t t)"""
+  }
+
   override def oracles: Map[String, String] = Map(
+    "bpe_merges" ->
+      ("""WITH w AS (SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents)
+        |  WHERE length(w) > 0 AND w NOT LIKE '%&#124;%' GROUP BY w),
+        |s0 AS (SELECT freq,
+        |    '&#124;' &#124;&#124; left(regexp_replace(w, '(.)', '\1&#124;&#124;', 'g'),
+        |                length(regexp_replace(w, '(.)', '\1&#124;&#124;', 'g')) - 1)
+        |      AS syms
+        |  FROM w),
+        |""" + bpeRound(1) + ",\n" + bpeRound(2) + ",\n" + bpeRound(3) + """
+        |SELECT merge_no, a, b, merged, cnt
+        |FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2
+        |      UNION ALL SELECT * FROM t3)
+        |ORDER BY merge_no""")
+        .stripMargin.replace("&#124;", "|"),
     "token_ids" ->
       s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
         |           FROM documents),

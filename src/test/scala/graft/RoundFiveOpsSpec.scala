@@ -168,6 +168,31 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(qn == nLines && qv > 0 && !qp)
   }
 
+  // ---- bpe_merges ------------------------------------------------
+
+  test("bpe merges pick the most frequent pair, then exhaust gracefully") {
+    // words: xx:3, xy:1, y:1
+    // round 1: (x,x)=3 beats (x,y)=1 -> merge "xx"
+    // round 2: only (x,y)=1 remains   -> merge "xy"
+    // round 3: no pairs left          -> no row (both engines agree)
+    val docs = Seq((1L, "xx xx xy"), (2L, "xx y")).toDF("doc_id", "text")
+    val out = graft.text.Bpe.merges(docs, "text").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1, "x", "x", "xx", 3L), (2, "x", "y", "xy", 1L)))
+  }
+
+  test("bpe counts overlapping pairs per occurrence, merges left-to-right") {
+    // word "aaa" freq 2: round 1 counts (a,a) twice per word -> cnt 4,
+    // greedy left-to-right replace yields [aa, a]; round 2 merges
+    // (aa, a) -> "aaa" with cnt 2
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val out = graft.text.Bpe.merges(docs, "text").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1, "a", "a", "aa", 4L), (2, "aa", "a", "aaa", 2L)))
+  }
+
   // ---- knn_join --------------------------------------------------
 
   test("knn_join: a duplicated vector's top neighbor is its exact copy") {
