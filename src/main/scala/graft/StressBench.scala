@@ -123,6 +123,29 @@ object StressBench {
     time("embedding_quantize_x" + mult) {
       graft.sim.SimQueries.embeddingQuantizeFrame(embAmp).count()
     }
+    // map-only fan-out: linear control like embedding_quantize
+    time("doc_chunk_x" + mult) {
+      graft.text.Chunk.chunks(docsAmp, "doc_id", "text").count()
+    }
+    // per-user window + one combinable agg; user ids are offset per
+    // copy so user count scales with mult and time should be ~linear
+    def eventsAmp = (0 until mult).map { i =>
+      graft.sources.Tables.events(spark, sfDir)
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L))
+    }.reduce(_ unionByName _)
+    time("event_transitions_x" + mult) {
+      graft.streaming.StreamQueries.transitions(eventsAmp).count()
+    }
+    // knn_join's in-bucket join is quadratic in bucket OCCUPANCY: the
+    // 8-plane bucket count (256) is a tuning constant, so amplifying
+    // the corpus under a fixed plane count grows buckets linearly and
+    // pair work ~mult² — the honest expectation here. At a real 100 TB
+    // deployment the plane count scales with log(corpus) to pin
+    // occupancy, which this diagnostic deliberately does not do.
+    time("knn_join_x" + mult) {
+      graft.sim.Knn.lshJoin(embAmp, 3).count()
+    }
     time("neardup_clusters_x" + mult) {
       val sh = graft.dedup.Dedup.shingleSets(docsAmp, "doc_id", "text").persist()
       val pairs = graft.dedup.Dedup.jaccardVerify(
