@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Dashboard, Insights}
+import graft.analytics.{Dashboard, EventOps, Insights}
 import graft.dedup.{Clusters, DedupQueries}
 import graft.etl.EtlQueries
 import graft.pipeline.Corpus
@@ -20,7 +20,7 @@ import graft.text.{RagQueries, TextQueries}
   */
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
-    Relational, EtlQueries, Dashboard, Insights,
+    Relational, EtlQueries, Dashboard, Insights, EventOps,
     TextQueries, DedupQueries, SimQueries, RagQueries, ForecastQueries,
     StreamQueries, SqlApi, AsOf, Ivf, Clusters, Corpus)
 

@@ -160,6 +160,43 @@ object Relational extends QueryModule {
       .orderBy("tag", "o_custkey")
   }
 
+  /** K25 — FULL OUTER join: reconcile two activity ledgers (viewers
+    * vs purchasers per user) keeping rows unmatched on either side —
+    * the reconciliation shape finance/data-quality jobs run. Both
+    * inputs are user-level aggregates, so the outer join shuffles
+    * O(users) rows, never the event volume; the `Seq`-key join
+    * coalesces the key exactly like SQL `USING`.
+    */
+  def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(count(lit(1)).as("n_views"))
+    val p = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
+    v.join(p, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        when(col("n_views").isNull, "buy_only")
+          .when(col("n_purchases").isNull, "view_only")
+          .otherwise("both").as("segment"))
+      .orderBy("user_id")
+  }
+
+  /** K26 — LATERAL array explode with position: the leading tokens of
+    * every 25th document as (doc_id, pos, token) rows — the
+    * generator/flatten shape (`posexplode` = `LATERAL unnest WITH
+    * ORDINALITY`). Map-only: the explode runs inside the scan stage
+    * with the position filter applied before anything shuffles.
+    */
+  def qLateral(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .filter(col("pos") < 3)
+      .select(col("doc_id"), col("pos"), col("col").as("token"))
+      .orderBy("doc_id", "pos")
+
   /** K6 — approximate distinct (HLL) + approximate quantiles: the
     * constant-memory path for 100 TB cardinality/percentile questions.
     * No SQL oracle (sketch internals are engine-specific); spec asserts
@@ -185,6 +222,8 @@ object Relational extends QueryModule {
     "cube_agg" -> (cubeAgg _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_set_ops" -> (qSetOps _),
+    "q_full_outer" -> (qFullOuter _),
+    "q_lateral" -> (qLateral _),
     "q_approx" -> (qApprox _))
 
   override def oracles: Map[String, String] = Map(
@@ -258,6 +297,27 @@ object Relational extends QueryModule {
         |                        (l_returnflag), ())
         |ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
         |  l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_full_outer" ->
+      """WITH v AS (SELECT user_id, count(*) AS n_views FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT user_id, count(*) AS n_purchases FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT user_id,
+        |  coalesce(v.n_views, 0) AS n_views,
+        |  coalesce(p.n_purchases, 0) AS n_purchases,
+        |  CASE WHEN v.n_views IS NULL THEN 'buy_only'
+        |       WHEN p.n_purchases IS NULL THEN 'view_only'
+        |       ELSE 'both' END AS segment
+        |FROM v FULL OUTER JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q_lateral" ->
+      """SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, token
+        |FROM (SELECT doc_id, unnest(toks[1:3]) AS token,
+        |        unnest(range(1, CAST(least(3, len(toks)) AS BIGINT) + 1))
+        |          AS i
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |            FROM documents WHERE doc_id % 25 = 0))
+        |ORDER BY doc_id, pos""".stripMargin,
     "q_set_ops" ->
       """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
