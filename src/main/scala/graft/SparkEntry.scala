@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{Dashboard, EventOps, Insights}
-import graft.dedup.{Clusters, DedupQueries}
+import graft.dedup.{Clusters, DedupQueries, Graph}
 import graft.etl.EtlQueries
 import graft.pipeline.Corpus
 import graft.relational.{AsOf, Relational, SqlApi}
@@ -22,7 +22,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational, EtlQueries, Dashboard, Insights, EventOps,
     TextQueries, DedupQueries, SimQueries, RagQueries, ForecastQueries,
-    StreamQueries, SqlApi, AsOf, Ivf, Clusters, Corpus)
+    StreamQueries, SqlApi, AsOf, Ivf, Clusters, Graph, Corpus)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -69,6 +69,24 @@ object RagQueries extends QueryModule {
       .orderBy(desc("n_tokens"), asc("term"))
       .limit(VocabK)
 
+  /** D7 — keyword extraction: each document's top-3 terms by tf-idf
+    * weight (ties broken by term) — the per-doc salient-term view a
+    * RAG pipeline surfaces as tags/metadata. Rides the shared
+    * memoized index; the rank window is pruned map-side by Spark 4's
+    * InferWindowGroupLimit, so no group ever materializes past its
+    * top-3 (the tie column is a string, which the CollectTopK
+    * aggregate's negated-tie heap can't carry).
+    */
+  def keywordExtract(spark: SparkSession, dir: String): DataFrame = {
+    val w = Tfidf.index(Tables.documents(spark, dir), "doc_id", "text")
+      .weights
+    val win = Window.partitionBy("id").orderBy(desc("w"), asc("term"))
+    w.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 3)
+      .select(col("id").as("doc_id"), col("rk"), col("term"), col("w"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** C5 canned questions — one per routing branch
     * (chatbot.py:54-64: "rising"+"gep/urgent" → exact handler,
     * everything else → semantic search).
@@ -105,6 +123,7 @@ object RagQueries extends QueryModule {
     "bm25_topk_docs" -> (bm25TopkDocs _),
     "vocab_topk" -> (vocabTopk _),
     "doc_chunk" -> (docChunk _),
+    "keyword_extract" -> (keywordExtract _),
     "chatbot_answer" -> (chatbotAnswer _))
 
   /** Postings + smooth-idf CTEs over an arbitrary corpus CTE named
@@ -222,6 +241,15 @@ object RagQueries extends QueryModule {
       s"""WITH corpus AS (SELECT doc_id AS id, text AS txt FROM documents),
         |${tfidfCtes("corpus")}
         |SELECT id AS doc_id, term, w FROM w ORDER BY doc_id, term""".stripMargin,
+    "keyword_extract" ->
+      s"""WITH corpus AS (SELECT doc_id AS id, text AS txt FROM documents),
+        |${tfidfCtes("corpus")},
+        |r AS (SELECT id, term, w,
+        |        row_number() OVER (PARTITION BY id
+        |                           ORDER BY w DESC, term ASC) AS rk
+        |      FROM w)
+        |SELECT id AS doc_id, CAST(rk AS INTEGER) AS rk, term, w
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "vocab_topk" ->
       s"""WITH corpus AS (SELECT doc_id AS id, text AS txt FROM documents),
         |${tfidfCtes("corpus")}
