@@ -28,10 +28,16 @@ object EventOps extends QueryModule {
     * window is the only event-volume shuffle and the output is
     * O(channels).
     */
-  def attribution(s: SparkSession, d: String): DataFrame = {
+  def attribution(s: SparkSession, d: String): DataFrame =
+    attributionOf(Tables.events(s, d))
+
+  /** The attribution body over any (user_id, event_id, ts,
+    * event_type) frame.
+    */
+  def attributionOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.events(s, d)
+    events
       .select(col("user_id"), col("event_id"),
         expr("unix_micros(ts)").as("ts_us"), col("event_type"))
       .withColumn("touch",
@@ -54,8 +60,12 @@ object EventOps extends QueryModule {
     * per-group array — the documented exact path; the constant-memory
     * 100 TB variant swaps in `approx_percentile` (K6).
     */
-  def anomalyMad(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d).select("event_id", "event_type", "value")
+  def anomalyMad(s: SparkSession, d: String): DataFrame =
+    anomalyMadOf(Tables.events(s, d))
+
+  /** The MAD body over any (event_id, event_type, value) frame. */
+  def anomalyMadOf(events: DataFrame): DataFrame = {
+    val e = events.select("event_id", "event_type", "value")
     def q6(c: org.apache.spark.sql.Column) =
       c.cast("decimal(18,6)").cast("double")
     val med = e.groupBy("event_type")
@@ -81,7 +91,11 @@ object EventOps extends QueryModule {
     * sliding-frame double sums associate differently across engines
     * (DuckDB's segment tree vs Spark's running fold).
     */
-  def tsDecompose(s: SparkSession, d: String): DataFrame = {
+  def tsDecompose(s: SparkSession, d: String): DataFrame =
+    tsDecomposeOf(Tables.events(s, d))
+
+  /** The decomposition body over any (event_type, ts, value) frame. */
+  def tsDecomposeOf(events: DataFrame): DataFrame = {
     // All arithmetic in exact integer micro-units (value × 10⁶): the
     // moving average and seasonal mean divide 6-dp-exact decimals by
     // small integers, which lands on exact .xxxxxx5 half-boundaries
@@ -92,7 +106,7 @@ object EventOps extends QueryModule {
     // division agree on positives). OFF = 10¹⁶ leaves headroom for
     // hourly micro-sums up to 10¹⁵ without overflowing int64.
     val OFF = "10000000000000000"
-    val hourly = Tables.events(s, d)
+    val hourly = events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg((sum(col("value").cast("decimal(27,6)")) * 1000000)
         .cast("long").as("vm"))

@@ -67,4 +67,24 @@ class DeterminismSpec extends SparkSpec {
     assert(canon(graft.sim.SimQueries.embeddingQuantizeFrame(emb)) ==
       canon(graft.sim.SimQueries.embeddingQuantizeFrame(emb.repartition(3))))
   }
+
+  test("session-3 ops identical under repartitioned inputs") {
+    import graft.analytics.EventOps
+    val ev = graft.sources.Tables.events(spark, sf)
+    val ev7 = ev.repartition(7)
+    assert(canon(EventOps.attributionOf(ev)) ==
+      canon(EventOps.attributionOf(ev7)))
+    assert(canon(EventOps.anomalyMadOf(ev)) ==
+      canon(EventOps.anomalyMadOf(ev7)))
+    // the integer micro-unit decomposition is the op where the
+    // order-independence claim is doing real work (window sums +
+    // two rational divisions per row)
+    assert(canon(EventOps.tsDecomposeOf(ev)) ==
+      canon(EventOps.tsDecomposeOf(ev7)))
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (3L, 4L, 0.6),
+      (10L, 11L, 0.7)).toDF("doc_a", "doc_b", "jaccard")
+    assert(canon(graft.dedup.Graph.pagerankOf(pairs)) ==
+      canon(graft.dedup.Graph.pagerankOf(pairs.repartition(5))))
+  }
 }

@@ -120,4 +120,43 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.streaming.StreamQueries.cohorts(
       empty.select("user_id", "ts")).count() == 0)
   }
+
+  test("MAD outliers emit nothing for constant or empty streams") {
+    import spark.implicits._
+    import graft.analytics.EventOps
+    // constant series: mad = 0 -> guard suppresses every row (no
+    // divide-by-zero, no NaN ordering surprises)
+    val const = (1L to 20L).map(i => (i, "x", 5.0))
+      .toDF("event_id", "event_type", "value")
+    assert(EventOps.anomalyMadOf(const).count() == 0)
+    val empty = Seq.empty[(Long, String, Double)]
+      .toDF("event_id", "event_type", "value")
+    assert(EventOps.anomalyMadOf(empty).count() == 0)
+  }
+
+  test("ts_decompose needs 24 points before emitting anything") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 10 hourly points < 24-window -> no full window, empty result
+    val few = (0 until 10).map { i =>
+      ("x", new Timestamp(i * 3600L * 1000L), 1.0 + i)
+    }.toDF("event_type", "ts", "value")
+    assert(graft.analytics.EventOps.tsDecomposeOf(few).count() == 0)
+  }
+
+  test("graph ops survive an empty pair set") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long, Double)]
+      .toDF("doc_a", "doc_b", "jaccard")
+    assert(graft.dedup.Graph.degreeOf(none).count() == 0)
+    assert(graft.dedup.Graph.pagerankOf(none).count() == 0)
+  }
+
+  test("attribution with no purchases yields no conversions") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val e = Seq((1L, 1L, "view", new Timestamp(1000L)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    assert(graft.analytics.EventOps.attributionOf(e).count() == 0)
+  }
 }
