@@ -132,7 +132,69 @@ object SimQueries extends QueryModule {
       .orderBy("query_id")
   }
 
+  /** G8 — per-class centroid + inertia over the labeled embedding
+    * corpus: the cluster-quality profile (and the building block of
+    * anything KMeans-shaped). One explode + ONE combinable aggregate
+    * per (label, dim) for the centroids, one join-back + aggregate
+    * for the inertia — both linear, shuffling O(labels × dims)
+    * summary rows, never vectors against vectors. Centroid = exact
+    * decimal component sum (one double) / count — a single double
+    * division both engines compute identically, so no quantization
+    * is needed; the inertia reduction uses the standard
+    * DECIMAL(24,12) term quantization.
+    */
+  def embeddingCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val comp = graft.Par.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("i"),
+        col("col").cast("double").as("v"))
+    // Quantization scales are chosen so DuckDB's double-arithmetic
+    // decimal cast cannot flip a rounding: at scale 12 the scaled
+    // component (v·10¹² ≈ 10¹¹) carries ~3e-5 units of double error —
+    // enough to cross a .5 boundary once in ~30k terms — while at
+    // scale 6/8 the error sits 6+ orders below the grid. (Exact .5
+    // ties are impossible: a binary fraction never equals
+    // (2a+1)/(2·10^k).)
+    val cent = comp.groupBy("label", "i")
+      .agg((expr("cast(sum(cast(v as decimal(18,6))) as double)")
+        / count(lit(1))).as("c"),
+        count(lit(1)).as("n_vecs"))
+    val inertia = comp.join(cent.select("label", "i", "c"), Seq("label", "i"))
+      .groupBy("label")
+      .agg(expr(
+        "cast(sum(cast((v - c) * (v - c) as decimal(24,8))) as double)")
+        .as("inertia"))
+    cent.join(broadcast(inertia), "label")
+      .select(col("label"), col("n_vecs"), col("i").as("dim"),
+        col("c"), col("inertia"))
+      .orderBy("label", "dim")
+  }
+
+  /** G9 — k-NN classification: each query vector takes the majority
+    * label of its top-3 exact neighbors (ties to the smaller label) —
+    * the eval loop an embedding store runs to sanity-check that
+    * neighborhoods respect labels. The vote runs on the top-k output
+    * (queries × k rows), so it is free next to the search.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("label"))
+    val votes = knnBrute(spark, dir)
+      .join(broadcast(labels), "neighbor_id")
+      .groupBy("query_id", "label")
+      .agg(count(lit(1)).as("votes"))
+    votes.groupBy("query_id")
+      .agg(max_by(struct(col("label"), col("votes")),
+        struct(col("votes"), -col("label"))).as("win"))
+      .select(col("query_id"), col("win.label").as("pred_label"),
+        col("win.votes").as("votes"))
+      .orderBy("query_id")
+  }
+
   override def queries: Map[String, Q] = Map(
+    "embedding_centroids" -> (embeddingCentroids _),
+    "knn_classify" -> (knnClassify _),
     "knn_brute" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
     "vector_ops" -> (vectorOps _),
@@ -187,10 +249,10 @@ object SimQueries extends QueryModule {
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM ranked
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
-  override def oracles: Map[String, String] = Map(
-    "knn_join" -> (compCte.stripSuffix("\n") +
-      lshChain("q.vec_id <> c.vec_id")),
-    "knn_brute" -> (compCte.stripSuffix("\n") + """,
+  /** The brute-force ranked chain without its final projection —
+    * shared by knn_brute and the knn_classify vote.
+    */
+  private val bruteRanked = compCte.stripSuffix("\n") + """,
       |dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |         CAST(sum(CAST(q.v * c.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
       |       FROM comp q JOIN comp c ON q.i = c.i
@@ -203,9 +265,43 @@ object SimQueries extends QueryModule {
       |ranked AS (SELECT query_id, neighbor_id, cosine,
       |         row_number() OVER (PARTITION BY query_id
       |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
-      |       FROM scored)
+      |       FROM scored)""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "knn_join" -> (compCte.stripSuffix("\n") +
+      lshChain("q.vec_id <> c.vec_id")),
+    "knn_brute" -> (bruteRanked + """
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM ranked
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+    "knn_classify" -> (bruteRanked + """,
+      |v AS (SELECT r.query_id, e.label, count(*) AS votes
+      |      FROM ranked r JOIN embeddings e ON r.neighbor_id = e.vec_id
+      |      WHERE r.rank <= 3 GROUP BY 1, 2),
+      |w AS (SELECT query_id, label, votes,
+      |        row_number() OVER (PARTITION BY query_id
+      |                           ORDER BY votes DESC, label ASC) AS rn
+      |      FROM v)
+      |SELECT query_id, label AS pred_label, votes
+      |FROM w WHERE rn = 1 ORDER BY query_id""".stripMargin),
+    "embedding_centroids" ->
+      """WITH comp AS (SELECT vec_id, label, CAST(i AS INT) AS i,
+        |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+        |       FROM embeddings, UNNEST(range(1, 65)) u(i)),
+        |cent AS (SELECT label, i,
+        |         CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |           AS c,
+        |         count(*) AS n_vecs
+        |       FROM comp GROUP BY 1, 2),
+        |inert AS (SELECT comp.label,
+        |         CAST(sum(CAST((v - c) * (v - c) AS DECIMAL(24,8)))
+        |              AS DOUBLE) AS inertia
+        |       FROM comp JOIN cent
+        |         ON comp.label = cent.label AND comp.i = cent.i
+        |       GROUP BY 1)
+        |SELECT cent.label, cent.n_vecs, cent.i AS dim, cent.c,
+        |  inert.inertia
+        |FROM cent JOIN inert ON cent.label = inert.label
+        |ORDER BY cent.label, dim""".stripMargin,
     "knn_lsh" -> (compCte.stripSuffix("\n") +
       lshChain("q.vec_id < 5 AND c.vec_id >= 5")),
     "knn_qint8" ->

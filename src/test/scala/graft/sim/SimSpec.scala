@@ -127,4 +127,44 @@ class SimSpec extends SparkSpec {
         r.getAs[Double]("recall_at_k") <= 1.0)
     }
   }
+
+  test("embedding_centroids: 64 dims per label, local mean check") {
+    val rows = SimQueries.embeddingCentroids(spark, sf).collect()
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    byLabel.values.foreach { rs =>
+      assert(rs.length == 64)
+      assert(rs.map(_.getAs[Long]("n_vecs")).toSet.size == 1)
+      assert(rs.map(_.getAs[Double]("inertia")).toSet.size == 1)
+      assert(rs.head.getAs[Double]("inertia") > 0)
+    }
+    // spot-check one centroid component against a local computation
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+    val l0 = byLabel.keys.head
+    val vs = emb.filter(_.getInt(0) == l0)
+      .map(_.getSeq[Float](1).head.toDouble)
+    val exp = vs.map(v => BigDecimal(v).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / vs.length
+    val got = byLabel(l0).find(_.getAs[Int]("dim") == 1).get
+      .getAs[Double]("c")
+    assert(got == exp, s"label $l0 dim 1: $got vs $exp")
+  }
+
+  test("knn_classify takes the majority label of the top-3 neighbors") {
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val knn = SimQueries.knnBrute(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    val got = SimQueries.knnClassify(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("query_id")).toSet == knn.keySet)
+    got.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val votes = knn(q).map(n => labels(n.getAs[Long]("neighbor_id")))
+        .groupBy(identity).view.mapValues(_.length)
+      val best = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      assert(r.getAs[Int]("pred_label") == best._1)
+      assert(r.getAs[Long]("votes") == best._2.toLong)
+    }
+  }
 }
