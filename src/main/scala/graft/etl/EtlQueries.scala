@@ -119,6 +119,37 @@ object EtlQueries extends QueryModule {
       .orderBy("c_custkey", "valid_from")
   }
 
+  /** A11 — incremental aggregate maintenance (materialized-view
+    * refresh): the standing summary table absorbs a new batch by
+    * merging PARTIAL aggregates — sum/count re-aggregate, derived
+    * columns (avg) recompute from the merged state — instead of
+    * rescanning history. The md5-coin splits orders into standing
+    * (80%) vs arriving (20%); the oracle is the full one-pass
+    * aggregate, so the gate verifies the merge algebra reproduces the
+    * full recompute BIT-EXACTLY (decimal partials are
+    * order-independent, which is precisely what makes them mergeable
+    * across refresh boundaries at 100 TB).
+    */
+  def etlIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("yr", year(col("o_orderdate")))
+      .withColumn("is_new", expr(
+        """cast(conv(substring(md5(concat('inc|', cast(o_orderkey as string))),
+          |  1, 8), 16, 10) as bigint) % 5 = 0""".stripMargin))
+    def partials(df: DataFrame) = df.groupBy("o_orderpriority", "yr")
+      .agg(sum(col("o_totalprice").cast("decimal(27,6)")).as("s"),
+        count(lit(1)).as("n"))
+    partials(o.filter(!col("is_new")))
+      .unionByName(partials(o.filter(col("is_new"))))
+      .groupBy("o_orderpriority", "yr")
+      .agg(sum("s").as("s"), sum("n").as("n_orders"))
+      .select(col("o_orderpriority"), col("yr"),
+        col("s").cast("decimal(38,2)").cast("double").as("sum_price"),
+        col("n_orders"),
+        (col("s").cast("double") / col("n_orders")).as("avg_price"))
+      .orderBy("o_orderpriority", "yr")
+  }
+
   /** A10 — data-quality constraint audit (the dbt-test /
     * expectations shape a 100 TB warehouse runs on every load):
     * null / range / uniqueness checks fold into ONE aggregate per
@@ -173,9 +204,18 @@ object EtlQueries extends QueryModule {
     "etl_load_modes" -> (etlLoadModes _),
     "etl_scd2" -> (etlScd2 _),
     "etl_validate" -> (etlValidate _),
+    "etl_incremental_agg" -> (etlIncrementalAgg _),
     "etl_observations" -> (etlObservations _))
 
   override def oracles: Map[String, String] = Map(
+    "etl_incremental_agg" ->
+      s"""SELECT o_orderpriority,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  ${graft.Fp.sqlSum2("o_totalprice")} AS sum_price,
+        |  count(*) AS n_orders,
+        |  ${graft.Fp.sqlSum6("o_totalprice")} / count(*) AS avg_price
+        |FROM orders
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "etl_validate" ->
       """WITH o AS (SELECT count(*) AS n_o,
         |    CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)

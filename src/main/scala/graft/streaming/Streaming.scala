@@ -166,6 +166,49 @@ object Streaming {
       }
   }
 
+  case class TouchState(touch: String, atMs: Long)
+  case class AttribOut(user_id: Long, purchase_ms: Long,
+      touch_type: String)
+
+  /** J8 — streaming face of the last-touch attribution query
+    * ([[graft.analytics.EventOps.attribution]]): per-user state holds
+    * only the most recent non-purchase touch (ONE tiny row per user,
+    * not the event history); a purchase emits its credited channel
+    * immediately in append mode. State expires via event-time timeout
+    * once the attribution window passes the last touch — the same
+    * bounded-state discipline as the session gap and funnel windows.
+    */
+  def attributionStream(events: Dataset[Event], windowMs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[AttribOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[TouchState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[AttribOut]
+            sorted.foreach { e =>
+              if (e.event_type == "purchase")
+                out += AttribOut(user, e.ts.getTime,
+                  if (st == null) "(direct)" else st.touch)
+              else st = TouchState(e.event_type, e.ts.getTime)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.atMs + windowMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** J3 — streaming dedup by key within the watermark horizon. */
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")

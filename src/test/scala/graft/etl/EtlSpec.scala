@@ -82,4 +82,21 @@ class EtlSpec extends SparkSpec {
     assert(o.count() == o.select("geo", "indicator", "year").distinct().count())
     assert(o.filter(col("value") <= 0).count() == 0)
   }
+
+  test("etl_incremental_agg merge equals the one-pass full aggregate") {
+    import graft.Fp
+    val merged = EtlQueries.etlIncrementalAgg(spark, sf).collect()
+    val full = graft.sources.Tables.orders(spark, sf)
+      .withColumn("yr", year(col("o_orderdate")))
+      .groupBy("o_orderpriority", "yr")
+      .agg(Fp.dsum2(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n_orders"),
+        (sum(col("o_totalprice").cast("decimal(27,6)")).cast("double")
+          / count(lit(1))).as("avg_price"))
+      .orderBy("o_orderpriority", "yr")
+      .select("o_orderpriority", "yr", "sum_price", "n_orders", "avg_price")
+      .collect()
+    assert(merged.map(_.toString).toSeq == full.map(_.toString).toSeq,
+      "partial-aggregate merge must reproduce the full recompute exactly")
+  }
 }

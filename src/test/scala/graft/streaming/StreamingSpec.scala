@@ -225,6 +225,31 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((7L, 1, 2000L), (7L, 2, 4000L), (7L, 3, 5000L)))
   }
 
+  test("attributionStream credits the latest touch and keeps one-row state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.attributionStream(mem.toDS(), windowMs = 3600000L)
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    mem.addData(
+      Event(1, new Timestamp(1000), 7, "view", 1.0),
+      Event(2, new Timestamp(2000), 7, "click", 1.0),
+      Event(3, new Timestamp(3000), 7, "purchase", 1.0), // -> click
+      Event(4, new Timestamp(1000), 8, "purchase", 1.0)) // -> (direct)
+    q.processAllAvailable()
+    // user 7's touch state persists across batches: a second purchase
+    // still credits the click
+    mem.addData(Event(5, new Timestamp(9000), 7, "purchase", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("attrib_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_ms"),
+        r.getAs[String]("touch_type"))).toSet
+    q.stop()
+    assert(out == Set((7L, 3000L, "click"), (8L, 1000L, "(direct)"),
+      (7L, 9000L, "click")))
+  }
+
   test("outlierStream flags only beyond-threshold rows against static stats") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
