@@ -137,6 +137,40 @@ object StressBench {
     time("event_transitions_x" + mult) {
       graft.streaming.StreamQueries.transitions(eventsAmp).count()
     }
+    // one per-user window + O(channels) output: linear
+    time("attribution_x" + mult) {
+      graft.analytics.EventOps.attributionOf(eventsAmp).count()
+    }
+    // exact grouped percentiles gather per-(type) arrays — the
+    // documented gather path; time should track the sort of
+    // mult × values per type (~linearithmic)
+    time("anomaly_mad_x" + mult) {
+      graft.analytics.EventOps.anomalyMadOf(eventsAmp).count()
+    }
+    // event-volume work is ONE hourly aggregate; the window/seasonal
+    // passes run on the O(types×hours) series, which amplification
+    // does NOT grow (copies share the time range) — expect time ≈ the
+    // hourly aggregate's linear cost
+    time("ts_decompose_x" + mult) {
+      graft.analytics.EventOps.tsDecomposeOf(eventsAmp).count()
+    }
+    // explode + combinable agg over (labels × dims): linear scan,
+    // constant-size shuffle
+    time("embedding_centroids_x" + mult) {
+      graft.sim.SimQueries.centroidsOf(embAmp).count()
+    }
+    // cross-copy pairs are zero (letter substitution), so the graph
+    // grows linearly and PageRank's per-round join/agg should too;
+    // rounds are fixed at 10 regardless of mult
+    time("pagerank_x" + mult) {
+      val sh = graft.dedup.Dedup.shingleSets(docsAmp, "doc_id", "text").persist()
+      val pairs = graft.dedup.Dedup.jaccardVerify(
+        graft.dedup.Dedup.bucketPairs(graft.dedup.Dedup.minhashBuckets(sh)),
+        sh, 0.5)
+      val n = graft.dedup.Graph.pagerankOf(pairs).count()
+      sh.unpersist()
+      n
+    }
     // knn_join's in-bucket join is quadratic in bucket OCCUPANCY: the
     // 8-plane bucket count (256) is a tuning constant, so amplifying
     // the corpus under a fixed plane count grows buckets linearly and

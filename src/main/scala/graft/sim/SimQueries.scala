@@ -143,8 +143,12 @@ object SimQueries extends QueryModule {
     * is needed; the inertia reduction uses the standard
     * DECIMAL(24,12) term quantization.
     */
-  def embeddingCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val comp = graft.Par.spread(Tables.embeddings(spark, dir))
+  def embeddingCentroids(spark: SparkSession, dir: String): DataFrame =
+    centroidsOf(Tables.embeddings(spark, dir))
+
+  /** The centroid body over any (vec_id, embedding, label) frame. */
+  def centroidsOf(e: DataFrame): DataFrame = {
+    val comp = graft.Par.spread(e)
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")))
       .select(col("vec_id"), col("label"), (col("pos") + 1).as("i"),

@@ -54,7 +54,10 @@ class PlanShapeSpec extends SparkSpec {
       // broadcast 5-query-vector cross joins
       "ann_recall",
       // etl_validate crosses its two 1-row per-table audit aggregates
-      "etl_validate")
+      "etl_validate",
+      // knn_classify votes over knn_brute's output, so it inherits
+      // the broadcast 5-query-vector cross join
+      "knn_classify")
     val offenders = plans.collect {
       case (name, plan)
           if plan.contains("BroadcastNestedLoopJoin") && !allowed(name) =>
