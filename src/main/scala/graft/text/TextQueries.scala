@@ -112,7 +112,51 @@ object TextQueries extends QueryModule {
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     Bpe.merges(Tables.documents(spark, dir), "text")
 
+  /** H10 — fuzzy matching by edit distance (spell-correction /
+    * entity-resolution primitive): corrupted probe tokens (3rd char
+    * dropped from every ≥5-char vocabulary word — deterministic, so
+    * both engines derive the same probe set) resolve to their nearest
+    * dictionary word. The naive form is probe×dict with a levenshtein
+    * on every pair; here candidates come from an EQUI-join on
+    * (first-char, length) blocks — the probe side explodes onto its
+    * three reachable length cells (edit distance ≤ 2 with a shared
+    * first char bounds the length delta) — so no cartesian node
+    * exists at any dictionary size, the classic blocking trick of
+    * record linkage. Best match = `min(struct(dist, word))`, the
+    * deterministic tie-break.
+    */
+  def fuzzyMatch(spark: SparkSession, dir: String): DataFrame =
+    fuzzyMatchOf(Tables.documents(spark, dir))
+
+  /** The fuzzy-match body over any frame with a `text` column. */
+  def fuzzyMatchOf(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    val dict = words.select(col("w").as("dw"))
+      .withColumn("c1", substring(col("dw"), 1, 1))
+      .withColumn("blen", length(col("dw")))
+    val probes = words.filter(length(col("w")) >= 5)
+      .select(concat(substring(col("w"), 1, 2), expr("substring(w, 4)"))
+        .as("probe"))
+      .distinct()
+    probes
+      .withColumn("c1", substring(col("probe"), 1, 1))
+      .withColumn("plen", length(col("probe")))
+      .withColumn("blen", explode(array(col("plen") - 1, col("plen"),
+        col("plen") + 1)))
+      .join(dict, Seq("c1", "blen"))
+      .withColumn("dist", levenshtein(col("probe"), col("dw")))
+      .filter(col("dist") <= 2)
+      .groupBy("probe")
+      .agg(min(struct(col("dist"), col("dw"))).as("m"))
+      .select(col("probe"), col("m.dw").as("matched"),
+        col("m.dist").as("dist"))
+      .orderBy("probe")
+  }
+
   override def queries: Map[String, Q] = Map(
+    "fuzzy_match" -> (fuzzyMatch _),
     "bpe_merges" -> (bpeMerges _),
     "lang_id" -> (langId _),
     "text_quality" -> (textQuality _),
@@ -141,6 +185,27 @@ object TextQueries extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "fuzzy_match" ->
+      """WITH words AS (SELECT DISTINCT w
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE len(w) > 0),
+        |probes AS (SELECT DISTINCT substr(w, 1, 2) || substr(w, 4)
+        |             AS probe
+        |           FROM words WHERE len(w) >= 5),
+        |cand AS (SELECT p.probe, d.w AS dw,
+        |           levenshtein(p.probe, d.w) AS dist
+        |         FROM probes p JOIN words d
+        |           ON substr(d.w, 1, 1) = substr(p.probe, 1, 1)
+        |          AND len(d.w)
+        |              BETWEEN len(p.probe) - 1 AND len(p.probe) + 1
+        |         WHERE levenshtein(p.probe, d.w) <= 2),
+        |r AS (SELECT probe, dw, dist,
+        |        row_number() OVER (PARTITION BY probe
+        |                           ORDER BY dist, dw) AS rn
+        |      FROM cand)
+        |SELECT probe, dw AS matched, CAST(dist AS INTEGER) AS dist
+        |FROM r WHERE rn = 1 ORDER BY probe""".stripMargin,
     "bpe_merges" ->
       ("""WITH w AS (SELECT w, count(*) AS freq FROM (
         |    SELECT unnest(string_split(lower(text), ' ')) AS w

@@ -148,4 +148,18 @@ class TextSpec extends SparkSpec {
       assert(r.getAs[String]("ids_csv") == ids.mkString(","), s"doc $id")
     }
   }
+
+  test("fuzzy_match resolves corrupted probes to their source word") {
+    import spark.implicits._
+    val docs = Seq((1L, "window filter aggregate shuffle xx"))
+      .toDF("doc_id", "text")
+    val rows = TextQueries.fuzzyMatchOf(docs).collect()
+      .map(r => r.getAs[String]("probe") ->
+        (r.getAs[String]("matched"), r.getAs[Int]("dist"))).toMap
+    // each probe drops the 3rd char; the source word is one insertion
+    // away and shares the first char, so it must win with dist 1
+    assert(rows == Map(
+      "widow" -> ("window", 1), "fiter" -> ("filter", 1),
+      "agregate" -> ("aggregate", 1), "shffle" -> ("shuffle", 1)))
+  }
 }
