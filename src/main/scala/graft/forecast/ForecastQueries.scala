@@ -43,7 +43,52 @@ object ForecastQueries extends QueryModule {
     Forecast.forecastSeries(obs(s, d))
       .orderBy("geo", "indicator", "year", "type")
 
+  /** E10 — closed-form per-series OLS trend (slope, level, r²) from
+    * ONE combinable aggregate: the proper least-squares counterpart
+    * to C1's endpoint slope, and the textbook "ML as aggregation"
+    * shape — at 100 TB a model per series costs exactly one shuffle
+    * of six partial sums.
+    *
+    * Magnitude hygiene (cross-engine exactness): x is centered
+    * (year−1998, |x|≤4) and y scaled to millions, so every per-row
+    * decimal cast sits at magnitudes where DuckDB's double-arithmetic
+    * cast cannot misround (≤1e9 in grid units), and every aggregate
+    * sum stays below 2^53 when cast back to double — the final
+    * slope/level/r² arithmetic is then identical double ops both
+    * sides, no output quantization needed.
+    */
+  def olsTrend(s: SparkSession, d: String): DataFrame = {
+    val pre = obs(s, d).select(col("geo"), col("indicator"),
+      (col("year") - 1998).cast("long").as("x"),
+      (col("value") / 1000000).as("y"))
+    pre.groupBy("geo", "indicator")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        expr("cast(sum(cast(y as decimal(27,6))) as double)").as("sy"),
+        expr("cast(sum(cast(x * y as decimal(27,6))) as double)").as("sxy"),
+        expr("cast(sum(cast(y * y as decimal(27,6))) as double)").as("syy"))
+      .filter(col("n") >= 3 &&
+        col("n") * col("sxx") - col("sx") * col("sx") > 0)
+      .withColumn("dx",
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("num",
+        col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("slope_m_per_year", col("num") / col("dx"))
+      .withColumn("level_1998_m",
+        (col("sy") - col("slope_m_per_year") * col("sx")) / col("n"))
+      .withColumn("dy",
+        col("n").cast("double") * col("syy") - col("sy") * col("sy"))
+      .withColumn("r2",
+        when(col("dy") > 0, col("num") * col("num")
+          / (col("dx") * col("dy"))))
+      .select("geo", "indicator", "n", "slope_m_per_year",
+        "level_1998_m", "r2")
+      .orderBy("geo", "indicator")
+  }
+
   override def queries: Map[String, Q] = Map(
+    "ols_trend" -> (olsTrend _),
     "gap_fill" -> (gapFill _),
     "lag_features" -> (lagFeatures _),
     "train_test_split" -> (trainTestSplit _),
@@ -140,6 +185,27 @@ object ForecastQueries extends QueryModule {
         |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |ORDER BY geo, indicator, year""".stripMargin),
     "holt_forecast" -> holtForecastSql,
+    "ols_trend" -> (cte +
+      """, pre AS (SELECT geo, indicator,
+        |    CAST(year - 1998 AS BIGINT) AS x,
+        |    value / 1000000 AS y
+        |  FROM observations),
+        |s AS (SELECT geo, indicator, count(*) AS n,
+        |    sum(x) AS sx, sum(x * x) AS sxx,
+        |    CAST(sum(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(y * y AS DECIMAL(27,6))) AS DOUBLE) AS syy
+        |  FROM pre GROUP BY 1, 2),
+        |d AS (SELECT *,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS dy
+        |  FROM s WHERE n >= 3 AND n * sxx - sx * sx > 0)
+        |SELECT geo, indicator, n,
+        |  num / dx AS slope_m_per_year,
+        |  (sy - (num / dx) * sx) / n AS level_1998_m,
+        |  CASE WHEN dy > 0 THEN num * num / (dx * dy) END AS r2
+        |FROM d ORDER BY geo, indicator""".stripMargin),
     "lag_features" -> (cte +
       """SELECT geo, indicator, year, value,
         |  lag(value, 1) OVER w AS lag1,

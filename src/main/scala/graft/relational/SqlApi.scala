@@ -149,7 +149,32 @@ object SqlApi extends QueryModule {
         max(col("o_totalprice")).as("max_price"))
       .orderBy("bin")
 
+  /** K30 — recursive CTE (Spark 4's WITH RECURSIVE): walk a synthetic
+    * reports-to hierarchy (parent = key div 2, a binary tree over
+    * customers) from each leaf to the root, aggregating the chain —
+    * the org-chart / BOM-rollup query shape warehouses run. The
+    * recursion depth is log₂(keys) regardless of table size; each
+    * step is one co-partitioned self-join of the frontier, which is
+    * exactly how the iterative dedup/PageRank loops are shaped when
+    * the engine's own recursion planner runs them.
+    */
+  def qRecursive(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """WITH RECURSIVE anc(start_key, cur, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer_v
+        |  WHERE c_custkey <= 100
+        |  UNION ALL
+        |  SELECT start_key, cur div 2, depth + 1 FROM anc WHERE cur > 1)
+        |SELECT start_key,
+        |  CAST(max(depth) AS INT) AS depth_to_root,
+        |  CAST(sum(cur) AS BIGINT) AS chain_sum,
+        |  count(*) AS chain_len
+        |FROM anc GROUP BY start_key ORDER BY start_key""".stripMargin)
+  }
+
   override def queries: Map[String, Q] = Map(
+    "q_recursive" -> (qRecursive _),
     "q_sql_api" -> (qSqlApi _),
     "q_histogram" -> (qHistogram _),
     "q_corr_subquery" -> (qCorrSubquery _),
@@ -160,6 +185,17 @@ object SqlApi extends QueryModule {
     "q_unpivot" -> (qUnpivot _))
 
   override def oracles: Map[String, String] = Map(
+    "q_recursive" ->
+      """WITH RECURSIVE anc(start_key, cur, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  WHERE c_custkey <= 100
+        |  UNION ALL
+        |  SELECT start_key, cur // 2, depth + 1 FROM anc WHERE cur > 1)
+        |SELECT start_key,
+        |  CAST(max(depth) AS INTEGER) AS depth_to_root,
+        |  CAST(sum(cur) AS BIGINT) AS chain_sum,
+        |  count(*) AS chain_len
+        |FROM anc GROUP BY start_key ORDER BY start_key""".stripMargin,
     "q_histogram" ->
       s"""SELECT CAST(floor(o_totalprice / 20000) AS INT) AS bin,
         |  count(*) AS n,

@@ -195,4 +195,27 @@ class ForecastSpec extends SparkSpec {
     assert(filled.filter(col("is_filled")).count() ==
       filled.count() - panel.count())
   }
+
+  test("ols_trend matches a plain-Scala least-squares replay") {
+    val rows = ForecastQueries.olsTrend(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val panel = graft.etl.Observations.panel(spark, sf)
+      .select("geo", "indicator", "year", "value").collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+    rows.take(10).foreach { r =>
+      val key = (r.getAs[String]("geo"), r.getAs[String]("indicator"))
+      val pts = panel(key).map(p =>
+        ((p.getAs[Int]("year") - 1998).toDouble,
+          p.getAs[Double]("value") / 1000000))
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(r.getAs[Double]("slope_m_per_year") - slope)
+        < 1e-6 * math.max(1.0, math.abs(slope)), s"$key")
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12)
+    }
+  }
 }

@@ -103,4 +103,18 @@ class RelationalSpec extends SparkSpec {
       assert(math.abs(approx(k) - ex).toDouble / ex < 0.05)
     }
   }
+
+  test("q_recursive walks the halving chain to the root") {
+    val rows = SqlApi.qRecursive(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("start_key")
+      // local replay of the recursion
+      var (cur, depth, sum) = (k, 0, k)
+      while (cur > 1) { cur /= 2; depth += 1; sum += cur }
+      assert(r.getAs[Int]("depth_to_root") == depth, s"key $k")
+      assert(r.getAs[Long]("chain_sum") == sum)
+      assert(r.getAs[Long]("chain_len") == depth + 1L)
+    }
+  }
 }
