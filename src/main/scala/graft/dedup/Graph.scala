@@ -70,8 +70,11 @@ object Graph extends QueryModule {
     var pr = deg.crossJoin(nn)
       .select(col("src").as("doc_id"),
         expr(s"cast($Scale as bigint) div n").as("pr"))
-      .localCheckpoint(true)
-    for (_ <- 1 to Iters) {
+    // Each round is consumed exactly ONCE by the next (single-branch
+    // lineage), so unlike the CC loop no per-round action is needed —
+    // only periodic checkpoints so neither lineage depth nor
+    // optimizer time grows with the round count.
+    for (i <- 1 to Iters) {
       pr = edges
         .join(pr.withColumnRenamed("doc_id", "src"), "src")
         .join(deg, "src")
@@ -82,7 +85,7 @@ object Graph extends QueryModule {
         .select(col("doc_id"),
           expr(s"(3 * cast($Scale as bigint)) div (20 * n)" +
             " + (17 * s) div 20").as("pr"))
-        .localCheckpoint(true)
+      if (i % 4 == 0) pr = pr.localCheckpoint(true)
     }
     pr.join(deg.select(col("src").as("doc_id"), col("deg").as("degree")),
         "doc_id")
