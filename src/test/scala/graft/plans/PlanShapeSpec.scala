@@ -57,7 +57,10 @@ class PlanShapeSpec extends SparkSpec {
       "etl_validate",
       // knn_classify votes over knn_brute's output, so it inherits
       // the broadcast 5-query-vector cross join
-      "knn_classify")
+      "knn_classify",
+      // pagerank crosses each round with its broadcast 1-row node
+      // count (visible for the rounds since the last checkpoint)
+      "pagerank")
     val offenders = plans.collect {
       case (name, plan)
           if plan.contains("BroadcastNestedLoopJoin") && !allowed(name) =>
