@@ -173,7 +173,44 @@ object SqlApi extends QueryModule {
         |FROM anc GROUP BY start_key ORDER BY start_key""".stripMargin)
   }
 
+  /** K31 — Z-order (Morton) layout keys: bit-interleave two bucketed
+    * dimensions into one sort key, so sorting by it co-locates rows
+    * that are close in BOTH dimensions — the data-layout technique
+    * behind multi-dimensional file skipping at 100 TB (Delta/Iceberg
+    * Z-ORDER BY). Buckets derive from broadcast 1-row min/max
+    * aggregates (exact integer arithmetic, no sampling); the
+    * interleave is eight unrolled shift/mask terms per dimension,
+    * codegen-friendly. ZorderSpec demonstrates the payoff: a 2-D
+    * range predicate over the z-sorted layout touches a fraction of
+    * the files a 1-D sort needs.
+    */
+  def qZorder(spark: SparkSession, dir: String): DataFrame =
+    zorderKeys(Tables.orders(spark, dir))
+
+  /** The z-key body over any orders-shaped frame. */
+  def zorderKeys(orders: DataFrame): DataFrame = {
+    val bounds = broadcast(orders.agg(
+      min("o_custkey").as("ck_min"), max("o_custkey").as("ck_max"),
+      min(expr("unix_date(cast(o_orderdate as date))")).as("d_min"),
+      max(expr("unix_date(cast(o_orderdate as date))")).as("d_max")))
+    // bucket = (v - min) * 256 div (max - min + 1): exact integers,
+    // always in [0, 255]
+    val interleave = (0 until 8).map { i =>
+      s"(((xb div ${1L << i}) % 2) * ${1L << (2 * i)}) + " +
+        s"(((yb div ${1L << i}) % 2) * ${1L << (2 * i + 1)})"
+    }.mkString(" + ")
+    orders.crossJoin(bounds)
+      .withColumn("d", expr("unix_date(cast(o_orderdate as date))"))
+      .withColumn("xb",
+        expr("(o_custkey - ck_min) * 256 div (ck_max - ck_min + 1)"))
+      .withColumn("yb", expr("(d - d_min) * 256 div (d_max - d_min + 1)"))
+      .withColumn("zval", expr(interleave))
+      .select("o_orderkey", "xb", "yb", "zval")
+      .orderBy("o_orderkey")
+  }
+
   override def queries: Map[String, Q] = Map(
+    "q_zorder" -> (qZorder _),
     "q_recursive" -> (qRecursive _),
     "q_sql_api" -> (qSqlApi _),
     "q_histogram" -> (qHistogram _),
@@ -184,7 +221,26 @@ object SqlApi extends QueryModule {
     "q_json_ops" -> (qJsonOps _),
     "q_unpivot" -> (qUnpivot _))
 
+  private val duckInterleave = (0 until 8).map { i =>
+    s"(((xb // ${1L << i}) % 2) * ${1L << (2 * i)}) + " +
+      s"(((yb // ${1L << i}) % 2) * ${1L << (2 * i + 1)})"
+  }.mkString(" + ")
+
   override def oracles: Map[String, String] = Map(
+    "q_zorder" ->
+      s"""WITH b AS (SELECT min(o_custkey) AS ck_min,
+        |    max(o_custkey) AS ck_max,
+        |    min(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d_min,
+        |    max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d_max
+        |  FROM orders),
+        |k AS (SELECT o_orderkey,
+        |    (o_custkey - ck_min) * 256 // (ck_max - ck_min + 1) AS xb,
+        |    ((CAST(o_orderdate AS DATE) - DATE '1970-01-01') - d_min)
+        |      * 256 // (d_max - d_min + 1) AS yb
+        |  FROM orders, b)
+        |SELECT o_orderkey, xb, yb,
+        |  CAST($duckInterleave AS BIGINT) AS zval
+        |FROM k ORDER BY o_orderkey""".stripMargin,
     "q_recursive" ->
       """WITH RECURSIVE anc(start_key, cur, depth) AS (
         |  SELECT c_custkey, c_custkey, 0 FROM customer
