@@ -197,6 +197,53 @@ object Relational extends QueryModule {
       .select(col("doc_id"), col("pos"), col("col").as("token"))
       .orderBy("doc_id", "pos")
 
+  /** K32 — promo revenue share per month (TPC-H Q14 shape): the
+    * conditional-aggregate ratio query, and the query that puts the
+    * `part` dimension to work. One broadcast dim join + one grouped
+    * aggregate; both revenue sums are exact decimals, the ratio is a
+    * single double division.
+    */
+  def qPromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_shipdate"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"))
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(
+        Fp.dsum6(when(col("p_type") === "PROMO", col("rev"))
+          .otherwise(0.0)).as("promo_rev"),
+        Fp.dsum6(col("rev")).as("total_rev"))
+      .withColumn("promo_share_pct",
+        lit(100.0) * col("promo_rev") / col("total_rev"))
+      .orderBy("month")
+  }
+
+  /** K33 — top suppliers by quarter revenue (TPC-H Q15 shape): the
+    * `supplier` dimension's query. Fact-side aggregate first (one
+    * shuffle on suppkey), then a broadcast dim join on the top-10 —
+    * the dimension never touches the fact shuffle.
+    */
+  def qTopSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(Fp.dsum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("total_rev"))
+      .orderBy(desc("total_rev"), asc("l_suppkey"))
+      .limit(10)
+    rev.join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_suppkey").as("suppkey"), col("s_name"),
+        col("total_rev"))
+      .orderBy(desc("total_rev"), asc("suppkey"))
+  }
+
   /** K6 — approximate distinct (HLL) + approximate quantiles: the
     * constant-memory path for 100 TB cardinality/percentile questions.
     * No SQL oracle (sketch internals are engine-specific); spec asserts
@@ -224,6 +271,8 @@ object Relational extends QueryModule {
     "q_set_ops" -> (qSetOps _),
     "q_full_outer" -> (qFullOuter _),
     "q_lateral" -> (qLateral _),
+    "q_promo_share" -> (qPromoShare _),
+    "q_top_suppliers" -> (qTopSuppliers _),
     "q_approx" -> (qApprox _))
 
   override def oracles: Map[String, String] = Map(
@@ -297,6 +346,28 @@ object Relational extends QueryModule {
         |                        (l_returnflag), ())
         |ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
         |  l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_promo_share" ->
+      s"""SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |  ${Fp.sqlSum6("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS promo_rev,
+        |  ${Fp.sqlSum6("l_extendedprice * (1.0 - l_discount)")} AS total_rev,
+        |  100.0 * ${Fp.sqlSum6("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+        |    / ${Fp.sqlSum6("l_extendedprice * (1.0 - l_discount)")} AS promo_share_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY month""".stripMargin,
+    "q_top_suppliers" ->
+      s"""WITH rev AS (
+        |  SELECT l_suppkey,
+        |    ${Fp.sqlSum2("l_extendedprice * (1.0 - l_discount)")} AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1
+        |  ORDER BY total_rev DESC, l_suppkey ASC LIMIT 10)
+        |SELECT l_suppkey AS suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY total_rev DESC, suppkey ASC""".stripMargin,
     "q_full_outer" ->
       """WITH v AS (SELECT user_id, count(*) AS n_views FROM events
         |  WHERE event_type = 'view' GROUP BY 1),

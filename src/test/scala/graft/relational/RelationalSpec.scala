@@ -104,6 +104,24 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q_promo_share is a valid percentage and sums parts correctly") {
+    val rows = Relational.qPromoShare(spark, sf).collect()
+    assert(rows.length == 12) // one per month of 1997
+    rows.foreach { r =>
+      val (p, t) = (r.getAs[Double]("promo_rev"), r.getAs[Double]("total_rev"))
+      assert(p >= 0 && p <= t)
+      assert(r.getAs[Double]("promo_share_pct") == 100.0 * p / t)
+    }
+  }
+
+  test("q_top_suppliers ranks by revenue with resolved names") {
+    val rows = Relational.qTopSuppliers(spark, sf).collect()
+    assert(rows.length == 10)
+    val revs = rows.map(_.getAs[Double]("total_rev"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+    rows.foreach(r => assert(r.getAs[String]("s_name").nonEmpty))
+  }
+
   test("q_recursive walks the halving chain to the root") {
     val rows = SqlApi.qRecursive(spark, sf).collect()
     assert(rows.nonEmpty)
