@@ -154,17 +154,28 @@ object DedupQueries extends QueryModule {
     val coin = expr(
       """cast(conv(substring(md5(concat('inc|', cast(doc_id as string))),
         |  1, 8), 16, 10) as bigint) % 10""".stripMargin)
-    incrementalPairs(docs, docs.select(col("doc_id"), (coin >= 8).as("is_new")))
+    // sets + signatures come from the memoized NearDup index shared
+    // with minhash/clusters/corpus_clean — the incremental query adds
+    // only its band probe + in-bucket verify on top of that build
+    val ix = NearDup.index(docs)
+    incrementalFrom(ix.sets, ix.sigs,
+      docs.select(col("doc_id"), (coin >= 8).as("is_new")))
   }
 
   /** The incremental join for any (doc_id, text) corpus and explicit
-    * (doc_id, is_new) batch flags.
+    * (doc_id, is_new) batch flags (spec entry point — builds its own
+    * sets/signatures).
     */
   def incrementalPairs(docs: DataFrame, flags: DataFrame): DataFrame = {
     val sets = Dedup.shingleSets(docs, "doc_id", "text")
-      .join(flags, "doc_id")
       .localCheckpoint(true) // feeds signatures AND both verify sides
-    val buckets = Dedup.bandBuckets(Dedup.minhashSigs(sets))
+    incrementalFrom(sets, Dedup.minhashSigs(sets), flags)
+  }
+
+  /** The probe+verify body over prebuilt shingle sets + signatures. */
+  private def incrementalFrom(sets: DataFrame, sigs: DataFrame,
+      flags: DataFrame): DataFrame = {
+    val buckets = Dedup.bandBuckets(sigs)
       .join(flags, "doc_id")
     val probe = buckets.filter(col("is_new"))
       .select(col("doc_id").as("new_id"), col("band"), col("bucket"))

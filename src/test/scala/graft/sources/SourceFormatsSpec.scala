@@ -40,6 +40,30 @@ class SourceFormatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("orc round-trip preserves values, schema, and binary columns") {
+    val dir = "/tmp/graft_src_orc"
+    // include a binary column — the multimodal payload path must
+    // survive a columnar format other than parquet
+    val base = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        encode(col("text"), "UTF-8").as("payload"))
+    base.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      base.schema.map(f => (f.name, f.dataType)))
+    val a = base.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        new String(r.getAs[Array[Byte]](2), "UTF-8"))).toList
+    val b = back.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        new String(r.getAs[Array[Byte]](2), "UTF-8"))).toList
+    assert(a == b)
+    // predicate pushdown reaches the ORC scan too
+    val plan = back.filter(col("doc_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("pushed"))
+  }
+
   test("malformed csv rows: dropped under DROPMALFORMED, fatal under FAILFAST") {
     val dir = "/tmp/graft_src_bad"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
