@@ -157,9 +157,10 @@ object SimQueries extends QueryModule {
     // decimal cast cannot flip a rounding: at scale 12 the scaled
     // component (v·10¹² ≈ 10¹¹) carries ~3e-5 units of double error —
     // enough to cross a .5 boundary once in ~30k terms — while at
-    // scale 6/8 the error sits 6+ orders below the grid. (Exact .5
-    // ties are impossible: a binary fraction never equals
-    // (2a+1)/(2·10^k).)
+    // scale 6 the true products of small floats sit on a grid
+    // (multiples of 5⁶/2^(j−6)) far coarser than the product error,
+    // and exact .5 ties (odd multiples of 1/128) round half away
+    // from zero in BOTH engines. DeterminismPropertySpec pins this.
     val cent = comp.groupBy("label", "i")
       .agg((expr("cast(sum(cast(v as decimal(18,6))) as double)")
         / count(lit(1))).as("c"),
