@@ -60,7 +60,9 @@ class PlanShapeSpec extends SparkSpec {
       "knn_classify",
       // pagerank crosses each round with its broadcast 1-row node
       // count (visible for the rounds since the last checkpoint)
-      "pagerank")
+      "pagerank",
+      // q_zorder crosses its broadcast 1-row min/max bounds frame
+      "q_zorder")
     val offenders = plans.collect {
       case (name, plan)
           if plan.contains("BroadcastNestedLoopJoin") && !allowed(name) =>
