@@ -94,6 +94,27 @@ object Corpus extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** L9 — per-stage attrition funnel of the cleaning pipeline: how
+    * many documents each gate removes (ingest → quality → exact dup
+    * → near dup) — the observability report a production corpus run
+    * publishes next to its keep-list. ONE aggregate over the L2
+    * verdict frame reshaped by a constant-size `stack`; output is
+    * O(stages) at any corpus size.
+    */
+  def corpusLossReport(spark: SparkSession, dir: String): DataFrame =
+    corpusClean(spark, dir)
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("keep_quality"), 1)).as("n_q"),
+        count(when(col("keep_quality") && col("keep_exact"), 1)).as("n_qe"),
+        count(when(col("keep"), 1)).as("n_kept"))
+      .selectExpr("""stack(4,
+        0, 'ingest', n_total, cast(0 as bigint),
+        1, 'quality_gate', n_q, n_total - n_q,
+        2, 'exact_dedup', n_qe, n_q - n_qe,
+        3, 'near_dedup', n_kept, n_qe - n_kept)
+        as (stage_id, stage, n_surviving, n_dropped)""")
+      .orderBy("stage_id")
+
   /** L3 — token budget per packed training sequence. (512 so the
     * sf0.01 correctness gate exercises real sequence cuts; a training
     * run sets its context length here.)
@@ -258,6 +279,7 @@ object Corpus extends QueryModule {
   override def queries: Map[String, Q] = Map(
     "corpus_sample" -> (corpusSample _),
     "corpus_clean" -> (corpusClean _),
+    "corpus_loss_report" -> (corpusLossReport _),
     "corpus_pack" -> (corpusPack _),
     "stratified_sample" -> (stratifiedSample _),
     "decontaminate" -> (decontaminate _),
@@ -378,7 +400,30 @@ object Corpus extends QueryModule {
         |            AS BIGINT) % 1000 < 900 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "corpus_clean" -> (DedupQueries.minhashPairsCtes(recursive = true) + s""",
+    "corpus_clean" -> (cleanCtes +
+      "\nSELECT * FROM verdicts ORDER BY doc_id"),
+    "corpus_loss_report" -> (cleanCtes + """,
+        |agg AS (SELECT count(*) AS n_total,
+        |    count(*) FILTER (keep_quality) AS n_q,
+        |    count(*) FILTER (keep_quality AND keep_exact) AS n_qe,
+        |    count(*) FILTER (keep) AS n_kept
+        |  FROM verdicts)
+        |SELECT * FROM (
+        |  SELECT 0 AS stage_id, 'ingest' AS stage,
+        |    n_total AS n_surviving, CAST(0 AS BIGINT) AS n_dropped
+        |  FROM agg
+        |  UNION ALL SELECT 1, 'quality_gate', n_q, n_total - n_q FROM agg
+        |  UNION ALL SELECT 2, 'exact_dedup', n_qe, n_q - n_qe FROM agg
+        |  UNION ALL SELECT 3, 'near_dedup', n_kept, n_qe - n_kept
+        |  FROM agg)
+        |ORDER BY stage_id""".stripMargin))
+
+  /** The shared verdict CTE chain (pairs → components → quality/
+    * exact gates → one verdict row per doc), reused by corpus_clean
+    * and corpus_loss_report.
+    */
+  private def cleanCtes: String =
+    DedupQueries.minhashPairsCtes(recursive = true) + s""",
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
         |reach(rdoc, r) AS (
@@ -396,13 +441,12 @@ object Corpus extends QueryModule {
         |       FROM (SELECT doc_id, lower(text) AS lt FROM documents)),
         |ex AS (SELECT doc_id,
         |         doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep_exact
-        |       FROM documents)
-        |SELECT d.doc_id, kq.keep_quality, ex.keep_exact,
+        |       FROM documents),
+        |verdicts AS (SELECT d.doc_id, kq.keep_quality, ex.keep_exact,
         |  COALESCE(cc.doc_id = cc.cluster_rep, TRUE) AS keep_neardup,
         |  kq.keep_quality AND ex.keep_exact
         |    AND COALESCE(cc.doc_id = cc.cluster_rep, TRUE) AS keep
         |FROM documents d
         |JOIN kq USING (doc_id) JOIN ex USING (doc_id)
-        |LEFT JOIN cc ON cc.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin))
+        |LEFT JOIN cc ON cc.doc_id = d.doc_id)""".stripMargin
 }

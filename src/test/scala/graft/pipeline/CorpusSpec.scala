@@ -177,4 +177,24 @@ class CorpusSpec extends SparkSpec {
       .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
     assert(statSplits == sampleSplits)
   }
+
+  test("corpus_loss_report is a monotone funnel consistent with the verdicts") {
+    val stages = Corpus.corpusLossReport(spark, sf).collect()
+      .sortBy(_.getAs[Int]("stage_id"))
+    assert(stages.map(_.getAs[String]("stage")).toSeq ==
+      Seq("ingest", "quality_gate", "exact_dedup", "near_dedup"))
+    val surv = stages.map(_.getAs[Long]("n_surviving"))
+    assert(surv.sameElements(surv.sorted.reverse), "survivors must shrink")
+    // each stage's drop count reconciles with the previous stage
+    stages.sliding(2).foreach {
+      case Array(prev, cur) =>
+        assert(cur.getAs[Long]("n_dropped") ==
+          prev.getAs[Long]("n_surviving") - cur.getAs[Long]("n_surviving"))
+      case _ => ()
+    }
+    // endpoint agreement with the verdict frame itself
+    val v = Corpus.corpusClean(spark, sf).collect()
+    assert(surv.head == v.length.toLong)
+    assert(surv.last == v.count(_.getAs[Boolean]("keep")).toLong)
+  }
 }
