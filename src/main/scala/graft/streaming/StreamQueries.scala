@@ -37,6 +37,22 @@ object StreamQueries extends QueryModule {
           .as("content_hash"))
       .orderBy("doc_id")
 
+  /** I (frame face) — the frame-sampling fan-out as a gated driver
+    * query: one row per sampled timestamp per blob, derived fully in
+    * executors (flatMap, no driver loop). The stub "decode" is exact
+    * integer arithmetic on (payload length, duration), so the whole
+    * fan-out — indices, timestamps, byte spans — sits inside the
+    * DuckDB hash gate; a real deployment swaps the byte-slice stub
+    * for the codec call and keeps this exact plumbing.
+    */
+  def blobFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blobs = Blob
+      .fromDocuments(Tables.documents(s, d), "doc_id", "text")
+      .as[Blob.BlobRow]
+    Blob.frameSample(blobs, 2000L).toDF().orderBy("id", "frame_idx")
+  }
+
   /** K16 — ordered funnel over the event stream (view → click →
     * purchase, each step strictly after the previous): the
     * sequence-matching shape product analytics runs daily. Expressed
@@ -192,6 +208,7 @@ object StreamQueries extends QueryModule {
     "events_windowed" -> (eventsWindowed _),
     "sessionize" -> (sessionizeQ _),
     "blob_pipeline" -> (blobPipeline _),
+    "blob_frames" -> (blobFrames _),
     "q_funnel" -> (qFunnel _),
     "retention_cohorts" -> (retentionCohorts _),
     "ts_outliers" -> (tsOutliers _),
@@ -293,6 +310,18 @@ object StreamQueries extends QueryModule {
         |FROM numbered
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "blob_frames" ->
+      """WITH b AS (SELECT doc_id AS id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS plen,
+        |    CAST(length(text) AS BIGINT) * 10 AS dur
+        |  FROM documents),
+        |f AS (SELECT id, CAST(i AS INT) AS frame_idx,
+        |    CAST(i * 2000 AS BIGINT) AS ts_ms, plen, dur
+        |  FROM b, UNNEST(range(0, GREATEST(dur // 2000, 0) + 1)) u(i))
+        |SELECT id, frame_idx, ts_ms,
+        |  CAST(GREATEST(LEAST(plen - ((plen * ts_ms) // GREATEST(dur, 1)),
+        |                      16), 0) AS INTEGER) AS n_bytes
+        |FROM f ORDER BY id, frame_idx""".stripMargin,
     "blob_pipeline" ->
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
