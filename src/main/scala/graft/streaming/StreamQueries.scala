@@ -53,6 +53,23 @@ object StreamQueries extends QueryModule {
     Blob.frameSample(blobs, 2000L).toDF().orderBy("id", "frame_idx")
   }
 
+  /** I (resize face) — the 1:1 resize transform as a gated driver
+    * query: aspect-preserving fit to maxDim=64 with the stub codec's
+    * area-proportional payload shrink. Scale arithmetic is one double
+    * division + truncating casts — exact in both engines — so the
+    * resized metadata and payload sizes hash-gate like blob_frames.
+    */
+  def blobResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blobs = Blob
+      .fromDocuments(Tables.documents(s, d), "doc_id", "text")
+      .as[Blob.BlobRow]
+    Blob.resize(blobs, 64).toDF()
+      .select(col("id"), col("width"), col("height"),
+        length(col("payload")).as("n_bytes"))
+      .orderBy("id")
+  }
+
   /** K16 — ordered funnel over the event stream (view → click →
     * purchase, each step strictly after the previous): the
     * sequence-matching shape product analytics runs daily. Expressed
@@ -209,6 +226,7 @@ object StreamQueries extends QueryModule {
     "sessionize" -> (sessionizeQ _),
     "blob_pipeline" -> (blobPipeline _),
     "blob_frames" -> (blobFrames _),
+    "blob_resize" -> (blobResize _),
     "q_funnel" -> (qFunnel _),
     "retention_cohorts" -> (retentionCohorts _),
     "ts_outliers" -> (tsOutliers _),
@@ -310,6 +328,22 @@ object StreamQueries extends QueryModule {
         |FROM numbered
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "blob_resize" ->
+      """WITH b AS (SELECT doc_id AS id,
+        |    CAST(length(text) AS BIGINT) AS w,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS plen
+        |  FROM documents),
+        |s AS (SELECT id, w, plen,
+        |    LEAST(CAST(1.0 AS DOUBLE),
+        |          CAST(64.0 AS DOUBLE) / GREATEST(w, 1)) AS sc
+        |  FROM b)
+        |SELECT id,
+        |  CAST(GREATEST(CAST(floor(w * sc) AS BIGINT), 1) AS INTEGER)
+        |    AS width,
+        |  CAST(1 AS INTEGER) AS height,
+        |  CAST(LEAST(GREATEST(CAST(floor((plen * sc) * sc) AS BIGINT), 1),
+        |             plen) AS INTEGER) AS n_bytes
+        |FROM s ORDER BY id""".stripMargin,
     "blob_frames" ->
       """WITH b AS (SELECT doc_id AS id,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS plen,
