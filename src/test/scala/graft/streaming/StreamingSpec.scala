@@ -225,6 +225,36 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((7L, 1, 2000L), (7L, 2, 4000L), (7L, 3, 5000L)))
   }
 
+  test("custom gap sessionization agrees with Spark's native session_window") {
+    // J2's window/cumsum formulation and the engine's built-in
+    // session_window must carve IDENTICAL sessions — cross-validation
+    // of the gap semantics against an independent implementation.
+    // (session_window's end = last event + gap, so compare on
+    // (user, start, n_events) and the last-event time.)
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, sf)
+    val custom = Streaming.sessionize(events)
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val native = events
+      .withColumn("tsu", expr("timestamp_micros(ts_ns div 1000)"))
+      .groupBy(col("user_id"),
+        expr("session_window(tsu, '30 minutes')").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(expr("unix_micros(tsu)")).as("start_us"),
+        max(expr("unix_micros(tsu)")).as("end_us"))
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(custom == native,
+      s"custom-only=${(custom -- native).take(3)} native-only=${(native -- custom).take(3)}")
+  }
+
   test("attributionStream credits the latest touch and keeps one-row state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
