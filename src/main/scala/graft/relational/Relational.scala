@@ -160,6 +160,29 @@ object Relational extends QueryModule {
       .orderBy("tag", "o_custkey")
   }
 
+  /** K34 — bag-semantics set operations (EXCEPT ALL / INTERSECT ALL),
+    * the multiplicity-preserving complement to K19: a customer with
+    * three '95 orders and one '96 order contributes TWO rows to the
+    * except-all — the semantics dedup accounting and reconciliation
+    * actually need. Spark plans these as co-partitioned
+    * count-difference generators on the key sets; output is
+    * re-aggregated to (tag, key, multiplicity) so the gate stays
+    * order-stable.
+    */
+  def qSetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    def keys(year: Int) = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select("o_custkey")
+    val y95 = keys(1995)
+    val y96 = keys(1996)
+    y95.exceptAll(y96).withColumn("tag", lit("except_all_95_96"))
+      .unionByName(y95.intersectAll(y96)
+        .withColumn("tag", lit("intersect_all")))
+      .groupBy("tag", "o_custkey").agg(count(lit(1)).as("n"))
+      .orderBy("tag", "o_custkey")
+  }
+
   /** K25 — FULL OUTER join: reconcile two activity ledgers (viewers
     * vs purchasers per user) keeping rows unmatched on either side —
     * the reconciliation shape finance/data-quality jobs run. Both
@@ -269,6 +292,7 @@ object Relational extends QueryModule {
     "cube_agg" -> (cubeAgg _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_set_ops" -> (qSetOps _),
+    "q_set_ops_all" -> (qSetOpsAll _),
     "q_full_outer" -> (qFullOuter _),
     "q_lateral" -> (qLateral _),
     "q_promo_share" -> (qPromoShare _),
@@ -346,6 +370,24 @@ object Relational extends QueryModule {
         |                        (l_returnflag), ())
         |ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
         |  l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_set_ops_all" ->
+      """WITH y95 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'),
+        |y96 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT * FROM (
+        |  SELECT 'except_all_95_96' AS tag, o_custkey, count(*) AS n
+        |  FROM (SELECT o_custkey FROM y95
+        |        EXCEPT ALL SELECT o_custkey FROM y96)
+        |  GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'intersect_all', o_custkey, count(*)
+        |  FROM (SELECT o_custkey FROM y95
+        |        INTERSECT ALL SELECT o_custkey FROM y96)
+        |  GROUP BY 2)
+        |ORDER BY tag, o_custkey""".stripMargin,
     "q_promo_share" ->
       s"""SELECT strftime(l_shipdate, '%Y-%m') AS month,
         |  ${Fp.sqlSum6("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS promo_rev,

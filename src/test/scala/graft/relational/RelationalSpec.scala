@@ -104,6 +104,28 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q_set_ops_all preserves multiplicities (bag semantics)") {
+    val rows = Relational.qSetOpsAll(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // local bag replay per customer
+    import org.apache.spark.sql.functions.{col, lit, year => yr}
+    def counts(y: Int) = graft.sources.Tables.orders(spark, sf)
+      .filter(yr(col("o_orderdate")) === lit(y))
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (c95, c96) = (counts(1995), counts(1996))
+    rows.foreach { r =>
+      val k = r.getAs[Long]("o_custkey")
+      val n = r.getAs[Long]("n")
+      r.getAs[String]("tag") match {
+        case "except_all_95_96" =>
+          assert(n == c95(k) - c96.getOrElse(k, 0L), s"except $k")
+        case "intersect_all" =>
+          assert(n == math.min(c95(k), c96(k)), s"intersect $k")
+      }
+    }
+  }
+
   test("q_promo_share is a valid percentage and sums parts correctly") {
     val rows = Relational.qPromoShare(spark, sf).collect()
     assert(rows.length == 12) // one per month of 1997
