@@ -110,6 +110,16 @@ object EventOps extends QueryModule {
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg((sum(col("value").cast("decimal(27,6)")) * 1000000)
         .cast("long").as("vm"))
+      // enforce the headroom budget loudly: past it, the decimal→long
+      // cast nulls (non-ANSI) and the 24·OFF offset overflows — either
+      // silently drops hours. The IF also trips on a NULL vm (an
+      // already-overflowed cast), since a NULL condition is not true.
+      .withColumn("vm", expr(
+        """IF(abs(vm) < 1000000000000000, vm,
+          |   cast(raise_error(concat('tsDecompose: hourly micro-sum ',
+          |     'exceeds the 1e15 int64 headroom budget: ',
+          |     coalesce(cast(vm as string), 'overflow'))) as long))"""
+          .stripMargin))
     val w = Window.partitionBy("event_type").orderBy("h")
       .rowsBetween(-12, 11)
     val trended = hourly

@@ -102,7 +102,11 @@ object Streaming {
             }
             if (st != null) {
               state.update(st)
-              state.setTimeoutTimestamp(st.last + gapMs)
+              // clamp to just past the watermark: a late event can
+              // leave last + gap at/behind it, and Spark rejects
+              // timeouts not strictly ahead of the watermark
+              state.setTimeoutTimestamp(math.max(st.last + gapMs,
+                state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator
           }
@@ -159,7 +163,9 @@ object Streaming {
             } else if (st.viewMs >= 0) {
               state.update(st)
               val last = Seq(st.viewMs, st.clickMs, st.purchaseMs).max
-              state.setTimeoutTimestamp(last + windowMs)
+              // watermark clamp — see sessionizeStream
+              state.setTimeoutTimestamp(math.max(last + windowMs,
+                state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }
@@ -202,7 +208,10 @@ object Streaming {
             }
             if (st != null) {
               state.update(st)
-              state.setTimeoutTimestamp(st.atMs + windowMs)
+              // watermark clamp — see sessionizeStream: a late touch
+              // can leave atMs + window at/behind the watermark
+              state.setTimeoutTimestamp(math.max(st.atMs + windowMs,
+                state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }

@@ -118,11 +118,13 @@ object TextQueries extends QueryModule {
     * both engines derive the same probe set) resolve to their nearest
     * dictionary word. The naive form is probe×dict with a levenshtein
     * on every pair; here candidates come from an EQUI-join on
-    * (first-char, length) blocks — the probe side explodes onto its
-    * three reachable length cells (edit distance ≤ 2 with a shared
-    * first char bounds the length delta) — so no cartesian node
-    * exists at any dictionary size, the classic blocking trick of
-    * record linkage. Best match = `min(struct(dist, word))`, the
+    * (first-char, length) blocks — the probe side explodes onto the
+    * ±1 length cells, a deliberate candidate-pruning approximation:
+    * distance-2 matches built from two pure insertions or deletions
+    * have length delta 2 and are excluded by design (the oracle
+    * applies the identical block) — so no cartesian node exists at
+    * any dictionary size, the classic blocking trick of record
+    * linkage. Best match = `min(struct(dist, word))`, the
     * deterministic tie-break.
     */
   def fuzzyMatch(spark: SparkSession, dir: String): DataFrame =
