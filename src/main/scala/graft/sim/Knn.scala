@@ -4,17 +4,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Similarity search (SURVEY §2 G1/G2): brute-force and LSH-bucketed
-  * top-k cosine over an `array<float>` embedding column.
+/** Similarity search (SURVEY §2 G1/G2/G7): brute-force and
+  * LSH-bucketed top-k cosine over an `array<float>` embedding column.
   *
   * Scale design: brute force broadcasts the (small) query set against
   * the corpus — a map-only scan, no shuffle, TakeOrdered per query.
-  * The LSH path computes an 8-bit random-hyperplane signature per
-  * vector (one projection) and joins query↔corpus on the bucket key,
-  * so the candidate join is co-partitioned and prunes ~255/256 of the
-  * corpus per query at 100 TB; exact re-ranking runs only in-bucket.
+  * The LSH path computes a random-hyperplane signature per vector
+  * (one projection) and joins query↔corpus on the bucket key, so the
+  * candidate join is co-partitioned; exact re-ranking runs only
+  * in-bucket. For the corpus-wide self-join the plane count DERIVES
+  * from the corpus size (see [[planesFor]]) so bucket occupancy — and
+  * with it the in-bucket pair work per vector — stays pinned as the
+  * corpus grows instead of going quadratic under a fixed geometry.
   * Hyperplanes come from an LCG keyed by (plane, dim) — deterministic,
   * no stored model, reproducible in any engine.
+  *
+  * Scoring is hybrid fast/exact everywhere (the [[lshBucket]] sign
+  * discipline applied to ranking): a codegen'd float-dot pass finds
+  * each query's k-th fast cosine, and the DECIMAL(24,12) exact dot —
+  * a 64-step BigDecimal fold per pair — re-scores only the pairs
+  * within [[ScoreEps]] of that threshold, bit-identically to scoring
+  * every pair (see [[hybridTopK]]).
   */
 object Knn {
 
@@ -25,7 +35,32 @@ object Knn {
     ((1103515245L * (h * 64 + d) + 12345L) % 2147483647L).toDouble /
       2147483647.0 - 0.5
 
-  /** Random-hyperplane signature bucket (8 planes → 8-bit bucket).
+  /** Target mean bucket occupancy for the corpus-wide self-join: the
+    * in-bucket re-rank then touches ~[[TargetBucket]] candidates per
+    * vector at ANY corpus size.
+    */
+  val TargetBucket = 64L
+
+  /** Plane-count bounds: 8 planes floor (the query-set search
+    * geometry), 20 cap (2²⁰ buckets ≈ 67M-vector corpora at target
+    * occupancy — beyond that occupancy grows linearly again, which a
+    * caller can re-cap by raising the cap).
+    */
+  val MinPlanes = 8
+  val MaxPlanes = 20
+
+  /** Hyperplane count for an n-vector corpus: the smallest p in
+    * [[[MinPlanes]], [[MaxPlanes]]] with n ≤ TargetBucket·2ᵖ — pure
+    * integer logic, replayed verbatim by the DuckDB oracle from
+    * count(*), so Spark and the oracle always pick the same geometry.
+    */
+  def planesFor(n: Long): Int =
+    (MinPlanes to MaxPlanes)
+      .find(p => n <= (TargetBucket << p))
+      .getOrElse(MaxPlanes)
+
+  /** Random-hyperplane signature bucket (`planes` planes → a
+    * `planes`-bit bucket).
     *
     * Hybrid fast/exact sign test: the codegen'd float dot against the
     * materialized plane decides the sign when it is clearly away from
@@ -34,8 +69,9 @@ object Knn {
     * oracle computes — so results stay bit-compatible while the
     * BigDecimal path almost never runs.
     */
-  def lshBucket(embCol: String): org.apache.spark.sql.Column = {
-    (0 until 8).map { h =>
+  def lshBucket(embCol: String, planes: Int = MinPlanes)
+      : org.apache.spark.sql.Column = {
+    (0 until planes).map { h =>
       val plane = (0 until 64).map(d => planeValue(h, d).toFloat).toArray
       val fast = graft.plans.VectorExpressions.dotF32(col(embCol), typedLit(plane))
       val exact = expr(
@@ -49,15 +85,50 @@ object Knn {
     }.reduce(_ + _)
   }
 
-  private def withCosine(pairs: DataFrame): DataFrame =
-    pairs.withColumn("cosine",
-      Vectors.cosineFrom(Vectors.dot("eq", "ec"), col("nq"), col("nc")))
+  /** Exact-scoring threshold slack. The float-dot cosine is within
+    * ~1e-9 of the decimal-quantized one (double fold vs 1e-12 term
+    * quantization over 64 terms), so any pair in the true exact top-k
+    * has fast cosine ≥ (k-th fast cosine) − 2δ ≫ this margin — the
+    * candidate set provably contains the exact top-k.
+    */
+  val ScoreEps = 1e-6
 
   private def topK(scored: DataFrame, k: Int): DataFrame =
     graft.plans.AggExpressions
       .topKPerKey(scored, "query_id", "cosine", "neighbor_id", Nil, k)
       .select("query_id", "rank", "neighbor_id", "cosine")
       .orderBy("query_id", "rank")
+
+  /** Hybrid top-k: rank by the cheap codegen'd float cosine first,
+    * exact-score only near the k-th boundary — bit-identical output
+    * to exact-scoring every pair (see [[ScoreEps]]).
+    *
+    * Shape: the pair join runs twice but only projects the NARROW
+    * (query_id, neighbor_id, cos_f) rows into any shuffle; the k-th
+    * threshold comes from the bounded-heap CollectTopK aggregate
+    * (k rows per task per query), and the surviving candidates
+    * (~k + boundary ties per query) re-join `q`/`c` to fetch
+    * embeddings for the exact re-rank — so full-width vectors never
+    * shuffle pair-wise, only candidate-wise.
+    */
+  private def hybridTopK(q: DataFrame, c: DataFrame, k: Int,
+      pair: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val narrow = pair(q, c)
+      .withColumn("cos_f", Vectors.cosineFrom(
+        Vectors.dotFast("eq", "ec"), col("nq"), col("nc")))
+      .select("query_id", "neighbor_id", "cos_f")
+    // k-th largest fast cosine per query (min over its top-k heap);
+    // a query with < k pairs keeps everything via its overall min
+    val kth = graft.plans.AggExpressions
+      .topKPerKey(narrow, "query_id", "cos_f", "neighbor_id", Nil, k)
+      .groupBy("query_id").agg(min("cos_f").as("kth_f"))
+    val cand = narrow.join(kth, "query_id")
+      .filter(col("cos_f") >= col("kth_f") - ScoreEps)
+      .select("query_id", "neighbor_id")
+    topK(cand.join(q, "query_id").join(c, "neighbor_id")
+      .withColumn("cosine", Vectors.cosineFrom(
+        Vectors.dot("eq", "ec"), col("nq"), col("nc"))), k)
+  }
 
   /** G1 — exact top-k: broadcast queries × corpus scan. */
   def bruteForce(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
@@ -71,30 +142,34 @@ object Knn {
       col("embedding").as("eq"), col("nsq").as("nq"))
     val c = e.filter(!queryPred).select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ec"), col("nsq").as("nc"))
-    topK(withCosine(c.crossJoin(broadcast(q))), k)
+    hybridTopK(q, c, k, (qf, cf) => cf.crossJoin(broadcast(qf)))
   }
 
   /** G7 — k-NN self-join: EVERY vector retrieves its top-k in-bucket
     * neighbors (the all-pairs companion to [[lsh]]'s query-set
     * search — what dedup/graph-construction pipelines run corpus-wide).
-    * The signature frame is eagerly checkpointed ONCE and both join
-    * sides read it, so hyperplane projections aren't recomputed per
-    * branch; the candidate join is a bucket equi-join co-partitioned
-    * on both sides (nothing broadcasts — at 100 TB both sides are the
-    * corpus), pruning ~255/256 of all pairs before the exact re-rank.
+    * The plane count derives from the corpus size ([[planesFor]] from
+    * one cheap count), pinning bucket occupancy — in-bucket pair work
+    * grows ~linearly with the corpus instead of ~n² under a fixed
+    * 256-bucket geometry. The signature frame is eagerly checkpointed
+    * ONCE and both join sides read it, so hyperplane projections
+    * aren't recomputed per branch; the candidate join is a bucket
+    * equi-join co-partitioned on both sides (nothing broadcasts — at
+    * 100 TB both sides are the corpus).
     */
   def lshJoin(emb: DataFrame, k: Int): DataFrame = {
+    val planes = planesFor(emb.count())
     val e = graft.Par.spread(emb)
       .select(col("vec_id"), col("embedding"),
         Vectors.normSq("embedding").as("nsq"),
-        lshBucket("embedding").as("bucket"))
+        lshBucket("embedding", planes).as("bucket"))
       .localCheckpoint(true)
     val q = e.select(col("vec_id").as("query_id"),
       col("embedding").as("eq"), col("nsq").as("nq"), col("bucket"))
     val c = e.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ec"), col("nsq").as("nc"), col("bucket"))
-    topK(withCosine(
-      q.join(c, "bucket").filter(col("query_id") =!= col("neighbor_id"))), k)
+    hybridTopK(q, c, k, (qf, cf) =>
+      qf.join(cf, "bucket").filter(col("query_id") =!= col("neighbor_id")))
   }
 
   /** G2 — LSH-bucketed approximate top-k: candidates share the
@@ -110,6 +185,6 @@ object Knn {
       col("embedding").as("eq"), col("nsq").as("nq"), col("bucket"))
     val c = e.filter(!queryPred).select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ec"), col("nsq").as("nc"), col("bucket"))
-    topK(withCosine(c.join(broadcast(q), "bucket")), k)
+    hybridTopK(q, c, k, (qf, cf) => cf.join(broadcast(qf), "bucket"))
   }
 }

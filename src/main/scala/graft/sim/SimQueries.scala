@@ -140,8 +140,9 @@ object SimQueries extends QueryModule {
     * summary rows, never vectors against vectors. Centroid = exact
     * decimal component sum (one double) / count — a single double
     * division both engines compute identically, so no quantization
-    * is needed; the inertia reduction uses the standard
-    * DECIMAL(24,12) term quantization.
+    * is needed; the inertia reduction quantizes terms at
+    * DECIMAL(24,8) (scale 12 would let DuckDB's double-arithmetic
+    * decimal cast flip roundings — see the comment in the body).
     */
   def embeddingCentroids(spark: SparkSession, dir: String): DataFrame =
     centroidsOf(Tables.embeddings(spark, dir))
@@ -218,16 +219,39 @@ object SimQueries extends QueryModule {
       |       FROM comp GROUP BY vec_id)
       |""".stripMargin
 
-  /** Shared LSH chain (planes → signatures → buckets → in-bucket
-    * candidates → exact re-rank), parameterized by the candidate
-    * predicate — knn_lsh restricts to the query set, knn_join takes
-    * every ordered non-self pair.
+  /** The query-set search geometry: the fixed 8-plane floor. */
+  private val staticPlanes =
+    """planes AS (SELECT h, d,
+      |         (CAST((1103515245 * (h * 64 + d) + 12345) % 2147483647 AS DOUBLE)
+      |          / 2147483647.0) - 0.5 AS pv
+      |       FROM UNNEST(range(0, 8)) u(h), UNNEST(range(0, 64)) v(d)),"""
+      .stripMargin
+
+  /** The corpus-sized self-join geometry — [[Knn.planesFor]] replayed
+    * from count(*): smallest p in [8, 20] with n ≤ 64·2ᵖ (pure
+    * integer logic, so both engines always pick the same plane count).
     */
-  private def lshChain(candCond: String) = s""",
+  private val dynamicPlanes =
+    """np AS (SELECT coalesce(min(p), 20) AS p
+      |       FROM UNNEST(range(8, 21)) r(p),
+      |            (SELECT count(*) AS n FROM embeddings) cnt
+      |       WHERE cnt.n <= 64 * (CAST(1 AS BIGINT) << CAST(p AS INT))),
       |planes AS (SELECT h, d,
       |         (CAST((1103515245 * (h * 64 + d) + 12345) % 2147483647 AS DOUBLE)
       |          / 2147483647.0) - 0.5 AS pv
-      |       FROM UNNEST(range(0, 8)) u(h), UNNEST(range(0, 64)) v(d)),
+      |       FROM UNNEST(range(0, 20)) u(h), UNNEST(range(0, 64)) v(d), np
+      |       WHERE h < np.p),""".stripMargin
+
+  /** Shared LSH chain (planes → signatures → buckets → in-bucket
+    * candidates → exact re-rank), parameterized by the candidate
+    * predicate — knn_lsh restricts to the query set, knn_join takes
+    * every ordered non-self pair — and by the plane geometry (static
+    * 8-plane for the query-set search, corpus-derived for the
+    * self-join).
+    */
+  private def lshChain(candCond: String,
+      planesCte: String = staticPlanes) = s""",
+      |$planesCte
       |sig AS (SELECT vec_id, h,
       |         CAST(sum(CAST(c.v * p.pv AS DECIMAL(24,12))) AS DOUBLE) AS s
       |       FROM comp c JOIN planes p ON c.i = p.d + 1 GROUP BY vec_id, h),
@@ -274,7 +298,7 @@ object SimQueries extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "knn_join" -> (compCte.stripSuffix("\n") +
-      lshChain("q.vec_id <> c.vec_id")),
+      lshChain("q.vec_id <> c.vec_id", dynamicPlanes)),
     "knn_brute" -> (bruteRanked + """
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM ranked
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
