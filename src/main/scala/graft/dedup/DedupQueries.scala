@@ -63,11 +63,73 @@ object DedupQueries extends QueryModule {
     * K ≈ √(8·parallelism). Pairs stream through the codegen float
     * prefilter; only near-threshold survivors pay the exact
     * (oracle-matching) decimal cosine. Results are bit-identical to
-    * brute force — recall is exactly 1; the *approximate* scale paths
-    * (when quadratic is simply too big) are `knn_lsh` / `knn_ivf`.
+    * brute force — recall is exactly 1.
+    *
+    * The quadratic is GUARDED in code, not just prose: past
+    * [[MaxExactNeardup]] corpus vectors (conf
+    * `spark.graft.neardup.maxExact`) the entry point dispatches to
+    * [[neardupPairsApprox]] — LSH-bucketed candidates under the
+    * corpus-derived [[graft.sim.Knn.planesFor]] geometry, linear
+    * work, documented partial recall at this weak threshold — and the
+    * exact grid join stays callable as [[embeddingNeardupExact]].
     */
   def embeddingNeardup(spark: SparkSession, dir: String): DataFrame =
+    neardupAuto(Tables.embeddings(spark, dir), 0.45)
+
+  /** The always-exact entry (the grid θ-join, any corpus size). */
+  def embeddingNeardupExact(spark: SparkSession, dir: String): DataFrame =
     neardupPairs(Tables.embeddings(spark, dir), 0.45)
+
+  /** Exact-path corpus ceiling: above it an exact all-pairs cosine
+    * join (O(n²) at ANY partitioning) is declared not runnable and
+    * the approximate path takes over. Conf-overridable so a caller
+    * who accepts the cost can raise it.
+    */
+  val MaxExactNeardup: Long = 1L << 20
+
+  /** Size-guarded dispatch: exact grid join while the quadratic is
+    * affordable, LSH-bucketed approximation beyond it.
+    */
+  def neardupAuto(emb: DataFrame, tau: Double): DataFrame = {
+    val maxExact = emb.sparkSession.conf
+      .getOption("spark.graft.neardup.maxExact")
+      .map(_.toLong).getOrElse(MaxExactNeardup)
+    val n = emb.count()
+    if (n <= maxExact) neardupPairs(emb, tau)
+    else neardupPairsApprox(emb, tau, n)
+  }
+
+  /** The approximate big-corpus variant: candidate pairs share an LSH
+    * bucket (plane count corpus-derived, so occupancy — and with it
+    * per-vector candidate work — stays pinned as the corpus grows),
+    * then the same fast-prefilter + exact-decimal verify as the grid
+    * join. Linear total work; recall < 1 by design at weak
+    * thresholds (τ=0.45 is ~1.3 likelihood ratio per hyperplane),
+    * which is the documented price of running at a corpus size where
+    * exact all-pairs is not runnable.
+    */
+  def neardupPairsApprox(emb: DataFrame, tau: Double, n: Long): DataFrame = {
+    val planes = graft.sim.Knn.planesFor(n)
+    val e = emb
+      .select(col("vec_id"), col("embedding"),
+        Vectors.normSq("embedding").as("nsq"),
+        graft.sim.Knn.lshBucket("embedding", planes).as("bucket"))
+      .localCheckpoint(true) // both join sides read one signature build
+    val a = e.select(col("bucket"), col("vec_id").as("ida"),
+      col("embedding").as("ea"), col("nsq").as("na"))
+    val b = e.select(col("bucket"), col("vec_id").as("idb"),
+      col("embedding").as("eb"), col("nsq").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("ida") < col("idb"))
+      .withColumn("cos_fast",
+        Vectors.cosineFrom(Vectors.dotFast("ea", "eb"), col("na"), col("nb")))
+      .filter(col("cos_fast") >= tau - 1e-6)
+      .withColumn("cosine",
+        Vectors.cosineFrom(Vectors.dot("ea", "eb"), col("na"), col("nb")))
+      .filter(col("cosine") >= tau)
+      .select(col("ida").as("vec_a"), col("idb").as("vec_b"), col("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
 
   /** The grid-blocked exact θ-join over any (vec_id, embedding) frame. */
   def neardupPairs(emb: DataFrame, tau: Double): DataFrame = {

@@ -21,14 +21,26 @@ import graft.sources.Tables
   */
 object Ivf extends QueryModule {
 
-  val NumLists = 16
-  val NProbe = 4
+  /** Inverted-list count for an n-vector corpus: ≈√n with a 16-list
+    * floor — the IVF norm. A FIXED list count makes both the per-query
+    * probe scan (n·nProbe/nLists) and semdedup's within-list pair work
+    * (n²/nLists) quadratic in the corpus; √n pins the per-list size to
+    * ≈√n, so probes scan O(√n) and semdedup does O(n^1.5) total pair
+    * work — the standard billion-vector geometry.
+    */
+  def numLists(n: Long): Int =
+    math.max(16, math.sqrt(n.toDouble).toInt)
+
+  /** Probe count: nLists/4 (the fixed probe/list RATIO recall depends
+    * on), floored at the old 4-probe minimum.
+    */
+  def nProbe(lists: Int): Int = math.max(4, lists / 4)
 
   /** Fraction denominator for quantizer training: vectors whose
     * md5(vec_id) bucket is 0 of [[SampleMod]] train the coarse
     * quantizer (a deterministic ~1/SampleMod sample). A billion-vector
     * corpus never feeds every vector to KMeans — the quantizer only
-    * needs enough points to place [[NumLists]] centroids, and the
+    * needs enough points to place [[numLists]] centroids, and the
     * md5 coin keeps the sample a pure function of the data (same
     * discipline as the corpus-split bucketing), not of partitioning.
     */
@@ -50,6 +62,9 @@ object Ivf extends QueryModule {
         case None =>
           val feats = graft.Par.spread(emb).withColumn("features",
             array_to_vector(col("embedding").cast("array<double>")))
+          // size the geometry from the corpus (one cheap count; the
+          // index is built once per corpus, so this never re-runs)
+          val lists = numLists(emb.count())
           // Fit the coarse quantizer on a deterministic md5-sample in a
           // key-hash-partitioned layout with a FIXED partition count:
           // kmeans|| init depends on the input partitioning, so fitting
@@ -57,7 +72,7 @@ object Ivf extends QueryModule {
           // (and thus recall) vary with the session's core count. The
           // sample + fixed layout make the model a pure function of
           // (data, seed) — and quantizer training sample-sized.
-          val model = new KMeans().setK(NumLists).setSeed(42)
+          val model = new KMeans().setK(lists).setSeed(42)
             .setFeaturesCol("features").setPredictionCol("list_id")
             .fit(feats
               .filter(expr(s"conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) % $SampleMod = 0"))
@@ -103,7 +118,7 @@ object Ivf extends QueryModule {
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("c_cos", Vectors.dotFast("eq", "centroid") / sqrt(col("c_nsq")))
       .withColumn("prnk", row_number().over(probeRank))
-      .filter(col("prnk") <= NProbe)
+      .filter(col("prnk") <= nProbe(model.clusterCenters.length))
       .select("query_id", "eq", "nq", "list_id")
 
     val cand = listed.filter(!queryPred)
@@ -161,10 +176,104 @@ object Ivf extends QueryModule {
   def semdedupQ(spark: SparkSession, dir: String): DataFrame =
     semdedup(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
 
+  /** Centroid count for the given-quantizer semdedup variant. */
+  val GivenCentroids = 16
+
+  /** F10b — semdedup with a GIVEN coarse quantizer: the centroids are
+    * the embeddings of a fixed id set (vec_id < [[GivenCentroids]]),
+    * so list assignment is plain relational algebra — argmax of the
+    * decimal-quantized cosine against 16 broadcast centroid rows,
+    * ties to the smaller centroid id — and the ENTIRE within-list
+    * pair/drop chain sits inside the DuckDB hash gate. This gates the
+    * semdedup algebra itself; the KMeans-fitted [[semdedup]] keeps
+    * the rows-only check (the quantizer fit is not SQL-expressible).
+    *
+    * Scale shape: assignment is one broadcast join + one map-side-
+    * combinable max_by aggregate (narrow rows — embeddings re-join
+    * once, co-partitioned on vec_id); the pair join is the same
+    * within-list equi-join as semdedup.
+    */
+  def semdedupGivenCentroids(emb: DataFrame): DataFrame = {
+    val e = graft.Par.spread(emb)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.normSq("embedding").as("nsq"))
+      .localCheckpoint(true) // read by centroids, assignment, and both pair sides
+    val cents = e.filter(col("vec_id") < GivenCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nsq").as("cn"))
+    // argmax cosine per vector on NARROW rows (the max_by partial
+    // aggregate combines map-side; ties impossible — cid is distinct
+    // within a group, so struct(c_cos, -cid) is a total order)
+    val assignNarrow = e.crossJoin(broadcast(cents))
+      .withColumn("c_cos", Vectors.cosineFrom(
+        Vectors.dot("embedding", "ce"), col("nsq"), col("cn")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("c_cos"), -col("cid")))
+        .as("list_id"))
+    val assigned = e.join(assignNarrow, "vec_id").localCheckpoint(true)
+    val a = assigned.select(col("list_id"), col("vec_id").as("pa"),
+      col("embedding").as("ea"), col("nsq").as("na"))
+    val b = assigned.select(col("list_id"), col("vec_id").as("pb"),
+      col("embedding").as("eb"), col("nsq").as("nb"))
+    val dropped = a.join(b, Seq("list_id"))
+      .filter(col("pa") < col("pb"))
+      .withColumn("cosine",
+        Vectors.cosineFrom(Vectors.dot("ea", "eb"), col("na"), col("nb")))
+      .filter(col("cosine") >= SemDedupTau)
+      .select(col("pb").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    assigned.select("vec_id", "list_id")
+      .join(dropped, Seq("vec_id"), "left")
+      .withColumn("keep", col("dropped").isNull)
+      .select("vec_id", "list_id", "keep")
+      .orderBy("vec_id")
+  }
+
+  def semdedupGivenCentroidsQ(spark: SparkSession, dir: String): DataFrame =
+    semdedupGivenCentroids(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+
   override def queries: Map[String, Q] = Map(
     "knn_ivf" -> (knnIvf _),
-    "semdedup" -> (semdedupQ _))
+    "semdedup" -> (semdedupQ _),
+    "semdedup_given_centroids" -> (semdedupGivenCentroidsQ _))
 
-  /** KMeans is not ANSI-SQL-expressible → rows-only driver check. */
-  override def oracles: Map[String, String] = Map.empty
+  /** KMeans is not ANSI-SQL-expressible → knn_ivf/semdedup stay
+    * rows-only; the given-centroids variant is fully gated.
+    */
+  override def oracles: Map[String, String] = Map(
+    "semdedup_given_centroids" ->
+      s"""WITH comp AS (SELECT vec_id, CAST(i AS INT) AS i,
+        |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+        |       FROM embeddings, UNNEST(range(1, 65)) u(i)),
+        |norms AS (SELECT vec_id,
+        |         CAST(sum(CAST(v * v AS DECIMAL(24,12))) AS DOUBLE) AS nsq
+        |       FROM comp GROUP BY vec_id),
+        |cdots AS (SELECT a.vec_id, b.vec_id AS cid,
+        |         CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
+        |       FROM comp a JOIN comp b
+        |         ON a.i = b.i AND b.vec_id < $GivenCentroids
+        |       GROUP BY 1, 2),
+        |assign AS (SELECT cdots.vec_id, cid AS list_id,
+        |         row_number() OVER (PARTITION BY cdots.vec_id
+        |           ORDER BY dot / (sqrt(nv.nsq) * sqrt(nc.nsq)) DESC,
+        |                    cid ASC) AS rn
+        |       FROM cdots JOIN norms nv ON cdots.vec_id = nv.vec_id
+        |                  JOIN norms nc ON cdots.cid = nc.vec_id),
+        |lists AS (SELECT vec_id, list_id FROM assign WHERE rn = 1),
+        |pairs AS (SELECT x.vec_id AS pa, y.vec_id AS pb
+        |       FROM lists x JOIN lists y
+        |         ON x.list_id = y.list_id AND x.vec_id < y.vec_id),
+        |pdots AS (SELECT pa, pb,
+        |         CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
+        |       FROM pairs JOIN comp a ON a.vec_id = pa
+        |                  JOIN comp b ON b.vec_id = pb AND a.i = b.i
+        |       GROUP BY 1, 2),
+        |dropped AS (SELECT DISTINCT pb FROM pdots
+        |       JOIN norms na ON pa = na.vec_id
+        |       JOIN norms nb ON pb = nb.vec_id
+        |       WHERE dot / (sqrt(na.nsq) * sqrt(nb.nsq)) >= $SemDedupTau)
+        |SELECT l.vec_id, l.list_id, (d.pb IS NULL) AS keep
+        |FROM lists l LEFT JOIN dropped d ON l.vec_id = d.pb
+        |ORDER BY l.vec_id""".stripMargin)
 }

@@ -108,6 +108,34 @@ class DedupSpec extends SparkSpec {
     assert(grid == brute, s"grid vs brute diff: ${grid.diff(brute)} / ${brute.diff(grid)}")
   }
 
+  test("neardup dispatch: exact grid under the guard, LSH-approx above it") {
+    import spark.implicits._
+    val dim = 40
+    def oneHot(i: Int): Array[Float] =
+      Array.tabulate(dim)(j => if (j == i) 1f else 0f)
+    val emb = ((0 until 40).map(i => (i.toLong, oneHot(i))) ++
+      (0 until 5).map(i => (100L + i, oneHot(i * 7))))
+      .toDF("vec_id", "embedding")
+    val exact = DedupQueries.neardupPairs(emb, 0.45).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(exact == (0 until 5).map(i => (i * 7L, 100L + i)).toSet)
+    spark.conf.set("spark.graft.neardup.maxExact", "10")
+    try {
+      val auto = DedupQueries.neardupAuto(emb, 0.45)
+      // above the (lowered) guard: the LSH bucket join, not the grid
+      assert(auto.queryExecution.analyzed.toString.contains("bucket"),
+        "guard did not dispatch to the approximate path")
+      val approx = auto.collect()
+        .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+      // identical vectors always share a bucket, so the approx path
+      // recovers every duplicate pair here (subset guarantee in general)
+      assert(approx == exact)
+    } finally spark.conf.unset("spark.graft.neardup.maxExact")
+    // back under the guard: the grid path again (no bucket key anywhere)
+    assert(!DedupQueries.neardupAuto(emb, 0.45)
+      .queryExecution.analyzed.toString.contains("bucket"))
+  }
+
   test("substring_dedup flags planted cross-doc windows and only those") {
     import spark.implicits._
     val shared = "the quick brown fox jumps over the lazy dog repeatedly"
