@@ -33,22 +33,43 @@ object Bench {
         graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
           .limit(50), "doc_id", "text").count()
     } catch { case _: Throwable => () }
-    // sorted: stable attribution of shared-index build costs to the
-    // alphabetically-first consumer, comparable across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // One-time shared index/model builds, timed separately so each
+    // query reports its MARGINAL cost: billing a build to its first
+    // alphabetical consumer made per-query numbers incomparable
+    // round-over-round (a memo's first consumer "regresses" whenever
+    // a new query sorts ahead of it). The builds go through the SAME
+    // memoized entry points the queries hit (plan-keyed), and their
+    // checkpoint blocks survive the per-query clearCache below.
+    def timed(fn: () => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val t1 = System.nanoTime()
+      try fn() catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val builds: Seq[(String, Double)] = Seq[(String, () => Unit)](
+      "observations" -> (() => { etl.Observations.panel(spark, sfDir).count(); () }),
+      "neardup_index" -> (() =>
+        { dedup.NearDup.index(sources.Tables.documents(spark, sfDir)); () }),
+      "tfidf_index" -> (() =>
+        { text.Tfidf.index(sources.Tables.documents(spark, sfDir),
+            "doc_id", "text"); () }),
+      "gbt_model" -> (() =>
+        forecast.Gbt.prebuild(etl.Observations.panel(spark, sfDir))),
+      "ivf_index" -> (() => sim.Ivf.prebuild(spark, sfDir))
+    ).map { case (name, fn) => name -> timed(fn) }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t = timed(() => { fn(spark, sfDir).count(); () })
       // release per-query persisted relations so cached blocks don't
       // accumulate GC pressure across the suite — outside the timed
       // window, so one query's teardown doesn't bill the next
       spark.catalog.clearCache()
-      name -> (t1 - t0) / 1e9
+      name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def obj(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // total keeps covering builds + queries (comparable to r1-r5
+    // totals, where builds were billed inside their first consumer)
+    val total = builds.map(_._2).sum + results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","builds":${obj(builds)},"queries":${obj(results)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,6 +37,37 @@ object Clean {
     df.write.mode(saveMode).parquet(path)
   }
 
+  /** JDBC sink face (reference etl/main.py:50,167-207 +
+    * postgres/init.sql:1-21: SQLAlchemy `to_sql` into Postgres) —
+    * the same three-mode contract over Spark's `jdbc` writer, for a
+    * migrating user who keeps serving relational dashboards:
+    *
+    *  - `append`       → INSERT rows (reference `if_exists='append'`)
+    *  - `truncate`     → keep the table and its DDL (indexes, grants),
+    *                     replace the rows (reference TRUNCATE + append;
+    *                     Spark's truncate-overwrite issues TRUNCATE
+    *                     TABLE instead of DROP when the dialect allows)
+    *  - `full-refresh` → drop + recreate from the frame's schema
+    *                     (reference `if_exists='replace'`)
+    *
+    * Writes go partition-parallel (one connection per task) — the
+    * loader saturates the warehouse's ingest side without a driver
+    * bottleneck; batch size and isolation ride in `props`.
+    */
+  def loadJdbc(df: DataFrame, url: String, table: String, mode: String,
+      props: java.util.Properties = new java.util.Properties): Unit =
+    mode match {
+      case "append" =>
+        df.write.mode(SaveMode.Append).jdbc(url, table, props)
+      case "truncate" =>
+        df.write.mode(SaveMode.Overwrite).option("truncate", "true")
+          .jdbc(url, table, props)
+      case "full-refresh" =>
+        df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+      case other =>
+        throw new IllegalArgumentException(s"unknown load mode: $other")
+    }
+
   /** Partitioned sink: hive-style directories on `partitionCols` so
     * downstream year/geo filters prune whole partitions at the file
     * index — the layout a 100 TB warehouse table wants. With

@@ -91,6 +91,11 @@ object Gbt {
     }
   }
 
+  /** Force the one-time pooled training (benchmark accounting: the
+    * build is timed separately so consumers report marginal cost).
+    */
+  def prebuild(obs: DataFrame): Unit = { trained(obs); () }
+
   /** E5/E6 — recursive multi-step horizon forecast: one row per
     * (series, horizon step). Mirrors forecast_utils.py:88-110 —
     * features for step s come from the value history extended with

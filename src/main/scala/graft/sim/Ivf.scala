@@ -90,6 +90,14 @@ object Ivf extends QueryModule {
     }
   }
 
+  /** Force the one-time index build (quantizer fit + listed corpus)
+    * for the driver-query corpus — benchmark accounting: the build is
+    * timed separately so knn_ivf/semdedup report marginal cost.
+    */
+  def prebuild(spark: SparkSession, dir: String): Unit = {
+    index(Tables.embeddings(spark, dir).select("vec_id", "embedding")); ()
+  }
+
   /** Top-k cosine via nProbe inverted lists. */
   def knn(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
       k: Int): DataFrame = {

@@ -80,4 +80,18 @@ object Tables {
       schema: org.apache.spark.sql.types.StructType,
       mode: String = "PERMISSIVE"): DataFrame =
     spark.read.schema(schema).option("mode", mode).json(path)
+
+  /** JSON-stat DIRECTORY ingest (reference etl/main.py:75-96: the
+    * multi-dataset fetch loop, one raw JSON-stat payload per
+    * dataset): each file is ONE document — a JSON-stat cube is a
+    * single JSON object, so this reads `wholetext` (one row per
+    * file, split-parallel across files), tags it with its source
+    * file, and the result feeds [[graft.etl.JsonStat.flatten]]
+    * directly. Acquisition (the HTTP pull) lands payloads in the
+    * directory; everything after the landing zone is engine scope.
+    */
+  def fromJsonStatDocs(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .select(org.apache.spark.sql.functions.input_file_name().as("src_file"),
+        org.apache.spark.sql.functions.col("value").as("json"))
 }

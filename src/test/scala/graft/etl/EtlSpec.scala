@@ -50,6 +50,29 @@ class EtlSpec extends SparkSpec {
     intercept[IllegalArgumentException](Clean.load(df, tmp, "bogus"))
   }
 
+  test("jdbc sink: append / truncate / full-refresh against embedded Derby") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val props = new java.util.Properties
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    def readBack() = spark.read.jdbc(url, "obs", props)
+    val df1 = Seq((1L, "DE", 100.0), (2L, "FR", 101.0))
+      .toDF("id", "geo", "value")
+    Clean.loadJdbc(df1, url, "obs", "full-refresh", props)
+    assert(readBack().count() == 2)
+    Clean.loadJdbc(df1, url, "obs", "append", props)
+    assert(readBack().count() == 4)
+    Clean.loadJdbc(df1, url, "obs", "truncate", props)
+    assert(readBack().count() == 2) // rows replaced, table kept
+    // full-refresh drops + recreates from the NEW frame's schema
+    val df2 = Seq((9L, "IT")).toDF("id", "geo")
+    Clean.loadJdbc(df2, url, "obs", "full-refresh", props)
+    assert(readBack().columns.map(_.toLowerCase).toSeq == Seq("id", "geo"))
+    assert(readBack().count() == 1)
+    intercept[IllegalArgumentException](
+      Clean.loadJdbc(df1, url, "obs", "bogus", props))
+  }
+
   test("etl_scd2: changed keys close + reopen, unchanged pass through") {
     val rows = EtlQueries.etlScd2(spark, sf).collect()
     val dim = graft.sources.Tables.customer(spark, sf).count()

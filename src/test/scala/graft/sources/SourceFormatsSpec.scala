@@ -64,6 +64,35 @@ class SourceFormatsSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") || plan.contains("pushed"))
   }
 
+  test("json-stat directory ingest: one doc per file, flattens to observations") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonstat")
+    // the fixed Eurostat-shaped doc (10 sparse values) + a second
+    // tiny 1×2 cube — the reference's multi-dataset fetch-loop shape
+    val doc2 =
+      """{"id": ["ind", "geo"], "size": [1, 2],
+        | "dimension": {
+        |   "ind": {"category": {"index": {"X": 0}, "label": {"X": "X ind"}}},
+        |   "geo": {"category": {"index": {"AT": 0, "BE": 1},
+        |     "label": {"AT": "Austria", "BE": "Belgium"}}}},
+        | "value": {"0": 1.5, "1": 2.5}}""".stripMargin
+    java.nio.file.Files.writeString(dir.resolve("nrg_bal.json"),
+      graft.etl.JsonStat.sampleDoc)
+    java.nio.file.Files.writeString(dir.resolve("second.json"), doc2)
+    val docs = Tables.fromJsonStatDocs(spark, dir.toString)
+    assert(docs.columns.toSeq == Seq("src_file", "json"))
+    assert(docs.count() == 2)
+    val flat = graft.etl.JsonStat.flatten(docs, "json").collect()
+    assert(flat.length == 12) // 10 sparse + 2
+    // unravel check across docs: sampleDoc flat idx 6 → (FC_E, DE, 2020)
+    val m6 = flat.find(_.getAs[Double]("value") == 106.0).get
+      .getAs[Map[String, String]]("code_map")
+    assert(m6 == Map("nrg_bal" -> "FC_E", "geo" -> "DE", "time" -> "2020"))
+    val at = flat.find(_.getAs[Double]("value") == 1.5).get
+    assert(at.getAs[Map[String, String]]("code_map") ==
+      Map("ind" -> "X", "geo" -> "AT"))
+    assert(at.getAs[Map[String, String]]("label_map")("geo") == "Austria")
+  }
+
   test("malformed csv rows: dropped under DROPMALFORMED, fatal under FAILFAST") {
     val dir = "/tmp/graft_src_bad"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
