@@ -171,12 +171,14 @@ object StressBench {
       sh.unpersist()
       n
     }
-    // knn_join's in-bucket join is quadratic in bucket OCCUPANCY: the
-    // 8-plane bucket count (256) is a tuning constant, so amplifying
-    // the corpus under a fixed plane count grows buckets linearly and
-    // pair work ~mult² — the honest expectation here. At a real 100 TB
-    // deployment the plane count scales with log(corpus) to pin
-    // occupancy, which this diagnostic deliberately does not do.
+    // knn_join's in-bucket join is quadratic in bucket OCCUPANCY.
+    // Since round 6 the plane count derives from the corpus size
+    // (Knn.planesFor: smallest p with n ≤ 64·2ᵖ), so occupancy — and
+    // per-vector candidate work — stays ~pinned as mult grows and the
+    // expectation here is ~LINEAR time (up to the plane-count step
+    // boundaries: bucket counts move in powers of two, so the ratio
+    // wobbles around 2× per doubling instead of the fixed-geometry
+    // mult² that r5 measured at 171→665 s).
     time("knn_join_x" + mult) {
       graft.sim.Knn.lshJoin(embAmp, 3).count()
     }

@@ -145,17 +145,33 @@ object Knn {
     hybridTopK(q, c, k, (qf, cf) => cf.crossJoin(broadcast(qf)))
   }
 
+  /** Per-bucket occupancy cap for the corpus-wide self-join: a bucket
+    * past this size md5-salts into ceil(size/cap) cells, and the
+    * candidate join runs within a (bucket, salt) cell. Adding planes
+    * cannot split a bucket whose members agree with a corpus-wide
+    * bias direction on every hyperplane (measured: top-bucket size
+    * grows ∝ n under ANY plane count), so without the cap those
+    * buckets alone keep the join quadratic; with it, a size-b bucket
+    * contributes ≤ b·cap pairs and TOTAL pair work is ≤ n·cap —
+    * strictly linear under any skew, the same per-key cap discipline
+    * the n-gram join applies to stop-phrase grams. The price: inside
+    * an over-hot bucket each vector ranks a uniform 1/ns sample of
+    * its (near-equivalent) co-members rather than all of them.
+    */
+  val BucketCap: Int = 4 * TargetBucket.toInt
+
   /** G7 — k-NN self-join: EVERY vector retrieves its top-k in-bucket
     * neighbors (the all-pairs companion to [[lsh]]'s query-set
     * search — what dedup/graph-construction pipelines run corpus-wide).
     * The plane count derives from the corpus size ([[planesFor]] from
-    * one cheap count), pinning bucket occupancy — in-bucket pair work
-    * grows ~linearly with the corpus instead of ~n² under a fixed
-    * 256-bucket geometry. The signature frame is eagerly checkpointed
-    * ONCE and both join sides read it, so hyperplane projections
-    * aren't recomputed per branch; the candidate join is a bucket
-    * equi-join co-partitioned on both sides (nothing broadcasts — at
-    * 100 TB both sides are the corpus).
+    * one cheap count) and over-hot buckets are salted under
+    * [[BucketCap]], so in-bucket pair work grows linearly with the
+    * corpus instead of ~n² under a fixed 256-bucket geometry. The
+    * signature frame is eagerly checkpointed ONCE and both join sides
+    * read it, so hyperplane projections aren't recomputed per branch;
+    * the candidate join is a (bucket, salt) equi-join co-partitioned
+    * on both sides (nothing broadcasts — at 100 TB both sides are the
+    * corpus).
     */
   def lshJoin(emb: DataFrame, k: Int): DataFrame = {
     val planes = planesFor(emb.count())
@@ -163,13 +179,27 @@ object Knn {
       .select(col("vec_id"), col("embedding"),
         Vectors.normSq("embedding").as("nsq"),
         lshBucket("embedding", planes).as("bucket"))
+      // bucket size via ONE windowed count (no orderBy → whole-bucket
+      // frame), then the salt cell; everything md5/count-derived, so
+      // the oracle replays it exactly
+      .withColumn("bn", count(lit(1)).over(
+        Window.partitionBy("bucket")))
+      .withColumn("ns", expr(s"(bn + ${BucketCap - 1}) div $BucketCap"))
+      .withColumn("salt", expr(
+        """pmod(cast(conv(substring(md5(concat('knn|',
+          |  cast(vec_id as string))), 1, 8), 16, 10) as bigint), ns)"""
+          .stripMargin))
+      .select("vec_id", "embedding", "nsq", "bucket", "salt")
       .localCheckpoint(true)
     val q = e.select(col("vec_id").as("query_id"),
-      col("embedding").as("eq"), col("nsq").as("nq"), col("bucket"))
+      col("embedding").as("eq"), col("nsq").as("nq"),
+      col("bucket"), col("salt"))
     val c = e.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("ec"), col("nsq").as("nc"), col("bucket"))
+      col("embedding").as("ec"), col("nsq").as("nc"),
+      col("bucket"), col("salt"))
     hybridTopK(q, c, k, (qf, cf) =>
-      qf.join(cf, "bucket").filter(col("query_id") =!= col("neighbor_id")))
+      qf.join(cf, Seq("bucket", "salt"))
+        .filter(col("query_id") =!= col("neighbor_id")))
   }
 
   /** G2 — LSH-bucketed approximate top-k: candidates share the

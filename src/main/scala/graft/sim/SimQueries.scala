@@ -242,14 +242,36 @@ object SimQueries extends QueryModule {
       |       FROM UNNEST(range(0, 20)) u(h), UNNEST(range(0, 64)) v(d), np
       |       WHERE h < np.p),""".stripMargin
 
-  /** Shared LSH chain (planes → signatures → buckets → in-bucket
-    * candidates → exact re-rank), parameterized by the candidate
-    * predicate — knn_lsh restricts to the query set, knn_join takes
-    * every ordered non-self pair — and by the plane geometry (static
-    * 8-plane for the query-set search, corpus-derived for the
-    * self-join).
+  /** The plain in-bucket candidate CTE (query-set search shape). */
+  private def plainCand(candCond: String) =
+    s"""cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      |       FROM buck q JOIN buck c ON q.bucket = c.bucket
+      |         AND $candCond),""".stripMargin
+
+  /** The occupancy-capped candidate CTE ([[Knn.BucketCap]] md5-salt
+    * replayed relationally — see the lshJoin doc).
     */
-  private def lshChain(candCond: String,
+  private def saltedCand(candCond: String) = {
+    val cap = Knn.BucketCap
+    s"""bsz AS (SELECT bucket, count(*) AS bn FROM buck GROUP BY bucket),
+      |sbuck AS (SELECT b.vec_id, b.bucket,
+      |         CAST('0x' || substr(md5('knn|' || CAST(b.vec_id AS VARCHAR)),
+      |              1, 8) AS BIGINT)
+      |           % ((bn + ${cap - 1}) // $cap) AS salt
+      |       FROM buck b JOIN bsz USING (bucket)),
+      |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      |       FROM sbuck q JOIN sbuck c ON q.bucket = c.bucket
+      |         AND q.salt = c.salt AND $candCond),""".stripMargin
+  }
+
+  /** Shared LSH chain (planes → signatures → buckets → candidates →
+    * exact re-rank), parameterized by the candidate CTE — knn_lsh
+    * restricts to the query set over plain buckets, knn_join takes
+    * every ordered non-self pair within occupancy-capped cells — and
+    * by the plane geometry (static 8-plane for the query-set search,
+    * corpus-derived for the self-join).
+    */
+  private def lshChain(candCte: String,
       planesCte: String = staticPlanes) = s""",
       |$planesCte
       |sig AS (SELECT vec_id, h,
@@ -259,9 +281,7 @@ object SimQueries extends QueryModule {
       |         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(h AS INT))
       |             ELSE 0 END) AS bucket
       |       FROM sig GROUP BY vec_id),
-      |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
-      |       FROM buck q JOIN buck c ON q.bucket = c.bucket
-      |         AND $candCond),
+      |$candCte
       |dots AS (SELECT cand.query_id, cand.neighbor_id,
       |         CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
       |       FROM cand JOIN comp a ON a.vec_id = cand.query_id
@@ -298,7 +318,7 @@ object SimQueries extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "knn_join" -> (compCte.stripSuffix("\n") +
-      lshChain("q.vec_id <> c.vec_id", dynamicPlanes)),
+      lshChain(saltedCand("q.vec_id <> c.vec_id"), dynamicPlanes)),
     "knn_brute" -> (bruteRanked + """
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM ranked
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
@@ -332,7 +352,7 @@ object SimQueries extends QueryModule {
         |FROM cent JOIN inert ON cent.label = inert.label
         |ORDER BY cent.label, dim""".stripMargin,
     "knn_lsh" -> (compCte.stripSuffix("\n") +
-      lshChain("q.vec_id < 5 AND c.vec_id >= 5")),
+      lshChain(plainCand("q.vec_id < 5 AND c.vec_id >= 5"))),
     "knn_qint8" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    list_max(list_transform(embedding,
