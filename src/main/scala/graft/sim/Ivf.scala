@@ -202,23 +202,7 @@ object Ivf extends QueryModule {
     * within-list equi-join as semdedup.
     */
   def semdedupGivenCentroids(emb: DataFrame): DataFrame = {
-    val e = graft.Par.spread(emb)
-      .select(col("vec_id"), col("embedding"),
-        Vectors.normSq("embedding").as("nsq"))
-      .localCheckpoint(true) // read by centroids, assignment, and both pair sides
-    val cents = e.filter(col("vec_id") < GivenCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        col("nsq").as("cn"))
-    // argmax cosine per vector on NARROW rows (the max_by partial
-    // aggregate combines map-side; ties impossible — cid is distinct
-    // within a group, so struct(c_cos, -cid) is a total order)
-    val assignNarrow = e.crossJoin(broadcast(cents))
-      .withColumn("c_cos", Vectors.cosineFrom(
-        Vectors.dot("embedding", "ce"), col("nsq"), col("cn")))
-      .groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("c_cos"), -col("cid")))
-        .as("list_id"))
-    val assigned = e.join(assignNarrow, "vec_id").localCheckpoint(true)
+    val (_, assigned) = givenListed(emb)
     val a = assigned.select(col("list_id"), col("vec_id").as("pa"),
       col("embedding").as("ea"), col("nsq").as("na"))
     val b = assigned.select(col("list_id"), col("vec_id").as("pb"),
@@ -237,51 +221,151 @@ object Ivf extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** The given-quantizer listed corpus: (centroids, assignment).
+    * Assignment = argmax decimal-quantized cosine against the 16
+    * broadcast centroid rows on NARROW rows (the max_by partial
+    * aggregate combines map-side; ties impossible — cid is distinct
+    * within a group, so struct(c_cos, -cid) is a total order), then
+    * one co-partitioned join brings the embeddings back.
+    */
+  private def givenListed(emb: DataFrame): (DataFrame, DataFrame) = {
+    val e = graft.Par.spread(emb)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.normSq("embedding").as("nsq"))
+      .localCheckpoint(true) // read by centroids, assignment, consumers
+    val cents = e.filter(col("vec_id") < GivenCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nsq").as("cn"))
+    val assignNarrow = e.crossJoin(broadcast(cents))
+      .withColumn("c_cos", Vectors.cosineFrom(
+        Vectors.dot("embedding", "ce"), col("nsq"), col("cn")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("c_cos"), -col("cid")))
+        .as("list_id"))
+    (cents, e.join(assignNarrow, "vec_id").localCheckpoint(true))
+  }
+
+  /** Probe count for the given-quantizer search (the NProbe floor). */
+  val GivenProbe = 4
+
+  /** G2c — IVF search with the GIVEN quantizer: the same probe-then-
+    * re-rank plan as [[knn]] (rank the broadcast centroid table per
+    * query, scan only the nProbe nearest inverted lists, exact
+    * re-rank in-list) with [[GivenCentroids]] fixed centroids — so
+    * the ENTIRE inverted-file search algebra (assignment, probe
+    * selection, in-list candidate join, top-k) sits inside the DuckDB
+    * hash gate. [[knn]] keeps the rows-only check only because its
+    * KMeans fit is not SQL-expressible; this is the same plan with
+    * the quantizer pinned.
+    */
+  def knnGivenCentroids(emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val (cents, assigned) = givenListed(emb)
+    val queries = assigned.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+        col("nsq").as("nq"))
+    val probeRank = Window.partitionBy("query_id")
+      .orderBy(desc("c_cos"), asc("cid"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("c_cos", Vectors.cosineFrom(
+        Vectors.dot("eq", "ce"), col("nq"), col("cn")))
+      .withColumn("prnk", row_number().over(probeRank))
+      .filter(col("prnk") <= GivenProbe)
+      .select(col("query_id"), col("eq"), col("nq"),
+        col("cid").as("list_id"))
+    val cand = assigned.filter(!queryPred)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"),
+        col("nsq").as("nc"), col("list_id"))
+    val scored = probes.join(cand, "list_id")
+      .withColumn("cosine",
+        Vectors.cosineFrom(Vectors.dot("eq", "ec"), col("nq"), col("nc")))
+    graft.plans.AggExpressions
+      .topKPerKey(scored, "query_id", "cosine", "neighbor_id",
+        Seq("list_id"), k)
+      .select("query_id", "rank", "neighbor_id", "cosine", "list_id")
+      .orderBy("query_id", "rank")
+  }
+
+  def knnGivenCentroidsQ(spark: SparkSession, dir: String): DataFrame =
+    knnGivenCentroids(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      col("vec_id") < 5, 3)
+
   def semdedupGivenCentroidsQ(spark: SparkSession, dir: String): DataFrame =
     semdedupGivenCentroids(
       Tables.embeddings(spark, dir).select("vec_id", "embedding"))
 
   override def queries: Map[String, Q] = Map(
     "knn_ivf" -> (knnIvf _),
+    "knn_ivf_given_centroids" -> (knnGivenCentroidsQ _),
     "semdedup" -> (semdedupQ _),
     "semdedup_given_centroids" -> (semdedupGivenCentroidsQ _))
 
+  /** The given-quantizer assignment chain, shared by both gated
+    * variants: full per-vector centroid ranking (rn = 1 is the
+    * assignment, rn ≤ nProbe is the probe set).
+    */
+  private val givenAssignCte =
+    s"""WITH comp AS (SELECT vec_id, CAST(i AS INT) AS i,
+      |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+      |       FROM embeddings, UNNEST(range(1, 65)) u(i)),
+      |norms AS (SELECT vec_id,
+      |         CAST(sum(CAST(v * v AS DECIMAL(24,12))) AS DOUBLE) AS nsq
+      |       FROM comp GROUP BY vec_id),
+      |cdots AS (SELECT a.vec_id, b.vec_id AS cid,
+      |         CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
+      |       FROM comp a JOIN comp b
+      |         ON a.i = b.i AND b.vec_id < $GivenCentroids
+      |       GROUP BY 1, 2),
+      |assign AS (SELECT cdots.vec_id, cid AS list_id,
+      |         row_number() OVER (PARTITION BY cdots.vec_id
+      |           ORDER BY dot / (sqrt(nv.nsq) * sqrt(nc.nsq)) DESC,
+      |                    cid ASC) AS rn
+      |       FROM cdots JOIN norms nv ON cdots.vec_id = nv.vec_id
+      |                  JOIN norms nc ON cdots.cid = nc.vec_id),
+      |lists AS (SELECT vec_id, list_id FROM assign WHERE rn = 1),""".stripMargin
+
   /** KMeans is not ANSI-SQL-expressible → knn_ivf/semdedup stay
-    * rows-only; the given-centroids variant is fully gated.
+    * rows-only; the given-centroids variants are fully gated.
     */
   override def oracles: Map[String, String] = Map(
-    "semdedup_given_centroids" ->
-      s"""WITH comp AS (SELECT vec_id, CAST(i AS INT) AS i,
-        |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
-        |       FROM embeddings, UNNEST(range(1, 65)) u(i)),
-        |norms AS (SELECT vec_id,
-        |         CAST(sum(CAST(v * v AS DECIMAL(24,12))) AS DOUBLE) AS nsq
-        |       FROM comp GROUP BY vec_id),
-        |cdots AS (SELECT a.vec_id, b.vec_id AS cid,
-        |         CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
-        |       FROM comp a JOIN comp b
-        |         ON a.i = b.i AND b.vec_id < $GivenCentroids
-        |       GROUP BY 1, 2),
-        |assign AS (SELECT cdots.vec_id, cid AS list_id,
-        |         row_number() OVER (PARTITION BY cdots.vec_id
-        |           ORDER BY dot / (sqrt(nv.nsq) * sqrt(nc.nsq)) DESC,
-        |                    cid ASC) AS rn
-        |       FROM cdots JOIN norms nv ON cdots.vec_id = nv.vec_id
-        |                  JOIN norms nc ON cdots.cid = nc.vec_id),
-        |lists AS (SELECT vec_id, list_id FROM assign WHERE rn = 1),
-        |pairs AS (SELECT x.vec_id AS pa, y.vec_id AS pb
-        |       FROM lists x JOIN lists y
-        |         ON x.list_id = y.list_id AND x.vec_id < y.vec_id),
-        |pdots AS (SELECT pa, pb,
-        |         CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
-        |       FROM pairs JOIN comp a ON a.vec_id = pa
-        |                  JOIN comp b ON b.vec_id = pb AND a.i = b.i
-        |       GROUP BY 1, 2),
-        |dropped AS (SELECT DISTINCT pb FROM pdots
-        |       JOIN norms na ON pa = na.vec_id
-        |       JOIN norms nb ON pb = nb.vec_id
-        |       WHERE dot / (sqrt(na.nsq) * sqrt(nb.nsq)) >= $SemDedupTau)
-        |SELECT l.vec_id, l.list_id, (d.pb IS NULL) AS keep
-        |FROM lists l LEFT JOIN dropped d ON l.vec_id = d.pb
-        |ORDER BY l.vec_id""".stripMargin)
+    "knn_ivf_given_centroids" -> (givenAssignCte + s"""
+      |probes AS (SELECT vec_id AS query_id, list_id FROM assign
+      |       WHERE vec_id < 5 AND rn <= $GivenProbe),
+      |cand AS (SELECT vec_id AS neighbor_id, list_id FROM lists
+      |       WHERE vec_id >= 5),
+      |pdots AS (SELECT p.query_id, c.neighbor_id, c.list_id,
+      |         CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
+      |       FROM probes p JOIN cand c ON p.list_id = c.list_id
+      |         JOIN comp a ON a.vec_id = p.query_id
+      |         JOIN comp b ON b.vec_id = c.neighbor_id AND a.i = b.i
+      |       GROUP BY 1, 2, 3),
+      |scored AS (SELECT query_id, neighbor_id, list_id,
+      |         dot / (sqrt(nq.nsq) * sqrt(nc.nsq)) AS cosine
+      |       FROM pdots JOIN norms nq ON query_id = nq.vec_id
+      |                  JOIN norms nc ON neighbor_id = nc.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, cosine, list_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      |       FROM scored)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+      |  cosine, list_id
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin),
+    "semdedup_given_centroids" -> (givenAssignCte + s"""
+      |pairs AS (SELECT x.vec_id AS pa, y.vec_id AS pb
+      |       FROM lists x JOIN lists y
+      |         ON x.list_id = y.list_id AND x.vec_id < y.vec_id),
+      |pdots AS (SELECT pa, pb,
+      |         CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
+      |       FROM pairs JOIN comp a ON a.vec_id = pa
+      |                  JOIN comp b ON b.vec_id = pb AND a.i = b.i
+      |       GROUP BY 1, 2),
+      |dropped AS (SELECT DISTINCT pb FROM pdots
+      |       JOIN norms na ON pa = na.vec_id
+      |       JOIN norms nb ON pb = nb.vec_id
+      |       WHERE dot / (sqrt(na.nsq) * sqrt(nb.nsq)) >= $SemDedupTau)
+      |SELECT l.vec_id, l.list_id, (d.pb IS NULL) AS keep
+      |FROM lists l LEFT JOIN dropped d ON l.vec_id = d.pb
+      |ORDER BY l.vec_id""".stripMargin))
 }

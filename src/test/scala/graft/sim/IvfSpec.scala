@@ -4,6 +4,21 @@ import graft.SparkSpec
 
 class IvfSpec extends SparkSpec {
 
+  test("knn_ivf_given_centroids: probed-list top-k with the pinned quantizer") {
+    val rows = Ivf.knnGivenCentroidsQ(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.values.foreach { grp =>
+      assert(grp.length <= 3)
+      assert(grp.forall(_.getAs[Long]("neighbor_id") >= 5L))
+      assert(grp.forall { r =>
+        val l = r.getAs[Long]("list_id"); l >= 0 && l < Ivf.GivenCentroids
+      })
+      val cos = grp.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("ivf knn returns ranked in-list neighbors with decent recall") {
     val ivf = SimQueries // force init order
     val rows = Ivf.knnIvf(spark, sf).collect()

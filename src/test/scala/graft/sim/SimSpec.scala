@@ -16,6 +16,39 @@ class SimSpec extends SparkSpec {
     }
   }
 
+  test("knn_join salts an over-cap bucket: capped pair work, full ranks") {
+    import spark.implicits._
+    // 700 near-identical vectors (a corpus-bias cluster: one bucket
+    // at ANY plane count, 700 > BucketCap=256 → ns = 3 salt cells)
+    // plus 20 orthogonal one-hots that stay unsalted
+    val dim = 64
+    val hot = (0 until 700).map { i =>
+      (i.toLong, Array.tabulate(dim)(j =>
+        if (j == 0) 1f else if (j == (i % 8) + 1) 1e-4f else 0f))
+    }
+    val cold = (0 until 20).map(i =>
+      (1000L + i, Array.tabulate(dim)(j => if (j == i + 20) 1f else 0f)))
+    val emb = (hot ++ cold).toDF("vec_id", "embedding")
+    assert(graft.sim.Knn.BucketCap == 256)
+    val out = Knn.lshJoin(emb, 3).collect()
+    // every hot vector still retrieves a full top-3 from its salt cell
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    hot.foreach { case (id, _) =>
+      val grp = byQ(id)
+      assert(grp.length == 3)
+      assert(grp.forall(_.getAs[Double]("cosine") > 0.99))
+      // neighbors come from the hot cluster, never the orthogonal set
+      assert(grp.forall(_.getAs[Long]("neighbor_id") < 700L))
+    }
+    // deterministic under input repartitioning (salt is md5/count-
+    // derived, never partition-derived)
+    val again = Knn.lshJoin(emb.repartition(7), 3).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))
+    assert(out.map(key).toSet == again.map(key).toSet)
+  }
+
   test("knn_brute agrees with a local exact computation") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
