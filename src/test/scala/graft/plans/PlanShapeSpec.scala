@@ -62,7 +62,11 @@ class PlanShapeSpec extends SparkSpec {
       // count (visible for the rounds since the last checkpoint)
       "pagerank",
       // q_zorder crosses its broadcast 1-row min/max bounds frame
-      "q_zorder")
+      "q_zorder",
+      // round 6: the given-quantizer IVF search crosses the 5-vector
+      // query set with its broadcast 16-row pinned centroid table for
+      // probe ranking (the same shape as knn_ivf's probe selection)
+      "knn_ivf_given_centroids")
     val offenders = plans.collect {
       case (name, plan)
           if plan.contains("BroadcastNestedLoopJoin") && !allowed(name) =>
