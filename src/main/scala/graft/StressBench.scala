@@ -182,6 +182,13 @@ object StressBench {
     time("knn_join_x" + mult) {
       graft.sim.Knn.lshJoin(embAmp, 3).count()
     }
+    // √n-list IVF geometry: within-list pair volume (the semdedup
+    // join) should grow ~n^1.5 — ≈2.8× per corpus doubling — not the
+    // n²/16 of the old fixed 16-list quantizer. The time includes the
+    // one-time KMeans quantizer fit at this corpus size.
+    time("semdedup_pairs_x" + mult) {
+      graft.sim.Ivf.semdedupPairCount(embAmp)
+    }
     time("neardup_clusters_x" + mult) {
       val sh = graft.dedup.Dedup.shingleSets(docsAmp, "doc_id", "text").persist()
       val pairs = graft.dedup.Dedup.jaccardVerify(

@@ -98,6 +98,18 @@ object Ivf extends QueryModule {
     index(Tables.embeddings(spark, dir).select("vec_id", "embedding")); ()
   }
 
+  /** Diagnostic: within-list candidate-pair count (the semdedup join
+    * volume) — StressBench reads it to verify the √n list geometry
+    * keeps pair work ~n^1.5 (≈2.8× per corpus doubling), not the
+    * n²/16 of a fixed 16-list quantizer.
+    */
+  def semdedupPairCount(emb: DataFrame): Long = {
+    val (_, listed) = index(emb)
+    val a = listed.select(col("list_id"), col("vec_id").as("a"))
+    val b = listed.select(col("list_id"), col("vec_id").as("b"))
+    a.join(b, Seq("list_id")).filter(col("a") < col("b")).count()
+  }
+
   /** Top-k cosine via nProbe inverted lists. */
   def knn(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
       k: Int): DataFrame = {

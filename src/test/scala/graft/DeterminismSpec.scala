@@ -87,4 +87,18 @@ class DeterminismSpec extends SparkSpec {
     assert(canon(graft.dedup.Graph.pagerankOf(pairs)) ==
       canon(graft.dedup.Graph.pagerankOf(pairs.repartition(5))))
   }
+
+  test("round-6 given-centroids ops identical under repartitioned inputs") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+    val emb7 = emb.repartition(7)
+    // the argmax-cosine assignment (max_by over decimal-quantized
+    // dots) and the probe/pair chains must not move a byte under a
+    // different physical layout
+    assert(canon(graft.sim.Ivf.semdedupGivenCentroids(emb)) ==
+      canon(graft.sim.Ivf.semdedupGivenCentroids(emb7)))
+    assert(canon(graft.sim.Ivf.knnGivenCentroids(emb, col("vec_id") < 5, 3)) ==
+      canon(graft.sim.Ivf.knnGivenCentroids(emb7, col("vec_id") < 5, 3)))
+  }
 }
