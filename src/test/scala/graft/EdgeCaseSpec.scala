@@ -159,4 +159,30 @@ class EdgeCaseSpec extends SparkSpec {
       .toDF("event_id", "user_id", "event_type", "ts")
     assert(graft.analytics.EventOps.attributionOf(e).count() == 0)
   }
+
+  test("given-centroids ops on a corpus smaller than the centroid set") {
+    import spark.implicits._
+    // 3 vectors, all ids < GivenCentroids: every vector is its own
+    // centroid (cos=1 with itself beats anything else) and nothing
+    // in a singleton list can be dropped
+    val dim = 64
+    def oneHot(i: Int): Array[Float] =
+      Array.tabulate(dim)(j => if (j == i) 1f else 0f)
+    val emb = (0 until 3).map(i => (i.toLong, oneHot(i)))
+      .toDF("vec_id", "embedding")
+    val sd = graft.sim.Ivf.semdedupGivenCentroids(emb).collect()
+    assert(sd.length == 3)
+    assert(sd.forall(_.getAs[Boolean]("keep")))
+    assert(sd.forall(r => r.getAs[Long]("list_id") == r.getAs[Long]("vec_id")))
+    // no vector passes the query predicate -> empty search, no crash
+    import org.apache.spark.sql.functions.col
+    assert(graft.sim.Ivf.knnGivenCentroids(emb, col("vec_id") < 0, 3)
+      .count() == 0)
+  }
+
+  test("neardup dispatch survives an empty embedding corpus") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.dedup.DedupQueries.neardupAuto(none, 0.45).count() == 0)
+  }
 }
