@@ -129,6 +129,12 @@ object EventOps extends QueryModule {
       .withColumn("trend_m",
         expr(s"((t24 + 24 * $OFF) * 2 + 24) div 48 - $OFF"))
       .withColumn("detr_m", col("vm") - col("trend_m"))
+      // multi-branch boundary (the repo-wide eager-checkpoint rule):
+      // both the seasonal aggregate and the final join read trended,
+      // and without materialization each branch re-runs the hourly
+      // aggregate over the full event stream — the only event-volume
+      // work in the operator, so the lazy form doubles it
+      .localCheckpoint(true)
     val seasonal = trended
       .groupBy(col("event_type").as("s_type"), hour(col("h")).as("hod"))
       .agg(sum("detr_m").as("sm"), count(lit(1)).as("n"))

@@ -94,4 +94,19 @@ object Tables {
     spark.read.option("wholetext", "true").text(path)
       .select(org.apache.spark.sql.functions.input_file_name().as("src_file"),
         org.apache.spark.sql.functions.col("value").as("json"))
+
+  /** JDBC READ face (the ingest mirror of `Clean.loadJdbc` — the
+    * reference's dashboard layer reads its observations straight from
+    * Postgres, app/streamlit_app.py): a PARTITIONED read, one
+    * connection per stride of `partitionCol` — a single-connection
+    * JDBC scan caps a 1000-executor cluster at one task, so the
+    * bounds/stride contract is mandatory, not optional. Predicates on
+    * the partition column prune whole strides; other filters push to
+    * the database via JDBC pushdown.
+    */
+  def fromJdbc(spark: SparkSession, url: String, table: String,
+      partitionCol: String, lower: Long, upper: Long, numPartitions: Int,
+      props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, partitionCol, lower, upper,
+      numPartitions, props)
 }

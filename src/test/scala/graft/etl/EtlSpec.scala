@@ -73,6 +73,26 @@ class EtlSpec extends SparkSpec {
       Clean.loadJdbc(df1, url, "obs", "bogus", props))
   }
 
+  test("jdbc read face: partitioned scan round-trips the sink's rows") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftjdbcread;create=true"
+    val props = new java.util.Properties
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val df = (0L until 100L).map(i => (i, s"g$i", i * 1.5))
+      .toDF("id", "geo", "value")
+    Clean.loadJdbc(df, url, "obs", "full-refresh", props)
+    val back = graft.sources.Tables.fromJdbc(
+      spark, url, "obs", "id", 0L, 100L, 4, props)
+    // one JDBC connection per stride, not one task total
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.count() == 100)
+    val vals = back.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("value"))).toMap
+    assert(vals(7L) == 10.5)
+    // partition-column predicates prune; non-partition filters push
+    assert(back.filter(col("id") < 10).count() == 10)
+  }
+
   test("etl_scd2: changed keys close + reopen, unchanged pass through") {
     val rows = EtlQueries.etlScd2(spark, sf).collect()
     val dim = graft.sources.Tables.customer(spark, sf).count()
