@@ -280,6 +280,46 @@ class StreamingSpec extends SparkSpec {
       (7L, 9000L, "click")))
   }
 
+  test("attributionStream survives a late touch behind the watermark (timeout clamp)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // 1-minute attribution window, 10-minute watermark delay. The
+    // round-5 ADVICE crash, reproduced deterministically: the late
+    // filter admits a touch against the PREVIOUS batch's watermark
+    // while setTimeoutTimestamp validates against the CURRENT
+    // (eviction) one — so an admitted touch whose atMs + window sits
+    // behind the eviction watermark kills the query with "Timeout
+    // timestamp cannot be earlier than the current watermark" unless
+    // clamped. Needs noDataMicroBatches=false (a documented perf
+    // knob): with empty batches on, an intervening no-data batch
+    // advances the late filter first and simply drops the touch.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val q = Streaming.attributionStream(mem.toDS(), windowMs = 60000L)
+        .writeStream.format("memory").queryName("attrib_late_out")
+        .outputMode("append").start()
+      val h = 3600L * 1000L
+      // batch 1: user 8 at 01:00 drives the post-batch watermark to 00:50
+      mem.addData(Event(1, new Timestamp(h), 8, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: user 10 touch at 00:45 — admitted (late filter sees
+      // the pre-advance watermark) but 00:45 + 1 min = 00:46 < the
+      // eviction watermark 00:50 → unclamped setTimeoutTimestamp throws
+      mem.addData(
+        Event(2, new Timestamp(45L * 60L * 1000L), 10, "view", 1.0),
+        Event(3, new Timestamp(56L * 60L * 1000L), 10, "purchase", 1.0))
+      q.processAllAvailable() // pre-fix: IllegalArgumentException here
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val out = spark.table("attrib_late_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("touch_type")))
+      q.stop()
+      // the admitted touch survived and the purchase credits it
+      assert(out.toSet == Set((10L, "view")))
+    } finally
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+  }
+
   test("outlierStream flags only beyond-threshold rows against static stats") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
