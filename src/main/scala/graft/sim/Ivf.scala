@@ -240,7 +240,20 @@ object Ivf extends QueryModule {
     * within a group, so struct(c_cos, -cid) is a total order), then
     * one co-partitioned join brings the embeddings back.
     */
+  // one build serves both given-centroids queries (same discipline as
+  // the KMeans index memo); checkpoint blocks survive clearCache
+  private val givenCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
   private def givenListed(emb: DataFrame): (DataFrame, DataFrame) = {
+    val key = (emb.sparkSession, graft.Memo.planKey(emb))
+    givenCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    givenCache.synchronized {
+      givenCache.getOrElseUpdate(key, buildGivenListed(emb))
+    }
+  }
+
+  private def buildGivenListed(emb: DataFrame): (DataFrame, DataFrame) = {
     val e = graft.Par.spread(emb)
       .select(col("vec_id"), col("embedding"),
         Vectors.normSq("embedding").as("nsq"))

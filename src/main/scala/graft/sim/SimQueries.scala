@@ -166,6 +166,10 @@ object SimQueries extends QueryModule {
       .agg((expr("cast(sum(cast(v as decimal(18,6))) as double)")
         / count(lit(1))).as("c"),
         count(lit(1)).as("n_vecs"))
+      // multi-branch boundary: the inertia join and the final select
+      // both read cent — lazily each re-runs the full component
+      // aggregate (and its explode scan); the frame is O(labels×dims)
+      .localCheckpoint(true)
     val inertia = comp.join(cent.select("label", "i", "c"), Seq("label", "i"))
       .groupBy("label")
       .agg(expr(
