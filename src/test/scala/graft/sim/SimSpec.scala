@@ -16,6 +16,30 @@ class SimSpec extends SparkSpec {
     }
   }
 
+  test("hybrid knn scoring: exact ties at the k-boundary break by neighbor id") {
+    import spark.implicits._
+    // 15 bit-identical candidates (exact cosine ties straddling the
+    // k=3 boundary) + 5 weaker ones: the fast-threshold pass must
+    // keep ALL tied candidates so the exact re-rank's neighbor-id
+    // tie-break picks the same rows a full decimal ranking would
+    val dim = 16
+    def v(c: Double): Array[Float] = {
+      val s = math.sqrt(1 - c * c)
+      Array.tabulate(dim)(j =>
+        if (j == 0) c.toFloat else if (j == 1) s.toFloat else 0f)
+    }
+    val emb = ((0L, Array.tabulate(dim)(j => if (j == 0) 1f else 0f)) +:
+      ((0 until 15).map(i => (100L + i, v(0.9))) ++
+       (0 until 5).map(i => (200L + i, v(0.3))))).toDF("vec_id", "embedding")
+    val out = Knn.bruteForce(emb,
+      org.apache.spark.sql.functions.col("vec_id") < 1, 3).collect()
+    assert(out.map(r => (r.getAs[Int]("rank"),
+      r.getAs[Long]("neighbor_id"))).toSeq ==
+      Seq((1, 100L), (2, 101L), (3, 102L)))
+    assert(out.forall(r => math.abs(r.getAs[Double]("cosine") -
+      out.head.getAs[Double]("cosine")) == 0.0))
+  }
+
   test("knn_join salts an over-cap bucket: capped pair work, full ranks") {
     import spark.implicits._
     // 700 near-identical vectors (a corpus-bias cluster: one bucket
