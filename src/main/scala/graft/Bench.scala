@@ -54,7 +54,8 @@ object Bench {
             "doc_id", "text"); () }),
       "gbt_model" -> (() =>
         forecast.Gbt.prebuild(etl.Observations.panel(spark, sfDir))),
-      "ivf_index" -> (() => sim.Ivf.prebuild(spark, sfDir))
+      "ivf_index" -> (() => sim.Ivf.prebuild(spark, sfDir)),
+      "given_centroid_lists" -> (() => sim.Ivf.prebuildGiven(spark, sfDir))
     ).map { case (name, fn) => name -> timed(fn) }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = timed(() => { fn(spark, sfDir).count(); () })

@@ -98,6 +98,14 @@ object Ivf extends QueryModule {
     index(Tables.embeddings(spark, dir).select("vec_id", "embedding")); ()
   }
 
+  /** Force the given-quantizer assignment build (shared by both
+    * given-centroids queries) — same bench-accounting purpose.
+    */
+  def prebuildGiven(spark: SparkSession, dir: String): Unit = {
+    givenListed(Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")); ()
+  }
+
   /** Diagnostic: within-list candidate-pair count (the semdedup join
     * volume) — StressBench reads it to verify the √n list geometry
     * keeps pair work ~n^1.5 (≈2.8× per corpus doubling), not the
