@@ -320,6 +320,56 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
   }
 
+  test("sessionize/funnel streams survive the admitted-but-behind-watermark touch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same clamp regression as the attribution test, for the other
+    // two flatMapGroupsWithState operators: an event admitted against
+    // the previous watermark whose state timeout (last + gap/window)
+    // sits behind the eviction watermark
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val h = 3600L * 1000L
+      val sess = MemoryStream[Event]
+      val qs = Streaming.sessionizeStream(sess.toDS(), gapMs = 60000L)
+        .writeStream.format("memory").queryName("sess_late_out")
+        .outputMode("append").start()
+      sess.addData(Event(1, new Timestamp(h), 8, "view", 1.0))
+      qs.processAllAvailable()
+      // admitted at 00:45, but 00:45 + 1 min gap < watermark 00:50
+      sess.addData(Event(2, new Timestamp(45L * 60L * 1000L), 10, "view", 1.0))
+      qs.processAllAvailable() // pre-fix: IllegalArgumentException
+      assert(qs.exception.isEmpty, s"sessionize died: ${qs.exception}")
+      // two more watermark advances: the clamped timeout fires and
+      // user 10's one-event session emits
+      sess.addData(Event(3, new Timestamp(2 * h), 8, "view", 1.0))
+      qs.processAllAvailable()
+      sess.addData(Event(4, new Timestamp(3 * h), 8, "view", 1.0))
+      qs.processAllAvailable()
+      assert(qs.exception.isEmpty)
+      val sessions = spark.table("sess_late_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_events")))
+      qs.stop()
+      assert(sessions.contains((10L, 1)))
+
+      val fun = MemoryStream[Event]
+      val qf = Streaming.funnelStream(fun.toDS(), windowMs = 60000L)
+        .writeStream.format("memory").queryName("funnel_late_out")
+        .outputMode("append").start()
+      fun.addData(Event(1, new Timestamp(h), 8, "purchase", 1.0))
+      qf.processAllAvailable()
+      fun.addData(Event(2, new Timestamp(45L * 60L * 1000L), 10, "view", 1.0))
+      qf.processAllAvailable() // pre-fix: IllegalArgumentException
+      assert(qf.exception.isEmpty, s"funnel died: ${qf.exception}")
+      val stages = spark.table("funnel_late_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage")))
+      qf.stop()
+      // the admitted view still advanced user 10 to stage 1
+      assert(stages.contains((10L, 1)))
+    } finally
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+  }
+
   test("outlierStream flags only beyond-threshold rows against static stats") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
