@@ -36,6 +36,20 @@ object ForecastQueries extends QueryModule {
   def gbtForecast(s: SparkSession, d: String): DataFrame =
     Gbt.forecast(obs(s, d)).orderBy("geo", "indicator", "year")
 
+  /** E5b — the given-model recursive horizon ([[Gbt.forecastGiven]]).
+    * Running it also registers its oracle: the fitted ensemble's SQL
+    * rendering is only known post-fit, and Verify dumps oracle_sql
+    * AFTER running every query, so the model-derived text lands in
+    * the dump exactly like a static entry.
+    */
+  def gbtForecastGiven(s: SparkSession, d: String): DataFrame = {
+    val o = obs(s, d)
+    val df = Gbt.forecastGiven(o)
+    dynOracles.put("gbt_forecast_given_model",
+      gbtGivenSql(Gbt.ensembleSql(Gbt.modelFor(o))))
+    df.orderBy("geo", "indicator", "year")
+  }
+
   def modelSelect(s: SparkSession, d: String): DataFrame =
     Forecast.modelSelect(obs(s, d)).orderBy("geo", "indicator")
 
@@ -95,6 +109,7 @@ object ForecastQueries extends QueryModule {
     "rmse_eval" -> (rmseEval _),
     "holt_forecast" -> (holtForecast _),
     "gbt_forecast" -> (gbtForecast _),
+    "gbt_forecast_given_model" -> (gbtForecastGiven _),
     "model_select" -> (modelSelect _),
     "forecast_series" -> (forecastSeries _))
 
@@ -155,7 +170,89 @@ object ForecastQueries extends QueryModule {
         |WHERE b.rn = 1
         |ORDER BY b.geo, b.indicator, year""".stripMargin
 
-  override def oracles: Map[String, String] = Map(
+  /** Model-derived oracle entries, registered when their query runs
+    * (Verify runs every query before dumping oracle_sql.json, so
+    * registration always precedes the dump).
+    */
+  private val dynOracles =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** gbt_forecast_given_model oracle: the [[Gbt.forecastGiven]]
+    * recursion unrolled over the fixed horizon. st0 is the per-series
+    * supervised tail (last 3 post-dropna values + count + last year);
+    * each step derives the lag/rolling features with the same
+    * size-fallback CASEs and fold ordering as the Spark array
+    * expressions (mean folds oldest→newest from 0, population std —
+    * `aggregate(wv, 0d, …)`'s exact association), scores the ensemble
+    * CASE text verbatim, and shifts the value history by the
+    * prediction. Qualified refs (`q.h1`) keep the state shift reading
+    * source columns, never sibling aliases.
+    */
+  private def gbtGivenSql(predSql: String): String = {
+    val steps = (1 to Gbt.Horizon).map { k =>
+      s"""f$k AS (SELECT geo, indicator, last_year, n, h1, h2, h3,
+        |    CAST(last_year + $k AS DOUBLE) AS year,
+        |    h1 AS lag1,
+        |    CASE WHEN n >= 2 THEN h2 ELSE h1 END AS lag2,
+        |    CASE WHEN n >= 3 THEN h3 ELSE h1 END AS lag3
+        |  FROM st${k - 1}),
+        |m$k AS (SELECT *,
+        |    CASE WHEN n >= 3 THEN ((h3 + h2) + h1) / 3
+        |         WHEN n = 2 THEN (h2 + h1) / 2
+        |         ELSE h1 END AS roll_mean_3
+        |  FROM f$k),
+        |sd$k AS (SELECT *,
+        |    CASE WHEN n >= 3 THEN
+        |      sqrt((((h3 - roll_mean_3) * (h3 - roll_mean_3)
+        |            + (h2 - roll_mean_3) * (h2 - roll_mean_3))
+        |            + (h1 - roll_mean_3) * (h1 - roll_mean_3)) / 3)
+        |    WHEN n = 2 THEN
+        |      sqrt(((h2 - roll_mean_3) * (h2 - roll_mean_3)
+        |            + (h1 - roll_mean_3) * (h1 - roll_mean_3)) / 2)
+        |    ELSE CAST(0 AS DOUBLE) END AS roll_std_3
+        |  FROM m$k),
+        |p$k AS (SELECT *, ($predSql) AS p FROM sd$k),
+        |st$k AS (SELECT q.geo, q.indicator, q.last_year, q.n + 1 AS n,
+        |    q.p AS h1, q.h1 AS h2, q.h2 AS h3
+        |  FROM p$k q)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to Gbt.Horizon).map { k =>
+      s"""SELECT geo, indicator, CAST(last_year + $k AS INTEGER) AS year,
+        |  p AS forecast FROM p$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    cte.trim + ",\n" +
+      s"""lf AS (SELECT geo, indicator, year, value,
+        |    lag(value, 3) OVER w AS lag3,
+        |    CASE WHEN count(*) OVER f = 3 THEN
+        |      sqrt((CAST(sum(cents * cents) OVER f AS DOUBLE)
+        |            - CAST(sum(cents) OVER f AS DOUBLE)
+        |              * CAST(sum(cents) OVER f AS DOUBLE) / 3) / 2) / 100
+        |    END AS roll_std_3
+        |  FROM (SELECT *,
+        |          CAST(CAST(value AS DECIMAL(27,2)) * 100 AS DECIMAL(18,0))
+        |            AS cents
+        |        FROM observations)
+        |  WINDOW w AS (PARTITION BY geo, indicator ORDER BY year),
+        |         f AS (PARTITION BY geo, indicator ORDER BY year
+        |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
+        |sup AS (SELECT geo, indicator, year, value FROM lf
+        |  WHERE lag3 IS NOT NULL AND roll_std_3 IS NOT NULL),
+        |s0 AS (SELECT geo, indicator, max(year) AS last_year,
+        |    CAST(count(*) AS INT) AS n, list(value ORDER BY year) AS vs
+        |  FROM sup GROUP BY 1, 2),
+        |st0 AS (SELECT geo, indicator, last_year, n,
+        |    vs[n] AS h1,
+        |    CASE WHEN n >= 2 THEN vs[n - 1] END AS h2,
+        |    CASE WHEN n >= 3 THEN vs[n - 2] END AS h3
+        |  FROM s0),
+        |$steps
+        |$finals
+        |ORDER BY geo, indicator, year""".stripMargin
+  }
+
+  override def oracles: Map[String, String] = staticOracles ++ dynOracles
+
+  private val staticOracles: Map[String, String] = Map(
     "gap_fill" -> (cte +
       """SELECT geo, indicator, year,
         |  CASE WHEN value IS NOT NULL THEN value

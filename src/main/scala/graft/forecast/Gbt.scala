@@ -96,6 +96,41 @@ object Gbt {
     */
   def prebuild(obs: DataFrame): Unit = { trained(obs); () }
 
+  /** The fitted pooled model (training if needed) — exposed so the
+    * given-model query can render its trees into oracle SQL.
+    */
+  def modelFor(obs: DataFrame): GBTRegressionModel = trained(obs)._1
+
+  /** Render the fitted ensemble as ONE engine-neutral SQL scalar over
+    * the feature columns (year, lag1..3, roll_mean_3, roll_std_3):
+    * each tree is a nested CASE mirroring `Node.predictImpl`'s
+    * `features(i) <= threshold → left` walk, every threshold / leaf /
+    * tree weight is a CAST('…' AS DOUBLE) STRING literal (strtod-exact
+    * in both Spark and DuckDB — the gridSql discipline; a bare numeric
+    * literal would parse as DECIMAL and DuckDB's decimal→double cast
+    * misrounds), and the weighted sum is explicitly left-associated so
+    * both engines fold the tree contributions in the same order.
+    * After training, the model is just these constants — which makes
+    * the whole recursive-horizon scoring algebra relational.
+    */
+  def ensembleSql(model: GBTRegressionModel): String = {
+    def dlit(d: Double): String = s"CAST('$d' AS DOUBLE)"
+    def nodeSql(n: org.apache.spark.ml.tree.Node): String = n match {
+      case leaf: org.apache.spark.ml.tree.LeafNode => dlit(leaf.prediction)
+      case in: org.apache.spark.ml.tree.InternalNode =>
+        val s = in.split match {
+          case c: org.apache.spark.ml.tree.ContinuousSplit => c
+          case other => sys.error(
+            s"unexpected categorical split in GBT over continuous features: $other")
+        }
+        s"CASE WHEN ${featureCols(s.featureIndex)} <= ${dlit(s.threshold)} " +
+          s"THEN ${nodeSql(in.leftChild)} ELSE ${nodeSql(in.rightChild)} END"
+    }
+    model.trees.zip(model.treeWeights)
+      .map { case (t, w) => s"(${dlit(w)} * ${nodeSql(t.rootNode)})" }
+      .reduceLeft((a, b) => s"($a + $b)")
+  }
+
   /** E5/E6 — recursive multi-step horizon forecast: one row per
     * (series, horizon step). Mirrors forecast_utils.py:88-110 —
     * features for step s come from the value history extended with
@@ -106,6 +141,35 @@ object Gbt {
     */
   def forecast(obs: DataFrame): DataFrame = graft.Memo.small("gbtForecast", obs) {
     val (model, feats) = trained(obs)
+    recursiveHorizon(feats,
+      df => model.transform(assembler.transform(df)))
+  }
+
+  /** E5b — the same recursive horizon with the fitted ensemble scored
+    * as the explicit SQL scalar from [[ensembleSql]] instead of the
+    * opaque `model.transform`: feature derivation, recursion, and
+    * scoring are all relational, so the query sits inside the DuckDB
+    * hash gate (the oracle replays the identical CASE text per
+    * unrolled step). Same promotion pattern as the given-centroids
+    * IVF variants: the FIT stays rows-only, the post-fit algebra is
+    * gated — and since this shares [[recursiveHorizon]] with
+    * [[forecast]], the gate transitively exercises the production
+    * recursion code path.
+    */
+  def forecastGiven(obs: DataFrame): DataFrame =
+    graft.Memo.small("gbtForecastGiven", obs) {
+      val (model, feats) = trained(obs)
+      val scoreSql = ensembleSql(model)
+      recursiveHorizon(feats,
+        df => df.withColumn("prediction", expr(scoreSql)))
+    }
+
+  /** The shared recursive multi-step loop: horizon steps advance the
+    * per-series value history with whatever `score` produces as the
+    * `prediction` column.
+    */
+  private def recursiveHorizon(feats: DataFrame,
+      score: DataFrame => DataFrame): DataFrame = {
     // Each step MUST materialize before the next consumes it: step
     // s+1 references step s's `hist` (which embeds the model scorer)
     // from ~6 expressions, and CollapseProject would inline the
@@ -137,7 +201,7 @@ object Gbt {
             |          (a, x) -> a + (x - roll_mean_3) * (x - roll_mean_3))
             |        / size(wv)),
             |   0d)""".stripMargin))
-      val scored = model.transform(assembler.transform(withFeats))
+      val scored = score(withFeats)
       state = scored
         .select(col("geo"), col("indicator"),
           concat(col("hist"), array(col("prediction"))).as("hist"),

@@ -119,6 +119,38 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("given-model gbt forecast matches the ml-scored path") {
+    // the SQL-rendered ensemble (nested CASEs + left-associated
+    // weighted sum) vs model.transform's tree walk + blas ddot over
+    // the SAME recursion: branch decisions are exact (thresholds
+    // round-trip through toString), so any drift could only come from
+    // ddot's summation association — tolerance bounds it while the
+    // keys must agree exactly
+    val ml = ForecastQueries.gbtForecast(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Int]("year"))
+        -> r.getAs[Double]("forecast")).toMap
+    val given = ForecastQueries.gbtForecastGiven(spark, sf).collect()
+    assert(given.nonEmpty)
+    assert(given.length == ml.size)
+    given.foreach { r =>
+      val k = (r.getString(0), r.getString(1), r.getAs[Int]("year"))
+      val g = r.getAs[Double]("forecast")
+      val m = ml(k)
+      assert(math.abs(g - m) <= 1e-9 * math.max(1.0, math.abs(m)),
+        s"$k: given $g vs ml $m")
+    }
+  }
+
+  test("running the given-model query registers its oracle") {
+    ForecastQueries.gbtForecastGiven(spark, sf)
+    val sql = ForecastQueries.oracles("gbt_forecast_given_model")
+    // the oracle embeds the fitted ensemble: one weighted CASE per tree
+    assert(sql.contains("CASE WHEN"))
+    assert(sql.split("AS DOUBLE").length > 20,
+      "expected strtod-exact double literals throughout")
+    assert((1 to Gbt.Horizon).forall(k => sql.contains(s"st$k AS")))
+  }
+
   test("model_select picks the lower holdout rmse of gbt vs holt") {
     val rows = ForecastQueries.modelSelect(spark, sf).collect()
     assert(rows.nonEmpty)
