@@ -231,6 +231,56 @@ object Forecast {
         .select("geo", "indicator", "rmse_gbt", "rmse_holt", "model_used")
     }
 
+  /** E7b — model selection with the GBT side scored by the rendered
+    * ensemble and reduced by an order-pinned fold
+    * ([[Gbt.holdoutRmseGiven]]): given the fitted constants, the whole
+    * selection is relational and sits inside the DuckDB hash gate. The
+    * Holt side is [[holtHoldoutRmse]] UNCHANGED — its sequence() folds
+    * are already order-deterministic, so the gate covers the
+    * production Holt holdout path directly.
+    */
+  def modelSelectGiven(obs: DataFrame): DataFrame =
+    graft.Memo.small("modelSelectGiven", obs) {
+      Gbt.holdoutRmseGiven(obs)
+        .join(holtHoldoutRmse(obs), Seq("geo", "indicator"), "full")
+        .withColumn("model_used",
+          when(col("rmse_gbt").isNull, "holt")
+            .when(col("rmse_holt").isNull, "gbt")
+            .when(col("rmse_gbt") <= col("rmse_holt"), "gbt")
+            .otherwise("holt"))
+        .select("geo", "indicator", "rmse_gbt", "rmse_holt", "model_used")
+    }
+
+  /** E8b — [[forecastSeries]] with the given-model GBT branches
+    * (selection from [[modelSelectGiven]], horizon from
+    * [[Gbt.forecastGiven]]); the Holt branches are the production
+    * paths unchanged. Fully gated end-to-end.
+    */
+  def forecastSeriesGiven(obs: DataFrame): DataFrame = {
+    val winner = modelSelectGiven(obs).select("geo", "indicator", "model_used")
+    val histAll = obs.select(col("geo"), col("indicator"), col("year"),
+      col("value"))
+    val histGbt = Gbt.supervisedHistory(obs)
+    val hist =
+      histAll.join(winner.filter(col("model_used") === "holt"),
+          Seq("geo", "indicator"))
+        .unionByName(
+          histGbt.join(winner.filter(col("model_used") === "gbt"),
+            Seq("geo", "indicator")))
+        .select(col("geo"), col("indicator"), col("year"), col("value"),
+          lit("historical").as("type"))
+    val futHolt = holtForecast(obs)
+      .join(winner.filter(col("model_used") === "holt"), Seq("geo", "indicator"))
+    val futGbt = Gbt.forecastGiven(obs)
+      .join(winner.filter(col("model_used") === "gbt"), Seq("geo", "indicator"))
+    val fut = futHolt.select(col("geo"), col("indicator"), col("year"),
+        col("forecast").as("value"))
+      .unionByName(futGbt.select(col("geo"), col("indicator"), col("year"),
+        col("forecast").as("value")))
+      .withColumn("type", lit("forecast"))
+    hist.unionByName(fut)
+  }
+
   /** E8 — the reference's run_forecast output shape
     * (forecast_utils.py:206-215): the WINNER's historical rows union
     * its forecast rows with a `type` discriminator. A GBT winner's

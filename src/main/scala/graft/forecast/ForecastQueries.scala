@@ -53,6 +53,29 @@ object ForecastQueries extends QueryModule {
   def modelSelect(s: SparkSession, d: String): DataFrame =
     Forecast.modelSelect(obs(s, d)).orderBy("geo", "indicator")
 
+  /** E7b — given-model selection ([[Forecast.modelSelectGiven]]);
+    * registers its model-derived oracle on run, like
+    * [[gbtForecastGiven]].
+    */
+  def modelSelectGivenQ(s: SparkSession, d: String): DataFrame = {
+    val o = obs(s, d)
+    val df = Forecast.modelSelectGiven(o)
+    dynOracles.put("model_select_given_model",
+      modelSelectGivenSql(Gbt.ensembleSql(Gbt.modelFor(o))))
+    df.orderBy("geo", "indicator")
+  }
+
+  /** E8b — given-model forecast series
+    * ([[Forecast.forecastSeriesGiven]]); registers its oracle on run.
+    */
+  def forecastSeriesGivenQ(s: SparkSession, d: String): DataFrame = {
+    val o = obs(s, d)
+    val df = Forecast.forecastSeriesGiven(o)
+    dynOracles.put("forecast_series_given_model",
+      forecastSeriesGivenSql(Gbt.ensembleSql(Gbt.modelFor(o))))
+    df.orderBy("geo", "indicator", "year", "type")
+  }
+
   def forecastSeries(s: SparkSession, d: String): DataFrame =
     Forecast.forecastSeries(obs(s, d))
       .orderBy("geo", "indicator", "year", "type")
@@ -110,6 +133,8 @@ object ForecastQueries extends QueryModule {
     "holt_forecast" -> (holtForecast _),
     "gbt_forecast" -> (gbtForecast _),
     "gbt_forecast_given_model" -> (gbtForecastGiven _),
+    "model_select_given_model" -> (modelSelectGivenQ _),
+    "forecast_series_given_model" -> (forecastSeriesGivenQ _),
     "model_select" -> (modelSelect _),
     "forecast_series" -> (forecastSeries _))
 
@@ -177,18 +202,59 @@ object ForecastQueries extends QueryModule {
   private val dynOracles =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** gbt_forecast_given_model oracle: the [[Gbt.forecastGiven]]
-    * recursion unrolled over the fixed horizon. st0 is the per-series
-    * supervised tail (last 3 post-dropna values + count + last year);
-    * each step derives the lag/rolling features with the same
-    * size-fallback CASEs and fold ordering as the Spark array
-    * expressions (mean folds oldest→newest from 0, population std —
-    * `aggregate(wv, 0d, …)`'s exact association), scores the ensemble
-    * CASE text verbatim, and shifts the value history by the
-    * prediction. Qualified refs (`q.h1`) keep the state shift reading
-    * source columns, never sibling aliases.
+  /** The supervised chain shared by every given-model oracle: full
+    * lag/rolling features (the gated lag_features text), the holdout
+    * split (the gated train_test_split text), and their join with the
+    * reference's dropna filter — relationally identical to
+    * [[Gbt.supervised]] (year is unique per series, so joining on it
+    * alone equals the Spark join that also carries value).
     */
-  private def gbtGivenSql(predSql: String): String = {
+  private val lfSupCtes: String =
+    """lf AS (SELECT geo, indicator, year, value,
+      |    lag(value, 1) OVER w AS lag1,
+      |    lag(value, 2) OVER w AS lag2,
+      |    lag(value, 3) OVER w AS lag3,
+      |    CASE WHEN count(*) OVER f = 3 THEN
+      |      CAST(sum(CAST(value AS DECIMAL(27,6))) OVER f AS DOUBLE) / 3
+      |    END AS roll_mean_3,
+      |    CASE WHEN count(*) OVER f = 3 THEN
+      |      sqrt((CAST(sum(cents * cents) OVER f AS DOUBLE)
+      |            - CAST(sum(cents) OVER f AS DOUBLE)
+      |              * CAST(sum(cents) OVER f AS DOUBLE) / 3) / 2) / 100
+      |    END AS roll_std_3
+      |  FROM (SELECT *,
+      |          CAST(CAST(value AS DECIMAL(27,2)) * 100 AS DECIMAL(18,0))
+      |            AS cents
+      |        FROM observations)
+      |  WINDOW w AS (PARTITION BY geo, indicator ORDER BY year),
+      |         f AS (PARTITION BY geo, indicator ORDER BY year
+      |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
+      |sp AS (SELECT geo, indicator, year,
+      |    CASE WHEN rn > n - least(5, greatest(2, CAST(n // 3 AS INT)))
+      |         THEN 'test' ELSE 'train' END AS split
+      |  FROM (SELECT geo, indicator, year,
+      |          row_number() OVER (PARTITION BY geo, indicator
+      |                             ORDER BY year) AS rn,
+      |          count(*) OVER (PARTITION BY geo, indicator) AS n
+      |        FROM observations)),
+      |sup AS (SELECT lf.*, sp.split
+      |  FROM lf JOIN sp ON lf.geo = sp.geo AND lf.indicator = sp.indicator
+      |       AND lf.year = sp.year
+      |  WHERE lf.lag3 IS NOT NULL AND lf.roll_std_3 IS NOT NULL)"""
+      .stripMargin
+
+  /** The [[Gbt.forecastGiven]] recursion unrolled over the fixed
+    * horizon. st0 is the per-series supervised tail (last 3
+    * post-dropna values + count + last year); each step derives the
+    * lag/rolling features with the same size-fallback CASEs and fold
+    * ordering as the Spark array expressions (mean folds
+    * oldest→newest from 0, population std — `aggregate(wv, 0d, …)`'s
+    * exact association), scores the ensemble CASE text verbatim, and
+    * shifts the value history by the prediction. Qualified refs
+    * (`q.h1`) keep the state shift reading source columns, never
+    * sibling aliases.
+    */
+  private def gbtHorizonCtes(predSql: String): String = {
     val steps = (1 to Gbt.Horizon).map { k =>
       s"""f$k AS (SELECT geo, indicator, last_year, n, h1, h2, h3,
         |    CAST(last_year + $k AS DOUBLE) AS year,
@@ -216,38 +282,153 @@ object ForecastQueries extends QueryModule {
         |    q.p AS h1, q.h1 AS h2, q.h2 AS h3
         |  FROM p$k q)""".stripMargin
     }.mkString(",\n")
+    s"""s0 AS (SELECT geo, indicator, max(year) AS last_year,
+      |    CAST(count(*) AS INT) AS n, list(value ORDER BY year) AS vs
+      |  FROM sup GROUP BY 1, 2),
+      |st0 AS (SELECT geo, indicator, last_year, n,
+      |    vs[n] AS h1,
+      |    CASE WHEN n >= 2 THEN vs[n - 1] END AS h2,
+      |    CASE WHEN n >= 3 THEN vs[n - 2] END AS h3
+      |  FROM s0),
+      |$steps""".stripMargin
+  }
+
+  private def gbtGivenSql(predSql: String): String = {
     val finals = (1 to Gbt.Horizon).map { k =>
       s"""SELECT geo, indicator, CAST(last_year + $k AS INTEGER) AS year,
         |  p AS forecast FROM p$k""".stripMargin
     }.mkString("\nUNION ALL\n")
-    cte.trim + ",\n" +
-      s"""lf AS (SELECT geo, indicator, year, value,
-        |    lag(value, 3) OVER w AS lag3,
-        |    CASE WHEN count(*) OVER f = 3 THEN
-        |      sqrt((CAST(sum(cents * cents) OVER f AS DOUBLE)
-        |            - CAST(sum(cents) OVER f AS DOUBLE)
-        |              * CAST(sum(cents) OVER f AS DOUBLE) / 3) / 2) / 100
-        |    END AS roll_std_3
-        |  FROM (SELECT *,
-        |          CAST(CAST(value AS DECIMAL(27,2)) * 100 AS DECIMAL(18,0))
-        |            AS cents
-        |        FROM observations)
-        |  WINDOW w AS (PARTITION BY geo, indicator ORDER BY year),
-        |         f AS (PARTITION BY geo, indicator ORDER BY year
-        |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
-        |sup AS (SELECT geo, indicator, year, value FROM lf
-        |  WHERE lag3 IS NOT NULL AND roll_std_3 IS NOT NULL),
-        |s0 AS (SELECT geo, indicator, max(year) AS last_year,
-        |    CAST(count(*) AS INT) AS n, list(value ORDER BY year) AS vs
-        |  FROM sup GROUP BY 1, 2),
-        |st0 AS (SELECT geo, indicator, last_year, n,
-        |    vs[n] AS h1,
-        |    CASE WHEN n >= 2 THEN vs[n - 1] END AS h2,
-        |    CASE WHEN n >= 3 THEN vs[n - 2] END AS h3
-        |  FROM s0),
-        |$steps
-        |$finals
-        |ORDER BY geo, indicator, year""".stripMargin
+    cte.trim + ",\n" + lfSupCtes + ",\n" + gbtHorizonCtes(predSql) + "\n" +
+      finals + "\nORDER BY geo, indicator, year"
+  }
+
+  /** The GBT holdout-RMSE chain ([[Gbt.holdoutRmseGiven]]): ensemble
+    * predictions over the supervised test rows, squared errors summed
+    * by the order-pinned fold — year-ascending from 0 with exact `+0`
+    * padding to the 5-term maximum (test_size ≤ 5 always), matching
+    * the Spark `aggregate(…, 0d, (a, x) -> a + x)` association term
+    * for term — then the same candidacy rule (n_sup > n_test + 1).
+    */
+  private def gbtRmseCtes(predSql: String): String = {
+    val ordered = (1 to 5)
+      .map(k => s"COALESCE(ls[$k], 0)")
+      .foldLeft("0")((acc, t) => s"($acc + $t)")
+    s"""gpred AS (SELECT *, ($predSql) AS prediction
+      |  FROM sup WHERE split = 'test'),
+      |gse AS (SELECT geo, indicator, year,
+      |    (value - prediction) * (value - prediction) AS se
+      |  FROM gpred),
+      |gcand AS (SELECT geo, indicator FROM sup GROUP BY 1, 2
+      |  HAVING count(*) > sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) + 1),
+      |grmse AS (SELECT g.geo, g.indicator,
+      |    sqrt($ordered / g.nt) AS rmse_gbt
+      |  FROM (SELECT geo, indicator, list(se ORDER BY year) AS ls,
+      |          count(*) AS nt
+      |        FROM gse GROUP BY 1, 2) g
+      |  JOIN gcand c ON g.geo = c.geo AND g.indicator = c.indicator)"""
+      .stripMargin
+  }
+
+  /** The Holt fold chain as ONE recursive CTE over two tagged domains
+    * — 'full' (the whole series, for the winner's horizon) and 'hold'
+    * (the train prefix, for the holdout refit) — with the exact
+    * [[graft.plans.HoltGridFit]] arithmetic the gated holt_forecast
+    * oracle established, then the per-domain SSE argmin and the
+    * holdout RMSE via the order-pinned ≤5-term fold.
+    */
+  private val holtFoldCtes: String = {
+    val ordered = (1 to 5).map { k =>
+      s"""CASE WHEN $k <= h.ts THEN
+        |      (h.test[$k] - (b.l + $k * b.b)) * (h.test[$k] - (b.l + $k * b.b))
+        |      ELSE 0 END""".stripMargin
+    }.foldLeft("0")((acc, t) => s"($acc\n      + $t)")
+    s"""hs AS (SELECT geo, indicator, list(value ORDER BY year) AS vs,
+      |    max(year) AS last_year
+      |  FROM observations GROUP BY 1, 2 HAVING count(*) >= 2),
+      |hh AS (SELECT geo, indicator, vs, last_year, len(vs) AS n,
+      |    least(5, greatest(2, CAST(len(vs) // 3 AS INT))) AS ts
+      |  FROM hs WHERE len(vs) >= 5),
+      |hh2 AS (SELECT geo, indicator, vs[1:n - ts] AS train,
+      |    vs[n - ts + 1:n] AS test, ts
+      |  FROM hh WHERE n > ts + 2),
+      |grid AS (SELECT CAST(ga.a AS DOUBLE) AS a, CAST(gb.be AS DOUBLE) AS be
+      |  FROM (SELECT unnest([$gridSql]) AS a) ga,
+      |       (SELECT unnest([$gridSql]) AS be) gb),
+      |dom AS (SELECT geo, indicator, 'full' AS src, vs AS xs FROM hs
+      |  UNION ALL
+      |  SELECT geo, indicator, 'hold' AS src, train AS xs FROM hh2),
+      |hsteps(geo, indicator, src, a, be, i, l, b, sse) AS (
+      |  SELECT geo, indicator, src, a, be, 2,
+      |    xs[1], xs[2] - xs[1], CAST(0 AS DOUBLE)
+      |  FROM dom, grid
+      |  UNION ALL
+      |  SELECT st.geo, st.indicator, st.src, st.a, st.be, st.i + 1,
+      |    st.a * d.xs[st.i] + (1 - st.a) * (st.l + st.b),
+      |    st.be * ((st.a * d.xs[st.i] + (1 - st.a) * (st.l + st.b)) - st.l)
+      |      + (1 - st.be) * st.b,
+      |    st.sse + (d.xs[st.i] - (st.l + st.b)) * (d.xs[st.i] - (st.l + st.b))
+      |  FROM hsteps st JOIN dom d ON d.geo = st.geo
+      |    AND d.indicator = st.indicator AND d.src = st.src
+      |  WHERE st.i <= len(d.xs)),
+      |hbest AS (SELECT st.geo, st.indicator, st.src, st.l, st.b,
+      |    row_number() OVER (PARTITION BY st.geo, st.indicator, st.src
+      |                       ORDER BY st.sse, st.a, st.be) AS rn
+      |  FROM hsteps st JOIN dom d ON d.geo = st.geo
+      |    AND d.indicator = st.indicator AND d.src = st.src
+      |  WHERE st.i = len(d.xs) + 1),
+      |hrmse AS (SELECT b.geo, b.indicator,
+      |    sqrt($ordered / h.ts) AS rmse_holt
+      |  FROM hbest b JOIN hh2 h ON b.geo = h.geo AND b.indicator = h.indicator
+      |  WHERE b.src = 'hold' AND b.rn = 1)""".stripMargin
+  }
+
+  /** The winner CASE shared by the selection and series oracles. */
+  private val selSelect: String =
+    """SELECT COALESCE(g.geo, h.geo) AS geo,
+      |  COALESCE(g.indicator, h.indicator) AS indicator,
+      |  g.rmse_gbt, h.rmse_holt,
+      |  CASE WHEN g.rmse_gbt IS NULL THEN 'holt'
+      |       WHEN h.rmse_holt IS NULL THEN 'gbt'
+      |       WHEN g.rmse_gbt <= h.rmse_holt THEN 'gbt'
+      |       ELSE 'holt' END AS model_used
+      |FROM grmse g FULL JOIN hrmse h
+      |  ON g.geo = h.geo AND g.indicator = h.indicator""".stripMargin
+
+  private def modelSelectGivenSql(predSql: String): String =
+    cte.replaceFirst("^WITH ", "WITH RECURSIVE ").trim + ",\n" +
+      lfSupCtes + ",\n" + gbtRmseCtes(predSql) + ",\n" + holtFoldCtes + "\n" +
+      selSelect + "\nORDER BY geo, indicator"
+
+  private def forecastSeriesGivenSql(predSql: String): String = {
+    val gbtFut = (1 to Gbt.Horizon).map { k =>
+      s"""SELECT p.geo, p.indicator, CAST(p.last_year + $k AS INTEGER) AS year,
+        |  p.p AS value, 'forecast' AS type
+        |FROM p$k p JOIN sel ON sel.geo = p.geo AND sel.indicator = p.indicator
+        |WHERE sel.model_used = 'gbt'""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    cte.replaceFirst("^WITH ", "WITH RECURSIVE ").trim + ",\n" +
+      lfSupCtes + ",\n" + gbtHorizonCtes(predSql) + ",\n" +
+      gbtRmseCtes(predSql) + ",\n" + holtFoldCtes + ",\n" +
+      s"""sel AS ($selSelect)
+        |SELECT o.geo, o.indicator, o.year, o.value, 'historical' AS type
+        |FROM observations o JOIN sel ON o.geo = sel.geo
+        |  AND o.indicator = sel.indicator
+        |WHERE sel.model_used = 'holt'
+        |UNION ALL
+        |SELECT s.geo, s.indicator, s.year, s.value, 'historical' AS type
+        |FROM sup s JOIN sel ON s.geo = sel.geo AND s.indicator = sel.indicator
+        |WHERE sel.model_used = 'gbt'
+        |UNION ALL
+        |SELECT b.geo, b.indicator, CAST(hs.last_year + u.h AS INTEGER) AS year,
+        |  b.l + u.h * b.b AS value, 'forecast' AS type
+        |FROM hbest b
+        |JOIN hs ON hs.geo = b.geo AND hs.indicator = b.indicator
+        |JOIN sel ON sel.geo = b.geo AND sel.indicator = b.indicator,
+        |  UNNEST(range(1, ${Gbt.Horizon + 1})) u(h)
+        |WHERE b.src = 'full' AND b.rn = 1 AND sel.model_used = 'holt'
+        |UNION ALL
+        |$gbtFut
+        |ORDER BY geo, indicator, year, type""".stripMargin
   }
 
   override def oracles: Map[String, String] = staticOracles ++ dynOracles

@@ -221,6 +221,35 @@ object Gbt {
     out
   }
 
+  /** E7b — holdout RMSE with the SQL-rendered ensemble
+    * ([[ensembleSql]]) scoring the test split, and the per-series
+    * error reduction as an order-pinned fold (year-ascending left
+    * fold from 0d) instead of `avg` — associativity-free, so the
+    * DuckDB oracle replays it term-for-term. Same candidacy rule as
+    * [[holdoutRmse]].
+    */
+  def holdoutRmseGiven(obs: DataFrame): DataFrame = {
+    val (model, feats) = trained(obs)
+    val scoreSql = ensembleSql(model)
+    val counts = feats.groupBy("geo", "indicator")
+      .agg(count(lit(1)).as("n_sup"),
+        sum(when(col("split") === "test", 1).otherwise(0)).as("n_test"))
+      .filter(col("n_sup") > col("n_test") + 1)
+      .select("geo", "indicator")
+    feats.filter(col("split") === "test")
+      .withColumn("prediction", expr(scoreSql))
+      .withColumn("se",
+        (col("value") - col("prediction")) * (col("value") - col("prediction")))
+      .join(counts, Seq("geo", "indicator"))
+      .groupBy("geo", "indicator")
+      .agg(count(lit(1)).as("nt"),
+        expr("""aggregate(
+          |  transform(array_sort(collect_list(struct(year, se))), s -> s.se),
+          |  0d, (a, x) -> a + x)""".stripMargin).as("sse"))
+      .withColumn("rmse_gbt", sqrt(col("sse") / col("nt")))
+      .select("geo", "indicator", "rmse_gbt")
+  }
+
   /** Per-series holdout RMSE of the pooled model on the test split —
     * the GBT candidate score for model selection
     * (forecast_utils.py:79-80). Series where GBT is not a candidate

@@ -151,6 +151,56 @@ class ForecastSpec extends SparkSpec {
     assert((1 to Gbt.Horizon).forall(k => sql.contains(s"st$k AS")))
   }
 
+  test("given-model selection agrees with the ml-scored model_select") {
+    // same series set; rmse_holt identical (shared path), rmse_gbt
+    // within ddot-association tolerance; model_used agrees unless the
+    // two candidates are within that tolerance of each other
+    val ml = ForecastQueries.modelSelect(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val given = ForecastQueries.modelSelectGivenQ(spark, sf).collect()
+    assert(given.nonEmpty && given.length == ml.size)
+    given.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      val m = ml(k)
+      def d(row: org.apache.spark.sql.Row, c: String): Option[Double] =
+        Option(row.getAs[java.lang.Double](c)).map(_.toDouble)
+      val (gg, gm) = (d(r, "rmse_gbt"), d(m, "rmse_gbt"))
+      assert(gg.isDefined == gm.isDefined, s"$k gbt candidacy")
+      assert(d(r, "rmse_holt") == d(m, "rmse_holt"), s"$k holt rmse")
+      for (a <- gg; b <- gm)
+        assert(math.abs(a - b) <= 1e-6 * math.max(1.0, b), s"$k gbt rmse")
+      val tol = (for (a <- gg; h <- d(r, "rmse_holt"))
+        yield math.abs(a - h) <= 1e-6 * math.max(1.0, a)).getOrElse(false)
+      if (!tol)
+        assert(r.getAs[String]("model_used") == m.getAs[String]("model_used"),
+          s"$k model_used")
+    }
+  }
+
+  test("given-model forecast_series mirrors forecast_series per winner") {
+    val given = ForecastQueries.forecastSeriesGivenQ(spark, sf).collect()
+    assert(given.nonEmpty)
+    val winners = ForecastQueries.modelSelectGivenQ(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[String]("model_used"))
+      .toMap
+    val obsCounts = obs.groupBy("geo", "indicator").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("count"))
+      .toMap
+    val bySeries = given.groupBy(r => (r.getString(0), r.getString(1)))
+    assert(bySeries.keySet == winners.keySet)
+    bySeries.foreach { case (k, grp) =>
+      val fut = grp.filter(_.getAs[String]("type") == "forecast")
+      assert(fut.length == Gbt.Horizon, s"$k horizon rows")
+      val hist = grp.filter(_.getAs[String]("type") == "historical")
+      assert(hist.nonEmpty, s"$k history rows")
+      // a gbt winner's history is the post-dropna supervised frame
+      // (3 fewer rows than the full series); a holt winner's the full
+      if (winners(k) == "gbt")
+        assert(hist.length == obsCounts(k) - 3, s"$k gbt history")
+      else assert(hist.length == obsCounts(k), s"$k holt history")
+    }
+  }
+
   test("model_select picks the lower holdout rmse of gbt vs holt") {
     val rows = ForecastQueries.modelSelect(spark, sf).collect()
     assert(rows.nonEmpty)
