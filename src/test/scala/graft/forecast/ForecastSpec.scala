@@ -151,6 +151,33 @@ class ForecastSpec extends SparkSpec {
     assert((1 to Gbt.Horizon).forall(k => sql.contains(s"st$k AS")))
   }
 
+  test("given-model recursion matches ml path on 1-supervised-row series") {
+    // a 4-year series has exactly ONE post-dropna row, so the horizon
+    // starts from n = 1 and walks every lag/rolling fallback branch
+    // (lag2 = lag3 = h1, 1- then 2-element rolling windows); the
+    // 8-year series keeps the pooled fit trainable. Parity here pins
+    // the rendered-ensemble scorer to model.transform on exactly the
+    // fallback-shaped feature rows the sf panels never produce.
+    import spark.implicits._
+    val tiny = (
+      (2000 to 2007).map(y => ("LONG", "P", y, 1000.0 + 37.5 * (y - 2000))) ++
+      (2004 to 2007).map(y => ("SHORT", "P", y, 500.0 + 11.25 * (y - 2004)))
+    ).toDF("geo", "indicator", "year", "value")
+    val ml = Gbt.forecast(tiny).collect()
+      .map(r => (r.getString(0), r.getAs[Int]("year"))
+        -> r.getAs[Double]("forecast")).toMap
+    val given = Gbt.forecastGiven(tiny).collect()
+    assert(given.count(_.getString(0) == "SHORT") == Gbt.Horizon)
+    assert(given.length == ml.size)
+    given.foreach { r =>
+      val k = (r.getString(0), r.getAs[Int]("year"))
+      val g = r.getAs[Double]("forecast")
+      assert(!g.isNaN)
+      assert(math.abs(g - ml(k)) <= 1e-9 * math.max(1.0, math.abs(ml(k))),
+        s"$k: given $g vs ml ${ml(k)}")
+    }
+  }
+
   test("given-model selection agrees with the ml-scored model_select") {
     // same series set; rmse_holt identical (shared path), rmse_gbt
     // within ddot-association tolerance; model_used agrees unless the
