@@ -35,8 +35,18 @@ object Memo {
     val rddIds = plan.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
     }
+    // LocalRelation (Seq.toDF) prints only its OUTPUT attributes — two
+    // local frames with the same schema but different rows would share
+    // a key and silently serve each other's memos; hash the rows in
+    // (local data is small by construction, so this is cheap)
+    val localHashes = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.hashCode
+    }
     plan.canonicalized.treeString +
-      (if (rddIds.isEmpty) "" else rddIds.mkString("|rdd:", ",", ""))
+      (if (rddIds.isEmpty) "" else rddIds.mkString("|rdd:", ",", "")) +
+      (if (localHashes.isEmpty) ""
+       else localHashes.mkString("|local:", ",", ""))
   }
 
   def small(tag: String, input: DataFrame)(build: => DataFrame): DataFrame = {

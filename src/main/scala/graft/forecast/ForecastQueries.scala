@@ -45,8 +45,8 @@ object ForecastQueries extends QueryModule {
   def gbtForecastGiven(s: SparkSession, d: String): DataFrame = {
     val o = obs(s, d)
     val df = Gbt.forecastGiven(o)
-    dynOracles.put("gbt_forecast_given_model",
-      gbtGivenSql(Gbt.ensembleSql(Gbt.modelFor(o))))
+    Gbt.modelFor(o).foreach(m => dynOracles.put("gbt_forecast_given_model",
+      gbtGivenSql(Gbt.ensembleSql(m))))
     df.orderBy("geo", "indicator", "year")
   }
 
@@ -60,8 +60,8 @@ object ForecastQueries extends QueryModule {
   def modelSelectGivenQ(s: SparkSession, d: String): DataFrame = {
     val o = obs(s, d)
     val df = Forecast.modelSelectGiven(o)
-    dynOracles.put("model_select_given_model",
-      modelSelectGivenSql(Gbt.ensembleSql(Gbt.modelFor(o))))
+    Gbt.modelFor(o).foreach(m => dynOracles.put("model_select_given_model",
+      modelSelectGivenSql(Gbt.ensembleSql(m))))
     df.orderBy("geo", "indicator")
   }
 
@@ -71,8 +71,9 @@ object ForecastQueries extends QueryModule {
   def forecastSeriesGivenQ(s: SparkSession, d: String): DataFrame = {
     val o = obs(s, d)
     val df = Forecast.forecastSeriesGiven(o)
-    dynOracles.put("forecast_series_given_model",
-      forecastSeriesGivenSql(Gbt.ensembleSql(Gbt.modelFor(o))))
+    Gbt.modelFor(o).foreach(m =>
+      dynOracles.put("forecast_series_given_model",
+        forecastSeriesGivenSql(Gbt.ensembleSql(m))))
     df.orderBy("geo", "indicator", "year", "type")
   }
 

@@ -53,9 +53,13 @@ object Gbt {
   // compare by reference, so two reads of the same parquet would
   // never be plan-equal
   private val modelCache =
-    TrieMap.empty[(SparkSession, String), (GBTRegressionModel, DataFrame)]
+    TrieMap.empty[(SparkSession, String), Option[(GBTRegressionModel, DataFrame)]]
 
-  private def trained(obs: DataFrame): (GBTRegressionModel, DataFrame) = {
+  /** None when the panel has ZERO supervised train rows (too small /
+    * too gappy to fit anything) — callers degrade to empty results
+    * instead of surfacing an MLlib fit error.
+    */
+  private def trained(obs: DataFrame): Option[(GBTRegressionModel, DataFrame)] = {
     val key = (obs.sparkSession, graft.Memo.planKey(obs))
     // entries for stopped sessions hold dead DataFrames/models — drop
     // them so the map stays bounded across session lifecycles
@@ -66,27 +70,32 @@ object Gbt {
       modelCache.get(key) match {
         case Some(hit) => hit
         case None =>
-          System.err.println("[graft] training pooled GBT forecaster")
           // eager checkpoint: blocks live outside the SQL cache
           // (clearCache-proof, no re-mark dance), and the multi-branch
           // consumers (holdoutRmse reads feats through its counts AND
           // transform branches) read materialized blocks instead of
           // racing the cache fill
           val feats = supervised(obs).localCheckpoint(true)
-          // fixed key-partitioned training layout (same reasoning as
-          // the IVF quantizer): boosting runs ~2 jobs per tree over
-          // the training frame, so task count — not data volume —
-          // dominates at panel size, and a deterministic layout makes
-          // the fitted model a pure function of (data, seed) instead
-          // of the session's core count
-          val model = new GBTRegressor()
-            .setLabelCol("value").setFeaturesCol("features")
-            .setMaxIter(20).setMaxDepth(3).setStepSize(0.1).setSeed(42)
-            .fit(assembler.transform(feats.filter(col("split") === "train"))
-              .repartition(4, col("geo"), col("indicator"))
-              .sortWithinPartitions("geo", "indicator", "year"))
-          modelCache.put(key, (model, feats))
-          (model, feats)
+          val train = feats.filter(col("split") === "train")
+          val fit =
+            if (train.isEmpty) None
+            else {
+              System.err.println("[graft] training pooled GBT forecaster")
+              // fixed key-partitioned training layout (same reasoning as
+              // the IVF quantizer): boosting runs ~2 jobs per tree over
+              // the training frame, so task count — not data volume —
+              // dominates at panel size, and a deterministic layout makes
+              // the fitted model a pure function of (data, seed) instead
+              // of the session's core count
+              Some((new GBTRegressor()
+                .setLabelCol("value").setFeaturesCol("features")
+                .setMaxIter(20).setMaxDepth(3).setStepSize(0.1).setSeed(42)
+                .fit(assembler.transform(train)
+                  .repartition(4, col("geo"), col("indicator"))
+                  .sortWithinPartitions("geo", "indicator", "year")), feats))
+            }
+          modelCache.put(key, fit)
+          fit
       }
     }
   }
@@ -97,9 +106,15 @@ object Gbt {
   def prebuild(obs: DataFrame): Unit = { trained(obs); () }
 
   /** The fitted pooled model (training if needed) — exposed so the
-    * given-model query can render its trees into oracle SQL.
+    * given-model queries can render its trees into oracle SQL; None
+    * on an untrainable panel.
     */
-  def modelFor(obs: DataFrame): GBTRegressionModel = trained(obs)._1
+  def modelFor(obs: DataFrame): Option[GBTRegressionModel] =
+    trained(obs).map(_._1)
+
+  private def emptyForecast(obs: DataFrame): DataFrame =
+    obs.select(col("geo"), col("indicator"), col("year"),
+      lit(0d).as("forecast")).limit(0)
 
   /** Render the fitted ensemble as ONE engine-neutral SQL scalar over
     * the feature columns (year, lag1..3, roll_mean_3, roll_std_3):
@@ -140,9 +155,11 @@ object Gbt {
     * the reference's own inconsistency, kept for fidelity.
     */
   def forecast(obs: DataFrame): DataFrame = graft.Memo.small("gbtForecast", obs) {
-    val (model, feats) = trained(obs)
-    recursiveHorizon(feats,
-      df => model.transform(assembler.transform(df)))
+    trained(obs) match {
+      case Some((model, feats)) =>
+        recursiveHorizon(feats, df => model.transform(assembler.transform(df)))
+      case None => emptyForecast(obs)
+    }
   }
 
   /** E5b — the same recursive horizon with the fitted ensemble scored
@@ -158,10 +175,13 @@ object Gbt {
     */
   def forecastGiven(obs: DataFrame): DataFrame =
     graft.Memo.small("gbtForecastGiven", obs) {
-      val (model, feats) = trained(obs)
-      val scoreSql = ensembleSql(model)
-      recursiveHorizon(feats,
-        df => df.withColumn("prediction", expr(scoreSql)))
+      trained(obs) match {
+        case Some((model, feats)) =>
+          val scoreSql = ensembleSql(model)
+          recursiveHorizon(feats,
+            df => df.withColumn("prediction", expr(scoreSql)))
+        case None => emptyForecast(obs)
+      }
     }
 
   /** The shared recursive multi-step loop: horizon steps advance the
@@ -228,8 +248,11 @@ object Gbt {
     * DuckDB oracle replays it term-for-term. Same candidacy rule as
     * [[holdoutRmse]].
     */
-  def holdoutRmseGiven(obs: DataFrame): DataFrame = {
-    val (model, feats) = trained(obs)
+  def holdoutRmseGiven(obs: DataFrame): DataFrame = trained(obs) match {
+    case None =>
+      obs.select(col("geo"), col("indicator"),
+        lit(0d).as("rmse_gbt")).limit(0)
+    case Some((model, feats)) =>
     val scoreSql = ensembleSql(model)
     val counts = feats.groupBy("geo", "indicator")
       .agg(count(lit(1)).as("n_sup"),
@@ -255,8 +278,11 @@ object Gbt {
     * (forecast_utils.py:79-80). Series where GBT is not a candidate
     * (supervised rows ≤ test_size + 1) are excluded.
     */
-  def holdoutRmse(obs: DataFrame): DataFrame = {
-    val (model, feats) = trained(obs)
+  def holdoutRmse(obs: DataFrame): DataFrame = trained(obs) match {
+    case None =>
+      obs.select(col("geo"), col("indicator"),
+        lit(0d).as("rmse_gbt")).limit(0)
+    case Some((model, feats)) =>
     val counts = feats.groupBy("geo", "indicator")
       .agg(count(lit(1)).as("n_sup"),
         sum(when(col("split") === "test", 1).otherwise(0)).as("n_test"))

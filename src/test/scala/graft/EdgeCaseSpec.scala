@@ -80,6 +80,14 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.Memo.planKey(a) != graft.Memo.planKey(b))
     // while repeated keying of the same frame is stable
     assert(graft.Memo.planKey(a) == graft.Memo.planKey(a))
+    // the same hole for UN-checkpointed local frames: a LocalRelation
+    // prints only its output attributes, so two same-schema local
+    // frames with different rows must still key apart (caught live —
+    // a cross-suite model-cache collision between two toDF panels)
+    val la = Seq((1L, "a")).toDF("id", "v")
+    val lb = Seq((2L, "b")).toDF("id", "v")
+    assert(graft.Memo.planKey(la) != graft.Memo.planKey(lb))
+    assert(graft.Memo.planKey(la) == graft.Memo.planKey(la))
   }
 
   test("substring_dedup tolerates sub-window docs and empty corpora") {
@@ -184,5 +192,35 @@ class EdgeCaseSpec extends SparkSpec {
     import spark.implicits._
     val none = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(graft.dedup.DedupQueries.neardupAuto(none, 0.45).count() == 0)
+  }
+
+  test("gbt family degrades to empty on an untrainable panel") {
+    import spark.implicits._
+    // a single 5-year series: both supervised (post-dropna) rows land
+    // in the test split, so there are ZERO train rows — no model can
+    // fit. The GBT entry points must return empty (not throw from
+    // MLlib), and selection must fall back to the Holt candidate
+    // (n = 5 qualifies it: n ≥ 5 and n > test_size + 2)
+    val o = (2000 to 2004).map(y => ("G", "P", y, 100.0 + 3.0 * (y - 2000)))
+      .toDF("geo", "indicator", "year", "value")
+    assert(graft.forecast.Gbt.forecast(o).isEmpty)
+    assert(graft.forecast.Gbt.forecastGiven(o).isEmpty)
+    assert(graft.forecast.Gbt.holdoutRmse(o).isEmpty)
+    assert(graft.forecast.Gbt.holdoutRmseGiven(o).isEmpty)
+    assert(graft.forecast.Gbt.modelFor(o).isEmpty)
+    val sel = graft.forecast.Forecast.modelSelectGiven(o).collect()
+    assert(sel.length == 1)
+    assert(sel.head.getAs[String]("model_used") == "holt")
+    assert(sel.head.isNullAt(sel.head.fieldIndex("rmse_gbt")))
+    val fs = graft.forecast.Forecast.forecastSeriesGiven(o).collect()
+    // holt winner: full 5-row history + 5 forecast rows
+    assert(fs.count(_.getAs[String]("type") == "historical") == 5)
+    assert(fs.count(_.getAs[String]("type") == "forecast") == 5)
+    // fully empty panel: every entry point yields empty, no crash
+    val none = Seq.empty[(String, String, Int, Double)]
+      .toDF("geo", "indicator", "year", "value")
+    assert(graft.forecast.Gbt.forecast(none).isEmpty)
+    assert(graft.forecast.Forecast.modelSelectGiven(none).isEmpty)
+    assert(graft.forecast.Forecast.forecastSeriesGiven(none).isEmpty)
   }
 }
