@@ -55,7 +55,11 @@ object Bench {
       "gbt_model" -> (() =>
         forecast.Gbt.prebuild(etl.Observations.panel(spark, sfDir))),
       "ivf_index" -> (() => sim.Ivf.prebuild(spark, sfDir)),
-      "given_centroid_lists" -> (() => sim.Ivf.prebuildGiven(spark, sfDir))
+      "given_centroid_lists" -> (() => sim.Ivf.prebuildGiven(spark, sfDir)),
+      // after neardup_index: the LR labels read the L2 verdict, which
+      // probes the (already-billed) standing pair index
+      "quality_lr" -> (() =>
+        pipeline.QualityModel.prebuild(sources.Tables.documents(spark, sfDir)))
     ).map { case (name, fn) => name -> timed(fn) }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = timed(() => { fn(spark, sfDir).count(); () })

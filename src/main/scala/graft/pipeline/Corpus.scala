@@ -71,8 +71,13 @@ object Corpus extends QueryModule {
   }
 
   /** L2 — per-document keep-list with the three gate verdicts. */
-  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def corpusClean(spark: SparkSession, dir: String): DataFrame =
+    verdictsOf(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The L2 verdict body over any documents frame — also the label
+    * source for the L10 distilled filter ([[QualityModel]]).
+    */
+  def verdictsOf(docs: DataFrame): DataFrame = {
     val quality = Analysis
       .quality(graft.Par.spread(docs.select("doc_id", "text")), "text")
       .select(col("doc_id"),
@@ -91,7 +96,6 @@ object Corpus extends QueryModule {
       .withColumn("keep",
         col("keep_quality") && col("keep_exact") && col("keep_neardup"))
       .select("doc_id", "keep_quality", "keep_exact", "keep_neardup", "keep")
-      .orderBy("doc_id")
   }
 
   /** L9 — per-stage attrition funnel of the cleaning pipeline: how
@@ -276,6 +280,22 @@ object Corpus extends QueryModule {
       .select("doc_id", "shard", "pos")
       .orderBy("shard", "pos")
 
+  /** L10 — the distilled quality filter ([[QualityModel]]), scored
+    * through the rendered-margin path. Running it registers its
+    * model-derived oracle (the fitted weights are only known
+    * post-fit; Verify dumps oracle_sql AFTER running every query, so
+    * the rendered text lands in the dump like a static entry — the
+    * E5b given-model discipline).
+    */
+  def qualityClassifyQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val df = QualityModel.classifyGiven(docs)
+    QualityModel.modelFor(docs).foreach(m =>
+      dynOracles.put("quality_classify_given_model",
+        qualityClassifySql(QualityModel.marginSql(m))))
+    df.orderBy("doc_id")
+  }
+
   override def queries: Map[String, Q] = Map(
     "corpus_sample" -> (corpusSample _),
     "corpus_clean" -> (corpusClean _),
@@ -285,7 +305,53 @@ object Corpus extends QueryModule {
     "decontaminate" -> (decontaminate _),
     "corpus_shuffle" -> (corpusShuffle _),
     "corpus_stats" -> (corpusStats _),
+    "quality_classify_given_model" -> (qualityClassifyQ _),
     "domain_mix" -> (domainMix _))
+
+  /** Model-derived oracle entries, registered when their query runs. */
+  private val dynOracles =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The L10 oracle: recompute the 8 features with the exact SQL the
+    * gated text_quality / repetition_ratio rows established (their
+    * doubles are proven bit-identical to Spark's), then replay the
+    * rendered margin verbatim. Empty documents are excluded on both
+    * sides (their ratio features are NULL).
+    */
+  private def qualityClassifySql(marginSql: String): String =
+    s"""WITH q AS (SELECT doc_id,
+      |    CAST(length(t) AS INTEGER) AS n_chars_m,
+      |    CAST(len(string_split(t, ' ')) AS INTEGER) AS n_tokens,
+      |    CAST(len(list_filter(string_split(t, ' '),
+      |      x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |      / nullif(len(string_split(t, ' ')), 0) AS stopword_ratio,
+      |    CAST(length(t) - length(regexp_replace(t, '[.,!?;:'']', '', 'g'))
+      |         AS DOUBLE) / nullif(length(t), 0) AS punct_ratio,
+      |    CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+      |         AS DOUBLE) / nullif(length(t), 0) AS digit_ratio,
+      |    CAST(length(t) - (len(string_split(t, ' ')) - 1) AS DOUBLE)
+      |      / nullif(len(string_split(t, ' ')), 0) AS avg_word_len
+      |  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+      |  WHERE length(t) > 0),
+      |toks AS (SELECT doc_id, w, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |rep0 AS (SELECT doc_id, CAST(sum(c) AS INTEGER) AS n_tokens_r,
+      |    CAST(count(*) AS INTEGER) AS n_distinct,
+      |    CAST(max(c) AS INTEGER) AS top_count
+      |  FROM toks GROUP BY doc_id),
+      |rep AS (SELECT doc_id,
+      |    CAST(n_tokens_r - n_distinct AS DOUBLE) / nullif(n_tokens_r, 0)
+      |      AS repetition_ratio,
+      |    CAST(top_count AS DOUBLE) / nullif(n_tokens_r, 0)
+      |      AS top_token_ratio
+      |  FROM rep0),
+      |f AS (SELECT q.*, rep.repetition_ratio, rep.top_token_ratio
+      |  FROM q JOIN rep USING (doc_id)),
+      |m AS (SELECT doc_id, ($marginSql) AS margin FROM f)
+      |SELECT doc_id, margin, margin > 0 AS pred_keep
+      |FROM m ORDER BY doc_id""".stripMargin
 
   /** The DuckDB mirror of the Spark-side gram generator: 1-based list
     * indexing, range(a, b) is [a, b).
@@ -293,7 +359,9 @@ object Corpus extends QueryModule {
   private val gramSelSql: String =
     (0 until DecontamN).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
 
-  override def oracles: Map[String, String] = Map(
+  override def oracles: Map[String, String] = staticOracles ++ dynOracles
+
+  private val staticOracles: Map[String, String] = Map(
     // weight literals go VARCHAR→DOUBLE: DuckDB's decimal→double cast
     // is not correctly rounded (same discipline as the Holt oracle)
     "domain_mix" ->
