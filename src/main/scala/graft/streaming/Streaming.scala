@@ -241,6 +241,38 @@ object Streaming {
         col("stopword_ratio") <= graft.pipeline.Corpus.MaxStopwordRatio)
       .select("doc_id", "ts", "h", "n_tokens", "stopword_ratio")
 
+  /** J9 — streaming model serving for the L10 learned corpus filter:
+    * each arriving document scored by the BATCH-fitted margin — the
+    * outlierStream lambda split (train batch, score continuously)
+    * applied to the distilled quality model. Stateless, no watermark
+    * or state store: the H2 metrics are already pure projections, and
+    * the H5 repetition features are recomputed per-row from array
+    * expressions (a stream can't run the batch groupBy shape;
+    * per-doc cost O(distinct·len), bounded by document length, zero
+    * shuffle) — producing the SAME feature doubles, so the stream
+    * margin is bit-equal to the batch margin (spec-pinned).
+    */
+  def qualityScoreStream(docs: DataFrame,
+      model: org.apache.spark.ml.classification.LogisticRegressionModel)
+      : DataFrame = {
+    val ws = split(lower(col("text")), " ")
+    val dws = array_distinct(ws)
+    graft.text.Analysis.quality(docs, "text")
+      .filter(col("n_chars_m") > 0)
+      .withColumn("n_distinct", size(dws))
+      .withColumn("top_count",
+        array_max(transform(dws, d => size(filter(ws, w => w === d)))))
+      .withColumn("repetition_ratio",
+        (col("n_tokens") - col("n_distinct")).cast("double")
+          / nullif(col("n_tokens"), lit(0)))
+      .withColumn("top_token_ratio",
+        col("top_count").cast("double") / nullif(col("n_tokens"), lit(0)))
+      .withColumn("margin",
+        expr(graft.pipeline.QualityModel.marginSql(model)))
+      .withColumn("pred_keep", col("margin") > 0)
+      .select("doc_id", "ts", "margin", "pred_keep")
+  }
+
   /** J7 — streaming anomaly flags (the streaming face of the batch
     * ts_outliers): arriving events join a PRECOMPUTED per-type stats
     * profile (a tiny broadcast stream-static join — the profile comes

@@ -160,6 +160,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("qualityScoreStream serves the batch-fitted margin bit-equal to the batch path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // lambda split: fit once on the batch corpus, serve continuously
+    val corpus = graft.sources.Tables.documents(spark, sf)
+    val model = graft.pipeline.QualityModel.modelFor(corpus).get
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = qualityScoreStream(
+        mem.toDF().toDF("doc_id", "ts", "text"), model)
+      .writeStream.format("memory").queryName("qscore_out")
+      .outputMode("append").start()
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    val good = (1 to 30).map(j => s"tok$j").mkString(" ")
+    val spam = Array.fill(40)("buy").mkString(" ")
+    mem.addData((1L, t, good), (2L, t, spam), (3L, t, "short one"),
+      (4L, t, ""))                          // empty: filtered, not scored
+    q.processAllAvailable()
+    val out = spark.table("qscore_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("margin")).toMap
+    q.stop()
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // the batch side over the same rows: same features, same rendered
+    // margin text — the stream's array-expression H5 features must
+    // reproduce the batch aggregate's doubles bit-for-bit
+    val batch = Seq((1L, good), (2L, spam), (3L, "short one"), (4L, ""))
+      .toDF("doc_id", "text")
+    val expected = graft.pipeline.QualityModel.features(batch)
+      .withColumn("margin",
+        org.apache.spark.sql.functions.expr(
+          graft.pipeline.QualityModel.marginSql(model)))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("margin")).toMap
+    assert(expected.keySet == Set(1L, 2L, 3L))
+    out.foreach { case (id, m) => assert(m == expected(id), s"doc $id") }
+  }
+
   test("q_funnel stages require strict view -> click -> purchase order") {
     import spark.implicits._
     import java.sql.Timestamp
