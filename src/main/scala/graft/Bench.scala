@@ -59,7 +59,8 @@ object Bench {
       // after neardup_index: the LR labels read the L2 verdict, which
       // probes the (already-billed) standing pair index
       "quality_lr" -> (() =>
-        pipeline.QualityModel.prebuild(sources.Tables.documents(spark, sfDir)))
+        pipeline.QualityModel.prebuild(sources.Tables.documents(spark, sfDir))),
+      "pq_codes" -> (() => sim.Pq.prebuild(spark, sfDir))
     ).map { case (name, fn) => name -> timed(fn) }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = timed(() => { fn(spark, sfDir).count(); () })

@@ -66,7 +66,11 @@ class PlanShapeSpec extends SparkSpec {
       // round 6: the given-quantizer IVF search crosses the 5-vector
       // query set with its broadcast 16-row pinned centroid table for
       // probe ranking (the same shape as knn_ivf's probe selection)
-      "knn_ivf_given_centroids")
+      "knn_ivf_given_centroids",
+      // knn_pq's ADC lookup table crosses the 5-vector query set with
+      // the broadcast 16-row codebook (queries × M × K rows — tiny at
+      // any corpus size; candidate scoring itself is a hash equi-join)
+      "knn_pq")
     val offenders = plans.collect {
       case (name, plan)
           if plan.contains("BroadcastNestedLoopJoin") && !allowed(name) =>
