@@ -60,7 +60,10 @@ object Bench {
       // probes the (already-billed) standing pair index
       "quality_lr" -> (() =>
         pipeline.QualityModel.prebuild(sources.Tables.documents(spark, sfDir))),
-      "pq_codes" -> (() => sim.Pq.prebuild(spark, sfDir))
+      "pq_codes" -> (() => sim.Pq.prebuild(spark, sfDir)),
+      // after given_centroid_lists: residual codes quantize against
+      // the (already-billed) given-quantizer assignment
+      "pq_residual_codes" -> (() => sim.Pq.prebuildResidual(spark, sfDir))
     ).map { case (name, fn) => name -> timed(fn) }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = timed(() => { fn(spark, sfDir).count(); () })

@@ -253,7 +253,7 @@ object Ivf extends QueryModule {
   private val givenCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
-  private def givenListed(emb: DataFrame): (DataFrame, DataFrame) = {
+  private[sim] def givenListed(emb: DataFrame): (DataFrame, DataFrame) = {
     val key = (emb.sparkSession, graft.Memo.planKey(emb))
     givenCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     givenCache.synchronized {

@@ -53,6 +53,31 @@ object Pq extends QueryModule {
       |  (acc, v) -> cast(acc + v as decimal(24,12))) as double)"""
       .stripMargin)
 
+  /** [[subDistSq]] where x is already a double array (a residual) and
+    * y is a float-array codeword — the residual-encoding distance.
+    */
+  private def subDistSqD(x: String, y: String, m: Int): Column =
+    expr(s"""cast(aggregate(
+      |  zip_with(slice($x, ${m * SubDim + 1}, $SubDim),
+      |           slice($y, ${m * SubDim + 1}, $SubDim),
+      |    (xv, yv) -> cast((xv - cast(yv as double))
+      |      * (xv - cast(yv as double)) as decimal(24,12))),
+      |  cast(0 as decimal(24,12)),
+      |  (acc, v) -> cast(acc + v as decimal(24,12))) as double)"""
+      .stripMargin)
+
+  /** Quantized-exact squared L2 over the FULL vector (both float
+    * arrays) — the ground-truth metric [[recall]] evaluates against.
+    */
+  private def fullDistSq(x: String, y: String): Column =
+    expr(s"""cast(aggregate(
+      |  zip_with($x, $y,
+      |    (xv, yv) -> cast((cast(xv as double) - cast(yv as double))
+      |      * (cast(xv as double) - cast(yv as double)) as decimal(24,12))),
+      |  cast(0 as decimal(24,12)),
+      |  (acc, v) -> cast(acc + v as decimal(24,12))) as double)"""
+      .stripMargin)
+
   private def codebook(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") < CodebookIds)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
@@ -91,6 +116,18 @@ object Pq extends QueryModule {
   def prebuild(spark: SparkSession, dir: String): Unit = {
     codes(Tables.embeddings(spark, dir).select("vec_id", "embedding")); ()
   }
+
+  /** The codebook packed into ONE row (`cb` = cid-sorted array of
+    * (cid, ce) structs) — the broadcastable static side of the
+    * streaming encode face ([[graft.streaming.Streaming.pqEncodeStream]]):
+    * a stream can't run the batch groupBy argmin, but it can fold a
+    * 16-struct array column in a stateless projection.
+    */
+  def packedCodebook(emb: DataFrame): DataFrame =
+    codebook(emb)
+      .agg(sort_array(collect_list(struct(col("cid"), col("ce"))))
+        .as("cb"))
+      .withColumn("j", lit(1))
 
   /** G10 — `pq_encode`: the stored form, one row per vector with its
     * M codes (the 256-byte → M-byte compression a vector store
@@ -135,15 +172,155 @@ object Pq extends QueryModule {
       .orderBy("query_id", "rank")
   }
 
+  /** Residual PQ codes under the GIVEN coarse quantizer (the FAISS
+    * IVFPQ storage layout): each vector quantizes its residual
+    * x − centroid(list(x)) — not x itself — so codes spend their
+    * precision on within-list variation, which is why IVFPQ beats
+    * flat PQ at equal bytes. Assignment rides the shared
+    * [[Ivf.givenListed]] build (one broadcast-argmax build serves
+    * G2c/F10b/G12); the residual is one broadcast centroid join +
+    * a zip_with projection, and code argmin is the same broadcast
+    * codebook join + combinable min_by as [[codes]] — linear at any
+    * corpus size.
+    */
+  // one residual-encode build serves search + any re-probe (the codes
+  // memo discipline); narrow rows, checkpointed past clearCache
+  private val residCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def residualCodes(emb: DataFrame): DataFrame = {
+    val key = (emb.sparkSession, graft.Memo.planKey(emb))
+    residCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    residCache.synchronized {
+      residCache.getOrElseUpdate(key, {
+        val (cents, assigned) = Ivf.givenListed(emb)
+        val resid = assigned
+          .join(broadcast(cents.select(col("cid").as("list_id"), col("ce"))),
+            "list_id")
+          .withColumn("resid", expr(
+            "zip_with(embedding, ce, (x, c) -> cast(x as double) - cast(c as double))"))
+          .select("vec_id", "list_id", "resid")
+        resid.crossJoin(broadcast(codebook(emb)))
+          .select(col("vec_id") :: col("list_id") :: col("cid") ::
+            (0 until NumSub).map(m =>
+              subDistSqD("resid", "ce", m).as(s"d$m")).toList: _*)
+          .selectExpr("vec_id", "list_id", "cid",
+            s"stack($NumSub, ${(0 until NumSub)
+              .map(m => s"$m, d$m").mkString(", ")}) as (m, dsq)")
+          .groupBy("vec_id", "list_id", "m")
+          .agg(min_by(col("cid"), struct(col("dsq"), col("cid"))).as("code"))
+          .localCheckpoint(true)
+      })
+    }
+  }
+
+  /** Force the residual-encode build (Bench bills it separately). */
+  def prebuildResidual(spark: SparkSession, dir: String): Unit = {
+    residualCodes(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding")); ()
+  }
+
+  /** G12 — `knn_ivfpq`: the composed billion-vector serving index
+    * (FAISS IVFPQ shape). A query ranks the broadcast centroid table
+    * (the G2c probe rule — cosine routing, shared assignment chain),
+    * takes its residual AGAINST EACH PROBED LIST's centroid, builds
+    * the per-(query, list) ADC lookup table exact once (queries ×
+    * nProbe × M × K rows — broadcastable at any corpus size), and
+    * scores only candidates stored in probed lists by M equi-join
+    * lookups + one quantized sum. Per-query work is O(√n-ish list
+    * scan) with zero per-candidate vector arithmetic — the IVF probe
+    * bound and the PQ scoring bound composed, which is the layout
+    * actually serving 10⁹-vector search.
+    */
+  def knnIvfPq(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cents, assigned) = Ivf.givenListed(emb)
+    val queries = assigned.filter(col("vec_id") < QueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+        col("nsq").as("nq"))
+    val probeRank = Window.partitionBy("query_id")
+      .orderBy(desc("c_cos"), asc("cid"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("c_cos", Vectors.cosineFrom(
+        Vectors.dot("eq", "ce"), col("nq"), col("cn")))
+      .withColumn("prnk", row_number().over(probeRank))
+      .filter(col("prnk") <= Ivf.GivenProbe)
+      .select(col("query_id"), col("eq"), col("cid").as("list_id"),
+        col("ce"))
+    val lut = probes
+      .withColumn("qres", expr(
+        "zip_with(eq, ce, (x, c) -> cast(x as double) - cast(c as double))"))
+      .select("query_id", "list_id", "qres")
+      .crossJoin(broadcast(codebook(emb)))
+      .select(col("query_id") :: col("list_id").as("l_list") :: col("cid") ::
+        (0 until NumSub).map(m =>
+          subDistSqD("qres", "ce", m).as(s"d$m")).toList: _*)
+      .selectExpr("query_id", "l_list", "cid",
+        s"stack($NumSub, ${(0 until NumSub)
+          .map(m => s"$m, d$m").mkString(", ")}) as (m, dsq)")
+    val cand = residualCodes(emb).filter(col("vec_id") >= QueryIds)
+      .select(col("vec_id").as("neighbor_id"), col("list_id"),
+        col("m").as("c_m"), col("code"))
+    val adist = cand.join(broadcast(lut),
+        cand("list_id") === lut("l_list") && cand("c_m") === lut("m") &&
+          cand("code") === lut("cid"))
+      .groupBy("query_id", "neighbor_id", "list_id")
+      .agg(sum(col("dsq").cast("decimal(24,12)")).cast("double")
+        .as("adist"))
+      .withColumn("sim", -col("adist"))
+    graft.plans.AggExpressions
+      .topKPerKey(adist, "query_id", "sim", "neighbor_id",
+        Seq("adist", "list_id"), K)
+      .select("query_id", "rank", "neighbor_id", "adist", "list_id")
+      .orderBy("query_id", "rank")
+  }
+
+  /** G13 — `pq_recall`: recall@k of the ADC search ([[knn]]) against
+    * exact squared-L2 ground truth — the G6 measurement loop applied
+    * to the PQ index (the number a serving team actually watches when
+    * they trade bytes for recall). Both inputs are top-k outputs
+    * (queries × k rows at any corpus size) so the eval join is free
+    * next to the searches; queries the ADC index misses entirely
+    * still surface with recall 0 via the left join.
+    */
+  def recall(emb: DataFrame): DataFrame = {
+    val e = graft.Par.spread(emb.select("vec_id", "embedding"))
+    val q = e.filter(col("vec_id") < QueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val c = e.filter(col("vec_id") >= QueryIds)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("dsq", fullDistSq("eq", "ec"))
+      .withColumn("sim", -col("dsq"))
+    val exact = graft.plans.AggExpressions
+      .topKPerKey(scored, "query_id", "sim", "neighbor_id", Nil, K)
+      .select("query_id", "neighbor_id")
+    val adc = knn(emb).select("query_id", "neighbor_id")
+    val hits = adc.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    q.select("query_id").join(hits, Seq("query_id"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("recall", col("hits").cast("double") / K)
+      .orderBy("query_id")
+  }
+
   def encodeQ(spark: SparkSession, dir: String): DataFrame =
     encode(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
 
   def knnQ(spark: SparkSession, dir: String): DataFrame =
     knn(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
 
+  def knnIvfPqQ(spark: SparkSession, dir: String): DataFrame =
+    knnIvfPq(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+
+  def recallQ(spark: SparkSession, dir: String): DataFrame =
+    recall(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+
   override def queries: Map[String, Q] = Map(
     "pq_encode" -> (encodeQ _),
-    "knn_pq" -> (knnQ _))
+    "knn_pq" -> (knnQ _),
+    "knn_ivfpq" -> (knnIvfPqQ _),
+    "pq_recall" -> (recallQ _))
 
   /** Shared encode CTE chain: per-dimension rows with the subspace
     * index, quantized subspace distances vector × codeword, argmin
@@ -189,5 +366,108 @@ object Pq extends QueryModule {
       |       FROM adist)
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adist
       |FROM ranked WHERE rank <= $K
-      |ORDER BY query_id, rank""".stripMargin))
+      |ORDER BY query_id, rank""".stripMargin),
+    // IVFPQ: the G2c assignment/probe chain (cosine routing) composed
+    // with residual-PQ codes and per-(query, list) ADC tables — the
+    // relational mirror of [[knnIvfPq]], replayed step for step.
+    "knn_ivfpq" -> s"""WITH comp AS (SELECT vec_id, CAST(i AS INT) AS i,
+      |         CAST((CAST(i AS INT) - 1) // $SubDim AS INT) AS m,
+      |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+      |       FROM embeddings, UNNEST(range(1, ${Dim + 1})) u(i)),
+      |norms AS (SELECT vec_id,
+      |         CAST(sum(CAST(v * v AS DECIMAL(24,12))) AS DOUBLE) AS nsq
+      |       FROM comp GROUP BY vec_id),
+      |cdots AS (SELECT a.vec_id, b.vec_id AS cid,
+      |         CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
+      |       FROM comp a JOIN comp b
+      |         ON a.i = b.i AND b.vec_id < $CodebookIds
+      |       GROUP BY 1, 2),
+      |assign AS (SELECT cdots.vec_id, cid AS list_id,
+      |         row_number() OVER (PARTITION BY cdots.vec_id
+      |           ORDER BY dot / (sqrt(nv.nsq) * sqrt(nc.nsq)) DESC,
+      |                    cid ASC) AS rn
+      |       FROM cdots JOIN norms nv ON cdots.vec_id = nv.vec_id
+      |                  JOIN norms nc ON cdots.cid = nc.vec_id),
+      |lists AS (SELECT vec_id, list_id FROM assign WHERE rn = 1),
+      |rcomp AS (SELECT a.vec_id, a.i, a.m, l.list_id, a.v - c.v AS rv
+      |       FROM comp a JOIN lists l ON a.vec_id = l.vec_id
+      |         JOIN comp c ON c.vec_id = l.list_id AND c.i = a.i),
+      |rdists AS (SELECT r.vec_id, r.list_id, r.m, cb.vec_id AS cid,
+      |         CAST(sum(CAST((r.rv - cb.v) * (r.rv - cb.v)
+      |              AS DECIMAL(24,12))) AS DOUBLE) AS dsq
+      |       FROM rcomp r JOIN comp cb
+      |         ON cb.i = r.i AND cb.vec_id < $CodebookIds
+      |       GROUP BY 1, 2, 3, 4),
+      |rcodes AS (SELECT vec_id, list_id, m, cid AS code
+      |       FROM (SELECT vec_id, list_id, m, cid,
+      |               row_number() OVER (PARTITION BY vec_id, m
+      |                 ORDER BY dsq ASC, cid ASC) AS rn
+      |             FROM rdists)
+      |       WHERE rn = 1),
+      |probes AS (SELECT vec_id AS query_id, list_id FROM assign
+      |       WHERE vec_id < $QueryIds AND rn <= ${Ivf.GivenProbe}),
+      |qres AS (SELECT p.query_id, p.list_id, a.i, a.m, a.v - c.v AS rv
+      |       FROM probes p JOIN comp a ON a.vec_id = p.query_id
+      |         JOIN comp c ON c.vec_id = p.list_id AND c.i = a.i),
+      |luts AS (SELECT q.query_id, q.list_id, q.m, cb.vec_id AS cid,
+      |         CAST(sum(CAST((q.rv - cb.v) * (q.rv - cb.v)
+      |              AS DECIMAL(24,12))) AS DOUBLE) AS dsq
+      |       FROM qres q JOIN comp cb
+      |         ON cb.i = q.i AND cb.vec_id < $CodebookIds
+      |       GROUP BY 1, 2, 3, 4),
+      |cand AS (SELECT vec_id AS neighbor_id, list_id, m, code FROM rcodes
+      |       WHERE vec_id >= $QueryIds),
+      |adist AS (SELECT l.query_id, c.neighbor_id, c.list_id,
+      |         CAST(sum(CAST(l.dsq AS DECIMAL(24,12))) AS DOUBLE) AS adist
+      |       FROM cand c JOIN luts l
+      |         ON l.list_id = c.list_id AND l.m = c.m AND l.cid = c.code
+      |       GROUP BY 1, 2, 3),
+      |ranked AS (SELECT query_id, neighbor_id, adist, list_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY adist ASC, neighbor_id ASC) AS rank
+      |       FROM adist)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+      |  adist, list_id
+      |FROM ranked WHERE rank <= $K
+      |ORDER BY query_id, rank""".stripMargin,
+    // recall@k: the knn_pq ADC chain next to exact squared-L2 ground
+    // truth from the same component rows; hits via an IN-join.
+    "pq_recall" -> (encodeCtes + s""",
+      |luts AS (SELECT vec_id AS query_id, m, cid, dsq FROM dists
+      |       WHERE vec_id < $QueryIds),
+      |cand AS (SELECT vec_id AS neighbor_id, m, code FROM codes
+      |       WHERE vec_id >= $QueryIds),
+      |adist AS (SELECT l.query_id, c.neighbor_id,
+      |         CAST(sum(CAST(l.dsq AS DECIMAL(24,12))) AS DOUBLE) AS adist
+      |       FROM cand c JOIN luts l ON l.m = c.m AND l.cid = c.code
+      |       GROUP BY 1, 2),
+      |adck AS (SELECT query_id, neighbor_id
+      |       FROM (SELECT query_id, neighbor_id,
+      |               row_number() OVER (PARTITION BY query_id
+      |                 ORDER BY adist ASC, neighbor_id ASC) AS rank
+      |             FROM adist)
+      |       WHERE rank <= $K),
+      |edists AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |         CAST(sum(CAST((a.v - b.v) * (a.v - b.v)
+      |              AS DECIMAL(24,12))) AS DOUBLE) AS dsq
+      |       FROM comp a JOIN comp b
+      |         ON a.i = b.i AND a.vec_id < $QueryIds
+      |           AND b.vec_id >= $QueryIds
+      |       GROUP BY 1, 2),
+      |exk AS (SELECT query_id, neighbor_id
+      |       FROM (SELECT query_id, neighbor_id,
+      |               row_number() OVER (PARTITION BY query_id
+      |                 ORDER BY dsq ASC, neighbor_id ASC) AS rank
+      |             FROM edists)
+      |       WHERE rank <= $K),
+      |hits AS (SELECT a.query_id, count(*) AS hits
+      |       FROM adck a JOIN exk e
+      |         ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      |       GROUP BY 1)
+      |SELECT q.query_id, COALESCE(h.hits, 0) AS hits,
+      |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / $K AS recall
+      |FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
+      |      WHERE vec_id < $QueryIds) q
+      |LEFT JOIN hits h ON q.query_id = h.query_id
+      |ORDER BY q.query_id""".stripMargin))
 }

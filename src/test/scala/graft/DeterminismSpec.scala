@@ -100,5 +100,12 @@ class DeterminismSpec extends SparkSpec {
       canon(graft.sim.Ivf.semdedupGivenCentroids(emb7)))
     assert(canon(graft.sim.Ivf.knnGivenCentroids(emb, col("vec_id") < 5, 3)) ==
       canon(graft.sim.Ivf.knnGivenCentroids(emb7, col("vec_id") < 5, 3)))
+    // IVFPQ stacks residual codes + ADC tables on the same assignment;
+    // every reduction is decimal-quantized, so repartitioning must not
+    // move a byte of codes, distances, or ranks
+    assert(canon(graft.sim.Pq.knnIvfPq(emb)) ==
+      canon(graft.sim.Pq.knnIvfPq(emb7)))
+    assert(canon(graft.sim.Pq.recall(emb)) ==
+      canon(graft.sim.Pq.recall(emb7)))
   }
 }

@@ -70,7 +70,20 @@ class PlanShapeSpec extends SparkSpec {
       // knn_pq's ADC lookup table crosses the 5-vector query set with
       // the broadcast 16-row codebook (queries × M × K rows — tiny at
       // any corpus size; candidate scoring itself is a hash equi-join)
-      "knn_pq")
+      "knn_pq",
+      // knn_ivfpq: probe ranking crosses the 5 queries with the
+      // broadcast 16-row centroid table, and each (query, probed list)
+      // residual crosses the broadcast 16-row codebook for its ADC
+      // table — both tiny by construction; residual encoding and
+      // candidate scoring are hash equi-joins
+      "knn_ivfpq",
+      // pq_recall composes knn_pq's ADC chain with the brute-force
+      // ground truth (broadcast 5-query cross join, the knn_brute
+      // shape)
+      "pq_recall",
+      // dsir_sample crosses token rows with its broadcast 1-row
+      // corpus-totals aggregate (the corpus_stats shape)
+      "dsir_sample")
     val offenders = plans.collect {
       case (name, plan)
           if plan.contains("BroadcastNestedLoopJoin") && !allowed(name) =>

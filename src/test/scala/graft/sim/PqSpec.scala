@@ -73,5 +73,103 @@ class PqSpec extends SparkSpec {
     val none = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Pq.encode(none).isEmpty)
     assert(Pq.knn(none).isEmpty)
+    assert(Pq.knnIvfPq(none).isEmpty)
+    assert(Pq.recall(none).isEmpty)
+  }
+
+  // --- IVFPQ (G12): an independent Scala replay of the full chain ---
+
+  /** Mirror of the engine quantization: double term → DECIMAL(24,12)
+    * half-up (Spark's double→decimal cast goes through the shortest
+    * decimal string, which is what BigDecimal.decimal does too).
+    */
+  private def q12(x: Double): BigDecimal =
+    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+
+  private def decSum(terms: Seq[Double]): Double =
+    terms.map(q12).foldLeft(BigDecimal(0))(_ + _).toDouble
+
+  /** The full IVFPQ algebra replayed in plain Scala from collected
+    * arrays: assignment, probe sets, residual codes, LUTs, ADC, top-k.
+    */
+  private def expectedIvfPq(vecs: Map[Long, Array[Float]])
+      : Seq[(Long, Int, Long, Double, Long)] = {
+    val ids = vecs.keys.toSeq.sorted
+    val cents = ids.filter(_ < Pq.CodebookIds)
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      decSum(a.indices.map(d => a(d).toDouble * b(d).toDouble))
+    val nsq = vecs.map { case (id, v) => id -> dot(v, v) }
+    def cosRank(id: Long): Seq[Long] = cents
+      .map(c => (dot(vecs(id), vecs(c)) /
+        (math.sqrt(nsq(id)) * math.sqrt(nsq(c))), c))
+      .sortBy { case (cos, c) => (-cos, c) }.map(_._2)
+    val assign = ids.map(id => id -> cosRank(id).head).toMap
+    val probes = ids.filter(_ < Pq.QueryIds)
+      .map(q => q -> cosRank(q).take(Ivf.GivenProbe)).toMap
+    def resid(id: Long, list: Long): Array[Double] =
+      vecs(id).indices.map(d =>
+        vecs(id)(d).toDouble - vecs(list)(d).toDouble).toArray
+    def subD(r: Array[Double], cw: Array[Float], m: Int): Double =
+      decSum((m * Pq.SubDim until (m + 1) * Pq.SubDim)
+        .map(d => (r(d) - cw(d).toDouble) * (r(d) - cw(d).toDouble)))
+    def codesOf(r: Array[Double]): Seq[Long] =
+      (0 until Pq.NumSub).map(m =>
+        cents.map(k => (subD(r, vecs(k), m), k)).minBy(identity)._2)
+    val cands = ids.filter(_ >= Pq.QueryIds)
+    val rows = for {
+      q <- ids.filter(_ < Pq.QueryIds)
+      y <- cands if probes(q).contains(assign(y))
+    } yield {
+      val list = assign(y)
+      val qr = resid(q, list)
+      val codes = codesOf(resid(y, list))
+      val adist = decSum((0 until Pq.NumSub)
+        .map(m => subD(qr, vecs(codes(m)), m)))
+      (q, y, adist, list)
+    }
+    rows.groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+      rs.sortBy { case (_, y, d, _) => (d, y) }.take(Pq.K).zipWithIndex
+        .map { case ((_, y, d, l), i) => (q, i + 1, y, d, l) }
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  test("knn_ivfpq matches an independent Scala replay of the full chain") {
+    val out = Pq.knnIvfPq(emb).collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("adist"),
+        r.getAs[Long]("list_id"))).toSeq
+    val vecs = emb.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
+      .toMap
+    assert(out == expectedIvfPq(vecs))
+  }
+
+  test("knn_ivfpq candidates come only from the query's probed lists") {
+    val vecs = emb.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
+      .toMap
+    val expected = expectedIvfPq(vecs)
+    val probed = expected.map(_._5).toSet
+    Pq.knnIvfPq(emb).collect().foreach { r =>
+      assert(probed.contains(r.getAs[Long]("list_id")))
+    }
+  }
+
+  test("pq_recall: hits recomputed from the two top-k frames; perfect " +
+      "recall on a codeword-only corpus") {
+    val rows = Pq.recall(emb).collect()
+    assert(rows.length == Pq.QueryIds)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("hits")
+      assert(hits >= 0 && hits <= Pq.K)
+      assert(r.getAs[Double]("recall") == hits.toDouble / Pq.K)
+    }
+    // ADC is EXACT squared L2 when every candidate is a codeword
+    // (the PqSpec exactness anchor), so recall must be 1.0 there
+    val small = emb.filter(col("vec_id") < Pq.CodebookIds)
+    Pq.recall(small).collect().foreach { r =>
+      assert(r.getAs[Double]("recall") == 1.0,
+        s"query ${r.getAs[Long]("query_id")}")
+    }
   }
 }
