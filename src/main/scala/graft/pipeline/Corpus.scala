@@ -280,6 +280,94 @@ object Corpus extends QueryModule {
       .select("doc_id", "shard", "pos")
       .orderBy("shard", "pos")
 
+  /** L11 — DSIR hashed-unigram feature buckets. */
+  val DsirBuckets = 256
+
+  /** L11 — the target-domain sources the selection steers toward. */
+  val DsirTarget: Seq[String] = Seq("src0", "src1")
+
+  /** L11 — resample size. */
+  val DsirK = 100
+
+  /** L11 — DSIR: Data Selection via Importance Resampling (Xie et al.
+    * 2023 shape) — pick the general-corpus documents that look most
+    * like a trusted target domain, the principled alternative to
+    * hand-written quality rules. Per-doc importance log-weight =
+    * Σ_tokens ln p̂_target(bucket) − ln p̂_general(bucket) over
+    * [[DsirBuckets]] hashed-unigram buckets (add-one smoothed), and
+    * the resample-without-replacement draw ∝ exp(logw) is taken by
+    * GUMBEL-TOP-K: key = logw + Gumbel(md5(doc_id)) — so "sampling"
+    * is an orderBy-limit (TakeOrdered, never a full sort) and any
+    * re-run draws the identical sample.
+    *
+    * Scale shape: the two bucket distributions are one combinable
+    * aggregate each over exploded token rows (256-row outputs,
+    * broadcast back); per-doc weights are a co-partitioned bucket
+    * join + one combinable decimal sum; corpus totals ride as a
+    * broadcast 1-row aggregate. FP parity: every ln takes an exact
+    * integer-ratio (or exact-dyadic) double and is quantized to
+    * decimal(18,9) (the H7 discipline); sums/additions stay decimal
+    * until the output cast, so the gate is bit-exact. The inner
+    * Gumbel ln is clamped one quantum below zero so a u ≈ 1 draw
+    * can't reach ln(0) (−∞) after quantization.
+    */
+  def dsir(docs: DataFrame, target: Seq[String], k: Int): DataFrame = {
+    val tlist = target.map(s => s"'$s'").mkString(", ")
+    val toks = docs.select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .withColumn("b", expr(
+        s"""cast(conv(substring(md5(concat('dsir|', w)), 1, 8), 16, 10)
+           |  as bigint) % $DsirBuckets""".stripMargin))
+    val tgt = toks.filter(col("source").isin(target: _*))
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val gen = toks.groupBy("b").agg(count(lit(1)).as("cg"))
+    val tots = broadcast(toks.agg(
+      sum(when(col("source").isin(target: _*), 1L).otherwise(0L)).as("nt"),
+      count(lit(1)).as("ng")))
+    val weights = toks
+      .join(broadcast(tgt), Seq("b"), "left")
+      .join(broadcast(gen), Seq("b"))
+      .crossJoin(tots)
+      .withColumn("lr", expr(
+        s"""cast(cast(ln(cast(coalesce(ct, 0L) + 1 as double)
+           |             / cast(nt + $DsirBuckets as double))
+           |       as decimal(18,9))
+           |   - cast(ln(cast(cg + 1 as double)
+           |             / cast(ng + $DsirBuckets as double))
+           |       as decimal(18,9)) as decimal(19,9))""".stripMargin))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lr").cast("decimal(28,9)")).as("logw_dec"))
+    val keyed = weights
+      .withColumn("u", (expr(
+        """cast(conv(substring(md5(concat('dsg|', cast(doc_id as string))),
+          |  1, 8), 16, 10) as bigint)""".stripMargin).cast("double")
+        + lit(0.5d)) / lit(4294967296.0d))
+      .withColumn("lnu", least(expr("cast(ln(u) as decimal(18,9))"),
+        expr("cast(-0.000000001 as decimal(18,9))")))
+      .withColumn("g", expr(
+        "cast(-ln(cast(-lnu as double)) as decimal(18,9))"))
+      // both operands down to decimal(28,9) first: a (38,9)+(38,9)
+      // addition needs precision 39, which Spark caps at 38 by
+      // REDUCING SCALE to 8 — silently dropping the 9th decimal the
+      // gate compares; (28,9)+(28,9) → (29,9) stays exact
+      .withColumn("score_dec",
+        col("logw_dec").cast("decimal(28,9)")
+          + col("g").cast("decimal(28,9)"))
+    keyed.orderBy(desc("score_dec"), asc("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("score_dec"), asc("doc_id"))))
+      .select(col("doc_id"), col("n_tokens"),
+        col("logw_dec").cast("double").as("logw"),
+        col("g").cast("double").as("gumbel"),
+        col("score_dec").cast("double").as("score"), col("rank"))
+      .orderBy("rank")
+  }
+
+  def dsirSample(spark: SparkSession, dir: String): DataFrame =
+    dsir(Tables.documents(spark, dir).select("doc_id", "source", "text"),
+      DsirTarget, DsirK)
+
   /** L10 — the distilled quality filter ([[QualityModel]]), scored
     * through the rendered-margin path. Running it registers its
     * model-derived oracle (the fitted weights are only known
@@ -306,6 +394,7 @@ object Corpus extends QueryModule {
     "corpus_shuffle" -> (corpusShuffle _),
     "corpus_stats" -> (corpusStats _),
     "quality_classify_given_model" -> (qualityClassifyQ _),
+    "dsir_sample" -> (dsirSample _),
     "domain_mix" -> (domainMix _))
 
   /** Model-derived oracle entries, registered when their query runs. */
@@ -468,6 +557,54 @@ object Corpus extends QueryModule {
         |            AS BIGINT) % 1000 < 900 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dsir_sample" ->
+      s"""WITH tb AS (
+        |  SELECT doc_id, source,
+        |    CAST('0x' || substr(md5('dsir|' || w), 1, 8) AS BIGINT)
+        |      % $DsirBuckets AS b
+        |  FROM (SELECT doc_id, source,
+        |          unnest(string_split(lower(text), ' ')) AS w
+        |        FROM documents)),
+        |tgt AS (SELECT b, count(*) AS ct FROM tb
+        |        WHERE source IN (${DsirTarget.map(s => s"'$s'")
+             .mkString(", ")}) GROUP BY 1),
+        |gen AS (SELECT b, count(*) AS cg FROM tb GROUP BY 1),
+        |tots AS (SELECT sum(CASE WHEN source IN (${DsirTarget
+             .map(s => s"'$s'").mkString(", ")})
+        |               THEN 1 ELSE 0 END) AS nt,
+        |           count(*) AS ng FROM tb),
+        |lr AS (SELECT tb.doc_id,
+        |    CAST(CAST(ln(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+        |                 / CAST(tots.nt + $DsirBuckets AS DOUBLE))
+        |           AS DECIMAL(18,9))
+        |       - CAST(ln(CAST(gen.cg + 1 AS DOUBLE)
+        |                 / CAST(tots.ng + $DsirBuckets AS DOUBLE))
+        |           AS DECIMAL(18,9)) AS DECIMAL(19,9)) AS lr
+        |  FROM tb LEFT JOIN tgt ON tb.b = tgt.b
+        |          JOIN gen ON tb.b = gen.b
+        |          CROSS JOIN tots),
+        |dw AS (SELECT doc_id, count(*) AS n_tokens,
+        |         sum(CAST(lr AS DECIMAL(28,9))) AS logw_dec
+        |       FROM lr GROUP BY 1),
+        |gk AS (SELECT doc_id, n_tokens, logw_dec,
+        |    (CAST(CAST('0x' || substr(md5('dsg|' || CAST(doc_id AS VARCHAR)),
+        |          1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+        |  FROM dw),
+        |g1 AS (SELECT *, least(CAST(ln(u) AS DECIMAL(18,9)),
+        |         CAST(-0.000000001 AS DECIMAL(18,9))) AS lnu FROM gk),
+        |g2 AS (SELECT *, CAST(-ln(CAST(-lnu AS DOUBLE))
+        |         AS DECIMAL(18,9)) AS g FROM g1),
+        |sc AS (SELECT doc_id, n_tokens, logw_dec, g,
+        |         CAST(logw_dec AS DECIMAL(28,9))
+        |           + CAST(g AS DECIMAL(28,9)) AS score_dec FROM g2),
+        |top AS (SELECT *, row_number()
+        |          OVER (ORDER BY score_dec DESC, doc_id ASC) AS rank
+        |        FROM sc)
+        |SELECT doc_id, n_tokens, CAST(logw_dec AS DOUBLE) AS logw,
+        |  CAST(g AS DOUBLE) AS gumbel, CAST(score_dec AS DOUBLE) AS score,
+        |  CAST(rank AS INTEGER) AS rank
+        |FROM top WHERE rank <= $DsirK
+        |ORDER BY rank""".stripMargin,
     "corpus_clean" -> (cleanCtes +
       "\nSELECT * FROM verdicts ORDER BY doc_id"),
     "corpus_loss_report" -> (cleanCtes + """,

@@ -273,6 +273,37 @@ object Streaming {
       .select("doc_id", "ts", "margin", "pred_keep")
   }
 
+  /** J10 — streaming PQ encode (the vector-store INGEST face of G10):
+    * arriving vectors are product-quantized in a stateless projection.
+    * The 16-codeword codebook packs into ONE static row
+    * ([[graft.sim.Pq.packedCodebook]]); the stream-static equi-join
+    * pins one broadcast per micro-batch; per subspace the argmin
+    * codeword is `array_min` over (distance, cid) structs — the
+    * identical (dsq, cid) total order as the batch `min_by`, so
+    * stream codes are BIT-EQUAL to batch [[graft.sim.Pq.encode]]
+    * (spec-pinned). Zero shuffle, zero state: the shape that rides
+    * an ingest firehose at any rate while the batch index rebuilds
+    * on its own cadence (the J7 lambda split applied to G10).
+    */
+  def pqEncodeStream(vecs: DataFrame, corpus: DataFrame): DataFrame = {
+    val cb = graft.sim.Pq.packedCodebook(corpus)
+    val codeCols = (0 until graft.sim.Pq.NumSub).map { m =>
+      val off = m * graft.sim.Pq.SubDim + 1
+      expr(s"""array_min(transform(cb, kv -> named_struct(
+        |  'd', cast(aggregate(
+        |    zip_with(slice(embedding, $off, ${graft.sim.Pq.SubDim}),
+        |             slice(kv.ce, $off, ${graft.sim.Pq.SubDim}),
+        |      (xv, yv) -> cast((cast(xv as double) - cast(yv as double))
+        |        * (cast(xv as double) - cast(yv as double))
+        |        as decimal(24,12))),
+        |    cast(0 as decimal(24,12)),
+        |    (acc, v) -> cast(acc + v as decimal(24,12))) as double),
+        |  'cid', kv.cid))).cid""".stripMargin).as(s"code_$m")
+    }
+    vecs.withColumn("j", lit(1)).join(broadcast(cb), "j")
+      .select(col("vec_id") +: codeCols: _*)
+  }
+
   /** J7 — streaming anomaly flags (the streaming face of the batch
     * ts_outliers): arriving events join a PRECOMPUTED per-type stats
     * profile (a tiny broadcast stream-static join — the profile comes

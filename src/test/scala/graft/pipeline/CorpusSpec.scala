@@ -197,4 +197,48 @@ class CorpusSpec extends SparkSpec {
     assert(surv.head == v.length.toLong)
     assert(surv.last == v.count(_.getAs[Boolean]("keep")).toLong)
   }
+
+  test("dsir steers the sample toward target-domain vocabulary") {
+    import spark.implicits._
+    // target docs (src0) speak vocab A; the general pool splits into
+    // A-speakers and B-speakers. Importance log-weights must separate
+    // them, and the Gumbel-top-k draw must overwhelmingly pick
+    // A-speakers when k covers half the pool.
+    val a = "alpha beta gamma delta epsilon"
+    val b = "zebra yak xylo walrus vulture"
+    val docs = (
+      (0L until 20L).map(i => (i, "src0", a)) ++
+      (20L until 60L).map(i => (i, "srcA", a)) ++
+      (60L until 100L).map(i => (i, "srcB", b))
+    ).toDF("doc_id", "source", "text")
+    val full = Corpus.dsir(docs, Seq("src0"), 100).collect()
+    val byDoc = full.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("logw")).toMap
+    val aW = (20L until 60L).map(byDoc)
+    val bW = (60L until 100L).map(byDoc)
+    assert(aW.min > bW.max,
+      "every A-speaker must outweigh every B-speaker")
+    // a half-pool draw: A-speakers selected ahead of B-speakers
+    val drawn = Corpus.dsir(docs, Seq("src0"), 50).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val aDrawn = drawn.count(_ < 60L)
+    assert(aDrawn >= 45, s"expected the draw dominated by A, got $aDrawn")
+  }
+
+  test("dsir_sample shape and repartition determinism") {
+    val rows = Corpus.dsirSample(spark, sf).collect()
+    assert(rows.length == Corpus.DsirK)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to Corpus.DsirK))
+    val scores = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    rows.foreach { r => // rendered components reassemble the key
+      assert(math.abs(r.getAs[Double]("score") -
+        (r.getAs[Double]("logw") + r.getAs[Double]("gumbel"))) < 1e-8)
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text")
+    val again = Corpus.dsir(docs.repartition(7), Corpus.DsirTarget,
+      Corpus.DsirK).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

@@ -196,6 +196,36 @@ class StreamingSpec extends SparkSpec {
     out.foreach { case (id, m) => assert(m == expected(id), s"doc $id") }
   }
 
+  test("pqEncodeStream codes are bit-equal to the batch PQ encode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // lambda split: codebook from the standing corpus, arriving
+    // vectors encoded continuously
+    val corpus = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+    val sample = corpus.filter(col("vec_id") < 40).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Float]]("embedding").toArray))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = pqEncodeStream(mem.toDF().toDF("vec_id", "embedding"), corpus)
+      .writeStream.format("memory").queryName("pqenc_out")
+      .outputMode("append").start()
+    mem.addData(sample.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val out = spark.table("pqenc_out").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (0 until graft.sim.Pq.NumSub).map(m => r.getAs[Long](s"code_$m")))
+      .toMap
+    q.stop()
+    val batch = graft.sim.Pq.encode(corpus)
+      .filter(col("vec_id") < 40).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (0 until graft.sim.Pq.NumSub).map(m => r.getAs[Long](s"code_$m")))
+      .toMap
+    assert(out.keySet == batch.keySet && out.keySet.size == 40)
+    out.foreach { case (id, cs) => assert(cs == batch(id), s"vec $id") }
+  }
+
   test("q_funnel stages require strict view -> click -> purchase order") {
     import spark.implicits._
     import java.sql.Timestamp
