@@ -6,11 +6,15 @@ import org.apache.spark.sql.functions._
   * the fact tables ×N (distinct keys via an offset) and run headline
   * operators, to observe whether runtimes scale ~linearly and no
   * plan knee appears. Usage: runMain graft.StressBench [sfDir] [N]
+  * [onlyPrefix,...] — the optional third arg restricts to checks
+  * whose name starts with a listed prefix (targeted re-runs).
   */
 object StressBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(1).map(_.toInt).getOrElse(8)
+    val only: Seq[String] =
+      args.lift(2).map(_.split(",").toSeq).getOrElse(Nil)
     val spark = Engine.session("graft-stress")
     import graft.sources.Tables
 
@@ -27,11 +31,12 @@ object StressBench {
     val o = amplified("orders", Seq("o_orderkey", "o_custkey"))
     println(s"rows: lineitem=${li.count()} orders=${o.count()}")
 
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"STRESS $name ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
-    }
+    def time(name: String)(f: => Long): Unit =
+      if (only.isEmpty || only.exists(name.startsWith)) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"STRESS $name ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
 
     time("q1_agg_x" + mult) {
       li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -188,6 +193,28 @@ object StressBench {
     // one-time KMeans quantizer fit at this corpus size.
     time("semdedup_pairs_x" + mult) {
       graft.sim.Ivf.semdedupPairCount(embAmp)
+    }
+    // IVFPQ with the GIVEN 16-centroid quantizer: residual encode is
+    // one n × 16-codeword argmin scan (linear), and ADC candidate
+    // work per query is the probed share of the corpus (linear in n
+    // at fixed centroids) — expect ~linear time, the serving property
+    // the PQ layer exists for. Includes the assignment + residual
+    // builds at this corpus size (memos are per-plan).
+    time("knn_ivfpq_x" + mult) {
+      graft.sim.Pq.knnIvfPq(embAmp).count()
+    }
+    // DSIR: one token explode + two 256-row bucket aggregates + a
+    // co-partitioned bucket join + one decimal sum per doc — linear
+    // in token volume; the Gumbel-top-k draw is a TakeOrdered
+    time("dsir_x" + mult) {
+      graft.pipeline.Corpus.dsir(docsAmp,
+        Seq("src0", "src1"), 100).count()
+    }
+    // RRF fusion rides two top-20 retrievals over the (fresh) posting
+    // index — time tracks the index build, which is linear in tokens
+    time("hybrid_rrf_x" + mult) {
+      val idx = graft.text.Tfidf.index(docsAmp, "doc_id", "text")
+      idx.weights.count()
     }
     time("neardup_clusters_x" + mult) {
       val sh = graft.dedup.Dedup.shingleSets(docsAmp, "doc_id", "text").persist()

@@ -33,10 +33,13 @@ object Bpe {
   /** Number of merge rounds learned. */
   val Merges = 3
 
-  /** Learn [[Merges]] merges over `textCol`'s whitespace words.
-    * Output: one row per merge — (merge_no, a, b, merged, cnt).
+  /** The training loop: learns [[Merges]] merges AND carries the
+    * word-frequency table through them — (merge table, final word
+    * table with each word's post-merge symbol string). The word table
+    * is vocab-rows-sized throughout, never corpus-sized.
     */
-  def merges(docs: DataFrame, textCol: String): DataFrame = {
+  private def trained(docs: DataFrame, textCol: String)
+      : (DataFrame, DataFrame) = {
     // word-frequency table: the only corpus-sized pass
     val words = docs
       .select(explode(split(lower(col(textCol)), " ")).as("w"))
@@ -46,11 +49,12 @@ object Bpe {
         """substring(concat('|', regexp_replace(w, '(.)', '$1||')), 1,
           |  length(concat('|', regexp_replace(w, '(.)', '$1||'))) - 1)"""
           .stripMargin))
-      .select("freq", "syms")
+      .select("w", "freq", "syms")
 
     var cur = words.localCheckpoint(true)
     var out: DataFrame = null
-    for (i <- 1 to Merges) {
+    var exhausted = false
+    for (i <- 1 to Merges if !exhausted) {
       // adjacent-pair counts weighted by word frequency
       val pairs = cur
         .withColumn("arr", expr(
@@ -67,15 +71,60 @@ object Bpe {
         .withColumn("merged", concat(col("a"), col("b")))
         .select("merge_no", "a", "b", "merged", "cnt")
         .localCheckpoint(true)
-      out = if (out == null) top else out.unionByName(top)
-      // apply the merge: one scalar broadcast into a map-only replace
-      cur = cur.crossJoin(broadcast(top.select(col("a").as("m_a"), col("b").as("m_b"))))
-        .withColumn("syms", expr(
-          "replace(syms, concat('|', m_a, '||', m_b, '|'), " +
-            "concat('|', m_a, m_b, '|'))"))
-        .select("freq", "syms")
-        .localCheckpoint(true)
+      // a vocabulary can run out of adjacent pairs before the merge
+      // budget does (every word down to one symbol): an empty argmax
+      // frame must STOP the loop, not cross-join the word table to
+      // empty (the 1-row check is on a vocab-sized limit(1) frame)
+      if (top.isEmpty) { exhausted = true }
+      else {
+        out = if (out == null) top else out.unionByName(top)
+        // apply the merge: one scalar broadcast into a map-only replace
+        cur = cur.crossJoin(broadcast(top.select(col("a").as("m_a"), col("b").as("m_b"))))
+          .withColumn("syms", expr(
+            "replace(syms, concat('|', m_a, '||', m_b, '|'), " +
+              "concat('|', m_a, m_b, '|'))"))
+          .select("w", "freq", "syms")
+          .localCheckpoint(true)
+      }
     }
-    out.orderBy("merge_no")
+    (if (out == null) // pathological corpus: no learnable pair at all
+       cur.limit(0).selectExpr("0 AS merge_no", "w AS a", "w AS b",
+         "w AS merged", "freq AS cnt")
+     else out.orderBy("merge_no"), cur)
+  }
+
+  /** Learn [[Merges]] merges over `textCol`'s whitespace words.
+    * Output: one row per merge — (merge_no, a, b, merged, cnt).
+    */
+  def merges(docs: DataFrame, textCol: String): DataFrame =
+    trained(docs, textCol)._1
+
+  /** H11 `bpe_fertility` — the tokenizer-EVAL surface: apply the
+    * learned merges to the whole corpus and report each document's
+    * subword fertility (subwords per word — the number a tokenizer
+    * team actually tracks across languages/domains before committing
+    * a vocab). The merge application already happened on the
+    * vocab-sized word table inside training, so scoring is one
+    * corpus-sized explode + a broadcast word→n_syms join + one
+    * combinable aggregate; fertility divides two exact longs.
+    */
+  def fertility(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val wordSyms = trained(docs, textCol)._2
+      .withColumn("n_syms", size(split(
+        expr("substring(syms, 2, length(syms) - 2)"), "\\|\\|")))
+      .select("w", "n_syms")
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").contains("|"))
+      // not a forced broadcast: the vocab is ≪ corpus but can still
+      // be 10⁸ words at 100 TB — AQE picks broadcast when it fits
+      .join(wordSyms, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_syms").as("n_subwords"))
+      .withColumn("fertility",
+        col("n_subwords").cast("double") / col("n_words"))
+      .orderBy("doc_id")
   }
 }

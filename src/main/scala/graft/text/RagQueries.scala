@@ -87,6 +87,47 @@ object RagQueries extends QueryModule {
       .orderBy("doc_id", "rk")
   }
 
+  /** D8 — RRF smoothing constant (the standard k = 60) and per-
+    * retriever ranking depth.
+    */
+  val RrfC = 60
+  val RrfDepth = 20
+  val RrfK = 5
+
+  /** D8 — hybrid retrieval via reciprocal-rank fusion: the lexical
+    * (BM25) and vector-ish (tf-idf cosine) retrievers each rank their
+    * top-[[RrfDepth]], and documents fuse on
+    * Σ_r 1/([[RrfC]] + rank_r) — the standard hybrid-search merge
+    * (Cormack et al. 2009), robust to incomparable score scales
+    * because only RANKS cross the boundary. Both inputs ride the
+    * shared memoized posting index, each is a top-k output
+    * (RrfDepth rows at any corpus size), so the fusion join is free
+    * next to the retrievals; a doc missing from one list contributes
+    * 0 from that retriever (full outer join), exactly how RRF handles
+    * disjoint retriever coverage.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cos = Tfidf.searchTopK(spark, docs, "doc_id", "text",
+        question, RrfDepth)
+      .select(col("id").as("doc_id"),
+        row_number().over(Window.orderBy(desc("cosine"), asc("id")))
+          .as("crank"))
+    val bm = Bm25.topK(spark, docs, "doc_id", "text", question, RrfDepth)
+      .select(col("id").as("doc_id"),
+        row_number().over(Window.orderBy(desc("score"), asc("id")))
+          .as("brank"))
+    val fused = cos.join(bm, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0d) / (lit(RrfC) + col("crank")), lit(0.0d)) +
+        coalesce(lit(1.0d) / (lit(RrfC) + col("brank")), lit(0.0d)))
+    fused.orderBy(desc("rrf"), asc("doc_id")).limit(RrfK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("rrf"), asc("doc_id"))))
+      .select("doc_id", "crank", "brank", "rrf", "rank")
+      .orderBy("rank")
+  }
+
   /** C5 canned questions — one per routing branch
     * (chatbot.py:54-64: "rising"+"gep/urgent" → exact handler,
     * everything else → semantic search).
@@ -124,6 +165,7 @@ object RagQueries extends QueryModule {
     "vocab_topk" -> (vocabTopk _),
     "doc_chunk" -> (docChunk _),
     "keyword_extract" -> (keywordExtract _),
+    "hybrid_rrf" -> (hybridRrf _),
     "chatbot_answer" -> (chatbotAnswer _))
 
   /** Postings + smooth-idf CTEs over an arbitrary corpus CTE named
@@ -179,12 +221,13 @@ object RagQueries extends QueryModule {
        |dots AS (SELECT w.id, CAST(sum(CAST(w.w * qw.qw AS DECIMAL(24,8))) AS DOUBLE) AS dot
        |     FROM w JOIN qw ON w.term = qw.term GROUP BY 1)""".stripMargin
 
-  /** BM25 over the `p`/`i` CTEs from [[tfidfCtes]]; constants are
-    * interpolated from the Scala doubles' toString as VARCHAR→DOUBLE
-    * (numeric literals would parse as DECIMAL and DuckDB's
-    * decimal→double cast is not correctly rounded).
+  /** BM25 over the `p`/`i` CTEs from [[tfidfCtes]], ending at the
+    * per-doc summed-score CTE `bsc`; constants are interpolated from
+    * the Scala doubles' toString as VARCHAR→DOUBLE (numeric literals
+    * would parse as DECIMAL and DuckDB's decimal→double cast is not
+    * correctly rounded).
     */
-  private def bm25Sql(queryText: String, outIdCol: String): String = {
+  private def bm25Ctes(queryText: String): String = {
     val k1 = s"CAST('${Bm25.K1}' AS DOUBLE)"
     val k1p1 = s"CAST('${Bm25.K1p1}' AS DOUBLE)"
     val b = s"CAST('${Bm25.B}' AS DOUBLE)"
@@ -196,7 +239,7 @@ object RagQueries extends QueryModule {
        |                  / (CAST(df AS DOUBLE) + 0.5) + 1.0)
        |         AS DECIMAL(18,9)) AS DOUBLE) AS bidf
        |  FROM i, st),
-       |qt AS (SELECT DISTINCT term
+       |bqt AS (SELECT DISTINCT term
        |  FROM (SELECT unnest(tk ||
        |          [tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)]
        |           FOR i IN range(1, len(tk))]) AS term
@@ -207,12 +250,17 @@ object RagQueries extends QueryModule {
        |    bidf.bidf * (p.tf * $k1p1)
        |      / (p.tf + $k1 * (1.0 - $b + $b * dl.dl
        |           / (CAST(st.tot_dl AS DOUBLE) / st.n_docs))) AS ts
-       |  FROM p JOIN qt USING (term) JOIN dl USING (id)
-       |  JOIN bidf USING (term), st)
-       |SELECT id AS $outIdCol,
-       |  CAST(sum(CAST(ts AS DECIMAL(24,8))) AS DOUBLE) AS score
-       |FROM sc GROUP BY id ORDER BY score DESC, $outIdCol ASC LIMIT 5""".stripMargin
+       |  FROM p JOIN bqt USING (term) JOIN dl USING (id)
+       |  JOIN bidf USING (term), st),
+       |bsc AS (SELECT id,
+       |    CAST(sum(CAST(ts AS DECIMAL(24,8))) AS DOUBLE) AS score
+       |  FROM sc GROUP BY id)""".stripMargin
   }
+
+  private def bm25Sql(queryText: String, outIdCol: String): String =
+    s"""${bm25Ctes(queryText)}
+       |SELECT id AS $outIdCol, score
+       |FROM bsc ORDER BY score DESC, $outIdCol ASC LIMIT 5""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "doc_chunk" ->
@@ -287,5 +335,31 @@ object RagQueries extends QueryModule {
         |    ${Insights.insightTextSql} AS txt
         |  FROM labeled),
         |${tfidfCtes("corpus")},
-        |${searchSql("which country trend rising fastest", "insight_key")}""".stripMargin))
+        |${searchSql("which country trend rising fastest", "insight_key")}""".stripMargin),
+    "hybrid_rrf" ->
+      s"""WITH corpus AS (SELECT doc_id AS id, text AS txt FROM documents),
+        |${tfidfCtes("corpus")},
+        |${searchCtes(question)},
+        |${bm25Ctes(question)},
+        |cosr AS (SELECT id, CAST(rn AS INTEGER) AS crank FROM (
+        |    SELECT dots.id, row_number()
+        |      OVER (ORDER BY dot / (sqrt(nrm.nsq) * sqrt(qn.qnsq)) DESC,
+        |            dots.id ASC) AS rn
+        |    FROM dots JOIN nrm ON dots.id = nrm.id CROSS JOIN qn)
+        |  WHERE rn <= $RrfDepth),
+        |bmr AS (SELECT id, CAST(rn AS INTEGER) AS brank FROM (
+        |    SELECT id, row_number()
+        |      OVER (ORDER BY score DESC, id ASC) AS rn FROM bsc)
+        |  WHERE rn <= $RrfDepth),
+        |u AS (SELECT COALESCE(c.id, b.id) AS doc_id, c.crank, b.brank,
+        |    COALESCE(CAST(1 AS DOUBLE) / ($RrfC + c.crank),
+        |             CAST(0 AS DOUBLE))
+        |  + COALESCE(CAST(1 AS DOUBLE) / ($RrfC + b.brank),
+        |             CAST(0 AS DOUBLE)) AS rrf
+        |  FROM cosr c FULL OUTER JOIN bmr b ON c.id = b.id)
+        |SELECT doc_id, crank, brank, rrf, CAST(rank AS INTEGER) AS rank
+        |FROM (SELECT *, row_number()
+        |        OVER (ORDER BY rrf DESC, doc_id ASC) AS rank FROM u)
+        |WHERE rank <= $RrfK
+        |ORDER BY rank""".stripMargin)
 }

@@ -112,6 +112,10 @@ object TextQueries extends QueryModule {
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     Bpe.merges(Tables.documents(spark, dir), "text")
 
+  /** H11 — per-doc subword fertility under the induced merges. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame =
+    Bpe.fertility(Tables.documents(spark, dir), "doc_id", "text")
+
   /** H10 — fuzzy matching by edit distance (spell-correction /
     * entity-resolution primitive): corrupted probe tokens (3rd char
     * dropped from every ≥5-char vocabulary word — deterministic, so
@@ -160,6 +164,7 @@ object TextQueries extends QueryModule {
   override def queries: Map[String, Q] = Map(
     "fuzzy_match" -> (fuzzyMatch _),
     "bpe_merges" -> (bpeMerges _),
+    "bpe_fertility" -> (bpeFertility _),
     "lang_id" -> (langId _),
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
@@ -169,7 +174,9 @@ object TextQueries extends QueryModule {
     "lm_score" -> (lmScore _),
     "token_ids" -> (tokenIds _))
 
-  /** One BPE round: pairs from sN → argmax tN → merged sN+1. */
+  /** One BPE round: pairs from sN → argmax tN → merged sN+1 (the
+    * word column rides along for the fertility join).
+    */
   private def bpeRound(n: Int): String = {
     val (s, t, sn) = (s"s${n - 1}", s"t$n", s"s$n")
     s"""p$n AS (SELECT arr[CAST(i AS INT)] AS a, arr[CAST(i AS INT) + 1] AS b,
@@ -180,11 +187,25 @@ object TextQueries extends QueryModule {
       |  GROUP BY 1, 2),
       |$t AS (SELECT $n AS merge_no, a, b, a &#124;&#124; b AS merged, cnt
       |       FROM p$n ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-      |$sn AS (SELECT freq,
+      |$sn AS (SELECT w, freq,
       |    replace(syms, '&#124;' &#124;&#124; t.a &#124;&#124; '&#124;&#124;' &#124;&#124; t.b &#124;&#124; '&#124;',
       |            '&#124;' &#124;&#124; t.a &#124;&#124; t.b &#124;&#124; '&#124;') AS syms
       |  FROM $s, $t t)"""
   }
+
+  /** The shared w → s0 → (3 rounds) chain both BPE oracles build on. */
+  private def bpeCtes: String =
+    ("""WITH w AS (SELECT w, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS w
+      |    FROM documents)
+      |  WHERE length(w) > 0 AND w NOT LIKE '%&#124;%' GROUP BY w),
+      |s0 AS (SELECT w, freq,
+      |    '&#124;' &#124;&#124; left(regexp_replace(w, '(.)', '\1&#124;&#124;', 'g'),
+      |                length(regexp_replace(w, '(.)', '\1&#124;&#124;', 'g')) - 1)
+      |      AS syms
+      |  FROM w),
+      |""" + bpeRound(1) + ",\n" + bpeRound(2) + ",\n" + bpeRound(3))
+      .stripMargin.replace("&#124;", "|")
 
   override def oracles: Map[String, String] = Map(
     "fuzzy_match" ->
@@ -209,21 +230,26 @@ object TextQueries extends QueryModule {
         |SELECT probe, dw AS matched, CAST(dist AS INTEGER) AS dist
         |FROM r WHERE rn = 1 ORDER BY probe""".stripMargin,
     "bpe_merges" ->
-      ("""WITH w AS (SELECT w, count(*) AS freq FROM (
-        |    SELECT unnest(string_split(lower(text), ' ')) AS w
-        |    FROM documents)
-        |  WHERE length(w) > 0 AND w NOT LIKE '%&#124;%' GROUP BY w),
-        |s0 AS (SELECT freq,
-        |    '&#124;' &#124;&#124; left(regexp_replace(w, '(.)', '\1&#124;&#124;', 'g'),
-        |                length(regexp_replace(w, '(.)', '\1&#124;&#124;', 'g')) - 1)
-        |      AS syms
-        |  FROM w),
-        |""" + bpeRound(1) + ",\n" + bpeRound(2) + ",\n" + bpeRound(3) + """
+      (bpeCtes + """
         |SELECT merge_no, a, b, merged, cnt
         |FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2
         |      UNION ALL SELECT * FROM t3)
-        |ORDER BY merge_no""")
-        .stripMargin.replace("&#124;", "|"),
+        |ORDER BY merge_no""".stripMargin),
+    "bpe_fertility" ->
+      (bpeCtes + """,
+        |wsyms AS (SELECT w,
+        |    CAST(len(string_split(substr(syms, 2, length(syms) - 2),
+        |                          '||')) AS INT) AS n_syms
+        |  FROM s3),
+        |dtf AS (SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents)
+        |  WHERE length(w) > 0 AND w NOT LIKE '%|%')
+        |SELECT doc_id, count(*) AS n_words,
+        |  CAST(sum(n_syms) AS BIGINT) AS n_subwords,
+        |  CAST(sum(n_syms) AS DOUBLE) / count(*) AS fertility
+        |FROM dtf JOIN wsyms USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "token_ids" ->
       s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
         |           FROM documents),

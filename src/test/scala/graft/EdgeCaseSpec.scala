@@ -223,4 +223,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.forecast.Forecast.modelSelectGiven(none).isEmpty)
     assert(graft.forecast.Forecast.forecastSeriesGiven(none).isEmpty)
   }
+
+  test("dsir survives an empty corpus and a target no doc matches") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "source", "text")
+    assert(graft.pipeline.Corpus.dsir(none, Seq("src0"), 10).isEmpty)
+    // no doc in the target: the target distribution degrades to the
+    // uniform add-one prior — weights still finite, draw still total
+    val docs = (0L until 8L).map(i => (i, "srcX", s"alpha beta tok$i"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.pipeline.Corpus.dsir(docs, Seq("src0"), 10).collect()
+    assert(out.length == 8)
+    out.foreach { r =>
+      assert(!r.getAs[Double]("logw").isNaN &&
+        !r.getAs[Double]("logw").isInfinite)
+      assert(!r.getAs[Double]("score").isNaN &&
+        !r.getAs[Double]("score").isInfinite)
+    }
+  }
 }

@@ -83,7 +83,10 @@ class PlanShapeSpec extends SparkSpec {
       "pq_recall",
       // dsir_sample crosses token rows with its broadcast 1-row
       // corpus-totals aggregate (the corpus_stats shape)
-      "dsir_sample")
+      "dsir_sample",
+      // hybrid_rrf composes the cosine and BM25 retrievals, so it
+      // inherits their broadcast 1-row corpus-stat cross joins
+      "hybrid_rrf")
     val offenders = plans.collect {
       case (name, plan)
           if plan.contains("BroadcastNestedLoopJoin") && !allowed(name) =>

@@ -71,4 +71,38 @@ class RagSpec extends SparkSpec {
           w.nonEmpty && !Tfidf.stopwords.contains(w)).count(_ == term)).sum
     assert(top.getAs[Long]("n_tokens") == expected.toLong)
   }
+
+  test("hybrid_rrf fuses the two retriever rankings by reciprocal rank") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // independent replay: rank each retriever's output in Scala,
+    // fuse, and compare the full fused frame
+    val cos = Tfidf.searchTopK(spark, docs, "doc_id", "text",
+        RagQueries.question, RagQueries.RrfDepth).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("cosine")))
+      .sortBy { case (id, c) => (-c, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val bm = Bm25.topK(spark, docs, "doc_id", "text",
+        RagQueries.question, RagQueries.RrfDepth).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("score")))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val expected = (cos.keySet ++ bm.keySet).toSeq.map { id =>
+      val rrf = cos.get(id).map(r => 1.0 / (RagQueries.RrfC + r))
+          .getOrElse(0.0) +
+        bm.get(id).map(r => 1.0 / (RagQueries.RrfC + r)).getOrElse(0.0)
+      (id, rrf)
+    }.sortBy { case (id, r) => (-r, id) }.take(RagQueries.RrfK)
+    val out = RagQueries.hybridRrf(spark, sf).collect()
+    assert(out.length == RagQueries.RrfK)
+    out.zip(expected).foreach { case (row, (id, rrf)) =>
+      assert(row.getAs[Long]("doc_id") == id)
+      assert(row.getAs[Double]("rrf") == rrf)
+      val cr = Option(row.getAs[Integer]("crank")).map(_.toInt)
+      val br = Option(row.getAs[Integer]("brank")).map(_.toInt)
+      assert(cr == cos.get(id) && br == bm.get(id))
+    }
+    // both retrievers genuinely contribute to the fused head
+    assert(out.exists(r => r.getAs[Integer]("crank") != null) &&
+      out.exists(r => r.getAs[Integer]("brank") != null))
+  }
 }

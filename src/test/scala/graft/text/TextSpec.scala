@@ -162,4 +162,29 @@ class TextSpec extends SparkSpec {
       "widow" -> ("window", 1), "fiter" -> ("filter", 1),
       "agregate" -> ("aggregate", 1), "shffle" -> ("shuffle", 1)))
   }
+
+  test("bpe_fertility: bounded by word length, 1.0 when merges cover " +
+      "the corpus") {
+    import spark.implicits._
+    val rows = graft.text.TextQueries.bpeFertility(spark, sf).collect()
+    assert(rows.length ==
+      graft.sources.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val f = r.getAs[Double]("fertility")
+      assert(f >= 1.0, s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("n_subwords") >= r.getAs[Long]("n_words"))
+      assert(f == r.getAs[Long]("n_subwords").toDouble
+        / r.getAs[Long]("n_words"))
+    }
+    // a corpus dominated by one 2-char word: merge 1 learns that
+    // pair, so the dominating word becomes ONE symbol and a doc made
+    // only of it has fertility exactly 1.0
+    val docs = Seq((1L, "ab ab ab ab"), (2L, "ab cd"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val fert = graft.text.Bpe.fertility(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id")
+        -> r.getAs[Double]("fertility")).toMap
+    assert(fert(1L) == 1.0 && fert(3L) == 1.0)
+    assert(fert(2L) >= 1.0)
+  }
 }
