@@ -86,7 +86,10 @@ class PlanShapeSpec extends SparkSpec {
       "dsir_sample",
       // hybrid_rrf composes the cosine and BM25 retrievals, so it
       // inherits their broadcast 1-row corpus-stat cross joins
-      "hybrid_rrf")
+      "hybrid_rrf",
+      // embedding_pca crosses each 64-row iterate with its broadcast
+      // 1-row norm, and the output with the 1-row eigval/trace frames
+      "embedding_pca")
     val offenders = plans.collect {
       case (name, plan)
           if plan.contains("BroadcastNestedLoopJoin") && !allowed(name) =>
