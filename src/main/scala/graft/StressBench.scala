@@ -216,6 +216,13 @@ object StressBench {
       val idx = graft.text.Tfidf.index(docsAmp, "doc_id", "text")
       idx.weights.count()
     }
+    // PCA: the covariance generate is the one corpus-sized pass
+    // (d(d+1)/2 quantized products per vector, partial-aggregated
+    // map-side); iteration cost is corpus-independent — expect
+    // ~linear time in vectors
+    time("embedding_pca_x" + mult) {
+      graft.sim.Pca.pca1(embAmp).count()
+    }
     time("neardup_clusters_x" + mult) {
       val sh = graft.dedup.Dedup.shingleSets(docsAmp, "doc_id", "text").persist()
       val pairs = graft.dedup.Dedup.jaccardVerify(
