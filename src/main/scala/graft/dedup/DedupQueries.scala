@@ -111,21 +111,16 @@ object DedupQueries extends QueryModule {
   def neardupPairsApprox(emb: DataFrame, tau: Double, n: Long): DataFrame = {
     val planes = graft.sim.Knn.planesFor(n)
     val cap = graft.sim.Knn.BucketCap
-    val e = emb
+    val sig = emb
       .select(col("vec_id"), col("embedding"),
         Vectors.normSq("embedding").as("nsq"),
         graft.sim.Knn.lshBucket("embedding", planes).as("bucket"))
-      // the Knn.lshJoin occupancy cap: a corpus-bias bucket no plane
-      // splits would otherwise keep this join quadratic
-      .withColumn("bn", org.apache.spark.sql.functions.count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
-      .withColumn("ns", expr(s"(bn + ${cap - 1}) div $cap"))
-      .withColumn("salt", expr(
-        """pmod(cast(conv(substring(md5(concat('knn|',
-          |  cast(vec_id as string))), 1, 8), 16, 10) as bigint), ns)"""
-          .stripMargin))
-      .select("vec_id", "embedding", "nsq", "bucket", "salt")
       .localCheckpoint(true) // both join sides read one signature build
+    // the Knn.lshJoin occupancy cap: a corpus-bias bucket no plane
+    // splits would otherwise keep this join quadratic; sizes via the
+    // combinable aggregate + broadcast join, never a whole-bucket Window
+    val e = graft.sim.Knn.saltByOccupancy(sig)
+      .select("vec_id", "embedding", "nsq", "bucket", "salt")
     val a = e.select(col("bucket"), col("salt"), col("vec_id").as("ida"),
       col("embedding").as("ea"), col("nsq").as("na"))
     val b = e.select(col("bucket"), col("salt"), col("vec_id").as("idb"),

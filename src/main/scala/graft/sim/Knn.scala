@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search (SURVEY §2 G1/G2/G7): brute-force and
@@ -160,6 +159,29 @@ object Knn {
     */
   val BucketCap: Int = 4 * TargetBucket.toInt
 
+  /** Occupancy-cap salt for a signature frame carrying (vec_id,
+    * bucket): bucket sizes come from ONE map-side-combinable
+    * aggregate (≤ 2^planes rows at any corpus size) broadcast-joined
+    * back — NEVER a whole-bucket Window, which would funnel the
+    * corpus-bias bucket the salt exists to defuse through a single
+    * window task just to learn its size (~1% of a 100 TB corpus
+    * through one task). `bn` values are identical to the windowed
+    * count, so the DuckDB oracle's bucket-size CTE replays it
+    * unchanged. The caller checkpoints the (expensive) signature
+    * input; the size frame is checkpointed here so each downstream
+    * branch pays only a map-side broadcast join, not a re-aggregate.
+    */
+  def saltByOccupancy(sig: DataFrame): DataFrame = {
+    val sizes = sig.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .localCheckpoint(true)
+    sig.join(broadcast(sizes), "bucket")
+      .withColumn("ns", expr(s"(bn + ${BucketCap - 1}) div $BucketCap"))
+      .withColumn("salt", expr(
+        """pmod(cast(conv(substring(md5(concat('knn|',
+          |  cast(vec_id as string))), 1, 8), 16, 10) as bigint), ns)"""
+          .stripMargin))
+  }
+
   /** G7 — k-NN self-join: EVERY vector retrieves its top-k in-bucket
     * neighbors (the all-pairs companion to [[lsh]]'s query-set
     * search — what dedup/graph-construction pipelines run corpus-wide).
@@ -175,22 +197,15 @@ object Knn {
     */
   def lshJoin(emb: DataFrame, k: Int): DataFrame = {
     val planes = planesFor(emb.count())
-    val e = graft.Par.spread(emb)
+    val sig = graft.Par.spread(emb)
       .select(col("vec_id"), col("embedding"),
         Vectors.normSq("embedding").as("nsq"),
         lshBucket("embedding", planes).as("bucket"))
-      // bucket size via ONE windowed count (no orderBy → whole-bucket
-      // frame), then the salt cell; everything md5/count-derived, so
-      // the oracle replays it exactly
-      .withColumn("bn", count(lit(1)).over(
-        Window.partitionBy("bucket")))
-      .withColumn("ns", expr(s"(bn + ${BucketCap - 1}) div $BucketCap"))
-      .withColumn("salt", expr(
-        """pmod(cast(conv(substring(md5(concat('knn|',
-          |  cast(vec_id as string))), 1, 8), 16, 10) as bigint), ns)"""
-          .stripMargin))
-      .select("vec_id", "embedding", "nsq", "bucket", "salt")
       .localCheckpoint(true)
+    // salt cell from the combinable size aggregate (saltByOccupancy);
+    // everything md5/count-derived, so the oracle replays it exactly
+    val e = saltByOccupancy(sig)
+      .select("vec_id", "embedding", "nsq", "bucket", "salt")
     val q = e.select(col("vec_id").as("query_id"),
       col("embedding").as("eq"), col("nsq").as("nq"),
       col("bucket"), col("salt"))

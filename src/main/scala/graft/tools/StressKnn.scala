@@ -38,16 +38,11 @@ object StressKnn {
       val planes = graft.sim.Knn.planesFor(n)
       // candidate-pair volume under the occupancy-capped cell key
       val cap = graft.sim.Knn.BucketCap
-      val sig = graft.Par.spread(embAmp)
-        .select(col("vec_id"),
-          graft.sim.Knn.lshBucket("embedding", planes).as("bucket"))
-        .withColumn("bn", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
-        .withColumn("ns", expr(s"(bn + ${cap - 1}) div $cap"))
-        .withColumn("salt", expr(
-          """pmod(cast(conv(substring(md5(concat('knn|',
-            |  cast(vec_id as string))), 1, 8), 16, 10) as bigint), ns)"""
-            .stripMargin))
+      val sig = graft.sim.Knn.saltByOccupancy(
+        graft.Par.spread(embAmp)
+          .select(col("vec_id"),
+            graft.sim.Knn.lshBucket("embedding", planes).as("bucket"))
+          .localCheckpoint(true))
         .localCheckpoint(true)
       val pairN = sig.select(col("vec_id"), col("bucket"), col("salt"))
         .join(sig.select(col("vec_id").as("v2"), col("bucket"), col("salt")),
