@@ -40,10 +40,15 @@ object Bench {
     // a new query sorts ahead of it). The builds go through the SAME
     // memoized entry points the queries hit (plan-keyed), and their
     // checkpoint blocks survive the per-query clearCache below.
-    def timed(fn: () => Unit): Double = {
+    // A throwing query records its error, not a ~4 ms phantom success:
+    // r8's regenerated events parquet broke 15 queries and the bench
+    // reported them as the fastest entries of the round.
+    def timed(fn: () => Unit): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try fn() catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val err = try { fn(); None } catch { case e: Throwable =>
+        Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
     val builds: Seq[(String, Double)] = Seq[(String, () => Unit)](
       "observations" -> (() => { etl.Observations.panel(spark, sfDir).count(); () }),
@@ -64,21 +69,38 @@ object Bench {
       // after given_centroid_lists: residual codes quantize against
       // the (already-billed) given-quantizer assignment
       "pq_residual_codes" -> (() => sim.Pq.prebuildResidual(spark, sfDir))
-    ).map { case (name, fn) => name -> timed(fn) }
+    ).map { case (name, fn) => name -> timed(fn)._1 }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = timed(() => { fn(spark, sfDir).count(); () })
+      val (t, err) = timed(() => { fn(spark, sfDir).count(); () })
       // release per-query persisted relations so cached blocks don't
       // accumulate GC pressure across the suite — outside the timed
       // window, so one query's teardown doesn't bill the next
       spark.catalog.clearCache()
-      name -> t
+      (name, t, err)
     }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
     def obj(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // failed queries appear as {"err": "..."} objects, never as times
+    val queriesJson = results.map {
+      case (k, v, None) => s"\"" + k + "\":" + v
+      case (k, _, Some(e)) => s"\"" + k + "\":{\"err\":" + jstr(e) + "}"
+    }.mkString("{", ",", "}")
+    val failures = results.count(_._3.isDefined)
     // total keeps covering builds + queries (comparable to r1-r5
     // totals, where builds were billed inside their first consumer)
     val total = builds.map(_._2).sum + results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","builds":${obj(builds)},"queries":${obj(results)},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"builds":${obj(builds)},"queries":$queriesJson,"sf":"$sfDir"}"""
+    println(line)
+    // stdout is shared with stray log lines; the file is the
+    // machine-parseable copy (r6 item: BENCH_r08 had "parsed": null)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -216,6 +216,13 @@ object StressBench {
       val idx = graft.text.Tfidf.index(docsAmp, "doc_id", "text")
       idx.weights.count()
     }
+    // BPE fertility: merge induction iterates over VOCAB-sized pair
+    // frames (corpus-independent round count), then one linear encode
+    // pass applies the merge ranks per doc — expect ~linear time in
+    // corpus with a fixed induction floor
+    time("bpe_fertility_x" + mult) {
+      graft.text.Bpe.fertility(docsAmp, "doc_id", "text").count()
+    }
     // PCA: the covariance generate is the one corpus-sized pass
     // (d(d+1)/2 quantized products per vector, partial-aggregated
     // map-side); iteration cost is corpus-independent — expect

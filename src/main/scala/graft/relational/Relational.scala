@@ -272,15 +272,16 @@ object Relational extends QueryModule {
     * No SQL oracle (sketch internals are engine-specific); spec asserts
     * tolerance vs exact.
     */
-  def qApprox(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir)
-      .groupBy("l_returnflag")
+  def approxOf(li: DataFrame): DataFrame =
+    li.groupBy("l_returnflag")
       .agg(
         approx_count_distinct("l_orderkey", 0.01).as("approx_orders"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
           .as("approx_median_price"))
       .orderBy("l_returnflag")
-  }
+
+  def qApprox(spark: SparkSession, dir: String): DataFrame =
+    approxOf(Tables.lineitem(spark, dir))
 
   override def queries: Map[String, Q] = Map(
     "q1_agg" -> (q1Agg _),

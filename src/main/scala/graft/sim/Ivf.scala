@@ -36,15 +36,32 @@ object Ivf extends QueryModule {
     */
   def nProbe(lists: Int): Int = math.max(4, lists / 4)
 
-  /** Fraction denominator for quantizer training: vectors whose
-    * md5(vec_id) bucket is 0 of [[SampleMod]] train the coarse
-    * quantizer (a deterministic ~1/SampleMod sample). A billion-vector
-    * corpus never feeds every vector to KMeans — the quantizer only
-    * needs enough points to place [[numLists]] centroids, and the
-    * md5 coin keeps the sample a pure function of the data (same
-    * discipline as the corpus-split bucketing), not of partitioning.
+  /** Quantizer-training sample target: ~TrainPerList points per
+    * centroid — the standard IVF training budget (FAISS trains its
+    * coarse quantizer on 39-256 points/centroid). The sample modulus
+    * is DERIVED from the corpus: vectors whose md5(vec_id) bucket is
+    * 0 of sampleMod(n, lists) train the quantizer, so the fit sees
+    * ~256·√n rows at any corpus size instead of the fixed n/2 a
+    * constant modulus gave (which made the KMeans pass O(iters·k·n) —
+    * quadratic-ish in n with k=√n — and the dominant build cost at
+    * scale). The md5 coin keeps the sample a pure function of the
+    * data (same discipline as the corpus-split bucketing), not of
+    * partitioning.
     */
-  val SampleMod = 2
+  val TrainPerList = 256
+
+  def sampleMod(n: Long, lists: Int): Long =
+    math.max(1L, n / (TrainPerList.toLong * lists))
+
+  /** Fit-input partition count, derived from the SAMPLE size (not the
+    * session's core count — kmeans|| init depends on the input
+    * partitioning, so a parallelism-derived layout would make list
+    * assignment vary with the machine): ~64k training rows per task,
+    * 4-partition floor. A billion-vector corpus trains on ~8M rows
+    * over ~123 tasks instead of everything over 4.
+    */
+  def fitPartitions(sampleRows: Long): Int =
+    math.max(4, (sampleRows / 65536L).toInt)
 
   // The built index (quantizer + listed corpus) memoized per
   // (session, corpus plan): an IVF index is built once and probed by
@@ -64,19 +81,23 @@ object Ivf extends QueryModule {
             array_to_vector(col("embedding").cast("array<double>")))
           // size the geometry from the corpus (one cheap count; the
           // index is built once per corpus, so this never re-runs)
-          val lists = numLists(emb.count())
+          val n = emb.count()
+          val lists = numLists(n)
           // Fit the coarse quantizer on a deterministic md5-sample in a
-          // key-hash-partitioned layout with a FIXED partition count:
-          // kmeans|| init depends on the input partitioning, so fitting
-          // on the parallelism-derived layout makes list assignment
-          // (and thus recall) vary with the session's core count. The
-          // sample + fixed layout make the model a pure function of
-          // (data, seed) — and quantizer training sample-sized.
+          // key-hash-partitioned layout with a sample-size-derived
+          // partition count (never the session's parallelism — see
+          // fitPartitions). Sample modulus from the corpus size, so
+          // training stays ~TrainPerList·lists rows at any n. The
+          // sample + data-derived layout make the model a pure
+          // function of (data, seed).
+          val mod = sampleMod(n, lists)
+          val sampleRows = n / mod
           val model = new KMeans().setK(lists).setSeed(42)
             .setFeaturesCol("features").setPredictionCol("list_id")
             .fit(feats
-              .filter(expr(s"conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) % $SampleMod = 0"))
-              .repartition(4, col("vec_id")).sortWithinPartitions("vec_id"))
+              .filter(expr(s"conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) % $mod = 0"))
+              .repartition(fitPartitions(sampleRows), col("vec_id"))
+              .sortWithinPartitions("vec_id"))
           // eager checkpoint, not lazy persist: the knn action reads
           // the listed corpus through BOTH the query and candidate
           // filter branches — and the blocks survive clearCache, so

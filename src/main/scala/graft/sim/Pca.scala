@@ -73,59 +73,237 @@ object Pca extends QueryModule {
     (m2, sums, n)
   }
 
+  /** Full symmetric centered covariance (i, j, c) from the triangle
+    * sums — the mirrored cell reuses the SAME sum, so symmetry is
+    * exact by construction. Checkpointed: every iteration round (and
+    * every deflation) re-reads it.
+    */
+  private def covFull(emb: DataFrame): DataFrame = {
+    val (m2, sums, n) = moments(emb)
+    val upper = m2.join(sums.select(col("i"), col("sv").as("svi")), "i")
+      .join(sums.select(col("i").as("j"), col("sv").as("svj")), "j")
+      .withColumn("c", col("s2") / n
+        - (col("svi") / n) * (col("svj") / n))
+      .select("i", "j", "c")
+    upper.unionByName(
+        upper.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("c")))
+      .localCheckpoint(true)
+  }
+
+  // ---- driver-side eigensolve over the collected d² summary --------
+  //
+  // The covariance is a Dim²-cell summary (64×64 = 4096 doubles) —
+  // corpus-INDEPENDENT. Iterating on it as distributed 4096-row
+  // frames costs one Spark job per round (r·Rounds scheduler round
+  // trips + checkpoints) and computes nothing the driver can't do in
+  // microseconds; collecting the summary and solving locally is the
+  // standard shape (Spark ML's RowMatrix.computePrincipalComponents
+  // collects the Gramian and solves on the driver). The arithmetic
+  // below replicates the oracle's relational form EXACTLY: every
+  // product term quantized to decimal(24,12) half-up (same as the
+  // SQL cast), summed exactly (decimal addition is order-free), cast
+  // to double via BigDecimal.doubleValue — bit-identical to the
+  // previous distributed implementation and to DuckDB.
+
+  private def d12(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+
+  private def dsum(terms: Iterator[Double]): Double = {
+    var acc = java.math.BigDecimal.ZERO
+    while (terms.hasNext) acc = acc.add(d12(terms.next()))
+    acc.doubleValue
+  }
+
+  /** Collect the (i, j, c) frame into a dense Dim×Dim matrix; None
+    * for an empty corpus (the frame has no rows).
+    */
+  private def collectCov(cov: DataFrame): Option[Array[Array[Double]]] = {
+    val rows = cov.collect()
+    if (rows.isEmpty) None
+    else {
+      val m = Array.fill(Dim, Dim)(0.0d)
+      rows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      Some(m)
+    }
+  }
+
+  /** w = C·x with the oracle's quantized sum. `x` is all-Some or
+    * all-None (the norm is global), matching SQL null propagation:
+    * null iterate → null products → null sums.
+    */
+  private def applyCov(m: Array[Array[Double]],
+      x: Array[Option[Double]]): Array[Option[Double]] =
+    if (x.exists(_.isEmpty)) Array.fill(Dim)(None)
+    else {
+      val xv = x.map(_.get)
+      m.map(row => Some(dsum(
+        Iterator.range(0, Dim).map(j => row(j) * xv(j)))))
+    }
+
+  /** [[Rounds]] power-iteration rounds → the unit iterate. The
+    * nullif guard of the relational form is replicated: a zero
+    * matrix gives nv = 0 → null loadings, never a division crash.
+    */
+  private def iterateLocal(m: Array[Array[Double]]): Array[Option[Double]] = {
+    var x: Array[Option[Double]] =
+      Array.tabulate(Dim)(j => Some((j.toDouble + 65.0d) / 1024.0d))
+    for (_ <- 1 to Rounds) {
+      val w = applyCov(m, x)
+      val nv: Option[Double] =
+        if (w.exists(_.isEmpty)) None
+        else Some(math.sqrt(dsum(w.iterator.map { wi =>
+          val v = wi.get; v * v
+        })))
+      x = w.map {
+        case Some(a) => nv match {
+          case Some(b) if b != 0.0d => Some(a / b)
+          case _ => None
+        }
+        case None => None
+      }
+    }
+    x
+  }
+
+  /** Rayleigh eigenvalue of iterate `x` on matrix `m`. */
+  private def rayleighLocal(m: Array[Array[Double]],
+      x: Array[Option[Double]]): Option[Double] = {
+    val w = applyCov(m, x)
+    if (x.exists(_.isEmpty) || w.exists(_.isEmpty)) None
+    else Some(dsum(Iterator.range(0, Dim).map(i => x(i).get * w(i).get)))
+  }
+
+  private def trLocal(m: Array[Array[Double]]): Double =
+    dsum(Iterator.range(0, Dim).map(i => m(i)(i)))
+
+  // The collected matrix memoized per (session, corpus plan): pca1
+  // and pcaR on the same corpus share the single corpus-sized pass.
+  private val covCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Option[Array[Array[Double]]]]
+
+  private def covOf(emb: DataFrame): Option[Array[Array[Double]]] = {
+    val spark = emb.sparkSession
+    val key = (spark, graft.Memo.planKey(emb))
+    covCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    covCache.getOrElseUpdate(key, collectCov(covFull(emb)))
+  }
+
   /** G14 — `embedding_pca`: (dim, loading, eigval, explained) — the
     * unit top eigenvector of the centered covariance, its Rayleigh
     * eigenvalue, and the variance share it explains.
     */
   def pca1(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
-    val (m2, sums, n) = moments(emb)
-    // full symmetric matrix from the triangle sums: the mirrored cell
-    // reuses the SAME sum, so symmetry is exact by construction
-    val upper = m2.join(sums.select(col("i"), col("sv").as("svi")), "i")
-      .join(sums.select(col("i").as("j"), col("sv").as("svj")), "j")
-      .withColumn("c", col("s2") / n
-        - (col("svi") / n) * (col("svj") / n))
-      .select("i", "j", "c")
-    val cov = upper.unionByName(
-        upper.filter(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("c")))
-      .localCheckpoint(true)
-    var x = spark.range(Dim).select(col("id").cast("int").as("j"),
-      x0(col("id")).as("x"))
-    for (_ <- 1 to Rounds) {
-      val w = cov.join(x, "j").groupBy("i")
-        .agg(sum(q12(col("c") * col("x"))).cast("double").as("w"))
-      val nrm = w.agg(
-        sqrt(sum(q12(col("w") * col("w"))).cast("double")).as("nv"))
-      // nullif guard: a rank-deficient degenerate corpus (e.g. all
-      // vectors identical → C = 0) zeroes the iterate; ANSI division
-      // by zero must degrade to null loadings, not kill the job
-      x = w.crossJoin(broadcast(nrm))
-        .select(col("i").as("j"),
-          (col("w") / nullif(col("nv"), lit(0.0d))).as("x"))
-        .localCheckpoint(true)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("dim",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("loading",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("eigval",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("explained",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    covOf(emb) match {
+      case None =>
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      case Some(m) =>
+        val x = iterateLocal(m)
+        val eig = rayleighLocal(m, x)
+        val tr = trLocal(m)
+        val expl = eig.flatMap(e =>
+          if (tr != 0.0d) Some(e / tr) else None)
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          new java.util.ArrayList
+        (0 until Dim).foreach { j =>
+          rows.add(org.apache.spark.sql.Row(j,
+            x(j).map(Double.box).orNull,
+            eig.map(Double.box).orNull,
+            expl.map(Double.box).orNull))
+        }
+        spark.createDataFrame(rows, schema).orderBy("dim")
     }
-    // Rayleigh quotient through one more application of C
-    val w = cov.join(x, "j").groupBy("i")
-      .agg(sum(q12(col("c") * col("x"))).cast("double").as("w"))
-    val eig = broadcast(x.join(w, col("j") === col("i"))
-      .agg(sum(q12(col("x") * col("w"))).cast("double").as("eigval")))
-    val tr = broadcast(cov.filter(col("i") === col("j"))
-      .agg(sum(q12(col("c"))).cast("double").as("tr")))
-    x.select(col("j").as("dim"), col("x").as("loading"))
-      .crossJoin(eig).crossJoin(tr)
-      .withColumn("explained",
-        col("eigval") / nullif(col("tr"), lit(0.0d)))
-      .select("dim", "loading", "eigval", "explained")
-      .orderBy("dim")
+  }
+
+  /** Components for the top-r variant — fixed so the oracle's
+    * unrolled CTE chain and the Spark loop agree by construction.
+    */
+  val TopR = 4
+
+  /** G14b — `embedding_pca_r`: top-[[TopR]] components by HOTELLING
+    * DEFLATION: extract the top eigenvector, subtract its rank-1 term
+    * (C ← C − λ·vvᵀ), repeat. Each deflation and re-iteration runs on
+    * the Dim²-row matrix frame only — the corpus is touched exactly
+    * once (the covariance build), so top-r costs the same single
+    * corpus pass as top-1 plus O(r·Rounds) tiny-frame rounds.
+    * `explained` is each λ over the ORIGINAL trace (variance share of
+    * the total, the scree-plot number).
+    */
+  def pcaR(emb: DataFrame, r: Int = TopR): DataFrame = {
+    val spark = emb.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("component",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("dim",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("loading",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("eigval",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("explained",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    covOf(emb) match {
+      case None =>
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      case Some(m0) =>
+        val tr = trLocal(m0)
+        // a degenerate component (null loadings/eigval) deflates to a
+        // NULL matrix in the relational form (c − λ·x_i·x_j with null
+        // operands) — modeled as None, which nulls every later
+        // component, matching SQL null propagation
+        var mOpt: Option[Array[Array[Double]]] = Some(m0)
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          new java.util.ArrayList
+        for (comp <- 1 to r) {
+          val x = mOpt.map(iterateLocal)
+            .getOrElse(Array.fill[Option[Double]](Dim)(None))
+          val eig = mOpt.flatMap(m => rayleighLocal(m, x))
+          val expl = eig.flatMap(e =>
+            if (tr != 0.0d) Some(e / tr) else None)
+          (0 until Dim).foreach { j =>
+            rows.add(org.apache.spark.sql.Row(comp, j,
+              x(j).map(Double.box).orNull,
+              eig.map(Double.box).orNull,
+              expl.map(Double.box).orNull))
+          }
+          if (comp < r) {
+            // deflate: c ← c − λ·x_i·x_j — plain doubles in the same
+            // association as the oracle's `c - eigval * xi.x * xj.x`
+            mOpt = (mOpt, eig,
+                if (x.exists(_.isEmpty)) None else Some(x.map(_.get))) match {
+              case (Some(m), Some(e), Some(xv)) =>
+                Some(Array.tabulate(Dim, Dim)(
+                  (i, j) => m(i)(j) - e * xv(i) * xv(j)))
+              case _ => None
+            }
+          }
+        }
+        spark.createDataFrame(rows, schema).orderBy("component", "dim")
+    }
   }
 
   def pcaQ(spark: SparkSession, dir: String): DataFrame =
     pca1(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
 
+  def pcaRQ(spark: SparkSession, dir: String): DataFrame =
+    pcaR(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+
   override def queries: Map[String, Q] = Map(
-    "embedding_pca" -> (pcaQ _))
+    "embedding_pca" -> (pcaQ _),
+    "embedding_pca_r" -> (pcaRQ _))
 
   /** One unrolled power-iteration round over the `cov` CTE. Every
     * per-round CTE is MATERIALIZED: wk is referenced twice (norm +
@@ -143,7 +321,83 @@ object Pca extends QueryModule {
        |  FROM $w, $nm)"""
   }
 
+  /** One unrolled round for component `c` of the top-r oracle —
+    * same shape as [[roundCte]] with per-component CTE names and the
+    * component's (possibly deflated) matrix cov{c}.
+    */
+  private def roundCteR(c: Int, k: Int): String = {
+    val (xp, w, nm, xk) = (s"x${c}_${k - 1}", s"w${c}_$k", s"n${c}_$k", s"x${c}_$k")
+    s"""$w AS MATERIALIZED (SELECT cov$c.i,
+       |    CAST(sum(CAST(c * x AS DECIMAL(24,12))) AS DOUBLE) AS w
+       |  FROM cov$c JOIN $xp ON cov$c.j = $xp.j GROUP BY 1),
+       |$nm AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(24,12)))
+       |    AS DOUBLE)) AS nv FROM $w),
+       |$xk AS MATERIALIZED (SELECT i AS j, w / NULLIF(nv, 0) AS x
+       |  FROM $w, $nm)""".stripMargin
+  }
+
+  /** Component `c`'s CTE block: start from the shared xinit, unroll
+    * [[Rounds]] rounds, take the Rayleigh eigenvalue, and (unless
+    * last) emit the deflated matrix cov{c+1} = cov{c} − λ·vvᵀ.
+    */
+  private def compCtes(c: Int, last: Boolean): String = {
+    val xn = s"x${c}_$Rounds"
+    val base = Seq(
+      s"x${c}_0 AS (SELECT j, x FROM xinit)",
+      (1 to Rounds).map(roundCteR(c, _)).mkString(",\n"),
+      s"""wf$c AS MATERIALIZED (SELECT cov$c.i,
+         |    CAST(sum(CAST(c * x AS DECIMAL(24,12))) AS DOUBLE) AS w
+         |  FROM cov$c JOIN $xn ON cov$c.j = $xn.j GROUP BY 1)""".stripMargin,
+      s"""eig$c AS MATERIALIZED (SELECT CAST(sum(CAST(x.x * wf$c.w
+         |    AS DECIMAL(24,12))) AS DOUBLE) AS eigval
+         |  FROM $xn x JOIN wf$c ON x.j = wf$c.i)""".stripMargin
+    ).mkString(",\n")
+    if (last) base else base + s""",
+      |cov${c + 1} AS MATERIALIZED (SELECT cov$c.i, cov$c.j,
+      |    c - eigval * xi.x * xj.x AS c
+      |  FROM cov$c JOIN $xn xi ON cov$c.i = xi.j
+      |    JOIN $xn xj ON cov$c.j = xj.j
+      |    CROSS JOIN eig$c)""".stripMargin
+  }
+
+  private def pcaROracle: String = {
+    val comps = (1 to TopR).map(c => compCtes(c, c == TopR)).mkString(",\n")
+    val union = (1 to TopR).map(c =>
+      s"SELECT $c AS component, x.j AS dim, x.x AS loading, eigval " +
+        s"FROM x${c}_$Rounds x, eig$c").mkString(" UNION ALL ")
+    s"""WITH comp AS MATERIALIZED (SELECT vec_id,
+       |    CAST(i AS INT) - 1 AS i,
+       |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+       |  FROM embeddings, UNNEST(range(1, ${Dim + 1})) u(i)),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |m2 AS (SELECT a.i, b.i AS j,
+       |    CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS s2
+       |  FROM comp a JOIN comp b
+       |    ON a.vec_id = b.vec_id AND a.i <= b.i
+       |  GROUP BY 1, 2),
+       |sums AS (SELECT i, CAST(sum(CAST(v AS DECIMAL(24,12))) AS DOUBLE)
+       |    AS sv FROM comp GROUP BY i),
+       |upper_c AS (SELECT m2.i, m2.j,
+       |    s2 / n - (sa.sv / n) * (sb.sv / n) AS c
+       |  FROM m2 JOIN sums sa ON m2.i = sa.i
+       |           JOIN sums sb ON m2.j = sb.i
+       |           CROSS JOIN nn),
+       |cov1 AS MATERIALIZED (SELECT i, j, c FROM upper_c
+       |  UNION ALL SELECT j AS i, i AS j, c FROM upper_c WHERE i <> j),
+       |xinit AS (SELECT CAST(i AS INT) AS j,
+       |    (CAST(i AS DOUBLE) + 65.0) / 1024.0 AS x
+       |  FROM UNNEST(range(0, $Dim)) u(i)),
+       |tr AS (SELECT CAST(sum(CAST(c AS DECIMAL(24,12))) AS DOUBLE) AS tr
+       |  FROM cov1 WHERE i = j),
+       |$comps
+       |SELECT component, dim, loading, eigval,
+       |  eigval / NULLIF(tr, 0) AS explained
+       |FROM ($union) u, tr
+       |ORDER BY component, dim""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "embedding_pca_r" -> pcaROracle,
     // comp/cov AS MATERIALIZED: DuckDB inlines plain CTEs per
     // reference, and the 10 unrolled rounds each reference cov —
     // un-materialized, the parquet scan multiplies past the fd limit

@@ -39,28 +39,59 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as epoch-nanos
-    * long and is converted here to a microsecond timestamp (Spark's
-    * native resolution). `ts_ns` keeps the raw value.
+  /** events.ts arrives in one of three parquet flavors depending on
+    * the writer and session conf, and is normalized here to a UTC
+    * TIMESTAMP plus a raw epoch-nanos `ts_ns` long:
+    *   - TIMESTAMP(NANOS) under `spark.sql.legacy.parquet.nanosAsLong`
+    *     → epoch-nanos long, converted to a µs timestamp;
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=true) → TimestampType,
+    *     ts_ns synthesized from unix_micros;
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) — the pandas/pyarrow
+    *     default — → TimestampNTZType, cast to TimestampType first
+    *     (identity on the stored micros under the UTC session) because
+    *     `unix_micros` and the time-window operators require TIMESTAMP.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      raw.withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else
-      // without the nanosAsLong legacy read (e.g. a library user's own
-      // session) parquet nanos arrive truncated to a µs timestamp —
-      // synthesize ts_ns so operators referencing it (sessionize,
-      // as-of join) still resolve
-      raw.withColumn("ts_ns",
-        org.apache.spark.sql.functions.expr("unix_micros(ts) * 1000"))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+      case _ =>
+        // TIMESTAMP(MICROS/MILLIS, UTC-adjusted): parquet nanos are
+        // already truncated to µs — synthesize ts_ns so operators
+        // referencing it (sessionize, as-of join) still resolve
+        raw.withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** embeddings.embedding is normalized to `array<float>` — the type
+    * the codegen'd vector expressions (DotF32 et al.) read with
+    * `getFloat`. A writer that emits float64 lists (the numpy/pandas
+    * default unless the column is explicitly float32) would otherwise
+    * feed doubles to float-typed accessors — the same writer-drift
+    * class that broke the events reader in round 8, guarded at the
+    * same place: the reader normalizes once, every operator inherits.
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "embeddings")
+    raw.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) => raw
+      case _: org.apache.spark.sql.types.ArrayType =>
+        raw.withColumn("embedding",
+          org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"embeddings.embedding must be an array column, got $other")
+    }
+  }
 
   /** CSV ingest with an EXPLICIT schema (never inference — a schema
     * scan over 100 TB of CSV is a full extra pass) and a selectable

@@ -10,16 +10,26 @@ import graft.SparkSpec
   */
 class PlanShapeSpec extends SparkSpec {
 
-  private lazy val plans: Map[String, String] =
+  // one plan build per query, shared by every sweep below: the
+  // executed-plan string plus the optimized-logical Window nodes
+  // that run UNPARTITIONED (single-task at any scale)
+  private case class PlanInfo(physical: String, globalWindows: Int)
+
+  private lazy val plans: Map[String, PlanInfo] =
     graft.SparkEntry.queries.map { case (name, q) =>
-      val plan = q(spark, sf).queryExecution.executedPlan.toString
+      val qe = q(spark, sf).queryExecution
+      val global = qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }.size
+      val info = PlanInfo(qe.executedPlan.toString, global)
       spark.catalog.clearCache()
-      name -> plan
+      name -> info
     }
 
   test("no query plan contains a CartesianProduct") {
     val offenders = plans.collect {
-      case (name, plan) if plan.contains("CartesianProduct") => name
+      case (name, info) if info.physical.contains("CartesianProduct") => name
     }
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
@@ -27,8 +37,8 @@ class PlanShapeSpec extends SparkSpec {
   test("no parquet scan reads more than 8 columns (column pruning)") {
     val scanWidth = "ReadSchema: struct<([^>]*)>".r
     val offenders = plans.collect {
-      case (name, plan)
-          if scanWidth.findAllMatchIn(plan)
+      case (name, info)
+          if scanWidth.findAllMatchIn(info.physical)
             .exists(_.group(1).count(_ == ',') + 1 > 8) =>
         name
     }
@@ -86,13 +96,14 @@ class PlanShapeSpec extends SparkSpec {
       "dsir_sample",
       // hybrid_rrf composes the cosine and BM25 retrievals, so it
       // inherits their broadcast 1-row corpus-stat cross joins
-      "hybrid_rrf",
-      // embedding_pca crosses each 64-row iterate with its broadcast
-      // 1-row norm, and the output with the 1-row eigval/trace frames
-      "embedding_pca")
+      "hybrid_rrf")
+    // (embedding_pca/_r left the list in round 9: the iteration moved
+    // to a driver-side solve over the collected d² summary — the
+    // RowMatrix.computePrincipalComponents shape — so their plans no
+    // longer contain any join at all past the covariance aggregate.)
     val offenders = plans.collect {
-      case (name, plan)
-          if plan.contains("BroadcastNestedLoopJoin") && !allowed(name) =>
+      case (name, info)
+          if info.physical.contains("BroadcastNestedLoopJoin") && !allowed(name) =>
         name
     }
     assert(offenders.isEmpty, s"unexpected BNLJ in: ${offenders.mkString(", ")}")
@@ -102,8 +113,32 @@ class PlanShapeSpec extends SparkSpec {
     // partial aggregation is the difference between shuffling raw
     // rows and shuffling one row per (task, group) at 100 TB
     for (name <- Seq("q1_agg", "top_countries_sum", "dedup_exact"))
-      assert(plans(name).contains("partial_"),
+      assert(plans(name).physical.contains("partial_"),
         s"$name aggregate lost its partial phase")
+  }
+
+  test("unpartitioned Windows appear only over bounded-by-construction inputs") {
+    // A Window with an empty partitionSpec gathers its whole input
+    // onto ONE task — fine over a frame bounded by construction
+    // (top-k outputs, a per-series forecast tail, a vocab page),
+    // fatal over corpus-sized input at 100 TB. Sweep the optimized
+    // logical plan of every query; each allowed site is justified.
+    val allowed = Set(
+      // dsir_sample ranks AFTER `.limit(k)` — the window input is the
+      // k=100-row Gumbel-top-k result, never the corpus
+      "dsir_sample",
+      // hybrid_rrf ranks the two RrfDepth-row retrieval outputs and
+      // the RrfK-row fused head — all three windows ride top-k frames
+      "hybrid_rrf",
+      // token_ids assigns vocab ids over the VocabSize(256)-row
+      // frequency head (post-limit), then broadcast-joins it back
+      "token_ids")
+    val offenders = plans.collect {
+      case (name, info) if info.globalWindows > 0 && !allowed(name) =>
+        s"$name(${info.globalWindows})"
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window over unbounded input in: ${offenders.mkString(", ")}")
   }
 
   test("flagship scans push filters down to parquet") {

@@ -104,6 +104,41 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q_approx sketch error bounds hold at ×24 amplification") {
+    import org.apache.spark.sql.functions._
+    // the StressBench amplification shape: ×24 self-union with
+    // distinct orderkeys per copy, so HLL sees 24× the cardinality
+    // and KLL 24× the value stream — the sketches' CONSTANT memory
+    // is the whole point; this pins their error at stress scale
+    val base = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_orderkey", "l_extendedprice")
+    val amp = (0 until 24).map(i =>
+      base.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
+    ).reduce(_ unionByName _)
+    val approx = Relational.approxOf(amp).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("approx_orders"), r.getAs[Double]("approx_median_price")))
+      .toMap
+    val exact = amp.groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("d"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("d"), r.getAs[Long]("n"))).toMap
+    exact.foreach { case (flag, (d, n)) =>
+      // HLL++ at rsd 0.01: 5σ bound
+      val (ad, amed) = approx(flag)
+      assert(math.abs(ad - d).toDouble / d < 0.05,
+        s"$flag HLL err ${math.abs(ad - d).toDouble / d}")
+      // KLL-style percentile_approx at accuracy 10000 guarantees
+      // rank error ≤ n/10000; assert the approx median's true rank
+      // is within 0.5 ± 0.005 (50× slack over the contract)
+      val below = amp.filter(col("l_returnflag") === flag &&
+        col("l_extendedprice") <= amed).count()
+      val rank = below.toDouble / n
+      assert(math.abs(rank - 0.5) < 0.005, s"$flag median rank $rank")
+    }
+  }
+
   test("q_set_ops_all preserves multiplicities (bag semantics)") {
     val rows = Relational.qSetOpsAll(spark, sf).collect()
     assert(rows.nonEmpty)

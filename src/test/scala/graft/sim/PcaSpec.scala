@@ -42,6 +42,42 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(rows.head.getAs[Double]("explained") - 1.0) < 1e-6)
   }
 
+  test("embedding_pca_r recovers both directions of a rank-2 corpus, eigvals ordered") {
+    import spark.implicits._
+    // vectors = a_k·u + b_k·v with u ⟂ v unit, coefficients zero-mean
+    // and uncorrelated (Σ a_k b_k = 0), var(a)=5 > var(b)=1: the
+    // centered covariance is exactly 5·uuᵀ + 1·vvᵀ, so deflation must
+    // surface u then v with eigvals ≈ 5 and 1
+    val u = Array.fill(64)(1.0 / 8.0)
+    val v = Array.tabulate(64)(i => if (i % 2 == 0) 1.0 / 8.0 else -1.0 / 8.0)
+    val a = Seq(3.0, -3.0, 3.0, -3.0, 1.0, -1.0, 1.0, -1.0)
+    val b = Seq(1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0)
+    val docs = a.zip(b).zipWithIndex.map { case ((ak, bk), k) =>
+      (k.toLong, Array.tabulate(64)(i => (ak * u(i) + bk * v(i)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val rows = Pca.pcaR(docs, 2).collect()
+    assert(rows.length == 2 * Pca.Dim)
+    val byComp = rows.groupBy(_.getAs[Int]("component"))
+      .map { case (c, rs) =>
+        c -> (rs.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("loading")),
+          rs.head.getAs[Double]("eigval"))
+      }
+    val (l1, e1) = byComp(1)
+    val (l2, e2) = byComp(2)
+    def absDot(l: Array[Double], d: Array[Double]) =
+      math.abs(l.zip(d).map { case (x, y) => x * y }.sum)
+    assert(absDot(l1, u) > 1 - 1e-6, s"comp1 vs u: ${absDot(l1, u)}")
+    assert(absDot(l2, v) > 1 - 1e-6, s"comp2 vs v: ${absDot(l2, v)}")
+    assert(math.abs(e1 - 5.0) < 1e-6 && math.abs(e2 - 1.0) < 1e-6,
+      s"eigvals: $e1, $e2")
+    assert(e1 > e2)
+    // explained shares: 5/6 and 1/6 of the total variance
+    val exp = rows.sortBy(r => (r.getAs[Int]("component"), r.getAs[Int]("dim")))
+      .map(_.getAs[Double]("explained"))
+    assert(math.abs(exp.head - 5.0 / 6.0) < 1e-6)
+    assert(math.abs(exp.last - 1.0 / 6.0) < 1e-6)
+  }
+
   test("embedding_pca degrades on empty and zero-variance corpora") {
     import spark.implicits._
     val none = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
