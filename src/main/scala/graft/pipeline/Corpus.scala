@@ -313,18 +313,27 @@ object Corpus extends QueryModule {
     */
   def dsir(docs: DataFrame, target: Seq[String], k: Int): DataFrame = {
     val tlist = target.map(s => s"'$s'").mkString(", ")
-    val toks = docs.select(col("doc_id"), col("source"),
+    // ONE explode + per-token md5 pass, aggregated immediately to
+    // per-(doc, bucket) counts and checkpointed: the four consumers
+    // below (target dist, general dist, totals, per-doc weights)
+    // previously each re-derived the token rows — 4× the hash work —
+    // and now read a ≤ docs×DsirBuckets-row frame. Values are
+    // unchanged: Σ_tokens lr = Σ_buckets n·lr exactly, because lr is
+    // per-bucket and the decimal arithmetic is exact.
+    val docBuckets = docs.select(col("doc_id"), col("source"),
         explode(split(lower(col("text")), " ")).as("w"))
       .withColumn("b", expr(
         s"""cast(conv(substring(md5(concat('dsir|', w)), 1, 8), 16, 10)
            |  as bigint) % $DsirBuckets""".stripMargin))
-    val tgt = toks.filter(col("source").isin(target: _*))
-      .groupBy("b").agg(count(lit(1)).as("ct"))
-    val gen = toks.groupBy("b").agg(count(lit(1)).as("cg"))
-    val tots = broadcast(toks.agg(
-      sum(when(col("source").isin(target: _*), 1L).otherwise(0L)).as("nt"),
-      count(lit(1)).as("ng")))
-    val weights = toks
+      .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val tgt = docBuckets.filter(col("source").isin(target: _*))
+      .groupBy("b").agg(sum("n").as("ct"))
+    val gen = docBuckets.groupBy("b").agg(sum("n").as("cg"))
+    val tots = broadcast(docBuckets.agg(
+      sum(when(col("source").isin(target: _*), col("n")).otherwise(0L)).as("nt"),
+      sum("n").as("ng")))
+    val weights = docBuckets
       .join(broadcast(tgt), Seq("b"), "left")
       .join(broadcast(gen), Seq("b"))
       .crossJoin(tots)
@@ -336,8 +345,9 @@ object Corpus extends QueryModule {
            |             / cast(ng + $DsirBuckets as double))
            |       as decimal(18,9)) as decimal(19,9))""".stripMargin))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("lr").cast("decimal(28,9)")).as("logw_dec"))
+      .agg(sum("n").as("n_tokens"),
+        sum((col("lr") * col("n").cast("decimal(9,0)"))
+          .cast("decimal(28,9)")).as("logw_dec"))
     val keyed = weights
       .withColumn("u", (expr(
         """cast(conv(substring(md5(concat('dsg|', cast(doc_id as string))),

@@ -190,8 +190,11 @@ object SimQueries extends QueryModule {
   def knnClassify(spark: SparkSession, dir: String): DataFrame = {
     val labels = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("neighbor_id"), col("label"))
-    val votes = knnBrute(spark, dir)
-      .join(broadcast(labels), "neighbor_id")
+    // broadcast the TOP-K SIDE (queries × k rows), never the corpus
+    // labels frame — the label lookup streams the corpus scan against
+    // the broadcast hash of the tiny search output
+    val votes = broadcast(knnBrute(spark, dir))
+      .join(labels, "neighbor_id")
       .groupBy("query_id", "label")
       .agg(count(lit(1)).as("votes"))
     votes.groupBy("query_id")

@@ -50,9 +50,13 @@ object Bm25 {
     val qt = Tfidf.postings(
         Seq((0L, queryText)).toDF(idCol, textCol), idCol, textCol)
       .select("term").distinct()
+    // bidf is VOCAB-sized — restrict it to the query's terms (a
+    // broadcast semi-filter on the tiny qt set) BEFORE it joins the
+    // candidate postings; broadcasting the full vocab frame would
+    // build a corpus-scale hash relation for a per-query lookup
     p.join(broadcast(qt), "term")
       .join(dl, "id")
-      .join(broadcast(bidf), "term")
+      .join(broadcast(bidf.join(broadcast(qt), "term")), "term")
       .crossJoin(stats)
       .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
       .withColumn("ts",

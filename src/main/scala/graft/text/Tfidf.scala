@@ -76,9 +76,17 @@ object Tfidf {
         "cast(cast(ln((1.0 + n_docs) / (1.0 + df)) + 1.0 as decimal(18,9)) as double)"))
       .select("term", "df", "idf")
 
-  /** (id, term, w) weighted postings. */
+  /** (id, term, w) weighted postings. The idf side is VOCAB-sized
+    * (unigrams + bigrams — billions of terms at corpus scale), so no
+    * broadcast hint: both sides key on term, and the co-partitioned
+    * shuffle join is linear in postings. Catalyst still broadcasts
+    * on its own when the vocab measures small. (A forced broadcast
+    * here was the one superlinear knee StressBench ×12→×24 found:
+    * 15.9 → 53.6 s — the substituted stress corpus multiplies the
+    * vocab, and the broadcast build cost grows with it.)
+    */
   def weights(postings: DataFrame, idf: DataFrame): DataFrame =
-    postings.join(broadcast(idf), "term")
+    postings.join(idf, "term")
       .select(col("id"), col("term"),
         (col("tf") * col("idf")).as("w"))
 
