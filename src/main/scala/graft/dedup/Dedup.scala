@@ -165,11 +165,10 @@ object Dedup {
       .select(col("doc_id"), hash32("w").as("h"))
       .groupBy("doc_id").agg(collect_list("h").as("hs"))
       .transform(graft.Par.spreadBy(_, "doc_id")) // see minhashBuckets note on AQE
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) ->
-          |  acc + IF(2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) > size(hs),
-          |           shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin)
-        .as("simhash"))
+      // single-pass codegen'd majority vote (SimHashVote) — the HOF
+      // form re-scanned hs once per bit through interpreted lambdas
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.simHashVote(col("hs")).as("simhash"))
   }
 
   /** SimHash band buckets: 4 bands × 8 bits. */

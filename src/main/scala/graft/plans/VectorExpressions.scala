@@ -251,10 +251,78 @@ case class HoltGridFit(child: Expression, gridValues: Seq[Double])
     copy(child = newChild)
 }
 
+/** 32-bit SimHash majority vote in ONE pass over the token-hash
+  * array: 32 counters updated per element, then one threshold sweep
+  * (bit b set iff 2·count(bit b) > n). Replaces an interpreted
+  * `aggregate(sequence(0,31), …, filter(hs, …))` lambda chain that
+  * re-scanned the array once PER BIT (32 passes, boxed closures) —
+  * identical integer semantics, including the empty-array → 0 and
+  * exact-tie → unset cases the DuckDB oracle replays.
+  */
+case class SimHashVote(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(in: Any): Any = {
+    val xs = in.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val cnt = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val h = xs.getLong(i)
+      var b = 0
+      while (b < 32) {
+        if (((h >> b) & 1L) == 1L) cnt(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (2 * cnt(b) > n) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val b = ctx.freshName("b")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $xs.numElements();
+         |int[] $cnt = new int[32];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $xs.getLong($i);
+         |  for (int $b = 0; $b < 32; $b++) {
+         |    if ((($h >> $b) & 1L) == 1L) $cnt[$b]++;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 32; $b++) {
+         |  if (2 * $cnt[$b] > $n) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashVote =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API for the codegen'd dot product. */
   def dotF32(x: Column, y: Column): Column =
     Bridge.column(DotF32(Bridge.expression(x), Bridge.expression(y)))
+
+  def simHashVote(hs: Column): Column =
+    Bridge.column(SimHashVote(Bridge.expression(hs)))
 
   def minhashSig(xs: Column, numHashes: Int, p: Long): Column =
     Bridge.column(MinHashSig(Bridge.expression(xs), numHashes, p))

@@ -47,6 +47,33 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(HoltGridFit(ok, grid).eval(null) != null)
   }
 
+  test("SimHashVote matches the per-bit HOF vote, including ties and empty") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cases: Seq[Seq[Long]] = Seq(
+      Seq.empty[Long],                       // empty → 0
+      Seq(0xFFFFFFFFL),                      // all bits set
+      Seq(1L, 1L, 0L),                       // majority on bit 0
+      Seq(1L, 0L),                           // exact tie → unset
+      Seq(0x80000000L, 0x80000000L, 0L)      // top bit majority
+    ) ++ (1 to 10).map(_ =>
+      Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong() & 0xFFFFFFFFL))
+    val df = cases.zipWithIndex.map { case (hs, i) => (i.toLong, hs) }
+      .toDF("id", "hs")
+    val got = df.select(col("id"),
+        VectorExpressions.simHashVote(col("hs")).as("s"))
+      .orderBy("id").collect().map(_.getLong(1))
+    val hof = df.select(col("id"), expr(
+        """aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) ->
+          |  acc + IF(2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) > size(hs),
+          |           shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin)
+        .as("s"))
+      .orderBy("id").collect().map(_.getLong(1))
+    assert(got.toSeq == hof.toSeq)
+    assert(got(0) == 0L)
+    assert(got(3) == 0L) // tie does not set the bit
+  }
+
   test("DotF32 agrees with the decimal dot within quantization error") {
     val emb = graft.sources.Tables.embeddings(spark, sf).limit(50)
       .select(col("embedding").as("x"), col("embedding").as("y"))
