@@ -216,6 +216,18 @@ object StressBench {
       val idx = graft.text.Tfidf.index(docsAmp, "doc_id", "text")
       idx.weights.count()
     }
+    // SimHash: tokenize + one codegen'd vote pass per doc, banded
+    // bucket self-join for candidates — letter substitution keeps
+    // cross-copy hamming distances wide, so pair volume stays
+    // ~mult × base and time should track it linearly
+    time("simhash_x" + mult) {
+      val sims = graft.dedup.Dedup.simhash(docsAmp, "doc_id", "text")
+        .localCheckpoint(true)
+      graft.dedup.Dedup.hammingVerify(
+        graft.dedup.Dedup.bucketPairs(
+          graft.dedup.Dedup.simhashBuckets(sims, sims.count())),
+        sims, 6).count()
+    }
     // BPE fertility: merge induction iterates over VOCAB-sized pair
     // frames (corpus-independent round count), then one linear encode
     // pass applies the merge ranks per doc — expect ~linear time in

@@ -171,12 +171,40 @@ object Dedup {
         graft.plans.VectorExpressions.simHashVote(col("hs")).as("simhash"))
   }
 
-  /** SimHash band buckets: 4 bands × 8 bits. */
-  def simhashBuckets(sims: DataFrame): DataFrame =
+  /** SimHash band width (bits) for an n-doc corpus: smallest W in
+    * [8, 16] with n ≤ 64·2^W, so per-band bucket occupancy pins at
+    * ~64 docs and candidate volume stays ~64·B·n instead of the
+    * n²/2^W of a fixed geometry (the same knee `Knn.planesFor`
+    * killed for knn_join in round 6). Integer ladder, NO float log:
+    * a 1-ulp libm difference between engines at a power-of-two
+    * boundary would flip the geometry — the oracle replays this
+    * ladder as a CASE over the same thresholds. W is capped at 16
+    * (two 16-bit bands must fit the 32-bit hash); past ~4.2M docs
+    * occupancy grows again — the documented next step there is a
+    * wider simhash, not more bands.
+    */
+  def simhashBandBits(n: Long): Int = {
+    var w = 8
+    while (w < 16 && n > 64L * (1L << w)) w += 1
+    w
+  }
+
+  /** Bands for a width: floor(32 / W) — 4 bands at W=8 down to 2 at
+    * W=16. Fewer, wider bands trade recall on distant pairs for the
+    * pinned occupancy; the hamming verify keeps precision exact.
+    */
+  def simhashNumBands(w: Int): Int = 32 / w
+
+  /** SimHash band buckets, geometry derived from the corpus size. */
+  def simhashBuckets(sims: DataFrame, n: Long): DataFrame = {
+    val w = simhashBandBits(n)
+    val b = simhashNumBands(w)
     sims.select(col("doc_id"), col("simhash"),
-        explode(expr("sequence(0, 3)")).as("band"))
-      .withColumn("bucket", expr("shiftright(simhash, cast(band * 8 as int)) & 255"))
+        explode(expr(s"sequence(0, ${b - 1})")).as("band"))
+      .withColumn("bucket", expr(
+        s"shiftright(simhash, cast(band * $w as int)) & ${(1L << w) - 1}"))
       .select("doc_id", "band", "bucket")
+  }
 
   /** F3 verify — hamming distance on candidate pairs. */
   def hammingVerify(pairs: DataFrame, sims: DataFrame, maxDist: Int): DataFrame = {

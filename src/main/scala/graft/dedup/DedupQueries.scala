@@ -33,13 +33,17 @@ object DedupQueries extends QueryModule {
 
   /** F3 — SimHash banding + hamming verification. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sims = Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
+    val docs = Tables.documents(spark, dir)
+    val sims = Dedup.simhash(docs, "doc_id", "text")
       // eager: banding (twice, via the bucket self-join) and both
       // hamming-verify sides read this in ONE action — a lazy persist
       // would re-run the tokenize+vote chain per branch while the
       // cache fills
       .localCheckpoint(true)
-    val pairs = Dedup.bucketPairs(Dedup.simhashBuckets(sims))
+    // geometry from the DOCUMENTS count — the oracle's geom CTE
+    // counts the same table, so the ladder input matches even for
+    // degenerate rows the tokenizer drops
+    val pairs = Dedup.bucketPairs(Dedup.simhashBuckets(sims, docs.count()))
     Dedup.hammingVerify(pairs, sims, 6).orderBy("doc_a", "doc_b")
   }
 
@@ -417,9 +421,22 @@ object DedupQueries extends QueryModule {
         |         CAST(sum(CASE WHEN 2 * pos > n
         |             THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
         |       FROM bits GROUP BY doc_id),
+        |geom AS (SELECT CASE
+        |         WHEN count(*) <= 64 * 256 THEN 8
+        |         WHEN count(*) <= 64 * 512 THEN 9
+        |         WHEN count(*) <= 64 * 1024 THEN 10
+        |         WHEN count(*) <= 64 * 2048 THEN 11
+        |         WHEN count(*) <= 64 * 4096 THEN 12
+        |         WHEN count(*) <= 64 * 8192 THEN 13
+        |         WHEN count(*) <= 64 * 16384 THEN 14
+        |         WHEN count(*) <= 64 * 32768 THEN 15
+        |         ELSE 16 END AS w
+        |       FROM documents),
         |bands AS (SELECT doc_id, simhash, band,
-        |         (simhash >> CAST(band * 8 AS INT)) & 255 AS bucket
-        |       FROM sim, UNNEST(range(0, 4)) u(band)),
+        |         (simhash >> CAST(band * w AS INT))
+        |           & ((CAST(1 AS BIGINT) << w) - 1) AS bucket
+        |       FROM sim, geom, UNNEST(range(0, 4)) u(band)
+        |       WHERE band < 32 // w),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
         |         b.doc_id AS doc_b, b.simhash AS sim_b
         |       FROM bands a JOIN bands b

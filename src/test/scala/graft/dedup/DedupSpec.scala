@@ -46,6 +46,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getAs[Int]("hamming") <= 6))
   }
 
+  test("simhash band geometry ladder pins occupancy and matches the oracle thresholds") {
+    // integer ladder, no float log — these boundaries are replayed
+    // verbatim by the dedup_simhash oracle's geom CASE
+    assert(Dedup.simhashBandBits(100) == 8)
+    assert(Dedup.simhashBandBits(64 * 256) == 8)       // boundary stays
+    assert(Dedup.simhashBandBits(64 * 256 + 1) == 9)   // first widening
+    assert(Dedup.simhashBandBits(64 * 2048) == 11)
+    assert(Dedup.simhashBandBits(64 * 2048 + 1) == 12)
+    assert(Dedup.simhashBandBits(64L * 32768) == 15)
+    assert(Dedup.simhashBandBits(10_000_000L) == 16)   // capped
+    assert(Dedup.simhashNumBands(8) == 4)
+    assert(Dedup.simhashNumBands(11) == 2)
+    assert(Dedup.simhashNumBands(16) == 2)
+    // per-band occupancy n/2^W stays ≤ 64 up to the cap
+    for (n <- Seq(1000L, 20000L, 300000L, 2000000L)) {
+      val w = Dedup.simhashBandBits(n)
+      assert(n.toDouble / (1L << w) <= 64.0, s"occupancy at n=$n w=$w")
+    }
+  }
+
   test("ngram jaccard pairs are symmetric-free and above tau") {
     val pairs = DedupQueries.dedupNgramJaccard(spark, sf).collect()
     assert(pairs.nonEmpty)
