@@ -312,7 +312,6 @@ object Corpus extends QueryModule {
     * can't reach ln(0) (−∞) after quantization.
     */
   def dsir(docs: DataFrame, target: Seq[String], k: Int): DataFrame = {
-    val tlist = target.map(s => s"'$s'").mkString(", ")
     // ONE explode + per-token md5 pass, aggregated immediately to
     // per-(doc, bucket) counts and checkpointed: the four consumers
     // below (target dist, general dist, totals, per-doc weights)
