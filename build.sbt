@@ -10,6 +10,14 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession, and a few specs mutate session confs
+// (autoBroadcastJoinThreshold, AQE) around their assertions — under
+// sbt's default parallel suite execution those mutations race other
+// suites' plans (observed: a concurrent threshold=-1 pushed a
+// projection onto a 1-row side and flipped an empty-input result
+// into an ANSI divide-by-zero). Serial suites make runs
+// deterministic; Spark still parallelizes within each job.
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -240,8 +240,11 @@ object Relational extends QueryModule {
         Fp.dsum6(when(col("p_type") === "PROMO", col("rev"))
           .otherwise(0.0)).as("promo_rev"),
         Fp.dsum6(col("rev")).as("total_rev"))
+      // nullif: a month where every rev is exactly 0.0 must yield a
+      // null share, not an ANSI divide-by-zero (the divisor-zero
+      // check fires before the null-numerator check)
       .withColumn("promo_share_pct",
-        lit(100.0) * col("promo_rev") / col("total_rev"))
+        lit(100.0) * col("promo_rev") / nullif(col("total_rev"), lit(0.0)))
       .orderBy("month")
   }
 
@@ -394,7 +397,7 @@ object Relational extends QueryModule {
         |  ${Fp.sqlSum6("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS promo_rev,
         |  ${Fp.sqlSum6("l_extendedprice * (1.0 - l_discount)")} AS total_rev,
         |  100.0 * ${Fp.sqlSum6("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
-        |    / ${Fp.sqlSum6("l_extendedprice * (1.0 - l_discount)")} AS promo_share_pct
+        |    / NULLIF(${Fp.sqlSum6("l_extendedprice * (1.0 - l_discount)")}, 0.0) AS promo_share_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'

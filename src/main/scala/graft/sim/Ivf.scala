@@ -67,9 +67,15 @@ object Ivf extends QueryModule {
   // (session, corpus plan): an IVF index is built once and probed by
   // many queries — refitting KMeans per search would dominate serving.
   private val indexCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (org.apache.spark.ml.clustering.KMeansModel, DataFrame)]
+    .empty[(SparkSession, String), Option[(org.apache.spark.ml.clustering.KMeansModel, DataFrame)]]
 
-  private def index(emb: DataFrame): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
+  /** None for an EMPTY corpus: KMeans cannot fit zero points, and a
+    * user pointing the library at an empty partition should get an
+    * empty result, not an MLlib stage failure (the r9 empty-tables
+    * census: knn_ivf and semdedup were the only 2 of 134 queries to
+    * throw).
+    */
+  private def index(emb: DataFrame): Option[(org.apache.spark.ml.clustering.KMeansModel, DataFrame)] = {
     val spark = emb.sparkSession
     val key = (spark, graft.Memo.planKey(emb))
     indexCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
@@ -82,31 +88,34 @@ object Ivf extends QueryModule {
           // size the geometry from the corpus (one cheap count; the
           // index is built once per corpus, so this never re-runs)
           val n = emb.count()
-          val lists = numLists(n)
-          // Fit the coarse quantizer on a deterministic md5-sample in a
-          // key-hash-partitioned layout with a sample-size-derived
-          // partition count (never the session's parallelism — see
-          // fitPartitions). Sample modulus from the corpus size, so
-          // training stays ~TrainPerList·lists rows at any n. The
-          // sample + data-derived layout make the model a pure
-          // function of (data, seed).
-          val mod = sampleMod(n, lists)
-          val sampleRows = n / mod
-          val model = new KMeans().setK(lists).setSeed(42)
-            .setFeaturesCol("features").setPredictionCol("list_id")
-            .fit(feats
-              .filter(expr(s"conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) % $mod = 0"))
-              .repartition(fitPartitions(sampleRows), col("vec_id"))
-              .sortWithinPartitions("vec_id"))
-          // eager checkpoint, not lazy persist: the knn action reads
-          // the listed corpus through BOTH the query and candidate
-          // filter branches — and the blocks survive clearCache, so
-          // a served index never rebuilds mid-session
-          val listed = model.transform(feats).drop("features")
-            .withColumn("nsq", Vectors.normSq("embedding"))
-            .localCheckpoint(true)
-          indexCache.put(key, (model, listed))
-          (model, listed)
+          val built = if (n == 0) None else {
+            val lists = numLists(n)
+            // Fit the coarse quantizer on a deterministic md5-sample
+            // in a key-hash-partitioned layout with a sample-size-
+            // derived partition count (never the session's
+            // parallelism — see fitPartitions). Sample modulus from
+            // the corpus size, so training stays ~TrainPerList·lists
+            // rows at any n. The sample + data-derived layout make
+            // the model a pure function of (data, seed).
+            val mod = sampleMod(n, lists)
+            val sampleRows = n / mod
+            val model = new KMeans().setK(lists).setSeed(42)
+              .setFeaturesCol("features").setPredictionCol("list_id")
+              .fit(feats
+                .filter(expr(s"conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) % $mod = 0"))
+                .repartition(fitPartitions(sampleRows), col("vec_id"))
+                .sortWithinPartitions("vec_id"))
+            // eager checkpoint, not lazy persist: the knn action reads
+            // the listed corpus through BOTH the query and candidate
+            // filter branches — and the blocks survive clearCache, so
+            // a served index never rebuilds mid-session
+            val listed = model.transform(feats).drop("features")
+              .withColumn("nsq", Vectors.normSq("embedding"))
+              .localCheckpoint(true)
+            Some((model, listed))
+          }
+          indexCache.put(key, built)
+          built
       }
     }
   }
@@ -132,19 +141,27 @@ object Ivf extends QueryModule {
     * keeps pair work ~n^1.5 (≈2.8× per corpus doubling), not the
     * n²/16 of a fixed 16-list quantizer.
     */
-  def semdedupPairCount(emb: DataFrame): Long = {
-    val (_, listed) = index(emb)
-    val a = listed.select(col("list_id"), col("vec_id").as("a"))
-    val b = listed.select(col("list_id"), col("vec_id").as("b"))
-    a.join(b, Seq("list_id")).filter(col("a") < col("b")).count()
+  def semdedupPairCount(emb: DataFrame): Long = index(emb) match {
+    case None => 0L
+    case Some((_, listed)) =>
+      val a = listed.select(col("list_id"), col("vec_id").as("a"))
+      val b = listed.select(col("list_id"), col("vec_id").as("b"))
+      a.join(b, Seq("list_id")).filter(col("a") < col("b")).count()
   }
 
-  /** Top-k cosine via nProbe inverted lists. */
+  /** Top-k cosine via nProbe inverted lists. Empty corpus → empty
+    * result with the knn schema (no quantizer exists to probe).
+    */
   def knn(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
       k: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val (model, listed) = index(emb)
+    val (model, listed) = index(emb) match {
+      case Some(ix) => ix
+      case None =>
+        return Seq.empty[(Long, Int, Long, Double, Int)]
+          .toDF("query_id", "rank", "neighbor_id", "cosine", "list_id")
+    }
 
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) =>
@@ -203,7 +220,15 @@ object Ivf extends QueryModule {
     * greedy loop.
     */
   def semdedup(emb: DataFrame): DataFrame = {
-    val (_, listed) = index(emb)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val listed = index(emb) match {
+      case Some((_, ix)) => ix
+      case None =>
+        // empty corpus → empty keep-list, not an MLlib fit failure
+        return Seq.empty[(Long, Int, Boolean)]
+          .toDF("vec_id", "list_id", "keep")
+    }
     val a = listed.select(col("list_id"), col("vec_id").as("a"),
       col("embedding").as("ea"), col("nsq").as("na"))
     val b = listed.select(col("list_id"), col("vec_id").as("b"),

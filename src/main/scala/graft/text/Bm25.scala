@@ -58,7 +58,13 @@ object Bm25 {
       .join(dl, "id")
       .join(broadcast(bidf.join(broadcast(qt), "term")), "term")
       .crossJoin(stats)
-      .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
+      // nullif: ANSI Divide checks the ZERO DIVISOR before the null
+      // numerator, and both operands live on the 1-row stats frame —
+      // the optimizer may push this projection onto that side and
+      // evaluate it even when the join output is empty, so an empty
+      // corpus (n_docs = 0) must degrade to null, not throw
+      .withColumn("avgdl",
+        col("tot_dl").cast("double") / nullif(col("n_docs"), lit(0L)))
       .withColumn("ts",
         col("bidf") * (col("tf") * lit(K1p1)) /
           (col("tf") + lit(K1) *

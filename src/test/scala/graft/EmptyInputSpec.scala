@@ -1,0 +1,36 @@
+package graft
+
+/** Every SparkEntry query must DEGRADE on fully-empty input tables —
+  * empty or schema-stable results, never a thrown analysis/stage
+  * error. A user pointing the library at an empty partition (new
+  * tenant, fresh landing zone, over-filtered upstream) hits exactly
+  * this; the round-9 census found 2 of 134 queries throwing (the
+  * IVF family's KMeans fit on zero points — since guarded) and this
+  * spec keeps the count at zero.
+  *
+  * This is the slowest spec in the suite (it drives all queries),
+  * but each runs on zero rows — the wall is plan/fit overhead only.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = "/tmp/graft_empty_fixture"
+    graft.sources.Tables.all.foreach { t =>
+      spark.read.parquet(s"$sf/$t.parquet").limit(0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("all queries run on empty tables without throwing") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, emptyDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries throw on empty input:\n${failures.mkString("\n")}")
+  }
+}
