@@ -29,7 +29,9 @@ object Ivf extends QueryModule {
     * work — the standard billion-vector geometry.
     */
   def numLists(n: Long): Int =
-    math.max(16, math.sqrt(n.toDouble).toInt)
+    // clamp to n: KMeans crashes (AIOOBE in init) when k exceeds the
+    // point count — a 1-row corpus gets 1 list, identity for n ≥ 16
+    math.min(math.max(1L, n), math.max(16, math.sqrt(n.toDouble).toInt)).toInt
 
   /** Probe count: nLists/4 (the fixed probe/list RATIO recall depends
     * on), floored at the old 4-probe minimum.
@@ -67,7 +69,7 @@ object Ivf extends QueryModule {
   // (session, corpus plan): an IVF index is built once and probed by
   // many queries — refitting KMeans per search would dominate serving.
   private val indexCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Option[(org.apache.spark.ml.clustering.KMeansModel, DataFrame)]]
+    .empty[(SparkSession, String), Option[(Array[Array[Double]], DataFrame)]]
 
   /** None for an EMPTY corpus: KMeans cannot fit zero points, and a
     * user pointing the library at an empty partition should get an
@@ -75,7 +77,7 @@ object Ivf extends QueryModule {
     * census: knn_ivf and semdedup were the only 2 of 134 queries to
     * throw).
     */
-  private def index(emb: DataFrame): Option[(org.apache.spark.ml.clustering.KMeansModel, DataFrame)] = {
+  private def index(emb: DataFrame): Option[(Array[Array[Double]], DataFrame)] = {
     val spark = emb.sparkSession
     val key = (spark, graft.Memo.planKey(emb))
     indexCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
@@ -88,7 +90,18 @@ object Ivf extends QueryModule {
           // size the geometry from the corpus (one cheap count; the
           // index is built once per corpus, so this never re-runs)
           val n = emb.count()
-          val built = if (n == 0) None else {
+          val built = if (n == 0) None
+          else if (n == 1) {
+            // MLlib KMeans requires k >= 2 — a 1-vector corpus gets
+            // one list whose centroid IS the vector, no fit
+            val listed = feats.drop("features")
+              .withColumn("list_id", lit(0))
+              .withColumn("nsq", Vectors.normSq("embedding"))
+              .localCheckpoint(true)
+            val center = emb.select(col("embedding").cast("array<double>"))
+              .head.getSeq[Double](0).toArray
+            Some((Array(center), listed))
+          } else {
             val lists = numLists(n)
             // Fit the coarse quantizer on a deterministic md5-sample
             // in a key-hash-partitioned layout with a sample-size-
@@ -112,7 +125,7 @@ object Ivf extends QueryModule {
             val listed = model.transform(feats).drop("features")
               .withColumn("nsq", Vectors.normSq("embedding"))
               .localCheckpoint(true)
-            Some((model, listed))
+            Some((model.clusterCenters.map(_.toArray), listed))
           }
           indexCache.put(key, built)
           built
@@ -156,17 +169,16 @@ object Ivf extends QueryModule {
       k: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val (model, listed) = index(emb) match {
+    val (centers, listed) = index(emb) match {
       case Some(ix) => ix
       case None =>
         return Seq.empty[(Long, Int, Long, Double, Int)]
           .toDF("query_id", "rank", "neighbor_id", "cosine", "list_id")
     }
 
-    val centroids = model.clusterCenters.zipWithIndex
+    val centroids = centers.zipWithIndex
       .map { case (c, i) =>
-        val arr = c.toArray.map(_.toFloat)
-        (i, arr, c.toArray.map(v => v * v).sum)
+        (i, c.map(_.toFloat), c.map(v => v * v).sum)
       }
       .toSeq.toDF("list_id", "centroid", "c_nsq")
 
@@ -182,9 +194,13 @@ object Ivf extends QueryModule {
     // query's probe set (query norm is constant per query, so it
     // cannot change the per-query ranking and is skipped)
     val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("c_cos", Vectors.dotFast("eq", "centroid") / sqrt(col("c_nsq")))
+      // nullif: an all-zero centroid (degenerate corpus) has c_nsq=0
+      // and ANSI Divide throws on a zero divisor — degrade that
+      // centroid to a null cosine (ranked last), not a crash
+      .withColumn("c_cos",
+        Vectors.dotFast("eq", "centroid") / sqrt(nullif(col("c_nsq"), lit(0.0d))))
       .withColumn("prnk", row_number().over(probeRank))
-      .filter(col("prnk") <= nProbe(model.clusterCenters.length))
+      .filter(col("prnk") <= nProbe(centers.length))
       .select("query_id", "eq", "nq", "list_id")
 
     val cand = listed.filter(!queryPred)

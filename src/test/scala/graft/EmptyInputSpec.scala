@@ -22,15 +22,35 @@ class EmptyInputSpec extends SparkSpec {
     dir
   }
 
-  test("all queries run on empty tables without throwing") {
+  private lazy val oneRowDir: String = {
+    val dir = "/tmp/graft_onerow_fixture"
+    graft.sources.Tables.all.foreach { t =>
+      spark.read.parquet(s"$sf/$t.parquet").limit(1)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  private def sweep(dir: String, label: String): Unit = {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        try { fn(spark, emptyDir).count(); None }
+        try { fn(spark, dir).count(); None }
         catch { case e: Throwable =>
           Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}")
         }
     }
     assert(failures.isEmpty,
-      s"${failures.size} queries throw on empty input:\n${failures.mkString("\n")}")
+      s"${failures.size} queries throw on $label input:\n${failures.mkString("\n")}")
+  }
+
+  test("all queries run on empty tables without throwing") {
+    sweep(emptyDir, "empty")
+  }
+
+  test("all queries run on 1-row tables without throwing") {
+    // n=1 exposes what empty can't: zero-variance series, k>n model
+    // fits (the MLlib KMeans k>=2 contract), single-sample stddev,
+    // splits with one side empty
+    sweep(oneRowDir, "1-row")
   }
 }

@@ -19,6 +19,22 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("ivf degrades on empty, 1-row, and tiny corpora (k clamped to n)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val none = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Ivf.knn(none, col("vec_id") < 5, 3).isEmpty)
+    assert(Ivf.semdedup(none).isEmpty)
+    // 1 vector: one list, the vector is the query → no candidates
+    val one = Seq((0L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    assert(Ivf.knn(one, col("vec_id") < 5, 3).isEmpty)
+    assert(Ivf.semdedup(one).count() == 1)
+    // 3 near-identical vectors: k = 3 < the 16 floor — must not AIOOBE
+    val tiny = (0L until 3L).map(k =>
+      (k, Array.tabulate(8)(i => 1.0f + 0.01f * (i + k)))).toDF("vec_id", "embedding")
+    assert(Ivf.semdedup(tiny).count() == 3)
+  }
+
   test("ivf knn returns ranked in-list neighbors with decent recall") {
     val ivf = SimQueries // force init order
     val rows = Ivf.knnIvf(spark, sf).collect()
