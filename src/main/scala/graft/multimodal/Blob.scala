@@ -23,10 +23,14 @@ object Blob {
       mean_byte: Double)
 
   /** Wrap a text corpus as blobs (payload = utf-8 bytes, metadata
-    * derived) — the plumbing stand-in for reading real media.
+    * derived) — the plumbing stand-in for reading real media. Rows
+    * with a NULL source column are skipped at this ingest boundary:
+    * there is no payload to decode, and a null would violate the
+    * non-nullable typed schema ([[BlobRow]].payload) downstream —
+    * the media-pipeline equivalent of a missing file.
     */
   def fromDocuments(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"),
+    docs.filter(col(textCol).isNotNull).select(col(idCol).as("id"),
       lit("text/plain").as("mime"),
       length(col(textCol)).as("width"),
       lit(1).as("height"),

@@ -53,4 +53,35 @@ class EmptyInputSpec extends SparkSpec {
     // splits with one side empty
     sweep(oneRowDir, "1-row")
   }
+
+  private lazy val nullsDir: String = {
+    // dirty data a migrating user actually has: null text/lang on
+    // documents, null props on events — typed boundaries and
+    // tokenizers must skip or null-propagate, never assert
+    import org.apache.spark.sql.functions.{col, expr, when}
+    val dir = "/tmp/graft_nulls_fixture"
+    graft.sources.Tables.all.foreach { t =>
+      val base = spark.read.parquet(s"$sf/$t.parquet")
+      val dirty = t match {
+        case "documents" => base
+          .withColumn("text",
+            when(col("doc_id") % 2 === 0, expr("cast(null as string)"))
+              .otherwise(col("text")))
+          .withColumn("lang",
+            when(col("doc_id") % 3 === 0, expr("cast(null as string)"))
+              .otherwise(col("lang")))
+        case "events" => base
+          .withColumn("props",
+            when(col("event_id") % 5 === 0, expr("cast(null as string)"))
+              .otherwise(col("props")))
+        case _ => base
+      }
+      dirty.coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("all queries run with null text/lang/props without throwing") {
+    sweep(nullsDir, "null-columns")
+  }
 }
