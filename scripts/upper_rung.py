@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Hash-verify the size-derived geometry ladders' UPPER RUNGS
+(round-10 VERDICT item #1).
+
+The sf0.01 correctness gate always lands on the bottom rung of every
+geometry ladder (simhash W=8, knn planesFor p=8, IVF 16-list floor);
+the oracles replay each ladder as a CASE over the same thresholds,
+but until round 10 nothing ever checked that Spark and the oracle
+agree ABOVE the bottom rung. This script:
+
+  1. generates the deterministic >16k-doc / >16k-vector fixture
+     (graft.tools.UpperRung) — simhash W=9, planesFor p=9,
+     IVF lists=130;
+  2. runs graft.Verify restricted to the geometry-ladder queries;
+  3. replays each oracle in DuckDB over the same parquet and
+     compares exactly (the scripts/check.py contract);
+  4. writes UPPERRUNG_r10.json — a CORRECTNESS-style artifact with
+     per-query match status plus the geometry the fixture selected.
+
+Usage: python3 scripts/upper_rung.py [fixtureDir] [verifyOutDir]
+"""
+import json
+import math
+import subprocess
+import sys
+
+import duckdb
+
+QUERIES = ["dedup_simhash", "knn_join", "knn_lsh",
+           "knn_ivf_given_centroids", "semdedup_given_centroids"]
+N_DOCS = 20000
+N_VECS = 17000
+
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def cell_eq(a, b):
+    if a is None and b is None:
+        return True
+    try:
+        if isinstance(a, float) or isinstance(b, float):
+            fa, fb = float(a), float(b)
+            if math.isnan(fa) and math.isnan(fb):
+                return True
+            return fa == fb
+    except (TypeError, ValueError):
+        pass
+    return str(a) == str(b)
+
+
+def compare(con, sql, out_dir, name):
+    exp = canon(con.execute(sql).fetchdf())
+    got = canon(con.execute(
+        f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf())
+    if list(exp.columns) != list(got.columns):
+        return {"match": False, "why": "columns",
+                "exp": list(exp.columns), "got": list(got.columns)}
+    if len(exp) != len(got):
+        return {"match": False, "why": "rows",
+                "exp": len(exp), "got": len(got)}
+    for col in exp.columns:
+        for i, (a, b) in enumerate(zip(exp[col].tolist(), got[col].tolist())):
+            if not cell_eq(a, b):
+                return {"match": False, "why": "value", "col": col,
+                        "row": i, "exp": repr(a), "got": repr(b)}
+    return {"match": True, "rows": len(exp)}
+
+
+def main():
+    fix_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_upper_rung"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_upper_rung_out"
+    subprocess.run(
+        ["sbt", f'runMain graft.tools.UpperRung {fix_dir} {N_DOCS} {N_VECS}'],
+        check=True)
+    subprocess.run(
+        ["sbt", f'runMain graft.Verify {fix_dir} {out_dir} {",".join(QUERIES)}'],
+        check=True, env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "16"})
+
+    con = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM read_parquet('{fix_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failed_spark = json.load(open(f"{out_dir}/failed.json"))
+
+    results = {}
+    for name in QUERIES:
+        if name in failed_spark:
+            results[name] = {"match": False, "why": "spark_failed",
+                             "err": failed_spark[name]}
+            continue
+        try:
+            results[name] = compare(con, oracle[name], out_dir, name)
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"match": False, "why": "oracle_error",
+                             "err": str(e)[:500]}
+        status = "ok  " if results[name]["match"] else "FAIL"
+        print(f"{status} {name}: {results[name]}")
+
+    # the geometry the fixture actually selected (mirrors the Scala
+    # ladders: smallest W/p with n <= 64·2^x; lists = max(16, floor(sqrt n)))
+    w = next(w for w in range(8, 17) if N_DOCS <= 64 * (1 << w) or w == 16)
+    p = next(p for p in range(8, 21) if N_VECS <= 64 * (1 << p) or p == 20)
+    artifact = {
+        "fixture": {"n_docs": N_DOCS, "n_vecs": N_VECS,
+                    "simhash_w": w, "knn_planes": p,
+                    "ivf_lists": max(16, int(math.isqrt(N_VECS)))},
+        "queries": results,
+        "matched": sum(1 for r in results.values() if r["match"]),
+        "total": len(results),
+    }
+    with open("UPPERRUNG_r10.json", "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"\n{artifact['matched']}/{artifact['total']} matched "
+          f"(W={w}, p={p}) -> UPPERRUNG_r10.json")
+    sys.exit(0 if artifact["matched"] == artifact["total"] else 1)
+
+
+if __name__ == "__main__":
+    main()

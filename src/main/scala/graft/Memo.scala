@@ -21,6 +21,9 @@ object Memo {
 
   private val cache = TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Bench instrumentation only: evict so a sweep re-times builds cold. */
+  private[graft] def clearCacheForBench(): Unit = cache.clear()
+
   /** The memo key text for a frame: canonicalized plan text PLUS the
     * ids of any RDD-backed leaves. Canonicalization normalizes
     * exprIds — which also means two DIFFERENT checkpointed frames

@@ -223,9 +223,14 @@ object StressBench {
     time("simhash_x" + mult) {
       val sims = graft.dedup.Dedup.simhash(docsAmp, "doc_id", "text")
         .localCheckpoint(true)
+      // geometry from the DOCUMENTS count, exactly as dedupSimhash
+      // derives it — near a ladder boundary a sims.count() (docs
+      // surviving tokenization) could pick a different W and the
+      // stress timing would measure a different shape than the
+      // shipped query
       graft.dedup.Dedup.hammingVerify(
         graft.dedup.Dedup.bucketPairs(
-          graft.dedup.Dedup.simhashBuckets(sims, sims.count())),
+          graft.dedup.Dedup.simhashBuckets(sims, docsAmp.count())),
         sims, 6).count()
     }
     // BPE fertility: merge induction iterates over VOCAB-sized pair
@@ -250,6 +255,52 @@ object StressBench {
       val n = graft.dedup.Clusters.connectedComponents(pairs).count()
       sh.unpersist()
       n
+    }
+
+    // --- streaming throughput (round-10 VERDICT #6) -------------------
+    // The 8 MemoryStream faces are correctness-proven but carried no
+    // rate numbers. Drive the heaviest STATEFUL op (sessionizeStream:
+    // flatMapGroupsWithState with event-time timeout) from a parquet
+    // file stream — a real executor-side source, no driver-side
+    // MemoryStream feed capping the rate — over the amplified events
+    // (user_id offset per copy, so state cardinality scales with
+    // volume too), and report rows/s plus peak state rows. Files are
+    // written time-sorted so the watermark advances like production
+    // ingest; ~8 micro-batches via maxFilesPerTrigger.
+    if (only.isEmpty || only.exists("sessionize_stream_x".startsWith)) {
+      val evAmp = (0 until mult).map { i =>
+        Tables.events(spark, sfDir)
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+          .withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L))
+      }.reduce(_ unionByName _)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val dir = s"/tmp/graft_stress_stream_x$mult"
+      val ckpt = s"$dir-ckpt-${System.nanoTime()}"
+      // prep (not timed): 32 time-ranged files so the stream sees
+      // ordered micro-batches
+      evAmp.withColumn("b", expr("unix_micros(ts) div 81000000000"))
+        .repartitionByRange(32, col("b")).drop("b")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(dir)
+      val inRows = spark.read.parquet(dir).count()
+      val sch = spark.read.parquet(dir).schema
+      import spark.implicits._
+      val src = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 4).parquet(dir)
+        .as[graft.streaming.Streaming.Event]
+      val out = graft.streaming.Streaming
+        .sessionizeStream(src, graft.streaming.Streaming.SessionGapUs / 1000L)
+      val t0 = System.nanoTime()
+      val q = out.writeStream.format("noop")
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      q.processAllAvailable()
+      val stateRows = q.recentProgress
+        .flatMap(p => p.stateOperators.map(_.numRowsTotal))
+        .foldLeft(0L)(math.max)
+      q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS sessionize_stream_x$mult $secs%.2f s " +
+        f"($inRows rows, ${inRows / secs}%.0f rows/s, peak state rows=$stateRows)")
     }
     spark.stop()
   }

@@ -496,7 +496,7 @@ object DedupQueries extends QueryModule {
         |ORDER BY doc_a, doc_b""".stripMargin,
     "embedding_neardup" ->
       """WITH comp AS (SELECT vec_id, CAST(i AS INT) AS i,
-        |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+        |         CAST(CAST(embedding[CAST(i AS INT)] AS FLOAT) AS DOUBLE) AS v
         |       FROM embeddings, UNNEST(range(1, 65)) u(i)),
         |norms AS (SELECT vec_id,
         |         CAST(sum(CAST(v * v AS DECIMAL(24,12))) AS DOUBLE) AS nsq

@@ -41,6 +41,9 @@ object NearDup {
 
   private val cache = TrieMap.empty[(SparkSession, String, Double), Index]
 
+  /** Bench instrumentation only: evict so a sweep re-times the build cold. */
+  private[graft] def clearCacheForBench(): Unit = cache.clear()
+
   /** The memoized index for a (doc_id, text) corpus at threshold tau. */
   def index(docs: DataFrame, tau: Double = 0.5): Index = {
     val key = (docs.sparkSession, graft.Memo.planKey(docs), tau)

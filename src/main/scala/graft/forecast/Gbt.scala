@@ -55,6 +55,9 @@ object Gbt {
   private val modelCache =
     TrieMap.empty[(SparkSession, String), Option[(GBTRegressionModel, DataFrame)]]
 
+  /** Bench instrumentation only: evict so a sweep re-times the build cold. */
+  private[graft] def clearCacheForBench(): Unit = modelCache.clear()
+
   /** None when the panel has ZERO supervised train rows (too small /
     * too gappy to fit anything) — callers degrade to empty results
     * instead of surfacing an MLlib fit error.

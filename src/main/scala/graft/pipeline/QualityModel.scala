@@ -67,6 +67,9 @@ object QualityModel {
   private val modelCache =
     TrieMap.empty[(SparkSession, String), Option[LogisticRegressionModel]]
 
+  /** Bench instrumentation only: evict so a sweep re-times the build cold. */
+  private[graft] def clearCacheForBench(): Unit = modelCache.clear()
+
   /** Fit (memoized per docs plan): label = the L2 `keep` verdict,
     * training rows = the L1 md5 train split (bucket < 800) — fit on
     * the split you have verdicts for, score everything. None when the

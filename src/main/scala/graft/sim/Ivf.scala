@@ -312,6 +312,11 @@ object Ivf extends QueryModule {
     */
   // one build serves both given-centroids queries (same discipline as
   // the KMeans index memo); checkpoint blocks survive clearCache
+  /** Bench instrumentation only: evict so a sweep re-times the builds cold. */
+  private[graft] def clearCacheForBench(): Unit = {
+    indexCache.clear(); givenCache.clear()
+  }
+
   private val givenCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
@@ -402,7 +407,7 @@ object Ivf extends QueryModule {
     */
   private val givenAssignCte =
     s"""WITH comp AS (SELECT vec_id, CAST(i AS INT) AS i,
-      |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+      |         CAST(CAST(embedding[CAST(i AS INT)] AS FLOAT) AS DOUBLE) AS v
       |       FROM embeddings, UNNEST(range(1, 65)) u(i)),
       |norms AS (SELECT vec_id,
       |         CAST(sum(CAST(v * v AS DECIMAL(24,12))) AS DOUBLE) AS nsq

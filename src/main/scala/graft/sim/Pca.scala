@@ -75,8 +75,8 @@ object Pca extends QueryModule {
 
   /** Full symmetric centered covariance (i, j, c) from the triangle
     * sums — the mirrored cell reuses the SAME sum, so symmetry is
-    * exact by construction. Checkpointed: every iteration round (and
-    * every deflation) re-reads it.
+    * exact by construction. Consumed exactly once, by [[collectCov]]'s
+    * driver collect (no checkpoint needed — nothing re-reads it).
     */
   private def covFull(emb: DataFrame): DataFrame = {
     val (m2, sums, n) = moments(emb)
@@ -88,7 +88,6 @@ object Pca extends QueryModule {
     upper.unionByName(
         upper.filter(col("i") =!= col("j"))
           .select(col("j").as("i"), col("i").as("j"), col("c")))
-      .localCheckpoint(true)
   }
 
   // ---- driver-side eigensolve over the collected d² summary --------
@@ -116,46 +115,65 @@ object Pca extends QueryModule {
     acc.doubleValue
   }
 
-  /** Collect the (i, j, c) frame into a dense Dim×Dim matrix; None
-    * for an empty corpus (the frame has no rows).
+  /** SQL `sum` over nullable terms: null terms are SKIPPED, a sum
+    * with no non-null term is null — the exact aggregate semantics
+    * the previous distributed form (and the oracle) apply to null
+    * covariance cells (an all-null dimension, a decimal-overflow
+    * nulled s2).
     */
-  private def collectCov(cov: DataFrame): Option[Array[Array[Double]]] = {
+  private def dsumOpt(terms: Iterator[Option[Double]]): Option[Double] = {
+    var acc = java.math.BigDecimal.ZERO
+    var any = false
+    terms.foreach {
+      case Some(v) => acc = acc.add(d12(v)); any = true
+      case None =>
+    }
+    if (any) Some(acc.doubleValue) else None
+  }
+
+  /** A Dim×Dim matrix of nullable cells — null cells propagate
+    * through [[applyCov]] like SQL nulls through `sum(c * x)`.
+    */
+  private type CovM = Array[Array[Option[Double]]]
+
+  /** Collect the (i, j, c) frame into a dense Dim×Dim matrix; None
+    * for an empty corpus (the frame has no rows). A null CELL (e.g.
+    * a dimension null in every vector) stays None inside the matrix
+    * rather than throwing — the degrade-not-throw contract.
+    */
+  private def collectCov(cov: DataFrame): Option[CovM] = {
     val rows = cov.collect()
     if (rows.isEmpty) None
     else {
-      val m = Array.fill(Dim, Dim)(0.0d)
-      rows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      val m: CovM = Array.fill(Dim, Dim)(None)
+      rows.foreach(r => m(r.getInt(0))(r.getInt(1)) =
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))
       Some(m)
     }
   }
 
-  /** w = C·x with the oracle's quantized sum. `x` is all-Some or
-    * all-None (the norm is global), matching SQL null propagation:
-    * null iterate → null products → null sums.
+  /** w = C·x with the oracle's quantized sum; a term with a null
+    * cell or null iterate coordinate is skipped exactly as SQL
+    * `sum(CAST(c * x AS DECIMAL))` skips null products, and a row
+    * whose every term is null sums to null.
     */
-  private def applyCov(m: Array[Array[Double]],
+  private def applyCov(m: CovM,
       x: Array[Option[Double]]): Array[Option[Double]] =
-    if (x.exists(_.isEmpty)) Array.fill(Dim)(None)
-    else {
-      val xv = x.map(_.get)
-      m.map(row => Some(dsum(
-        Iterator.range(0, Dim).map(j => row(j) * xv(j)))))
-    }
+    m.map(row => dsumOpt(Iterator.range(0, Dim).map(j =>
+      for { c <- row(j); xj <- x(j) } yield c * xj)))
 
   /** [[Rounds]] power-iteration rounds → the unit iterate. The
     * nullif guard of the relational form is replicated: a zero
     * matrix gives nv = 0 → null loadings, never a division crash.
     */
-  private def iterateLocal(m: Array[Array[Double]]): Array[Option[Double]] = {
+  private def iterateLocal(m: CovM): Array[Option[Double]] = {
     var x: Array[Option[Double]] =
       Array.tabulate(Dim)(j => Some((j.toDouble + 65.0d) / 1024.0d))
     for (_ <- 1 to Rounds) {
       val w = applyCov(m, x)
+      // sqrt over the null-skipping sum: null only when EVERY w is null
       val nv: Option[Double] =
-        if (w.exists(_.isEmpty)) None
-        else Some(math.sqrt(dsum(w.iterator.map { wi =>
-          val v = wi.get; v * v
-        })))
+        dsumOpt(w.iterator.map(_.map(v => v * v))).map(math.sqrt)
       x = w.map {
         case Some(a) => nv match {
           case Some(b) if b != 0.0d => Some(a / b)
@@ -167,23 +185,28 @@ object Pca extends QueryModule {
     x
   }
 
-  /** Rayleigh eigenvalue of iterate `x` on matrix `m`. */
-  private def rayleighLocal(m: Array[Array[Double]],
+  /** Rayleigh eigenvalue of iterate `x` on matrix `m` — the same
+    * null-skipping sum as the oracle's `sum(x.x * wf.w)`.
+    */
+  private def rayleighLocal(m: CovM,
       x: Array[Option[Double]]): Option[Double] = {
     val w = applyCov(m, x)
-    if (x.exists(_.isEmpty) || w.exists(_.isEmpty)) None
-    else Some(dsum(Iterator.range(0, Dim).map(i => x(i).get * w(i).get)))
+    dsumOpt(Iterator.range(0, Dim).map(i =>
+      for { xi <- x(i); wi <- w(i) } yield xi * wi))
   }
 
-  private def trLocal(m: Array[Array[Double]]): Double =
-    dsum(Iterator.range(0, Dim).map(i => m(i)(i)))
+  private def trLocal(m: CovM): Option[Double] =
+    dsumOpt(Iterator.range(0, Dim).map(i => m(i)(i)))
 
   // The collected matrix memoized per (session, corpus plan): pca1
   // and pcaR on the same corpus share the single corpus-sized pass.
   private val covCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Option[Array[Array[Double]]]]
+    .empty[(SparkSession, String), Option[CovM]]
 
-  private def covOf(emb: DataFrame): Option[Array[Array[Double]]] = {
+  /** Bench instrumentation only: evict so a sweep re-times the build cold. */
+  private[graft] def clearCacheForBench(): Unit = covCache.clear()
+
+  private def covOf(emb: DataFrame): Option[CovM] = {
     val spark = emb.sparkSession
     val key = (spark, graft.Memo.planKey(emb))
     covCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
@@ -213,8 +236,8 @@ object Pca extends QueryModule {
         val x = iterateLocal(m)
         val eig = rayleighLocal(m, x)
         val tr = trLocal(m)
-        val expl = eig.flatMap(e =>
-          if (tr != 0.0d) Some(e / tr) else None)
+        // eigval / NULLIF(tr, 0): null when tr is null or zero
+        val expl = for { e <- eig; t <- tr if t != 0.0d } yield e / t
         val rows: java.util.List[org.apache.spark.sql.Row] =
           new java.util.ArrayList
         (0 until Dim).foreach { j =>
@@ -260,19 +283,18 @@ object Pca extends QueryModule {
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
       case Some(m0) =>
         val tr = trLocal(m0)
-        // a degenerate component (null loadings/eigval) deflates to a
-        // NULL matrix in the relational form (c − λ·x_i·x_j with null
-        // operands) — modeled as None, which nulls every later
-        // component, matching SQL null propagation
-        var mOpt: Option[Array[Array[Double]]] = Some(m0)
+        // degenerate cells (null loading / eigval / cov cell) deflate
+        // to NULL cells in the relational form (c − λ·x_i·x_j with a
+        // null operand) — modeled per-cell, matching SQL null
+        // propagation through the cov{c+1} CTE
+        var m: CovM = m0
         val rows: java.util.List[org.apache.spark.sql.Row] =
           new java.util.ArrayList
         for (comp <- 1 to r) {
-          val x = mOpt.map(iterateLocal)
-            .getOrElse(Array.fill[Option[Double]](Dim)(None))
-          val eig = mOpt.flatMap(m => rayleighLocal(m, x))
-          val expl = eig.flatMap(e =>
-            if (tr != 0.0d) Some(e / tr) else None)
+          val x = iterateLocal(m)
+          val eig = rayleighLocal(m, x)
+          // eigval / NULLIF(tr, 0): null when tr is null or zero
+          val expl = for { e <- eig; t <- tr if t != 0.0d } yield e / t
           (0 until Dim).foreach { j =>
             rows.add(org.apache.spark.sql.Row(comp, j,
               x(j).map(Double.box).orNull,
@@ -281,18 +303,27 @@ object Pca extends QueryModule {
           }
           if (comp < r) {
             // deflate: c ← c − λ·x_i·x_j — plain doubles in the same
-            // association as the oracle's `c - eigval * xi.x * xj.x`
-            mOpt = (mOpt, eig,
-                if (x.exists(_.isEmpty)) None else Some(x.map(_.get))) match {
-              case (Some(m), Some(e), Some(xv)) =>
-                Some(Array.tabulate(Dim, Dim)(
-                  (i, j) => m(i)(j) - e * xv(i) * xv(j)))
-              case _ => None
-            }
+            // association as the oracle's `c - eigval * xi.x * xj.x`,
+            // null when any operand is null
+            val prev = m
+            m = Array.tabulate(Dim, Dim)((i, j) =>
+              for { c <- prev(i)(j); e <- eig; xi <- x(i); xj <- x(j) }
+                yield c - e * xi * xj)
           }
         }
         spark.createDataFrame(rows, schema).orderBy("component", "dim")
     }
+  }
+
+  /** Bench build entry: materialize the memoized covariance summary
+    * (the single corpus-sized pass shared by embedding_pca and
+    * embedding_pca_r) so each query bills only its marginal solve —
+    * the same separate-billing discipline as the neardup/tfidf/gbt
+    * builds. Constructs the exact frame the queries pass to [[covOf]]
+    * so the plan key matches.
+    */
+  def prebuild(spark: SparkSession, dir: String): Unit = {
+    covOf(Tables.embeddings(spark, dir).select("vec_id", "embedding")); ()
   }
 
   def pcaQ(spark: SparkSession, dir: String): DataFrame =
@@ -367,7 +398,7 @@ object Pca extends QueryModule {
         s"FROM x${c}_$Rounds x, eig$c").mkString(" UNION ALL ")
     s"""WITH comp AS MATERIALIZED (SELECT vec_id,
        |    CAST(i AS INT) - 1 AS i,
-       |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+       |    CAST(CAST(embedding[CAST(i AS INT)] AS FLOAT) AS DOUBLE) AS v
        |  FROM embeddings, UNNEST(range(1, ${Dim + 1})) u(i)),
        |nn AS (SELECT count(*) AS n FROM embeddings),
        |m2 AS (SELECT a.i, b.i AS j,
@@ -403,7 +434,7 @@ object Pca extends QueryModule {
     // un-materialized, the parquet scan multiplies past the fd limit
     "embedding_pca" -> (s"""WITH comp AS MATERIALIZED (SELECT vec_id,
       |    CAST(i AS INT) - 1 AS i,
-      |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+      |    CAST(CAST(embedding[CAST(i AS INT)] AS FLOAT) AS DOUBLE) AS v
       |  FROM embeddings, UNNEST(range(1, ${Dim + 1})) u(i)),
       |nn AS (SELECT count(*) AS n FROM embeddings),
       |m2 AS (SELECT a.i, b.i AS j,

@@ -188,6 +188,11 @@ object Pq extends QueryModule {
   private val residCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Bench instrumentation only: evict so a sweep re-times the builds cold. */
+  private[graft] def clearCacheForBench(): Unit = {
+    codesCache.clear(); residCache.clear()
+  }
+
   def residualCodes(emb: DataFrame): DataFrame = {
     val key = (emb.sparkSession, graft.Memo.planKey(emb))
     residCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
@@ -329,7 +334,7 @@ object Pq extends QueryModule {
   private val encodeCtes =
     s"""WITH comp AS (SELECT vec_id, CAST(i AS INT) AS i,
       |         CAST((CAST(i AS INT) - 1) // $SubDim AS INT) AS m,
-      |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+      |         CAST(CAST(embedding[CAST(i AS INT)] AS FLOAT) AS DOUBLE) AS v
       |       FROM embeddings, UNNEST(range(1, ${Dim + 1})) u(i)),
       |dists AS (SELECT a.vec_id, a.m, b.vec_id AS cid,
       |         CAST(sum(CAST((a.v - b.v) * (a.v - b.v)
@@ -372,7 +377,7 @@ object Pq extends QueryModule {
     // relational mirror of [[knnIvfPq]], replayed step for step.
     "knn_ivfpq" -> s"""WITH comp AS (SELECT vec_id, CAST(i AS INT) AS i,
       |         CAST((CAST(i AS INT) - 1) // $SubDim AS INT) AS m,
-      |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+      |         CAST(CAST(embedding[CAST(i AS INT)] AS FLOAT) AS DOUBLE) AS v
       |       FROM embeddings, UNNEST(range(1, ${Dim + 1})) u(i)),
       |norms AS (SELECT vec_id,
       |         CAST(sum(CAST(v * v AS DECIMAL(24,12))) AS DOUBLE) AS nsq

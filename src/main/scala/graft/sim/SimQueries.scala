@@ -219,7 +219,7 @@ object SimQueries extends QueryModule {
   /** Shared relational CTEs: per-dimension components + norms. */
   private val compCte =
     """WITH comp AS (SELECT vec_id, CAST(i AS INT) AS i,
-      |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+      |         CAST(CAST(embedding[CAST(i AS INT)] AS FLOAT) AS DOUBLE) AS v
       |       FROM embeddings, UNNEST(range(1, 65)) u(i)),
       |norms AS (SELECT vec_id,
       |         CAST(sum(CAST(v * v AS DECIMAL(24,12))) AS DOUBLE) AS nsq
@@ -341,7 +341,7 @@ object SimQueries extends QueryModule {
       |FROM w WHERE rn = 1 ORDER BY query_id""".stripMargin),
     "embedding_centroids" ->
       """WITH comp AS (SELECT vec_id, label, CAST(i AS INT) AS i,
-        |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+        |         CAST(CAST(embedding[CAST(i AS INT)] AS FLOAT) AS DOUBLE) AS v
         |       FROM embeddings, UNNEST(range(1, 65)) u(i)),
         |cent AS (SELECT label, i,
         |         CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*)
@@ -363,14 +363,14 @@ object SimQueries extends QueryModule {
     "knn_qint8" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    list_max(list_transform(embedding,
-        |      v -> abs(CAST(v AS DOUBLE)))) AS amax
+        |      v -> abs(CAST(CAST(v AS FLOAT) AS DOUBLE)))) AS amax
         |  FROM embeddings),
         |s AS (SELECT vec_id, embedding, amax,
         |    amax / CAST(127 AS DOUBLE) AS scale FROM e),
         |q AS (SELECT vec_id,
         |    CASE WHEN amax = 0 THEN list_transform(embedding, v -> 0)
         |         ELSE list_transform(embedding,
-        |           v -> CAST(floor(CAST(v AS DOUBLE) / scale + 0.5) AS INT))
+        |           v -> CAST(floor(CAST(CAST(v AS FLOAT) AS DOUBLE) / scale + 0.5) AS INT))
         |    END AS qv
         |  FROM s),
         |comp AS (SELECT vec_id, CAST(i AS INT) AS i,
@@ -398,18 +398,18 @@ object SimQueries extends QueryModule {
     "embedding_quantize" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    list_max(list_transform(embedding,
-        |      v -> abs(CAST(v AS DOUBLE)))) AS amax
+        |      v -> abs(CAST(CAST(v AS FLOAT) AS DOUBLE)))) AS amax
         |  FROM embeddings),
         |s AS (SELECT vec_id, embedding, amax,
         |    amax / CAST(127 AS DOUBLE) AS scale FROM e),
         |q AS (SELECT vec_id, embedding, amax, scale,
         |    CASE WHEN amax = 0 THEN list_transform(embedding, v -> 0)
         |         ELSE list_transform(embedding,
-        |           v -> CAST(floor(CAST(v AS DOUBLE) / scale + 0.5) AS INT))
+        |           v -> CAST(floor(CAST(CAST(v AS FLOAT) AS DOUBLE) / scale + 0.5) AS INT))
         |    END AS qv
         |  FROM s),
         |comp AS (SELECT vec_id,
-        |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x,
+        |    CAST(CAST(embedding[CAST(i AS INT)] AS FLOAT) AS DOUBLE) AS x,
         |    qv[CAST(i AS INT)] * scale AS d
         |  FROM q, UNNEST(range(1, 65)) u(i)),
         |sums AS (SELECT vec_id,
@@ -471,8 +471,10 @@ object SimQueries extends QueryModule {
       |ORDER BY b.query_id""".stripMargin),
     "vector_ops" -> (compCte.stripSuffix("\n") + """
       |SELECT e.vec_id, sqrt(n.nsq) AS l2_norm,
-      |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_c,
-      |  CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_c,
+      |  CAST(list_aggregate(list_transform(embedding,
+      |    v -> CAST(v AS FLOAT)), 'max') AS DOUBLE) AS max_c,
+      |  CAST(list_aggregate(list_transform(embedding,
+      |    v -> CAST(v AS FLOAT)), 'min') AS DOUBLE) AS min_c,
       |  CAST(len(embedding) AS INTEGER) AS dims
       |FROM embeddings e JOIN norms n ON e.vec_id = n.vec_id
       |ORDER BY e.vec_id""".stripMargin))

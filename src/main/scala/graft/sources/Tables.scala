@@ -60,7 +60,15 @@ object Tables {
         raw.withColumn("ts_ns", col("ts"))
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
+        // interpret the wall-clock fields AS-IF-UTC explicitly
+        // (make_timestamp with a literal zone) — a plain cast to
+        // TIMESTAMP goes through spark.sql.session.timeZone, so a
+        // library user embedding this reader in a non-UTC session
+        // would get wall-clock-shifted instants; field extraction on
+        // NTZ is zone-free, so this is deterministic in any session
+        raw.withColumn("ts", expr(
+            "make_timestamp(year(ts), month(ts), day(ts), hour(ts), " +
+              "minute(ts), extract(SECOND FROM ts), 'UTC')"))
           .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
       case _ =>
         // TIMESTAMP(MICROS/MILLIS, UTC-adjusted): parquet nanos are

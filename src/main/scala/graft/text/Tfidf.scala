@@ -100,6 +100,9 @@ object Tfidf {
   private val indexCache =
     TrieMap.empty[(SparkSession, String, String, String), TfidfIndex]
 
+  /** Bench instrumentation only: evict so a sweep re-times the build cold. */
+  private[graft] def clearCacheForBench(): Unit = indexCache.clear()
+
   /** The memoized corpus index, lazily localCheckpoint'ed: unlike
     * `persist()`, the materialized blocks live outside the SQL cache
     * manager, so `catalog.clearCache()` between queries doesn't force

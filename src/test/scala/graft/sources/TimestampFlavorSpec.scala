@@ -69,4 +69,63 @@ class TimestampFlavorSpec extends SparkSpec {
       assert(got == expected, s"flavor $f normalized rows")
     }
   }
+
+  /** The SAME flavor tolerance one column over: `/root/testdata`
+    * currently ships `o_orderdate` (and `l_shipdate`) as MICROS-NTZ
+    * and the K/B queries are NTZ-tolerant — literal comparisons and
+    * `year()`/`date_format` coerce identically under the repo's UTC
+    * sessions — but until round 10 nothing PINNED that. This writes
+    * orders/lineitem in both flavors, with rows straddling q3_join's
+    * 1998-01-01 cutoff at the µs boundary, and asserts the date-
+    * filtering join yields identical rows from both — the r8 failure
+    * class closed for the remaining timestamp columns.
+    */
+  test("orders/lineitem NTZ and UTC date flavors answer q3_join identically") {
+    import spark.implicits._
+    val base = "/tmp/graft_orders_flavor"
+    val cutoffUs = java.time.Instant.parse("1998-01-01T00:00:00Z")
+      .getEpochSecond * 1000000L
+    // orders at 1µs before the cutoff (kept), exactly at it
+    // (dropped), and mid-1997 (kept)
+    val orderRows = Seq(
+      (1L, 10L, cutoffUs - 1L),
+      (2L, 10L, cutoffUs),
+      (3L, 11L, cutoffUs - 86400L * 200 * 1000000L))
+    // lineitems straddle the `l_shipdate > cutoff` side
+    val lineRows = Seq(
+      (1L, 1000.0, 0.1, cutoffUs + 1L),
+      (1L, 500.0, 0.0, cutoffUs),
+      (2L, 700.0, 0.2, cutoffUs + 1L),
+      (3L, 900.0, 0.05, cutoffUs + 86400L * 1000000L))
+    def writeDir(dir: String, toTs: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit = {
+      Seq((10L, "BUILDING"), (11L, "BUILDING"), (12L, "MACHINERY"))
+        .toDF("c_custkey", "c_mktsegment")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      orderRows.toDF("o_orderkey", "o_custkey", "us")
+        .select(col("o_orderkey"), col("o_custkey"),
+          toTs(col("us")).as("o_orderdate"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      lineRows.toDF("l_orderkey", "l_extendedprice", "l_discount", "us")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+          toTs(col("us")).as("l_shipdate"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    }
+    writeDir(s"$base/utc", us => timestamp_micros(us))
+    writeDir(s"$base/ntz", us => timestamp_micros(us).cast(TimestampNTZType))
+    // the stored flavors really differ
+    assert(Tables.orders(spark, s"$base/utc")
+      .schema("o_orderdate").dataType == TimestampType)
+    assert(Tables.orders(spark, s"$base/ntz")
+      .schema("o_orderdate").dataType == TimestampNTZType)
+    def run(dir: String): List[(Long, Double, String)] =
+      graft.relational.Relational.q3Join(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+        .toList
+    val utc = run(s"$base/utc")
+    val ntz = run(s"$base/ntz")
+    assert(utc.nonEmpty, "fixture must survive the date filters")
+    assert(utc == ntz, s"NTZ vs UTC q3_join rows: $ntz vs $utc")
+    // the cutoff boundary actually cut: order 2 (at the cutoff) is out
+    assert(!utc.exists(_._1 == 2L), "order at the cutoff must be filtered")
+  }
 }
