@@ -71,19 +71,22 @@ def compare(con, sql, out_dir, name):
 
 
 def main():
-    fix_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_upper_rung"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_upper_rung_out"
-    subprocess.run(
-        ["sbt", f'runMain graft.tools.UpperRung {fix_dir} {N_DOCS} {N_VECS}'],
-        check=True)
-    subprocess.run(
-        ["sbt", f'runMain graft.Verify {fix_dir} {out_dir} {",".join(QUERIES)}'],
-        check=True, env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "16"})
+    argv = [a for a in sys.argv[1:] if a != "--skip-spark"]
+    fix_dir = argv[0] if len(argv) > 0 else "/tmp/graft_upper_rung"
+    out_dir = argv[1] if len(argv) > 1 else "/tmp/graft_upper_rung_out"
+    if "--skip-spark" not in sys.argv:  # reuse an existing Verify dump
+        subprocess.run(
+            ["sbt", f'runMain graft.tools.UpperRung {fix_dir} {N_DOCS} {N_VECS}'],
+            check=True)
+        subprocess.run(
+            ["sbt", f'runMain graft.Verify {fix_dir} {out_dir} {",".join(QUERIES)}'],
+            check=True, env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "16"})
 
     con = duckdb.connect()
     for t in ["documents", "embeddings"]:
+        # Spark writes each table as a DIRECTORY of part files
         con.execute(f"CREATE VIEW {t} AS SELECT * "
-                    f"FROM read_parquet('{fix_dir}/{t}.parquet')")
+                    f"FROM read_parquet('{fix_dir}/{t}.parquet/*.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed_spark = json.load(open(f"{out_dir}/failed.json"))
 
