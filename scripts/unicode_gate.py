@@ -1,23 +1,24 @@
 #!/usr/bin/env python3
-"""Hash-verify the size-derived geometry ladders' UPPER RUNGS
-(round-10 VERDICT item #1).
+"""Hash-verify the text/dedup/retrieval operators on NON-ASCII content
+(round-10 VERDICT item #6).
 
-The sf0.01 correctness gate always lands on the bottom rung of every
-geometry ladder (simhash W=8, knn planesFor p=8, IVF 16-list floor);
-the oracles replay each ladder as a CASE over the same thresholds,
-but until round 10 nothing ever checked that Spark and the oracle
-agree ABOVE the bottom rung. This script:
+The sf0.01 correctness gate corpus is pure ASCII, so the tokenizer
+regexes (\\p{L}), md5-of-UTF-8 hashing and string-length semantics —
+exactly where java.util.regex/UTF8String and DuckDB's RE2/UTF-8
+implementations could disagree on CJK, surrogate-pair emoji, combining
+diacritics, RTL, zero-width input — were only ever spec-checked on the
+Spark side (UnicodeTextSpec). This script:
 
-  1. generates the deterministic >16k-doc / >16k-vector fixture
-     (graft.tools.UpperRung) — simhash W=9, planesFor p=9,
-     IVF lists=130;
-  2. runs graft.Verify restricted to the geometry-ladder queries;
-  3. replays each oracle in DuckDB over the same parquet and
-     compares exactly (the scripts/check.py contract);
-  4. writes UPPERRUNG_r11.json — a CORRECTNESS-style artifact with
-     per-query match status plus the geometry the fixture selected.
+  1. generates the fixture (graft.tools.UnicodeGate): the real sf0.01
+     documents plus a 56-row non-ASCII slab of the UnicodeTextSpec
+     content classes;
+  2. runs graft.Verify restricted to the documents-reading H/F/D
+     queries;
+  3. replays each oracle in DuckDB over the same parquet and compares
+     exactly (the scripts/check.py contract);
+  4. writes UNICODEGATE_r11.json — per-query match status.
 
-Usage: python3 scripts/upper_rung.py [fixtureDir] [verifyOutDir]
+Usage: python3 scripts/unicode_gate.py [fixtureDir] [verifyOutDir]
 """
 import json
 import math
@@ -26,10 +27,21 @@ import sys
 
 import duckdb
 
-QUERIES = ["dedup_simhash", "knn_join", "knn_lsh",
-           "knn_ivf_given_centroids", "semdedup_given_centroids"]
-N_DOCS = 20000
-N_VECS = 17000
+# every SparkEntry query that reads ONLY the documents table:
+# H (text analysis), F (text dedup + dup graph), D (retrieval)
+QUERIES = [
+    # H
+    "lang_id", "text_quality", "token_count", "doc_fingerprint",
+    "repetition_ratio", "pii_redact", "lm_score", "token_ids",
+    "bpe_merges", "fuzzy_match", "bpe_fertility",
+    # F
+    "dedup_exact", "dedup_minhash", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_clusters", "substring_dedup",
+    "minhash_est", "dedup_incremental", "graph_degree", "pagerank",
+    # D
+    "tfidf", "cosine_topk_docs", "semantic_search", "bm25_topk_docs",
+    "vocab_topk", "doc_chunk", "keyword_extract", "hybrid_rrf",
+]
 
 
 def canon(df):
@@ -72,28 +84,25 @@ def compare(con, sql, out_dir, name):
 
 def main():
     argv = [a for a in sys.argv[1:] if a != "--skip-spark"]
-    fix_dir = argv[0] if len(argv) > 0 else "/tmp/graft_upper_rung"
-    out_dir = argv[1] if len(argv) > 1 else "/tmp/graft_upper_rung_out"
+    fix_dir = argv[0] if len(argv) > 0 else "/tmp/graft_unicode_gate"
+    out_dir = argv[1] if len(argv) > 1 else "/tmp/graft_unicode_gate_out"
     if "--skip-spark" not in sys.argv:  # reuse an existing Verify dump
         subprocess.run(
-            ["sbt", f'runMain graft.tools.UpperRung {fix_dir} {N_DOCS} {N_VECS}'],
+            ["sbt", f'runMain graft.tools.UnicodeGate {fix_dir}'],
             check=True)
         subprocess.run(
             ["sbt", f'runMain graft.Verify {fix_dir} {out_dir} {",".join(QUERIES)}'],
             check=True, env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "16"})
 
     con = duckdb.connect()
-    for t in ["documents", "embeddings"]:
-        # Spark writes each table as a DIRECTORY of part files
-        con.execute(f"CREATE VIEW {t} AS SELECT * "
-                    f"FROM read_parquet('{fix_dir}/{t}.parquet/*.parquet')")
-    # geometry inputs from the ACTUAL fixture, not the constants —
-    # with --skip-spark a reused dump of a different size would
-    # otherwise mislabel the artifact (round-10 ADVICE)
-    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
-    n_vecs = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    # Spark writes the table as a DIRECTORY of part files
+    con.execute("CREATE VIEW documents AS SELECT * "
+                f"FROM read_parquet('{fix_dir}/documents.parquet/*.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed_spark = json.load(open(f"{out_dir}/failed.json"))
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    n_slab = con.execute(
+        "SELECT count(*) FROM documents WHERE source = 'uni'").fetchone()[0]
 
     results = {}
     for name in QUERIES:
@@ -109,23 +118,16 @@ def main():
         status = "ok  " if results[name]["match"] else "FAIL"
         print(f"{status} {name}: {results[name]}")
 
-    # the geometry the fixture actually selected (mirrors the Scala
-    # ladders: smallest W/p with n <= 64·2^x; lists = max(16, floor(sqrt n)))
-    w = next(w for w in range(8, 17) if n_docs <= 64 * (1 << w) or w == 16)
-    p = next(p for p in range(8, 21) if n_vecs <= 64 * (1 << p) or p == 20)
     artifact = {
-        "fixture": {"n_docs": n_docs, "n_vecs": n_vecs,
-                    "simhash_w": w, "knn_planes": p,
-                    "ivf_lists": max(16, int(math.isqrt(n_vecs)))},
+        "fixture": {"n_docs": n_docs, "n_non_ascii_slab": n_slab},
         "queries": results,
         "matched": sum(1 for r in results.values() if r["match"]),
         "total": len(results),
     }
-    out_json = "UPPERRUNG_r11.json"
+    out_json = "UNICODEGATE_r11.json"
     with open(out_json, "w") as f:
         json.dump(artifact, f, indent=1)
-    print(f"\n{artifact['matched']}/{artifact['total']} matched "
-          f"(W={w}, p={p}) -> {out_json}")
+    print(f"\n{artifact['matched']}/{artifact['total']} matched -> {out_json}")
     sys.exit(0 if artifact["matched"] == artifact["total"] else 1)
 
 

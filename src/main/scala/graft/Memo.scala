@@ -46,10 +46,28 @@ object Memo {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         l.data.hashCode
     }
+    // A file-source LogicalRelation's canonical text carries no file
+    // PATH — two same-schema parquet corpora in one session would
+    // share a key and silently serve each other's cached indexes
+    // (caught live: the upper-rung fixture read the testdata IVF
+    // index). Append each file-source leaf's root paths, the same
+    // identity-restoring escape as the RDD ids / LocalRelation hashes.
+    val sourcePaths = plan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.mkString(",")
+          case other => other.toString // JDBC etc.: toString carries url/table
+        }
+      case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        v2.table.name()
+    }
     plan.canonicalized.treeString +
       (if (rddIds.isEmpty) "" else rddIds.mkString("|rdd:", ",", "")) +
       (if (localHashes.isEmpty) ""
-       else localHashes.mkString("|local:", ",", ""))
+       else localHashes.mkString("|local:", ",", "")) +
+      (if (sourcePaths.isEmpty) ""
+       else sourcePaths.mkString("|src:", ";", ""))
   }
 
   def small(tag: String, input: DataFrame)(build: => DataFrame): DataFrame = {

@@ -499,10 +499,10 @@ object DedupQueries extends QueryModule {
         |         CAST(CAST(embedding[CAST(i AS INT)] AS FLOAT) AS DOUBLE) AS v
         |       FROM embeddings, UNNEST(range(1, 65)) u(i)),
         |norms AS (SELECT vec_id,
-        |         CAST(sum(CAST(v * v AS DECIMAL(24,12))) AS DOUBLE) AS nsq
+        |         CAST(CAST(sum(CAST(CAST(v * v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS nsq
         |       FROM comp GROUP BY vec_id),
         |dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |         CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
+        |         CAST(CAST(sum(CAST(CAST(a.v * b.v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dot
         |       FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
         |       GROUP BY 1, 2)
         |SELECT vec_a, vec_b,

@@ -410,10 +410,10 @@ object Ivf extends QueryModule {
       |         CAST(CAST(embedding[CAST(i AS INT)] AS FLOAT) AS DOUBLE) AS v
       |       FROM embeddings, UNNEST(range(1, 65)) u(i)),
       |norms AS (SELECT vec_id,
-      |         CAST(sum(CAST(v * v AS DECIMAL(24,12))) AS DOUBLE) AS nsq
+      |         CAST(CAST(sum(CAST(CAST(v * v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS nsq
       |       FROM comp GROUP BY vec_id),
       |cdots AS (SELECT a.vec_id, b.vec_id AS cid,
-      |         CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
+      |         CAST(CAST(sum(CAST(CAST(a.v * b.v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dot
       |       FROM comp a JOIN comp b
       |         ON a.i = b.i AND b.vec_id < $GivenCentroids
       |       GROUP BY 1, 2),
@@ -435,7 +435,7 @@ object Ivf extends QueryModule {
       |cand AS (SELECT vec_id AS neighbor_id, list_id FROM lists
       |       WHERE vec_id >= 5),
       |pdots AS (SELECT p.query_id, c.neighbor_id, c.list_id,
-      |         CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
+      |         CAST(CAST(sum(CAST(CAST(a.v * b.v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dot
       |       FROM probes p JOIN cand c ON p.list_id = c.list_id
       |         JOIN comp a ON a.vec_id = p.query_id
       |         JOIN comp b ON b.vec_id = c.neighbor_id AND a.i = b.i
@@ -457,7 +457,7 @@ object Ivf extends QueryModule {
       |       FROM lists x JOIN lists y
       |         ON x.list_id = y.list_id AND x.vec_id < y.vec_id),
       |pdots AS (SELECT pa, pb,
-      |         CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
+      |         CAST(CAST(sum(CAST(CAST(a.v * b.v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dot
       |       FROM pairs JOIN comp a ON a.vec_id = pa
       |                  JOIN comp b ON b.vec_id = pb AND a.i = b.i
       |       GROUP BY 1, 2),

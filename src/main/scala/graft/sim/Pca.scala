@@ -344,10 +344,10 @@ object Pca extends QueryModule {
   private def roundCte(k: Int): String = {
     val (xp, w, nm, xk) = (s"x${k - 1}", s"w$k", s"n$k", s"x$k")
     s"""$w AS MATERIALIZED (SELECT cov.i,
-       |    CAST(sum(CAST(c * x AS DECIMAL(24,12))) AS DOUBLE) AS w
+       |    CAST(CAST(sum(CAST(CAST(c * x AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS w
        |  FROM cov JOIN $xp ON cov.j = $xp.j GROUP BY 1),
-       |$nm AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(24,12)))
-       |    AS DOUBLE)) AS nv FROM $w),
+       |$nm AS MATERIALIZED (SELECT sqrt(CAST(CAST(sum(CAST(CAST(w * w AS VARCHAR) AS DECIMAL(24,12)))
+       |    AS VARCHAR) AS DOUBLE)) AS nv FROM $w),
        |$xk AS MATERIALIZED (SELECT i AS j, w / NULLIF(nv, 0) AS x
        |  FROM $w, $nm)"""
   }
@@ -359,10 +359,10 @@ object Pca extends QueryModule {
   private def roundCteR(c: Int, k: Int): String = {
     val (xp, w, nm, xk) = (s"x${c}_${k - 1}", s"w${c}_$k", s"n${c}_$k", s"x${c}_$k")
     s"""$w AS MATERIALIZED (SELECT cov$c.i,
-       |    CAST(sum(CAST(c * x AS DECIMAL(24,12))) AS DOUBLE) AS w
+       |    CAST(CAST(sum(CAST(CAST(c * x AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS w
        |  FROM cov$c JOIN $xp ON cov$c.j = $xp.j GROUP BY 1),
-       |$nm AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(24,12)))
-       |    AS DOUBLE)) AS nv FROM $w),
+       |$nm AS MATERIALIZED (SELECT sqrt(CAST(CAST(sum(CAST(CAST(w * w AS VARCHAR) AS DECIMAL(24,12)))
+       |    AS VARCHAR) AS DOUBLE)) AS nv FROM $w),
        |$xk AS MATERIALIZED (SELECT i AS j, w / NULLIF(nv, 0) AS x
        |  FROM $w, $nm)""".stripMargin
   }
@@ -377,10 +377,10 @@ object Pca extends QueryModule {
       s"x${c}_0 AS (SELECT j, x FROM xinit)",
       (1 to Rounds).map(roundCteR(c, _)).mkString(",\n"),
       s"""wf$c AS MATERIALIZED (SELECT cov$c.i,
-         |    CAST(sum(CAST(c * x AS DECIMAL(24,12))) AS DOUBLE) AS w
+         |    CAST(CAST(sum(CAST(CAST(c * x AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS w
          |  FROM cov$c JOIN $xn ON cov$c.j = $xn.j GROUP BY 1)""".stripMargin,
-      s"""eig$c AS MATERIALIZED (SELECT CAST(sum(CAST(x.x * wf$c.w
-         |    AS DECIMAL(24,12))) AS DOUBLE) AS eigval
+      s"""eig$c AS MATERIALIZED (SELECT CAST(CAST(sum(CAST(CAST(x.x * wf$c.w AS VARCHAR)
+         |    AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS eigval
          |  FROM $xn x JOIN wf$c ON x.j = wf$c.i)""".stripMargin
     ).mkString(",\n")
     if (last) base else base + s""",
@@ -402,11 +402,11 @@ object Pca extends QueryModule {
        |  FROM embeddings, UNNEST(range(1, ${Dim + 1})) u(i)),
        |nn AS (SELECT count(*) AS n FROM embeddings),
        |m2 AS (SELECT a.i, b.i AS j,
-       |    CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS s2
+       |    CAST(CAST(sum(CAST(CAST(a.v * b.v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS s2
        |  FROM comp a JOIN comp b
        |    ON a.vec_id = b.vec_id AND a.i <= b.i
        |  GROUP BY 1, 2),
-       |sums AS (SELECT i, CAST(sum(CAST(v AS DECIMAL(24,12))) AS DOUBLE)
+       |sums AS (SELECT i, CAST(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE)
        |    AS sv FROM comp GROUP BY i),
        |upper_c AS (SELECT m2.i, m2.j,
        |    s2 / n - (sa.sv / n) * (sb.sv / n) AS c
@@ -418,7 +418,7 @@ object Pca extends QueryModule {
        |xinit AS (SELECT CAST(i AS INT) AS j,
        |    (CAST(i AS DOUBLE) + 65.0) / 1024.0 AS x
        |  FROM UNNEST(range(0, $Dim)) u(i)),
-       |tr AS (SELECT CAST(sum(CAST(c AS DECIMAL(24,12))) AS DOUBLE) AS tr
+       |tr AS (SELECT CAST(CAST(sum(CAST(CAST(c AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS tr
        |  FROM cov1 WHERE i = j),
        |$comps
        |SELECT component, dim, loading, eigval,
@@ -438,11 +438,11 @@ object Pca extends QueryModule {
       |  FROM embeddings, UNNEST(range(1, ${Dim + 1})) u(i)),
       |nn AS (SELECT count(*) AS n FROM embeddings),
       |m2 AS (SELECT a.i, b.i AS j,
-      |    CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS s2
+      |    CAST(CAST(sum(CAST(CAST(a.v * b.v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS s2
       |  FROM comp a JOIN comp b
       |    ON a.vec_id = b.vec_id AND a.i <= b.i
       |  GROUP BY 1, 2),
-      |sums AS (SELECT i, CAST(sum(CAST(v AS DECIMAL(24,12))) AS DOUBLE)
+      |sums AS (SELECT i, CAST(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE)
       |    AS sv FROM comp GROUP BY i),
       |upper_c AS (SELECT m2.i, m2.j,
       |    s2 / n - (sa.sv / n) * (sb.sv / n) AS c
@@ -456,12 +456,12 @@ object Pca extends QueryModule {
       |  FROM UNNEST(range(0, $Dim)) u(i)),
       |""" + (1 to Rounds).map(roundCte).mkString(",\n") + s""",
       |wf AS (SELECT cov.i,
-      |    CAST(sum(CAST(c * x AS DECIMAL(24,12))) AS DOUBLE) AS w
+      |    CAST(CAST(sum(CAST(CAST(c * x AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS w
       |  FROM cov JOIN x$Rounds ON cov.j = x$Rounds.j GROUP BY 1),
-      |eig AS (SELECT CAST(sum(CAST(x.x * wf.w AS DECIMAL(24,12)))
-      |    AS DOUBLE) AS eigval
+      |eig AS (SELECT CAST(CAST(sum(CAST(CAST(x.x * wf.w AS VARCHAR) AS DECIMAL(24,12)))
+      |    AS VARCHAR) AS DOUBLE) AS eigval
       |  FROM x$Rounds x JOIN wf ON x.j = wf.i),
-      |tr AS (SELECT CAST(sum(CAST(c AS DECIMAL(24,12))) AS DOUBLE) AS tr
+      |tr AS (SELECT CAST(CAST(sum(CAST(CAST(c AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS tr
       |  FROM cov WHERE i = j)
       |SELECT j AS dim, x AS loading, eigval,
       |  eigval / NULLIF(tr, 0) AS explained

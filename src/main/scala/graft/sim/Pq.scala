@@ -337,8 +337,8 @@ object Pq extends QueryModule {
       |         CAST(CAST(embedding[CAST(i AS INT)] AS FLOAT) AS DOUBLE) AS v
       |       FROM embeddings, UNNEST(range(1, ${Dim + 1})) u(i)),
       |dists AS (SELECT a.vec_id, a.m, b.vec_id AS cid,
-      |         CAST(sum(CAST((a.v - b.v) * (a.v - b.v)
-      |              AS DECIMAL(24,12))) AS DOUBLE) AS dsq
+      |         CAST(CAST(sum(CAST(CAST((a.v - b.v) * (a.v - b.v) AS VARCHAR)
+      |              AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dsq
       |       FROM comp a JOIN comp b
       |         ON a.i = b.i AND b.vec_id < $CodebookIds
       |       GROUP BY 1, 2, 3),
@@ -362,7 +362,7 @@ object Pq extends QueryModule {
       |cand AS (SELECT vec_id AS neighbor_id, m, code FROM codes
       |       WHERE vec_id >= $QueryIds),
       |adist AS (SELECT l.query_id, c.neighbor_id,
-      |         CAST(sum(CAST(l.dsq AS DECIMAL(24,12))) AS DOUBLE) AS adist
+      |         CAST(CAST(sum(CAST(CAST(l.dsq AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS adist
       |       FROM cand c JOIN luts l ON l.m = c.m AND l.cid = c.code
       |       GROUP BY 1, 2),
       |ranked AS (SELECT query_id, neighbor_id, adist,
@@ -380,10 +380,10 @@ object Pq extends QueryModule {
       |         CAST(CAST(embedding[CAST(i AS INT)] AS FLOAT) AS DOUBLE) AS v
       |       FROM embeddings, UNNEST(range(1, ${Dim + 1})) u(i)),
       |norms AS (SELECT vec_id,
-      |         CAST(sum(CAST(v * v AS DECIMAL(24,12))) AS DOUBLE) AS nsq
+      |         CAST(CAST(sum(CAST(CAST(v * v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS nsq
       |       FROM comp GROUP BY vec_id),
       |cdots AS (SELECT a.vec_id, b.vec_id AS cid,
-      |         CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
+      |         CAST(CAST(sum(CAST(CAST(a.v * b.v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dot
       |       FROM comp a JOIN comp b
       |         ON a.i = b.i AND b.vec_id < $CodebookIds
       |       GROUP BY 1, 2),
@@ -398,8 +398,8 @@ object Pq extends QueryModule {
       |       FROM comp a JOIN lists l ON a.vec_id = l.vec_id
       |         JOIN comp c ON c.vec_id = l.list_id AND c.i = a.i),
       |rdists AS (SELECT r.vec_id, r.list_id, r.m, cb.vec_id AS cid,
-      |         CAST(sum(CAST((r.rv - cb.v) * (r.rv - cb.v)
-      |              AS DECIMAL(24,12))) AS DOUBLE) AS dsq
+      |         CAST(CAST(sum(CAST(CAST((r.rv - cb.v) * (r.rv - cb.v) AS VARCHAR)
+      |              AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dsq
       |       FROM rcomp r JOIN comp cb
       |         ON cb.i = r.i AND cb.vec_id < $CodebookIds
       |       GROUP BY 1, 2, 3, 4),
@@ -415,15 +415,15 @@ object Pq extends QueryModule {
       |       FROM probes p JOIN comp a ON a.vec_id = p.query_id
       |         JOIN comp c ON c.vec_id = p.list_id AND c.i = a.i),
       |luts AS (SELECT q.query_id, q.list_id, q.m, cb.vec_id AS cid,
-      |         CAST(sum(CAST((q.rv - cb.v) * (q.rv - cb.v)
-      |              AS DECIMAL(24,12))) AS DOUBLE) AS dsq
+      |         CAST(CAST(sum(CAST(CAST((q.rv - cb.v) * (q.rv - cb.v) AS VARCHAR)
+      |              AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dsq
       |       FROM qres q JOIN comp cb
       |         ON cb.i = q.i AND cb.vec_id < $CodebookIds
       |       GROUP BY 1, 2, 3, 4),
       |cand AS (SELECT vec_id AS neighbor_id, list_id, m, code FROM rcodes
       |       WHERE vec_id >= $QueryIds),
       |adist AS (SELECT l.query_id, c.neighbor_id, c.list_id,
-      |         CAST(sum(CAST(l.dsq AS DECIMAL(24,12))) AS DOUBLE) AS adist
+      |         CAST(CAST(sum(CAST(CAST(l.dsq AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS adist
       |       FROM cand c JOIN luts l
       |         ON l.list_id = c.list_id AND l.m = c.m AND l.cid = c.code
       |       GROUP BY 1, 2, 3),
@@ -443,7 +443,7 @@ object Pq extends QueryModule {
       |cand AS (SELECT vec_id AS neighbor_id, m, code FROM codes
       |       WHERE vec_id >= $QueryIds),
       |adist AS (SELECT l.query_id, c.neighbor_id,
-      |         CAST(sum(CAST(l.dsq AS DECIMAL(24,12))) AS DOUBLE) AS adist
+      |         CAST(CAST(sum(CAST(CAST(l.dsq AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS adist
       |       FROM cand c JOIN luts l ON l.m = c.m AND l.cid = c.code
       |       GROUP BY 1, 2),
       |adck AS (SELECT query_id, neighbor_id
@@ -453,8 +453,8 @@ object Pq extends QueryModule {
       |             FROM adist)
       |       WHERE rank <= $K),
       |edists AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-      |         CAST(sum(CAST((a.v - b.v) * (a.v - b.v)
-      |              AS DECIMAL(24,12))) AS DOUBLE) AS dsq
+      |         CAST(CAST(sum(CAST(CAST((a.v - b.v) * (a.v - b.v) AS VARCHAR)
+      |              AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dsq
       |       FROM comp a JOIN comp b
       |         ON a.i = b.i AND a.vec_id < $QueryIds
       |           AND b.vec_id >= $QueryIds

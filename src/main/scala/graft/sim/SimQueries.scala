@@ -222,7 +222,7 @@ object SimQueries extends QueryModule {
       |         CAST(CAST(embedding[CAST(i AS INT)] AS FLOAT) AS DOUBLE) AS v
       |       FROM embeddings, UNNEST(range(1, 65)) u(i)),
       |norms AS (SELECT vec_id,
-      |         CAST(sum(CAST(v * v AS DECIMAL(24,12))) AS DOUBLE) AS nsq
+      |         CAST(CAST(sum(CAST(CAST(v * v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS nsq
       |       FROM comp GROUP BY vec_id)
       |""".stripMargin
 
@@ -282,7 +282,7 @@ object SimQueries extends QueryModule {
       planesCte: String = staticPlanes) = s""",
       |$planesCte
       |sig AS (SELECT vec_id, h,
-      |         CAST(sum(CAST(c.v * p.pv AS DECIMAL(24,12))) AS DOUBLE) AS s
+      |         CAST(CAST(sum(CAST(CAST(c.v * p.pv AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS s
       |       FROM comp c JOIN planes p ON c.i = p.d + 1 GROUP BY vec_id, h),
       |buck AS (SELECT vec_id,
       |         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(h AS INT))
@@ -290,7 +290,7 @@ object SimQueries extends QueryModule {
       |       FROM sig GROUP BY vec_id),
       |$candCte
       |dots AS (SELECT cand.query_id, cand.neighbor_id,
-      |         CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
+      |         CAST(CAST(sum(CAST(CAST(a.v * b.v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dot
       |       FROM cand JOIN comp a ON a.vec_id = cand.query_id
       |                 JOIN comp b ON b.vec_id = cand.neighbor_id AND a.i = b.i
       |       GROUP BY 1, 2),
@@ -310,7 +310,7 @@ object SimQueries extends QueryModule {
     */
   private val bruteRanked = compCte.stripSuffix("\n") + """,
       |dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |         CAST(sum(CAST(q.v * c.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
+      |         CAST(CAST(sum(CAST(CAST(q.v * c.v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dot
       |       FROM comp q JOIN comp c ON q.i = c.i
       |         AND q.vec_id < 5 AND c.vec_id >= 5
       |       GROUP BY 1, 2),
@@ -413,9 +413,9 @@ object SimQueries extends QueryModule {
         |    qv[CAST(i AS INT)] * scale AS d
         |  FROM q, UNNEST(range(1, 65)) u(i)),
         |sums AS (SELECT vec_id,
-        |    CAST(sum(CAST(x * d AS DECIMAL(24,12))) AS DOUBLE) AS dot,
-        |    CAST(sum(CAST(x * x AS DECIMAL(24,12))) AS DOUBLE) AS nx,
-        |    CAST(sum(CAST(d * d AS DECIMAL(24,12))) AS DOUBLE) AS nd,
+        |    CAST(CAST(sum(CAST(CAST(x * d AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dot,
+        |    CAST(CAST(sum(CAST(CAST(x * x AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS nx,
+        |    CAST(CAST(sum(CAST(CAST(d * d AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS nd,
         |    max(abs(x - d)) AS max_abs_err
         |  FROM comp GROUP BY vec_id)
         |SELECT q.vec_id, q.scale,
@@ -427,7 +427,7 @@ object SimQueries extends QueryModule {
         |ORDER BY q.vec_id""".stripMargin,
     "ann_recall" -> (compCte.stripSuffix("\n") + """,
       |bdots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |         CAST(sum(CAST(q.v * c.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
+      |         CAST(CAST(sum(CAST(CAST(q.v * c.v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dot
       |       FROM comp q JOIN comp c ON q.i = c.i
       |         AND q.vec_id < 5 AND c.vec_id >= 5
       |       GROUP BY 1, 2),
@@ -442,7 +442,7 @@ object SimQueries extends QueryModule {
       |          / 2147483647.0) - 0.5 AS pv
       |       FROM UNNEST(range(0, 8)) u(h), UNNEST(range(0, 64)) v(d)),
       |sig AS (SELECT vec_id, h,
-      |         CAST(sum(CAST(c.v * p.pv AS DECIMAL(24,12))) AS DOUBLE) AS s
+      |         CAST(CAST(sum(CAST(CAST(c.v * p.pv AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS s
       |       FROM comp c JOIN planes p ON c.i = p.d + 1 GROUP BY vec_id, h),
       |buck AS (SELECT vec_id,
       |         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(h AS INT))
@@ -452,7 +452,7 @@ object SimQueries extends QueryModule {
       |       FROM buck q JOIN buck c ON q.bucket = c.bucket
       |         AND q.vec_id < 5 AND c.vec_id >= 5),
       |ldots AS (SELECT cand.query_id, cand.neighbor_id,
-      |         CAST(sum(CAST(a.v * b.v AS DECIMAL(24,12))) AS DOUBLE) AS dot
+      |         CAST(CAST(sum(CAST(CAST(a.v * b.v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dot
       |       FROM cand JOIN comp a ON a.vec_id = cand.query_id
       |                 JOIN comp b ON b.vec_id = cand.neighbor_id AND a.i = b.i
       |       GROUP BY 1, 2),

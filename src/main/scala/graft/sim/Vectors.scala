@@ -11,6 +11,20 @@ import org.apache.spark.sql.functions._
   * relationally. 1e-12 quantization is far below embedding noise and
   * far above double ulps, so ranking behavior is unaffected.
   *
+  * ORACLE TIE-ROUNDING (round-11 fix of the upper-rung knn_join
+  * mismatch): Spark's double→decimal cast rounds the SHORTEST STRING
+  * repr half-up (`BigDecimal(Double.toString)`), while DuckDB's casts
+  * round the exact binary value — the two disagree on "printed ties"
+  * (shortest repr ending in 5 one digit past the scale; measured
+  * ~2.4e-5 per float-product term) and DuckDB's DECIMAL→DOUBLE is not
+  * correctly rounded above ~1e3. Every oracle therefore routes BOTH
+  * casts through VARCHAR — `CAST(CAST(x AS VARCHAR) AS DECIMAL(24,12))`
+  * and `CAST(CAST(sum(…) AS VARCHAR) AS DOUBLE)` — which reproduces
+  * Spark's semantics bit-exactly (0 mismatches in 7e5 probes;
+  * DuckDB's double→VARCHAR prints the same shortest repr, its
+  * VARCHAR→DECIMAL parse rounds digits half-up, and VARCHAR→DOUBLE
+  * is strtod-exact). The Spark side is untouched.
+  *
   * Everything is `functions._`/higher-order — no UDF, no
   * serialization; arrays stay in Tungsten format.
   */
@@ -47,10 +61,12 @@ object Vectors {
 
   /** DuckDB mirror: the same quantized dot, relationally, as a scalar
     * subquery over dimension indexes. `x`/`y` are list-typed SQL
-    * expressions; dims is the dimensionality.
+    * expressions; dims is the dimensionality. Both casts route
+    * through VARCHAR — see the class doc's tie-rounding note.
     */
   def sqlDot(x: String, y: String, dims: Int): String =
-    s"""(SELECT CAST(sum(CAST(CAST($x[CAST(i AS INT)] AS DOUBLE)
-       |  * CAST($y[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(24,12))) AS DOUBLE)
+    s"""(SELECT CAST(CAST(sum(CAST(CAST(CAST($x[CAST(i AS INT)] AS DOUBLE)
+       |  * CAST($y[CAST(i AS INT)] AS DOUBLE) AS VARCHAR)
+       |  AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE)
        |  FROM UNNEST(range(1, ${dims + 1})) u(i))""".stripMargin
 }

@@ -90,6 +90,45 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.Memo.planKey(la) == graft.Memo.planKey(la))
   }
 
+  test("memo planKey distinguishes same-schema parquet corpora by path") {
+    import spark.implicits._
+    // the round-10 wrong-answer bug: a parquet LogicalRelation's
+    // canonical text carries no file path, so two same-schema corpora
+    // in one session shared a key — the upper-rung fixture was served
+    // the 500-vector testdata IVF index. Keys must differ by path.
+    val dirA = "/tmp/graft_memo_path_a"
+    val dirB = "/tmp/graft_memo_path_b"
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(dirA)
+    Seq((2L, "b")).toDF("id", "v").write.mode("overwrite").parquet(dirB)
+    val a = spark.read.parquet(dirA)
+    val b = spark.read.parquet(dirB)
+    assert(graft.Memo.planKey(a) != graft.Memo.planKey(b))
+    // …while a RE-READ of the same dir still keys identically (the
+    // whole point of the memo — one build per corpus per session)
+    assert(graft.Memo.planKey(a) == graft.Memo.planKey(spark.read.parquet(dirA)))
+  }
+
+  test("memo hits on a same-corpus re-read and misses across corpora") {
+    import spark.implicits._
+    val dirA = "/tmp/graft_memo_hit_a"
+    val dirB = "/tmp/graft_memo_hit_b"
+    Seq((1L, 10.0)).toDF("id", "x").write.mode("overwrite").parquet(dirA)
+    Seq((2L, 20.0)).toDF("id", "x").write.mode("overwrite").parquet(dirB)
+    var builds = 0
+    def memoOf(dir: String) =
+      graft.Memo.small("edgecase_hitmiss", spark.read.parquet(dir)) {
+        builds += 1
+        spark.read.parquet(dir).groupBy().count()
+      }
+    val firstA = memoOf(dirA)
+    assert(builds == 1)
+    memoOf(dirA) // same corpus, fresh read → HIT (no rebuild)
+    assert(builds == 1, "path-qualified keys must not disable memoization")
+    val firstB = memoOf(dirB) // different corpus → MISS (new build)
+    assert(builds == 2)
+    assert(firstA.head.getLong(0) == 1L && firstB.head.getLong(0) == 1L)
+  }
+
   test("substring_dedup tolerates sub-window docs and empty corpora") {
     import spark.implicits._
     val out = graft.dedup.Dedup.substringDup(tiny, "doc_id", "text").collect()

@@ -68,6 +68,9 @@ class UnicodeTextSpec extends SparkSpec {
       .agg(sort_array(collect_list("fingerprint")).as("fps"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     // doc 8 is byte-identical to doc 1 → identical winnowed set
+    // (guard first: None == None would pass vacuously if a regression
+    // made these docs emit no fingerprints at all)
+    assert(byDoc.contains(1L) && byDoc(1L).nonEmpty)
     assert(byDoc.get(1L) == byDoc.get(8L))
     // re-computation is bit-stable
     val again = Fingerprint.fingerprints(corpus, "doc_id", "text")

@@ -64,6 +64,13 @@ class UpperRungSpec extends SparkSpec {
     // 5 queries, each with up to k=3 in-probe neighbors
     assert(r.count() > 0 && r.count() <= 15)
     assert(r.select("query_id").distinct().count() <= 5)
+    // and the index really is THIS corpus's (the round-10 memo-key
+    // bug served the 500-vector testdata index here): the fitted
+    // quantizer must spread the fixture over >16 inverted lists
+    val sd = graft.sim.Ivf.semdedupQ(spark, dir)
+    assert(sd.count() == NVecs)
+    val lists = sd.select("list_id").distinct().count()
+    assert(lists > 16, s"only $lists lists — wrong corpus's index?")
   }
 
   test("given-centroid twins run clean at upper-rung corpus size") {
