@@ -38,8 +38,9 @@ QUERIES = [
     "dedup_exact", "dedup_minhash", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_clusters", "substring_dedup",
     "minhash_est", "dedup_incremental", "graph_degree", "pagerank",
-    # D
-    "tfidf", "cosine_topk_docs", "semantic_search", "bm25_topk_docs",
+    # D (semantic_search is excluded: it searches the C2 insight
+    # corpus derived from orders, not the documents table)
+    "tfidf", "cosine_topk_docs", "bm25_topk_docs",
     "vocab_topk", "doc_chunk", "keyword_extract", "hybrid_rrf",
 ]
 

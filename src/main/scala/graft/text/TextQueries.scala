@@ -223,6 +223,15 @@ object TextQueries extends QueryModule {
       .stripMargin.replace("&#124;", "|")
 
   override def oracles: Map[String, String] = Map(
+    // Edit distance is replayed on CODE-POINT arrays, not with
+    // DuckDB's levenshtein(): that builtin counts BYTES, so a
+    // single-char edit on a multibyte script scores 2-3 and diverges
+    // from Spark's code-point distance (caught by the round-11
+    // unicode gate). Under the (first-char, length ±1) block only
+    // distances 0-2 exist, so the <=2-edit alignments are enumerated
+    // exactly: equal length -> hamming ({sub},{sub,sub}) plus the
+    // del/del shift for {ins,del}; length delta 1 -> 1 + the minimum
+    // hamming over single-deletion alignments ({ins},{ins,sub}).
     "fuzzy_match" ->
       """WITH words AS (SELECT DISTINCT w
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w
@@ -231,13 +240,42 @@ object TextQueries extends QueryModule {
         |probes AS (SELECT DISTINCT substr(w, 1, 2) || substr(w, 4)
         |             AS probe
         |           FROM words WHERE len(w) >= 5),
-        |cand AS (SELECT p.probe, d.w AS dw,
-        |           levenshtein(p.probe, d.w) AS dist
-        |         FROM probes p JOIN words d
-        |           ON substr(d.w, 1, 1) = substr(p.probe, 1, 1)
-        |          AND len(d.w)
-        |              BETWEEN len(p.probe) - 1 AND len(p.probe) + 1
-        |         WHERE levenshtein(p.probe, d.w) <= 2),
+        |cand0 AS (SELECT p.probe, d.w AS dw,
+        |            regexp_extract_all(p.probe, '.') AS la,
+        |            regexp_extract_all(d.w, '.') AS lb
+        |          FROM probes p JOIN words d
+        |            ON substr(d.w, 1, 1) = substr(p.probe, 1, 1)
+        |           AND len(d.w)
+        |               BETWEEN len(p.probe) - 1 AND len(p.probe) + 1),
+        |heq AS (SELECT probe, dw, la, lb,
+        |          len(list_filter(range(1, len(la) + 1),
+        |            i -> la[CAST(i AS INT)] <> lb[CAST(i AS INT)])) AS h
+        |        FROM cand0 WHERE len(la) = len(lb)),
+        |shift2 AS (SELECT DISTINCT probe, dw
+        |           FROM heq,
+        |                UNNEST(range(1, len(la) + 1)) u(i),
+        |                UNNEST(range(1, len(lb) + 1)) v(j)
+        |           WHERE h > 2
+        |             AND list_slice(la, 1, CAST(i AS INT) - 1)
+        |                   || list_slice(la, CAST(i AS INT) + 1, len(la))
+        |               = list_slice(lb, 1, CAST(j AS INT) - 1)
+        |                   || list_slice(lb, CAST(j AS INT) + 1, len(lb))),
+        |dl1 AS (SELECT probe, dw,
+        |          CASE WHEN len(la) < len(lb) THEN la ELSE lb END AS ls,
+        |          CASE WHEN len(la) < len(lb) THEN lb ELSE la END AS ll
+        |        FROM cand0 WHERE len(la) <> len(lb)),
+        |dl1h AS (SELECT probe, dw,
+        |           min(len(list_filter(range(1, len(ls) + 1),
+        |             i -> ls[CAST(i AS INT)] <>
+        |               (CASE WHEN i < j THEN ll[CAST(i AS INT)]
+        |                     ELSE ll[CAST(i AS INT) + 1] END)))) AS mh
+        |         FROM dl1, UNNEST(range(1, len(ll) + 1)) v(j)
+        |         GROUP BY probe, dw),
+        |cand AS (SELECT probe, dw, h AS dist FROM heq WHERE h <= 2
+        |         UNION ALL
+        |         SELECT probe, dw, 2 AS dist FROM shift2
+        |         UNION ALL
+        |         SELECT probe, dw, 1 + mh AS dist FROM dl1h WHERE mh <= 1),
         |r AS (SELECT probe, dw, dist,
         |        row_number() OVER (PARTITION BY probe
         |                           ORDER BY dist, dw) AS rn
