@@ -18,6 +18,13 @@ agree ABOVE the bottom rung. This script:
      per-query match status plus the geometry the fixture selected.
 
 Usage: python3 scripts/upper_rung.py [fixtureDir] [verifyOutDir]
+         [--docs N] [--vecs N] [--out FILE.json] [--skip-spark]
+
+--docs/--vecs pick the rung: 20000/17000 (default) crosses the first
+upper rung (W=9, p=9, 130 lists); 40000/40000 crosses the SECOND
+(W=10, p=10, 200 lists) — each rung is a distinct CASE arm in the
+oracles and a distinct bucket geometry in Spark, so each needs its
+own end-to-end hash verification.
 """
 import json
 import math
@@ -30,6 +37,12 @@ QUERIES = ["dedup_simhash", "knn_join", "knn_lsh",
            "knn_ivf_given_centroids", "semdedup_given_centroids"]
 N_DOCS = 20000
 N_VECS = 17000
+
+
+def flag(name, default):
+    if name in sys.argv:
+        return sys.argv[sys.argv.index(name) + 1]
+    return default
 
 
 def canon(df):
@@ -71,12 +84,20 @@ def compare(con, sql, out_dir, name):
 
 
 def main():
-    argv = [a for a in sys.argv[1:] if a != "--skip-spark"]
+    n_docs_req = int(flag("--docs", N_DOCS))
+    n_vecs_req = int(flag("--vecs", N_VECS))
+    out_json = flag("--out", "UPPERRUNG_r11.json")
+    skip = {"--skip-spark"}
+    for f in ("--docs", "--vecs", "--out"):
+        if f in sys.argv:
+            skip |= {f, sys.argv[sys.argv.index(f) + 1]}
+    argv = [a for a in sys.argv[1:] if a not in skip]
     fix_dir = argv[0] if len(argv) > 0 else "/tmp/graft_upper_rung"
     out_dir = argv[1] if len(argv) > 1 else "/tmp/graft_upper_rung_out"
     if "--skip-spark" not in sys.argv:  # reuse an existing Verify dump
         subprocess.run(
-            ["sbt", f'runMain graft.tools.UpperRung {fix_dir} {N_DOCS} {N_VECS}'],
+            ["sbt",
+             f'runMain graft.tools.UpperRung {fix_dir} {n_docs_req} {n_vecs_req}'],
             check=True)
         subprocess.run(
             ["sbt", f'runMain graft.Verify {fix_dir} {out_dir} {",".join(QUERIES)}'],
@@ -121,7 +142,6 @@ def main():
         "matched": sum(1 for r in results.values() if r["match"]),
         "total": len(results),
     }
-    out_json = "UPPERRUNG_r11.json"
     with open(out_json, "w") as f:
         json.dump(artifact, f, indent=1)
     print(f"\n{artifact['matched']}/{artifact['total']} matched "
