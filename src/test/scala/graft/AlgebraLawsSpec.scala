@@ -107,6 +107,91 @@ class AlgebraLawsSpec extends SparkSpec {
     }
   }
 
+  test("jaccard verify law: exact set algebra, identical→1, disjoint→0") {
+    import spark.implicits._
+    val gramGen = Gen.listOfN(5, Gen.alphaLowerChar).map(_.mkString)
+    val setGen = Gen.choose(1, 30).flatMap(n =>
+      Gen.listOfN(n, gramGen).map(_.toSet))
+    val base = sample(Gen.zip(setGen, setGen), 40)
+    // append an identical pair and a provably disjoint pair
+    val pairsIn = base ++ Seq(
+      (base.head._1, base.head._1),
+      (base.head._1.map("x" + _), base.head._1.map("y" + _)))
+    val sets = pairsIn.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((2L * i, a.toSeq), (2L * i + 1, b.toSeq))
+    }.toDF("doc_id", "gs")
+    val pairs = pairsIn.indices.map(i => (2L * i, 2L * i + 1))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.jaccardVerify(pairs, sets, 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    pairsIn.zipWithIndex.foreach { case ((a, b), i) =>
+      val inter = (a & b).size
+      val want = inter.toDouble / (a.size + b.size - inter)
+      assert(got(2L * i) == want, s"pair $i: jaccard ${got(2L * i)} != $want")
+    }
+    assert(got(2L * (pairsIn.length - 2)) == 1.0)
+    assert(got(2L * (pairsIn.length - 1)) == 0.0)
+  }
+
+  /** Driver mirror of the engines' shared reduction discipline: each
+    * double term rounded to DECIMAL(24,12) via its shortest string
+    * repr half-up (how Spark casts double→decimal), summed at scale
+    * 12 (exact — no reduction-order sensitivity), then cast back.
+    */
+  private def dec12(x: Double): java.math.BigDecimal =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+
+  test("pq encode law: code = decimal-exact argmin codeword, ties to smaller id") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(graft.sim.Pq.Dim,
+      Gen.choose(-1000000, 1000000).map(_ / 1000000.0f))
+    val vecs = sample(vecGen, 48).map(_.toArray)
+    val emb = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val got = graft.sim.Pq.codes(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val book = vecs.take(graft.sim.Pq.CodebookIds)
+    val sub = graft.sim.Pq.SubDim
+    for (i <- vecs.indices; m <- 0 until graft.sim.Pq.NumSub) {
+      val want = book.indices.map { c =>
+        val d = (0 until sub).map { j =>
+          val diff = vecs(i)(m * sub + j).toDouble - book(c)(m * sub + j).toDouble
+          dec12(diff * diff)
+        }.reduce(_ add _)
+        (d.doubleValue, c.toLong)
+      }.min._2
+      assert(got((i.toLong, m)) == want,
+        s"vec $i sub $m: code ${got((i.toLong, m))} != argmin $want")
+    }
+  }
+
+  test("quantized dot law: symmetric, matches the decimal mirror, self-cosine ≈ 1") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(64,
+      Gen.choose(-1000000, 1000000).map(_ / 1000000.0f))
+    val pairs = sample(Gen.zip(vecGen, vecGen), 60)
+      .map { case (a, b) => (a.toArray, b.toArray) }
+    val df = pairs.toDF("ex", "ey")
+    val rows = df.select(
+      graft.sim.Vectors.dot("ex", "ey").as("xy"),
+      graft.sim.Vectors.dot("ey", "ex").as("yx"),
+      graft.sim.Vectors.cosineFrom(
+        graft.sim.Vectors.dot("ex", "ex"),
+        graft.sim.Vectors.normSq("ex"),
+        graft.sim.Vectors.normSq("ex")).as("selfcos")).collect()
+    pairs.zip(rows).zipWithIndex.foreach { case (((a, b), r), i) =>
+      val mirror = a.zip(b).map { case (x, y) =>
+        dec12(x.toDouble * y.toDouble)
+      }.reduce(_ add _).doubleValue
+      assert(r.getDouble(0) == r.getDouble(1), s"pair $i: dot not symmetric")
+      assert(r.getDouble(0) == mirror,
+        s"pair $i: spark ${r.getDouble(0)} != decimal mirror $mirror")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-12,
+        s"pair $i: self-cosine ${r.getDouble(2)}")
+    }
+  }
+
   test("geometry ladders: minimal, monotone, occupancy-bounded") {
     val ns = sample(Gen.choose(1L, 10_000_000L), 300) ++
       // exact power-of-two boundaries, ±1 — where a float-log ladder
