@@ -427,6 +427,15 @@ object Ivf extends QueryModule {
 
   /** KMeans is not ANSI-SQL-expressible → knn_ivf/semdedup stay
     * rows-only; the given-centroids variants are fully gated.
+    *
+    * semdedup's pair-dot is a scalar list reduction (list_zip →
+    * list_transform → list_sum), not the comp-unnest join the other
+    * stages use: in-list pair volume is n²/(2·16), and the unnest
+    * form multiplies that by 64 dims into a spilling hash aggregate
+    * (>80 GB at 40k vectors, the rung-3 fixture) while the list form
+    * streams the probe side. Term values and the DECIMAL(24,12)
+    * half-up/VARCHAR discipline are identical, so results are
+    * bit-equal to the unnest form.
     */
   override def oracles: Map[String, String] = Map(
     "knn_ivf_given_centroids" -> (givenAssignCte + s"""
@@ -457,10 +466,13 @@ object Ivf extends QueryModule {
       |       FROM lists x JOIN lists y
       |         ON x.list_id = y.list_id AND x.vec_id < y.vec_id),
       |pdots AS (SELECT pa, pb,
-      |         CAST(CAST(sum(CAST(CAST(a.v * b.v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dot
-      |       FROM pairs JOIN comp a ON a.vec_id = pa
-      |                  JOIN comp b ON b.vec_id = pb AND a.i = b.i
-      |       GROUP BY 1, 2),
+      |         CAST(CAST(list_sum(list_transform(
+      |           list_zip(ea.embedding, eb.embedding),
+      |           x -> CAST(CAST(CAST(CAST(x[1] AS FLOAT) AS DOUBLE)
+      |             * CAST(CAST(x[2] AS FLOAT) AS DOUBLE)
+      |             AS VARCHAR) AS DECIMAL(24,12)))) AS VARCHAR) AS DOUBLE) AS dot
+      |       FROM pairs JOIN embeddings ea ON ea.vec_id = pa
+      |                  JOIN embeddings eb ON eb.vec_id = pb),
       |dropped AS (SELECT DISTINCT pb FROM pdots
       |       JOIN norms na ON pa = na.vec_id
       |       JOIN norms nb ON pb = nb.vec_id
