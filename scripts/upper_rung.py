@@ -19,15 +19,25 @@ agree ABOVE the bottom rung. This script:
 
 Usage: python3 scripts/upper_rung.py [fixtureDir] [verifyOutDir]
          [--docs N] [--vecs N] [--out FILE.json] [--skip-spark]
+         [--memory-limit SIZE] [--temp-dir DIR]
 
 --docs/--vecs pick the rung: 20000/17000 (default) crosses the first
 upper rung (W=9, p=9, 130 lists); 40000/40000 crosses the SECOND
 (W=10, p=10, 200 lists) — each rung is a distinct CASE arm in the
 oracles and a distinct bucket geometry in Spark, so each needs its
 own end-to-end hash verification.
+
+--memory-limit/--temp-dir size the DuckDB side: rung 2's oracle fits
+the default budget, but rung 3's in-list pair joins exceed DuckDB's
+default (80% of RAM is shared with the lingering Spark JVM) and its
+default temp dir is the CWD-relative `.tmp` — which filled the repo
+volume in the round-11 attempt. Defaults here give DuckDB 96 GB and
+an absolute /tmp spill dir.
 """
+import argparse
 import json
 import math
+import os
 import subprocess
 import sys
 
@@ -35,14 +45,6 @@ import duckdb
 
 QUERIES = ["dedup_simhash", "knn_join", "knn_lsh",
            "knn_ivf_given_centroids", "semdedup_given_centroids"]
-N_DOCS = 20000
-N_VECS = 17000
-
-
-def flag(name, default):
-    if name in sys.argv:
-        return sys.argv[sys.argv.index(name) + 1]
-    return default
 
 
 def canon(df):
@@ -84,26 +86,37 @@ def compare(con, sql, out_dir, name):
 
 
 def main():
-    n_docs_req = int(flag("--docs", N_DOCS))
-    n_vecs_req = int(flag("--vecs", N_VECS))
-    out_json = flag("--out", "UPPERRUNG_r11.json")
-    skip = {"--skip-spark"}
-    for f in ("--docs", "--vecs", "--out"):
-        if f in sys.argv:
-            skip |= {f, sys.argv[sys.argv.index(f) + 1]}
-    argv = [a for a in sys.argv[1:] if a not in skip]
-    fix_dir = argv[0] if len(argv) > 0 else "/tmp/graft_upper_rung"
-    out_dir = argv[1] if len(argv) > 1 else "/tmp/graft_upper_rung_out"
-    if "--skip-spark" not in sys.argv:  # reuse an existing Verify dump
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("fixture_dir", nargs="?", default="/tmp/graft_upper_rung")
+    ap.add_argument("verify_out_dir", nargs="?",
+                    default="/tmp/graft_upper_rung_out")
+    ap.add_argument("--docs", type=int, default=20000)
+    ap.add_argument("--vecs", type=int, default=17000)
+    ap.add_argument("--out", default="UPPERRUNG_r12.json")
+    ap.add_argument("--skip-spark", action="store_true",
+                    help="reuse an existing Verify dump")
+    ap.add_argument("--memory-limit", default="96GB",
+                    help="DuckDB memory_limit (default leaves headroom "
+                         "for the Spark JVM on a 128 GB box)")
+    ap.add_argument("--temp-dir", default="/tmp/graft_duck_tmp",
+                    help="DuckDB spill directory (absolute; the default "
+                         "CWD-relative .tmp filled the repo volume)")
+    args = ap.parse_args()
+    fix_dir, out_dir, out_json = args.fixture_dir, args.verify_out_dir, args.out
+    if not args.skip_spark:
         subprocess.run(
             ["sbt",
-             f'runMain graft.tools.UpperRung {fix_dir} {n_docs_req} {n_vecs_req}'],
+             f'runMain graft.tools.UpperRung {fix_dir} {args.docs} {args.vecs}'],
             check=True)
         subprocess.run(
             ["sbt", f'runMain graft.Verify {fix_dir} {out_dir} {",".join(QUERIES)}'],
-            check=True, env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "16"})
+            check=True, env={**os.environ, "SPARK_GRAFT_CPUS": "16"})
 
     con = duckdb.connect()
+    os.makedirs(args.temp_dir, exist_ok=True)
+    con.execute(f"SET memory_limit='{args.memory_limit}'")
+    con.execute(f"SET temp_directory='{args.temp_dir}'")
+    con.execute("SET preserve_insertion_order=false")
     for t in ["documents", "embeddings"]:
         # Spark writes each table as a DIRECTORY of part files
         con.execute(f"CREATE VIEW {t} AS SELECT * "

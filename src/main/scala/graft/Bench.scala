@@ -162,6 +162,17 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH.json"), line + "\n")
     catch { case _: Throwable => () }
+    // The detail line above is ~8 KB — a harness that keeps only the
+    // last ~2 KB of stdout cuts off its head, so every BENCH_r*.json
+    // artifact since round 1 carries "parsed": null. This COMPACT
+    // summary goes LAST and fits any tail window whole: an extractor
+    // scanning the tail for `{"metric"` finds one complete object
+    // (the detail line's own `{"metric"` head sits outside the
+    // window). Full per-item stats stay in the line above / BENCH.json.
+    val slowest = queryFns.map(_._1).filter(n => qTimes(n).nonEmpty)
+      .sortBy(n => -qTimes(n).min).take(5)
+      .map(n => jstr(n) + ":" + f"${qTimes(n).min}%.3f").mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","med_total":$medTotal,"reps":$reps,"failures":$failures,"n_queries":${queryFns.size},"n_builds":${buildFns.size},"slowest_min":$slowest,"full":"BENCH.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

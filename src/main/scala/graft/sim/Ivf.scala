@@ -401,6 +401,14 @@ object Ivf extends QueryModule {
     "semdedup" -> (semdedupQ _),
     "semdedup_given_centroids" -> (semdedupGivenCentroidsQ _))
 
+  /** Embedding dimensionality assumed by the oracle SQL — the single
+    * source of BOTH the comp-unnest bound (`range(1, Dim+1)`) and the
+    * semdedup pair-dot's list slice (`embedding[1:Dim]`). The Spark
+    * side reduces over the full array, so these stay consistent only
+    * if every dim-bounded oracle form derives from this one constant.
+    */
+  val Dim = 64
+
   /** The given-quantizer assignment chain, shared by both gated
     * variants: full per-vector centroid ranking (rn = 1 is the
     * assignment, rn ≤ nProbe is the probe set).
@@ -408,7 +416,7 @@ object Ivf extends QueryModule {
   private val givenAssignCte =
     s"""WITH comp AS (SELECT vec_id, CAST(i AS INT) AS i,
       |         CAST(CAST(embedding[CAST(i AS INT)] AS FLOAT) AS DOUBLE) AS v
-      |       FROM embeddings, UNNEST(range(1, 65)) u(i)),
+      |       FROM embeddings, UNNEST(range(1, ${Dim + 1})) u(i)),
       |norms AS (SELECT vec_id,
       |         CAST(CAST(sum(CAST(CAST(v * v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS nsq
       |       FROM comp GROUP BY vec_id),
@@ -467,7 +475,7 @@ object Ivf extends QueryModule {
       |         ON x.list_id = y.list_id AND x.vec_id < y.vec_id),
       |pdots AS (SELECT pa, pb,
       |         CAST(CAST(list_sum(list_transform(
-      |           list_zip(ea.embedding, eb.embedding),
+      |           list_zip(ea.embedding[1:$Dim], eb.embedding[1:$Dim]),
       |           x -> CAST(CAST(CAST(CAST(x[1] AS FLOAT) AS DOUBLE)
       |             * CAST(CAST(x[2] AS FLOAT) AS DOUBLE)
       |             AS VARCHAR) AS DECIMAL(24,12)))) AS VARCHAR) AS DOUBLE) AS dot
