@@ -86,6 +86,9 @@ object Bench {
         forecast.Gbt.prebuild(etl.Observations.panel(spark, sfDir))),
       "ivf_index" -> (() => sim.Ivf.prebuild(spark, sfDir)),
       "given_centroid_lists" -> (() => sim.Ivf.prebuildGiven(spark, sfDir)),
+      // after given_centroid_lists: the saved index persists that
+      // (already-billed) assignment to parquet — this bills the write
+      "ivf_saved_index" -> (() => { sim.IndexStore.prebuildSaved(spark, sfDir); () }),
       // after neardup_index: the LR labels read the L2 verdict, which
       // probes the (already-billed) standing pair index
       "quality_lr" -> (() =>

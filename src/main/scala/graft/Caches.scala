@@ -20,6 +20,7 @@ object Caches {
     pipeline.QualityModel.clearCacheForBench()
     sim.Pq.clearCacheForBench()
     sim.Ivf.clearCacheForBench()
+    sim.IndexStore.clearCacheForBench()
     sim.Pca.clearCacheForBench()
   }
 }

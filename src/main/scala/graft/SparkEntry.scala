@@ -8,7 +8,7 @@ import graft.etl.EtlQueries
 import graft.pipeline.Corpus
 import graft.relational.{AsOf, Relational, SqlApi}
 import graft.forecast.ForecastQueries
-import graft.sim.{Ivf, Pca, Pq, SimQueries}
+import graft.sim.{IndexStore, Ivf, Pca, Pq, SimQueries}
 import graft.streaming.StreamQueries
 import graft.text.{RagQueries, TextQueries}
 
@@ -22,7 +22,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational, EtlQueries, Dashboard, Insights, EventOps,
     TextQueries, DedupQueries, SimQueries, RagQueries, ForecastQueries,
-    StreamQueries, SqlApi, AsOf, Ivf, Pq, Pca, Clusters, Graph, Corpus)
+    StreamQueries, SqlApi, AsOf, Ivf, IndexStore, Pq, Pca, Clusters,
+    Graph, Corpus)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
