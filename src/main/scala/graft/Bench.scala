@@ -89,6 +89,8 @@ object Bench {
       // after given_centroid_lists: the saved index persists that
       // (already-billed) assignment to parquet — this bills the write
       "ivf_saved_index" -> (() => { sim.IndexStore.prebuildSaved(spark, sfDir); () }),
+      // after tfidf_index: persists that (already-billed) index
+      "tfidf_saved_index" -> (() => { sim.IndexStore.prebuildSavedTfidf(spark, sfDir); () }),
       // after neardup_index: the LR labels read the L2 verdict, which
       // probes the (already-billed) standing pair index
       "quality_lr" -> (() =>

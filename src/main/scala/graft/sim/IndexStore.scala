@@ -112,7 +112,9 @@ object IndexStore extends graft.QueryModule {
   private val savedCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 
-  private[graft] def clearCacheForBench(): Unit = savedCache.clear()
+  private[graft] def clearCacheForBench(): Unit = {
+    savedCache.clear(); savedTfidfCache.clear()
+  }
 
   /** Ensure the saved index exists for the driver corpus (bench bills
     * this as the `ivf_saved_index` build).
@@ -135,12 +137,42 @@ object IndexStore extends graft.QueryModule {
   def knnServedQ(spark: SparkSession, dir: String): DataFrame =
     servedKnnGiven(spark, prebuildSaved(spark, dir), col("vec_id") < 5, 3)
 
-  override def queries: Map[String, Q] =
-    Map("knn_ivf_served" -> (knnServedQ _))
+  // --- the text-index twin (SURVEY §2 D9) ----------------------------
 
-  /** The fresh build's oracle verbatim: the persisted round-trip must
+  private val savedTfidfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Ensure the saved TF-IDF index over the documents corpus exists
+    * (bench bills this as the `tfidf_saved_index` build).
+    */
+  def prebuildSavedTfidf(spark: SparkSession, dir: String): String =
+    savedTfidfCache.synchronized {
+      savedTfidfCache.filterInPlace { case ((s, _), _) =>
+        !s.sparkContext.isStopped }
+      savedTfidfCache.getOrElseUpdate((spark, dir), {
+        val ixDir = indexDirFor(dir) + "_tfidf"
+        graft.text.Tfidf.save(graft.text.Tfidf.index(
+          graft.sources.Tables.documents(spark, dir), "doc_id", "text"), ixDir)
+        ixDir
+      })
+    }
+
+  /** D9 gate query — the retrieval-index round-trip, gated by
+    * cosine_topk_docs's oracle verbatim.
+    */
+  def cosineTopkServedQ(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Tfidf.searchSaved(spark, prebuildSavedTfidf(spark, dir),
+        graft.text.RagQueries.question, 5)
+      .select(col("id").as("doc_id"), col("cosine"))
+
+  override def queries: Map[String, Q] = Map(
+    "knn_ivf_served" -> (knnServedQ _),
+    "cosine_topk_served" -> (cosineTopkServedQ _))
+
+  /** The fresh builds' oracles verbatim: a persisted round-trip must
     * serve exactly what the in-session index serves.
     */
-  override def oracles: Map[String, String] =
-    Map("knn_ivf_served" -> Ivf.oracles("knn_ivf_given_centroids"))
+  override def oracles: Map[String, String] = Map(
+    "knn_ivf_served" -> Ivf.oracles("knn_ivf_given_centroids"),
+    "cosine_topk_served" -> graft.text.RagQueries.oracles("cosine_topk_docs"))
 }

@@ -146,6 +146,49 @@ object Tfidf {
   def searchTopK(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, queryText: String, k: Int): DataFrame =
     index(docs, idCol, textCol).searchTopK(queryText, k)
+
+  /** Persist a built index for cross-session serving (SURVEY §2 D9):
+    * the weights table is CLUSTERED BY term (repartition + sort) so a
+    * serve-time query's term IN-filter prunes row groups — the scan
+    * reads ~|query terms| / |vocab| of the index, not all of it.
+    */
+  def save(ix: TfidfIndex, dir: String): Unit = {
+    ix.idf.write.mode("overwrite").parquet(s"$dir/idf")
+    ix.weights.repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$dir/weights")
+    ix.norms.write.mode("overwrite").parquet(s"$dir/norms")
+  }
+
+  /** Cosine top-k served from a SAVED index — the same algebra as
+    * [[TfidfIndex.searchTopK]] over the loaded frames, bit-identical
+    * on the same corpus, with one serve-time addition: the query's
+    * term set (a driver-side quantity — one string's tokens) is
+    * collected and pushed into the weights scan, so the
+    * term-clustered file serves the query from a handful of row
+    * groups. The filter is semantics-preserving: the inner join on
+    * term already restricts to query terms.
+    */
+  def searchSaved(spark: SparkSession, dir: String, queryText: String,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val idfT = spark.read.parquet(s"$dir/idf")
+    val weightsT = spark.read.parquet(s"$dir/weights")
+    val normsT = spark.read.parquet(s"$dir/norms")
+    val qp = postings(Seq((0L, queryText)).toDF("id", "text"), "id", "text")
+    val qw = weights(qp, idfT).select(col("term"), col("w").as("qw"))
+    val qn = norms(qw.select(lit(0L).as("id"), col("term"), col("qw").as("w")))
+      .select(col("nsq").as("qnsq"))
+    val qTerms = qw.select("term").distinct().as[String].collect().toSeq
+    val dots = weightsT.filter(col("term").isin(qTerms: _*))
+      .join(broadcast(qw), "term")
+      .groupBy("id")
+      .agg(expr("cast(sum(cast(w * qw as decimal(24,8))) as double)").as("dot"))
+    dots.join(normsT, "id").crossJoin(broadcast(qn))
+      .withColumn("cosine", col("dot") / (sqrt(col("nsq")) * sqrt(col("qnsq"))))
+      .select(col("id"), col("cosine"))
+      .orderBy(desc("cosine"), asc("id"))
+      .limit(k)
+  }
 }
 
 /** A built (persisted) TF-IDF index over one corpus. */

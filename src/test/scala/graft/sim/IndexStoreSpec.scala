@@ -50,4 +50,28 @@ class IndexStoreSpec extends SparkSpec {
     val fresh = Ivf.knnGivenCentroidsQ(spark, sf)
     assert(served.collect().toSeq == fresh.collect().toSeq)
   }
+
+  test("tfidf search from a saved index is bit-identical to the fresh build") {
+    import graft.text.{RagQueries, Tfidf}
+    val docs = Tables.documents(spark, sf)
+    val ixDir = Files.createTempDirectory("graft_tfidf_ix").toString
+    Tfidf.save(Tfidf.index(docs, "doc_id", "text"), ixDir)
+    val fresh = Tfidf.searchTopK(spark, docs, "doc_id", "text",
+      RagQueries.question, 5)
+    val served = Tfidf.searchSaved(spark, ixDir, RagQueries.question, 5)
+    assert(served.schema == fresh.schema)
+    assert(served.collect().toSeq == fresh.collect().toSeq)
+  }
+
+  test("serve-time weights scan pushes the query's term set into parquet") {
+    import graft.text.{RagQueries, Tfidf}
+    val served = Tfidf.searchSaved(spark,
+      IndexStore.prebuildSavedTfidf(spark, sf), RagQueries.question, 5)
+    val plan = served.queryExecution.executedPlan.toString
+    // the weights scan must carry In(term, …) as a PUSHED filter —
+    // row-group pruning over the term-clustered file is the whole
+    // point of the saved layout
+    val pushed = "PushedFilters: \\[[^\\]]*In\\(term".r.findFirstIn(plan)
+    assert(pushed.isDefined, s"no pushed In(term…) filter in:\n$plan")
+  }
 }
