@@ -96,6 +96,8 @@ object Bench {
       "quality_lr" -> (() =>
         pipeline.QualityModel.prebuild(sources.Tables.documents(spark, sfDir))),
       "pq_codes" -> (() => sim.Pq.prebuild(spark, sfDir)),
+      // after pq_codes: persists the (already-billed) encode output
+      "pq_saved_index" -> (() => { sim.IndexStore.prebuildSavedPq(spark, sfDir); () }),
       // after given_centroid_lists: residual codes quantize against
       // the (already-billed) given-quantizer assignment
       "pq_residual_codes" -> (() => sim.Pq.prebuildResidual(spark, sfDir)))

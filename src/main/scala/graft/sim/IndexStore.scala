@@ -113,7 +113,7 @@ object IndexStore extends graft.QueryModule {
     .empty[(SparkSession, String), String]
 
   private[graft] def clearCacheForBench(): Unit = {
-    savedCache.clear(); savedTfidfCache.clear()
+    savedCache.clear(); savedTfidfCache.clear(); savedPqCache.clear()
   }
 
   /** Ensure the saved index exists for the driver corpus (bench bills
@@ -165,14 +165,46 @@ object IndexStore extends graft.QueryModule {
         graft.text.RagQueries.question, 5)
       .select(col("id").as("doc_id"), col("cosine"))
 
+  // --- the PQ twin (SURVEY §2 G16) -----------------------------------
+
+  private val savedPqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Ensure the saved PQ artifact exists (bench: `pq_saved_index`). */
+  def prebuildSavedPq(spark: SparkSession, dir: String): String =
+    savedPqCache.synchronized {
+      savedPqCache.filterInPlace { case ((s, _), _) =>
+        !s.sparkContext.isStopped }
+      savedPqCache.getOrElseUpdate((spark, dir), {
+        val ixDir = indexDirFor(dir) + "_pq"
+        Pq.save(graft.sources.Tables.embeddings(spark, dir)
+          .select("vec_id", "embedding"), ixDir)
+        ixDir
+      })
+    }
+
+  /** G16 gate query — ADC search over the persisted compressed corpus
+    * (codes + codebook only, no raw embeddings), gated by knn_pq's
+    * oracle verbatim.
+    */
+  def knnPqServedQ(spark: SparkSession, dir: String): DataFrame = {
+    val queries = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < Pq.QueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    Pq.servedKnn(spark, prebuildSavedPq(spark, dir), queries,
+      col("vec_id") >= Pq.QueryIds)
+  }
+
   override def queries: Map[String, Q] = Map(
     "knn_ivf_served" -> (knnServedQ _),
-    "cosine_topk_served" -> (cosineTopkServedQ _))
+    "cosine_topk_served" -> (cosineTopkServedQ _),
+    "knn_pq_served" -> (knnPqServedQ _))
 
   /** The fresh builds' oracles verbatim: a persisted round-trip must
     * serve exactly what the in-session index serves.
     */
   override def oracles: Map[String, String] = Map(
     "knn_ivf_served" -> Ivf.oracles("knn_ivf_given_centroids"),
-    "cosine_topk_served" -> graft.text.RagQueries.oracles("cosine_topk_docs"))
+    "cosine_topk_served" -> graft.text.RagQueries.oracles("cosine_topk_docs"),
+    "knn_pq_served" -> Pq.oracles("knn_pq"))
 }

@@ -141,6 +141,51 @@ object Pq extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** Persist the PQ artifact (SURVEY §2 G16): the tiny codebook plus
+    * the PACKED codes table ([[encode]]'s one-row-per-vector layout —
+    * the M-byte form a vector store actually keeps on disk). Raw
+    * embeddings are deliberately NOT saved: serving from this
+    * artifact proves the compressed form is sufficient.
+    */
+  def save(emb: DataFrame, dir: String): Unit = {
+    codebook(emb).write.mode("overwrite").parquet(s"$dir/codebook")
+    encode(emb).write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** ADC top-k served from a SAVED artifact: queries arrive with raw
+    * vectors (the serve-time contract — only the corpus is stored
+    * compressed), the per-query LUT is computed against the loaded
+    * codebook exactly as the fresh path does, and candidates unpack
+    * from the packed codes with one `stack` projection. Bit-identical
+    * to [[knn]] on the same corpus.
+    */
+  def servedKnn(spark: SparkSession, dir: String, queries: DataFrame,
+      candPred: Column): DataFrame = {
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val lut = queries.crossJoin(broadcast(cb))
+      .select(col("query_id") +: col("cid") +:
+        (0 until NumSub).map(m => subDistSq("eq", "ce", m).as(s"d$m")): _*)
+      .selectExpr("query_id", "cid",
+        s"stack($NumSub, ${(0 until NumSub)
+          .map(m => s"$m, d$m").mkString(", ")}) as (m, dsq)")
+    val cand = spark.read.parquet(s"$dir/codes").filter(candPred)
+      .selectExpr("vec_id AS neighbor_id",
+        s"stack($NumSub, ${(0 until NumSub)
+          .map(m => s"$m, code_$m").mkString(", ")}) as (m, code)")
+    val adist = cand
+      .join(broadcast(lut),
+        cand("m") === lut("m") && cand("code") === lut("cid"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("dsq").cast("decimal(24,12)")).cast("double")
+        .as("adist"))
+      .withColumn("sim", -col("adist"))
+    graft.plans.AggExpressions
+      .topKPerKey(adist, "query_id", "sim", "neighbor_id",
+        Seq("adist"), K)
+      .select("query_id", "rank", "neighbor_id", "adist")
+      .orderBy("query_id", "rank")
+  }
+
   /** G11 — `knn_pq`: ADC top-k. The per-query lookup table (queries ×
     * M × K codewords) is computed exact once and broadcast; each
     * candidate is scored by M equi-join lookups + one quantized sum —

@@ -63,6 +63,17 @@ class IndexStoreSpec extends SparkSpec {
     assert(served.collect().toSeq == fresh.collect().toSeq)
   }
 
+  test("pq ADC search from the saved compressed corpus is bit-identical to the fresh build") {
+    val fresh = Pq.knn(emb)
+    val queries = emb.filter(col("vec_id") < Pq.QueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val served = Pq.servedKnn(spark,
+      IndexStore.prebuildSavedPq(spark, sf), queries,
+      col("vec_id") >= Pq.QueryIds)
+    assert(served.schema == fresh.schema)
+    assert(served.collect().toSeq == fresh.collect().toSeq)
+  }
+
   test("serve-time weights scan pushes the query's term set into parquet") {
     import graft.text.{RagQueries, Tfidf}
     val served = Tfidf.searchSaved(spark,
