@@ -44,14 +44,46 @@ object IndexStore extends graft.QueryModule {
       .parquet(s"$dir/lists")
   }
 
-  /** The saved listed corpus. Partition-column type inference reads
-    * `list_id=` directories back as INT — restore the LONG the fresh
-    * path carries (centroid ids are vec_ids) so served output is
-    * schema-identical to [[Ivf.knnGivenCentroids]].
+  /** The saved listed corpus, read with an EXPLICIT schema: an index
+    * saved from an empty corpus has no part files to infer from (the
+    * r9 empty-tables census class), and inference would also type the
+    * `list_id=` partition directories as INT where the fresh path
+    * carries LONG (centroid ids are vec_ids) — the explicit schema
+    * keeps served output schema-identical to [[Ivf.knnGivenCentroids]]
+    * in both cases.
     */
   private def loadLists(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/lists")
-      .withColumn("list_id", col("list_id").cast("long"))
+    spark.read
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, nsq DOUBLE, list_id BIGINT")
+      .parquet(s"$dir/lists")
+
+  /** Incremental maintenance: assign ONLY the new vectors against the
+    * SAVED centroids and append them into the partitioned lists
+    * layout — existing rows are never touched, and for a fixed
+    * quantizer the result is IDENTICAL to a full rebuild over the
+    * union corpus (assignment is per-vector; the spec asserts the
+    * equivalence). This is the arrival path of a live corpus: a day's
+    * new embeddings are one broadcast-argmax pass + one append.
+    */
+  def appendGiven(newEmb: DataFrame, dir: String): Unit = {
+    val spark = newEmb.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val e = newEmb.select(col("vec_id"), col("embedding"),
+      Vectors.normSq("embedding").as("nsq"))
+    // same broadcast-argmax as the fresh build (Ivf.buildGivenListed),
+    // against the loaded centroid rows — ce/cn round-trip losslessly,
+    // so assignment is bit-identical to assigning within a rebuild
+    val assignNarrow = e.crossJoin(broadcast(cents))
+      .withColumn("c_cos", Vectors.cosineFrom(
+        Vectors.dot("embedding", "ce"), col("nsq"), col("cn")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("c_cos"), -col("cid")))
+        .as("list_id"))
+    e.join(assignNarrow, "vec_id")
+      .repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$dir/lists")
+  }
 
   /** Top-k cosine served from a SAVED index — the same probe-then-
     * re-rank algebra as [[Ivf.knnGivenCentroids]], with the candidate
@@ -92,6 +124,67 @@ object IndexStore extends graft.QueryModule {
         Seq("list_id"), k)
       .select("query_id", "rank", "neighbor_id", "cosine", "list_id")
       .orderBy("query_id", "rank")
+  }
+
+  /** J11 — a STREAM of query vectors served against the saved index
+    * (the online half of the serving story; [[servedKnnGiven]] is the
+    * batch half). Structured-Streaming constraints shape the plan:
+    *
+    *  - probe selection is STATELESS — no window function (disallowed
+    *    on streams): the loaded centroids pack into ONE broadcast row
+    *    (the [[Pq.packedCodebook]] pattern) and each query scores
+    *    them inside a projection, sorts the 16-struct array, and
+    *    explodes its first nProbe entries;
+    *  - candidates come from a stream-static join on list_id against
+    *    the saved lists;
+    *  - per-query top-k is the collectTopK aggregate — run the sink
+    *    in UPDATE mode; a query's rows land in one micro-batch, so
+    *    its final emission is the complete top-k.
+    *
+    * Scores reuse the exact decimal-quantized reductions, so emitted
+    * rows are bit-equal to the batch serve (spec-pinned).
+    */
+  def knnServeStream(queries: DataFrame, indexDir: String,
+      candPred: Column, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val lists = loadLists(spark, indexDir)
+    val packed = spark.read.parquet(s"$indexDir/centroids")
+      .agg(sort_array(collect_list(struct(col("cid"), col("ce"),
+        col("cn")))).as("cb"))
+      .withColumn("j", lit(1)) // stream-static cross joins are
+    // restricted — a constant equi-join is the streaming idiom
+    // decimal-quantized dot against a lambda-bound centroid — the
+    // same reduction as Vectors.dot, inlined because the codegen'd
+    // helper binds column names, not lambda variables
+    val scoredArr =
+      s"""transform(cb, c -> named_struct(
+         |  'negcos', -(cast(aggregate(
+         |      zip_with(eq, c.ce, (xv, yv) ->
+         |        cast(cast(xv as double) * cast(yv as double)
+         |             as decimal(24,12))),
+         |      cast(0 as decimal(24,12)),
+         |      (acc, v) -> cast(acc + v as decimal(24,12))) as double)
+         |    / (sqrt(nq) * sqrt(c.cn))),
+         |  'cid', c.cid))""".stripMargin
+    val probes = queries
+      .select(col("query_id"), col("eq"), Vectors.normSq("eq").as("nq"),
+        lit(1).as("j"))
+      .join(broadcast(packed), "j")
+      .select(col("query_id"), col("eq"), col("nq"),
+        explode(expr(s"slice(array_sort($scoredArr), 1, ${Ivf.GivenProbe})"))
+          .as("p"))
+      .select(col("query_id"), col("eq"), col("nq"),
+        col("p.cid").as("list_id"))
+    val cand = lists.filter(candPred)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"),
+        col("nsq").as("nc"), col("list_id"))
+    val scored = probes.join(cand, "list_id")
+      .withColumn("cosine",
+        Vectors.cosineFrom(Vectors.dot("eq", "ec"), col("nq"), col("nc")))
+    graft.plans.AggExpressions
+      .topKPerKey(scored, "query_id", "cosine", "neighbor_id",
+        Seq("list_id"), k)
+      .select("query_id", "rank", "neighbor_id", "cosine", "list_id")
   }
 
   // --- driver-query face ---------------------------------------------
@@ -195,10 +288,37 @@ object IndexStore extends graft.QueryModule {
       col("vec_id") >= Pq.QueryIds)
   }
 
+  // --- index health (SURVEY §2 G17) ----------------------------------
+
+  /** G17 — per-list occupancy report over the given-quantizer index:
+    * the balance diagnostic an IVF deployment watches (a hot list
+    * degrades probe-bounded search toward a scan; an empty one wastes
+    * a probe). One map-side-combinable aggregate over the assignment
+    * plus a broadcast 1-row total for the share — O(nLists) output at
+    * any corpus size.
+    */
+  def listStatsQ(spark: SparkSession, dir: String): DataFrame = {
+    val (_, assigned) = Ivf.givenListed(
+      graft.sources.Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding"))
+    val counts = assigned.groupBy("list_id")
+      .agg(count(lit(1)).as("n_vectors"))
+    counts
+      .crossJoin(broadcast(counts.agg(
+        sum("n_vectors").as("total"), count(lit(1)).as("n_lists"))))
+      // integer div + one double division: both engine-exact (decimal
+      // division scale rules DIFFER between Spark and DuckDB)
+      .select(col("list_id"), col("n_vectors"),
+        expr("(n_vectors * 1000000) div total").as("share_ppm"),
+        expr("cast(n_vectors * n_lists as double) / total").as("balance"))
+      .orderBy("list_id")
+  }
+
   override def queries: Map[String, Q] = Map(
     "knn_ivf_served" -> (knnServedQ _),
     "cosine_topk_served" -> (cosineTopkServedQ _),
-    "knn_pq_served" -> (knnPqServedQ _))
+    "knn_pq_served" -> (knnPqServedQ _),
+    "ivf_list_stats" -> (listStatsQ _))
 
   /** The fresh builds' oracles verbatim: a persisted round-trip must
     * serve exactly what the in-session index serves.
@@ -206,5 +326,15 @@ object IndexStore extends graft.QueryModule {
   override def oracles: Map[String, String] = Map(
     "knn_ivf_served" -> Ivf.oracles("knn_ivf_given_centroids"),
     "cosine_topk_served" -> graft.text.RagQueries.oracles("cosine_topk_docs"),
-    "knn_pq_served" -> Pq.oracles("knn_pq"))
+    "knn_pq_served" -> Pq.oracles("knn_pq"),
+    "ivf_list_stats" -> (Ivf.givenAssignSql + """
+      |counts AS (SELECT list_id, count(*) AS n_vectors
+      |       FROM lists GROUP BY 1),
+      |tot AS (SELECT sum(n_vectors) AS total, count(*) AS n_lists
+      |       FROM counts)
+      |SELECT list_id, n_vectors,
+      |  (n_vectors * 1000000) // total AS share_ppm,
+      |  CAST(n_vectors * n_lists AS DOUBLE) / total AS balance
+      |FROM counts, tot
+      |ORDER BY list_id""".stripMargin))
 }

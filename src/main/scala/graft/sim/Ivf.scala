@@ -413,6 +413,8 @@ object Ivf extends QueryModule {
     * variants: full per-vector centroid ranking (rn = 1 is the
     * assignment, rn ≤ nProbe is the probe set).
     */
+  private[sim] def givenAssignSql: String = givenAssignCte
+
   private val givenAssignCte =
     s"""WITH comp AS (SELECT vec_id, CAST(i AS INT) AS i,
       |         CAST(CAST(embedding[CAST(i AS INT)] AS FLOAT) AS DOUBLE) AS v

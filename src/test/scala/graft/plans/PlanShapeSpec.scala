@@ -96,7 +96,14 @@ class PlanShapeSpec extends SparkSpec {
       "dsir_sample",
       // hybrid_rrf composes the cosine and BM25 retrievals, so it
       // inherits their broadcast 1-row corpus-stat cross joins
-      "hybrid_rrf")
+      "hybrid_rrf",
+      // round 12, the served-index faces: probe/LUT selection crosses
+      // the query set with the broadcast 16-row loaded centroid or
+      // codebook table (the knn_ivf_given_centroids / knn_pq shapes),
+      // and cosine_topk_served crosses its broadcast 1-row query-norm
+      // frame; ivf_list_stats crosses its broadcast 1-row totals
+      "knn_ivf_served", "cosine_topk_served", "knn_pq_served",
+      "ivf_list_stats")
     // (embedding_pca/_r left the list in round 9: the iteration moved
     // to a driver-side solve over the collected d² summary — the
     // RowMatrix.computePrincipalComponents shape — so their plans no

@@ -74,6 +74,51 @@ class IndexStoreSpec extends SparkSpec {
     assert(served.collect().toSeq == fresh.collect().toSeq)
   }
 
+  test("incremental append equals a full rebuild over the union corpus") {
+    val n = emb.count()
+    val cut = n / 2 // well above the 16 centroid ids
+    val d = Files.createTempDirectory("graft_ix_append").toString
+    IndexStore.saveGiven(emb.filter(col("vec_id") < cut), d)
+    IndexStore.appendGiven(emb.filter(col("vec_id") >= cut), d)
+    val served = IndexStore.servedKnnGiven(spark, d, col("vec_id") < 5, 3)
+    val fresh = Ivf.knnGivenCentroids(emb, col("vec_id") < 5, 3)
+    assert(served.collect().toSeq == fresh.collect().toSeq)
+  }
+
+  test("the query-vector STREAM serves the batch top-k bit-equal") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val out = IndexStore.knnServeStream(
+      src.toDF().toDF("query_id", "eq"), ixDir, col("vec_id") >= 5, 3)
+    val q = out.writeStream.format("memory").queryName("knn_serve_stream")
+      .outputMode("update").start()
+    try {
+      src.addData(emb.filter(col("vec_id") < 5)
+        .as[(Long, Array[Float])].collect().toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("knn_serve_stream").collect().toSeq
+      .sortBy(r => (r.getLong(0), r.getInt(1)))
+    val want = IndexStore.servedKnnGiven(spark, ixDir, col("vec_id") < 5, 3)
+      .collect().toSeq
+    assert(got.map(_.toSeq) == want.map(_.toSeq))
+  }
+
+  test("ivf_list_stats conserves the corpus and centers balance at 1") {
+    import spark.implicits._
+    val stats = IndexStore.listStatsQ(spark, sf).collect()
+    val n = emb.count()
+    assert(stats.map(_.getAs[Long]("n_vectors")).sum == n)
+    // Σ share_ppm ≤ 1e6 with only truncation slack (< 1 ppm per list)
+    val ppm = stats.map(_.getAs[Long]("share_ppm")).sum
+    assert(ppm <= 1000000L && ppm > 1000000L - stats.length)
+    // balance = occupancy / ideal: averages to 1 by construction
+    val meanBal = stats.map(_.getAs[Double]("balance")).sum / stats.length
+    assert(math.abs(meanBal - 1.0) < 1e-9, s"mean balance $meanBal")
+  }
+
   test("serve-time weights scan pushes the query's term set into parquet") {
     import graft.text.{RagQueries, Tfidf}
     val served = Tfidf.searchSaved(spark,
