@@ -126,6 +126,30 @@ object IndexStore extends graft.QueryModule {
       .orderBy("query_id", "rank")
   }
 
+  /** Maintenance companion to [[appendGiven]]: each append lays one
+    * file per touched list, so a long-lived index accumulates small
+    * files (the classic ops cost — listing + per-file open dominate a
+    * probe's read). Compaction rewrites the lists layout at one file
+    * per list directory via a staging dir + atomic-ish swap (write
+    * staged, swap names, drop old): a crash mid-compact leaves either
+    * the old or the staged layout whole, never a half layout.
+    * Serving results are unchanged (spec-pinned).
+    */
+  def compactGiven(spark: SparkSession, dir: String): Unit = {
+    val lists = loadLists(spark, dir)
+    val staged = s"$dir/lists_compact_staging"
+    lists.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(staged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(staged), spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/lists")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/lists_compact_old")
+    fs.rename(live, old)
+    fs.rename(new org.apache.hadoop.fs.Path(staged), live)
+    fs.delete(old, true)
+    ()
+  }
+
   /** J11 — a STREAM of query vectors served against the saved index
     * (the online half of the serving story; [[servedKnnGiven]] is the
     * batch half). Structured-Streaming constraints shape the plan:

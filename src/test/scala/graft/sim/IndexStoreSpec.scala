@@ -85,6 +85,30 @@ class IndexStoreSpec extends SparkSpec {
     assert(served.collect().toSeq == fresh.collect().toSeq)
   }
 
+  test("compaction rewrites to one file per list and serves unchanged") {
+    val n = emb.count()
+    val cut = n / 2
+    val d = Files.createTempDirectory("graft_ix_compact").toString
+    IndexStore.saveGiven(emb.filter(col("vec_id") < cut), d)
+    IndexStore.appendGiven(emb.filter(col("vec_id") >= cut), d)
+    val before = IndexStore.servedKnnGiven(spark, d, col("vec_id") < 5, 3)
+      .collect().toSeq
+    def partFiles: Map[String, Int] = {
+      val root = new java.io.File(s"$d/lists")
+      root.listFiles().filter(_.getName.startsWith("list_id=")).map { p =>
+        p.getName -> p.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    }
+    assert(partFiles.values.exists(_ > 1),
+      "fixture should have multi-file lists before compaction")
+    IndexStore.compactGiven(spark, d)
+    assert(partFiles.values.forall(_ == 1),
+      s"lists not compacted to one file each: $partFiles")
+    val after = IndexStore.servedKnnGiven(spark, d, col("vec_id") < 5, 3)
+      .collect().toSeq
+    assert(after == before)
+  }
+
   test("the query-vector STREAM serves the batch top-k bit-equal") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
