@@ -89,8 +89,16 @@ object Bench {
       // after given_centroid_lists: the saved index persists that
       // (already-billed) assignment to parquet — this bills the write
       "ivf_saved_index" -> (() => { sim.IndexStore.prebuildSaved(spark, sfDir); () }),
+      // a SECOND save plus the bounded touched-list delete rewrite —
+      // the G20 gate's fixture, billed here so knn_ivf_deleted times
+      // the serve, not the index surgery
+      "ivf_deleted_index" -> (() => { sim.IndexStore.prebuildSavedDeleted(spark, sfDir); () }),
       // after tfidf_index: persists that (already-billed) index
       "tfidf_saved_index" -> (() => { sim.IndexStore.prebuildSavedTfidf(spark, sfDir); () }),
+      // after tfidf_index: the BM25 artifact derives from the same
+      // (already-billed) postings — this bills the dl/bidf passes +
+      // the clustered write
+      "bm25_saved_index" -> (() => { sim.IndexStore.prebuildSavedBm25(spark, sfDir); () }),
       // after neardup_index: the LR labels read the L2 verdict, which
       // probes the (already-billed) standing pair index
       "quality_lr" -> (() =>

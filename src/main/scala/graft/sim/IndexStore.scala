@@ -150,6 +150,47 @@ object IndexStore extends graft.QueryModule {
     ()
   }
 
+  /** Deletion — the last face of the index CRUD lifecycle
+    * (save / serve / append / compact / DELETE): remove a set of
+    * vec_ids from the saved lists. The rewrite is bounded by the
+    * TOUCHED lists, not the index: the delete set joins the lists
+    * once to find which directories hold its ids (O(nLists) driver
+    * rows — the same √n bound as the probe set), those lists are
+    * rewritten minus the deleted rows through a staging dir, and each
+    * touched directory is swapped individually — so a delete of k
+    * vectors re-reads and re-writes only the lists they lived in,
+    * never the other ~nLists−k directories. A list whose every row is
+    * deleted writes no staged partition and its live directory is
+    * removed. Per-list swap keeps the crash contract of
+    * [[compactGiven]] at directory granularity: any prefix of swaps
+    * leaves every list whole, either old or new.
+    */
+  def deleteGiven(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val lists = loadLists(spark, dir)
+    // join strategy left to Catalyst/AQE: a daily delete set
+    // broadcasts, a bulk one shuffles — both stay correct
+    val del = ids.select(col("vec_id")).distinct()
+    val touched = lists.join(del, "vec_id")
+      .select("list_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (touched.isEmpty) return
+    val staged = s"$dir/lists_delete_staging"
+    lists.filter(col("list_id").isin(touched: _*))
+      .join(del, Seq("vec_id"), "left_anti")
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(staged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(staged), spark.sparkContext.hadoopConfiguration)
+    for (lid <- touched) {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/lists/list_id=$lid")
+      val next = new org.apache.hadoop.fs.Path(s"$staged/list_id=$lid")
+      fs.delete(live, true)
+      if (fs.exists(next)) fs.rename(next, live) // absent ⇒ list emptied
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+    ()
+  }
+
   /** J11 — a STREAM of query vectors served against the saved index
     * (the online half of the serving story; [[servedKnnGiven]] is the
     * batch half). Structured-Streaming constraints shape the plan:
@@ -231,6 +272,7 @@ object IndexStore extends graft.QueryModule {
 
   private[graft] def clearCacheForBench(): Unit = {
     savedCache.clear(); savedTfidfCache.clear(); savedPqCache.clear()
+    savedDeletedCache.clear(); savedBm25Cache.clear()
   }
 
   /** Ensure the saved index exists for the driver corpus (bench bills
@@ -253,6 +295,46 @@ object IndexStore extends graft.QueryModule {
     */
   def knnServedQ(spark: SparkSession, dir: String): DataFrame =
     servedKnnGiven(spark, prebuildSaved(spark, dir), col("vec_id") < 5, 3)
+
+  // --- the delete face under the gate (SURVEY §2 G20) ----------------
+
+  /** vec_ids removed by the gated delete query: ≥ GivenCentroids so
+    * the pinned quantizer is untouched, wide enough to clip several
+    * lists' candidate sets.
+    */
+  private[sim] val DeletedLo = 20L
+  private[sim] val DeletedHi = 40L // exclusive
+
+  private val savedDeletedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** A second saved index for the delete gate (the shared G15 index
+    * must stay whole), with [DeletedLo, DeletedHi) deleted; bench
+    * bills this as the `ivf_deleted_index` build.
+    */
+  def prebuildSavedDeleted(spark: SparkSession, dir: String): String =
+    savedDeletedCache.synchronized {
+      savedDeletedCache.filterInPlace { case ((s, _), _) =>
+        !s.sparkContext.isStopped }
+      savedDeletedCache.getOrElseUpdate((spark, dir), {
+        val ixDir = indexDirFor(dir) + "_del"
+        saveGiven(graft.sources.Tables.embeddings(spark, dir)
+          .select("vec_id", "embedding"), ixDir)
+        deleteGiven(spark, ixDir,
+          spark.range(DeletedLo, DeletedHi).withColumnRenamed("id", "vec_id"))
+        ixDir
+      })
+    }
+
+  /** G20 gate query — serve AFTER a delete; the oracle excludes the
+    * deleted ids from the candidate CTE and nothing else, so the hash
+    * gate proves deletion removes exactly those rows from what the
+    * index serves (and the partition-pruned serve path still works
+    * over the rewritten layout).
+    */
+  def knnDeletedQ(spark: SparkSession, dir: String): DataFrame =
+    servedKnnGiven(spark, prebuildSavedDeleted(spark, dir),
+      col("vec_id") < 5, 3)
 
   // --- the text-index twin (SURVEY §2 D9) ----------------------------
 
@@ -281,6 +363,48 @@ object IndexStore extends graft.QueryModule {
     graft.text.Tfidf.searchSaved(spark, prebuildSavedTfidf(spark, dir),
         graft.text.RagQueries.question, 5)
       .select(col("id").as("doc_id"), col("cosine"))
+
+  // --- the BM25-index twin (SURVEY §2 D10) ---------------------------
+
+  private val savedBm25Cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Ensure the saved BM25 index exists (bench: `bm25_saved_index`). */
+  def prebuildSavedBm25(spark: SparkSession, dir: String): String =
+    savedBm25Cache.synchronized {
+      savedBm25Cache.filterInPlace { case ((s, _), _) =>
+        !s.sparkContext.isStopped }
+      savedBm25Cache.getOrElseUpdate((spark, dir), {
+        val ixDir = indexDirFor(dir) + "_bm25"
+        graft.text.Bm25.save(spark,
+          graft.sources.Tables.documents(spark, dir), "doc_id", "text", ixDir)
+        ixDir
+      })
+    }
+
+  /** D10 gate query — BM25 served from the persisted Lucene-shaped
+    * artifact, gated by bm25_topk_docs's oracle verbatim.
+    */
+  def bm25TopkServedQ(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bm25.servedTopK(spark, prebuildSavedBm25(spark, dir),
+        graft.text.RagQueries.question, 5)
+      .select(col("id").as("doc_id"), col("score"))
+
+  /** D11 gate query — the full hybrid retrieval (cosine + BM25 + RRF
+    * fusion) answered from the PERSISTED indexes alone: both retrieval
+    * legs read their saved artifacts (term-pushed scans), the raw
+    * corpus is never touched, and the fusion is the shared
+    * [[graft.text.RagQueries.rrfFuse]]. Gated by hybrid_rrf's oracle
+    * verbatim — the served pipeline must rank exactly as the fresh one.
+    */
+  def hybridRrfServedQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{Bm25, RagQueries, Tfidf}
+    RagQueries.rrfFuse(
+      Tfidf.searchSaved(spark, prebuildSavedTfidf(spark, dir),
+        RagQueries.question, RagQueries.RrfDepth),
+      Bm25.servedTopK(spark, prebuildSavedBm25(spark, dir),
+        RagQueries.question, RagQueries.RrfDepth))
+  }
 
   // --- the PQ twin (SURVEY §2 G16) -----------------------------------
 
@@ -340,7 +464,10 @@ object IndexStore extends graft.QueryModule {
 
   override def queries: Map[String, Q] = Map(
     "knn_ivf_served" -> (knnServedQ _),
+    "knn_ivf_deleted" -> (knnDeletedQ _),
     "cosine_topk_served" -> (cosineTopkServedQ _),
+    "bm25_topk_served" -> (bm25TopkServedQ _),
+    "hybrid_rrf_served" -> (hybridRrfServedQ _),
     "knn_pq_served" -> (knnPqServedQ _),
     "ivf_list_stats" -> (listStatsQ _))
 
@@ -349,7 +476,11 @@ object IndexStore extends graft.QueryModule {
     */
   override def oracles: Map[String, String] = Map(
     "knn_ivf_served" -> Ivf.oracles("knn_ivf_given_centroids"),
+    "knn_ivf_deleted" -> Ivf.givenKnnSql(candWhere =
+      s"vec_id >= 5 AND vec_id NOT BETWEEN $DeletedLo AND ${DeletedHi - 1}"),
     "cosine_topk_served" -> graft.text.RagQueries.oracles("cosine_topk_docs"),
+    "bm25_topk_served" -> graft.text.RagQueries.oracles("bm25_topk_docs"),
+    "hybrid_rrf_served" -> graft.text.RagQueries.oracles("hybrid_rrf"),
     "knn_pq_served" -> Pq.oracles("knn_pq"),
     "ivf_list_stats" -> (Ivf.givenAssignSql + """
       |counts AS (SELECT list_id, count(*) AS n_vectors

@@ -395,9 +395,63 @@ object Ivf extends QueryModule {
     semdedupGivenCentroids(
       Tables.embeddings(spark, dir).select("vec_id", "embedding"))
 
+  /** G19 — FILTERED vector search: each query's top-k is taken only
+    * among candidates sharing its `label` — metadata-scoped ANN, the
+    * multi-tenant / shard-constrained search a vector store serves
+    * when a filter expression composes with similarity. Semantics are
+    * PRE-filtering: the predicate restricts the candidate set BEFORE
+    * ranking (inside the probed lists), so the result is the exact
+    * filtered top-k of the probe-bounded search — post-filtering
+    * (filter AFTER an unfiltered top-k) silently returns fewer than k
+    * matches whenever the unfiltered head is dominated by other
+    * tenants, which is precisely the bug class this query pins.
+    *
+    * Scale shape: [[knnGivenCentroids]] plus one co-partitioned
+    * metadata join on vec_id; the label equality rides the in-list
+    * candidate join as a second key, so the filtered join is
+    * (list_id, label)-hashed — strictly SMALLER than the unfiltered
+    * in-list join, never a post-hoc filter over it.
+    */
+  def knnGivenFiltered(emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val (cents, assigned) = givenListed(emb.select("vec_id", "embedding"))
+    val listed = assigned.join(emb.select("vec_id", "label"), "vec_id")
+    val queries = listed.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+        col("nsq").as("nq"), col("label"))
+    val probeRank = Window.partitionBy("query_id")
+      .orderBy(desc("c_cos"), asc("cid"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("c_cos", Vectors.cosineFrom(
+        Vectors.dot("eq", "ce"), col("nq"), col("cn")))
+      .withColumn("prnk", row_number().over(probeRank))
+      .filter(col("prnk") <= GivenProbe)
+      .select(col("query_id"), col("eq"), col("nq"), col("label"),
+        col("cid").as("list_id"))
+    val cand = listed.filter(!queryPred)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"),
+        col("nsq").as("nc"), col("list_id"), col("label"))
+    val scored = probes.join(cand, Seq("list_id", "label"))
+      .withColumn("cosine",
+        Vectors.cosineFrom(Vectors.dot("eq", "ec"), col("nq"), col("nc")))
+    graft.plans.AggExpressions
+      .topKPerKey(scored, "query_id", "cosine", "neighbor_id",
+        Seq("list_id", "label"), k)
+      .select("query_id", "rank", "neighbor_id", "cosine",
+        "list_id", "label")
+      .orderBy("query_id", "rank")
+  }
+
+  // pass the base table, not a projection: knnGivenFiltered's inner
+  // select(vec_id, embedding) must analyze to the SAME plan as the
+  // other given-centroids faces so the listed-corpus memo is shared
+  def knnGivenFilteredQ(spark: SparkSession, dir: String): DataFrame =
+    knnGivenFiltered(Tables.embeddings(spark, dir), col("vec_id") < 5, 3)
+
   override def queries: Map[String, Q] = Map(
     "knn_ivf" -> (knnIvf _),
     "knn_ivf_given_centroids" -> (knnGivenCentroidsQ _),
+    "knn_ivf_filtered" -> (knnGivenFilteredQ _),
     "semdedup" -> (semdedupQ _),
     "semdedup_given_centroids" -> (semdedupGivenCentroidsQ _))
 
@@ -447,12 +501,17 @@ object Ivf extends QueryModule {
     * half-up/VARCHAR discipline are identical, so results are
     * bit-equal to the unnest form.
     */
-  override def oracles: Map[String, String] = Map(
-    "knn_ivf_given_centroids" -> (givenAssignCte + s"""
+  /** The given-quantizer probe-and-re-rank oracle, parameterized over
+    * the candidate predicate: "vec_id >= 5" is the fresh/served
+    * search; the delete gate (IndexStore, G20) narrows it by the
+    * deleted id range and nothing else.
+    */
+  private[sim] def givenKnnSql(candWhere: String): String =
+    givenAssignCte + s"""
       |probes AS (SELECT vec_id AS query_id, list_id FROM assign
       |       WHERE vec_id < 5 AND rn <= $GivenProbe),
       |cand AS (SELECT vec_id AS neighbor_id, list_id FROM lists
-      |       WHERE vec_id >= 5),
+      |       WHERE $candWhere),
       |pdots AS (SELECT p.query_id, c.neighbor_id, c.list_id,
       |         CAST(CAST(sum(CAST(CAST(a.v * b.v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dot
       |       FROM probes p JOIN cand c ON p.list_id = c.list_id
@@ -470,7 +529,37 @@ object Ivf extends QueryModule {
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
       |  cosine, list_id
       |FROM ranked WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "knn_ivf_filtered" -> (givenAssignCte + s"""
+      |lbl AS (SELECT vec_id, label FROM embeddings),
+      |probes AS (SELECT a.vec_id AS query_id, a.list_id, l.label
+      |       FROM assign a JOIN lbl l ON a.vec_id = l.vec_id
+      |       WHERE a.vec_id < 5 AND a.rn <= $GivenProbe),
+      |cand AS (SELECT c.vec_id AS neighbor_id, c.list_id, l.label
+      |       FROM lists c JOIN lbl l ON c.vec_id = l.vec_id
+      |       WHERE c.vec_id >= 5),
+      |pdots AS (SELECT p.query_id, c.neighbor_id, c.list_id, p.label,
+      |         CAST(CAST(sum(CAST(CAST(a.v * b.v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dot
+      |       FROM probes p JOIN cand c
+      |         ON p.list_id = c.list_id AND p.label = c.label
+      |         JOIN comp a ON a.vec_id = p.query_id
+      |         JOIN comp b ON b.vec_id = c.neighbor_id AND a.i = b.i
+      |       GROUP BY 1, 2, 3, 4),
+      |scored AS (SELECT query_id, neighbor_id, list_id, label,
+      |         dot / (sqrt(nq.nsq) * sqrt(nc.nsq)) AS cosine
+      |       FROM pdots JOIN norms nq ON query_id = nq.vec_id
+      |                  JOIN norms nc ON neighbor_id = nc.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, cosine, list_id, label,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      |       FROM scored)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+      |  cosine, list_id, label
+      |FROM ranked WHERE rank <= 3
       |ORDER BY query_id, rank""".stripMargin),
+    "knn_ivf_given_centroids" -> givenKnnSql(candWhere = "vec_id >= 5"),
     "semdedup_given_centroids" -> (givenAssignCte + s"""
       |pairs AS (SELECT x.vec_id AS pa, y.vec_id AS pb
       |       FROM lists x JOIN lists y

@@ -74,4 +74,74 @@ object Bm25 {
       .orderBy(desc("score"), asc("id"))
       .limit(k)
   }
+
+  /** Persist the BM25 index (SURVEY §2 D10) — the Lucene-shaped
+    * artifact: `postings` (id, term, tf) CLUSTERED BY term so a
+    * serve-time term IN-filter prunes row groups (the [[Tfidf.save]]
+    * discipline), `dl` per-doc lengths, `bidf` the decimal-quantized
+    * per-term idf (vocab-sized, term-clustered too), and `stats` the
+    * 1-row corpus totals the saturation denominator needs. Everything
+    * the scorer reads at serve time, nothing else — the raw corpus
+    * stays behind.
+    */
+  def save(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, dir: String): Unit = {
+    val ix = Tfidf.index(docs, idCol, textCol)
+    val p = ix.postings
+    val dl = p.groupBy("id").agg(sum("tf").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum("dl").as("tot_dl")))
+    val bidf = ix.idf.select(col("term"), col("df"))
+      .crossJoin(broadcast(stats.select("n_docs")))
+      .withColumn("bidf", expr(
+        """cast(cast(ln((cast(n_docs - df as double) + 0.5d)
+          |             / (cast(df as double) + 0.5d) + 1.0d)
+          |     as decimal(18,9)) as double)""".stripMargin))
+      .select("term", "bidf")
+    p.repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    dl.write.mode("overwrite").parquet(s"$dir/dl")
+    bidf.repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$dir/bidf")
+    stats.write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** BM25 top-k served from a SAVED index — the same score algebra as
+    * [[topK]] over the loaded frames, bit-identical on the same
+    * corpus. The query's term set (one string's tokens, a driver-side
+    * quantity) is pushed into BOTH term-clustered scans, so a serve
+    * reads ~|query terms| / |vocab| of the postings. Explicit schemas
+    * on every read: an index saved from an empty corpus has no part
+    * files to infer from and must serve empty, not fail.
+    */
+  def servedTopK(spark: SparkSession, dir: String, queryText: String,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val p = spark.read.schema("id BIGINT, term STRING, tf BIGINT")
+      .parquet(s"$dir/postings")
+    val dl = spark.read.schema("id BIGINT, dl BIGINT")
+      .parquet(s"$dir/dl")
+    val bidf = spark.read.schema("term STRING, bidf DOUBLE")
+      .parquet(s"$dir/bidf")
+    val stats = broadcast(
+      spark.read.schema("n_docs BIGINT, tot_dl BIGINT")
+        .parquet(s"$dir/stats"))
+    val qTerms = Tfidf.postings(
+        Seq((0L, queryText)).toDF("id", "text"), "id", "text")
+      .select("term").distinct().as[String].collect().toSeq
+    p.filter(col("term").isin(qTerms: _*))
+      .join(dl, "id")
+      .join(broadcast(bidf.filter(col("term").isin(qTerms: _*))), "term")
+      .crossJoin(stats)
+      .withColumn("avgdl",
+        col("tot_dl").cast("double") / nullif(col("n_docs"), lit(0L)))
+      .withColumn("ts",
+        col("bidf") * (col("tf") * lit(K1p1)) /
+          (col("tf") + lit(K1) *
+            (lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy("id")
+      .agg(expr("cast(sum(cast(ts as decimal(24,8))) as double)").as("score"))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+  }
 }

@@ -109,11 +109,22 @@ object RagQueries extends QueryModule {
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val cos = Tfidf.searchTopK(spark, docs, "doc_id", "text",
-        question, RrfDepth)
+      question, RrfDepth)
+    val bm = Bm25.topK(spark, docs, "doc_id", "text", question, RrfDepth)
+    rrfFuse(cos, bm)
+  }
+
+  /** The RRF merge over the two retrievals' top-[[RrfDepth]] frames —
+    * shared by the fresh face above and the served-index face
+    * (IndexStore.hybridRrfServedQ), which must fuse identically.
+    * All three windows ride ≤ RrfDepth-row inputs.
+    */
+  private[graft] def rrfFuse(cosTopK: DataFrame, bmTopK: DataFrame): DataFrame = {
+    val cos = cosTopK
       .select(col("id").as("doc_id"),
         row_number().over(Window.orderBy(desc("cosine"), asc("id")))
           .as("crank"))
-    val bm = Bm25.topK(spark, docs, "doc_id", "text", question, RrfDepth)
+    val bm = bmTopK
       .select(col("id").as("doc_id"),
         row_number().over(Window.orderBy(desc("score"), asc("id")))
           .as("brank"))

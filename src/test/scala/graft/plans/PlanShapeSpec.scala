@@ -103,7 +103,18 @@ class PlanShapeSpec extends SparkSpec {
       // and cosine_topk_served crosses its broadcast 1-row query-norm
       // frame; ivf_list_stats crosses its broadcast 1-row totals
       "knn_ivf_served", "cosine_topk_served", "knn_pq_served",
-      "ivf_list_stats")
+      "ivf_list_stats",
+      // knn_ivf_filtered ranks probes with the same broadcast 16-row
+      // centroid cross join as knn_ivf_given_centroids; the filtered
+      // candidate join itself is a (list_id, label) hash equi-join
+      "knn_ivf_filtered",
+      // knn_ivf_deleted is knn_ivf_served over the post-delete index:
+      // same broadcast 16-row loaded-centroid probe ranking
+      "knn_ivf_deleted",
+      // bm25_topk_served crosses its broadcast 1-row loaded corpus
+      // stats, the same shape as bm25_topk_docs's stats frame; the
+      // served hybrid composes both served retrievals' 1-row crosses
+      "bm25_topk_served", "hybrid_rrf_served")
     // (embedding_pca/_r left the list in round 9: the iteration moved
     // to a driver-side solve over the collected d² summary — the
     // RowMatrix.computePrincipalComponents shape — so their plans no
@@ -136,7 +147,8 @@ class PlanShapeSpec extends SparkSpec {
       "dsir_sample",
       // hybrid_rrf ranks the two RrfDepth-row retrieval outputs and
       // the RrfK-row fused head — all three windows ride top-k frames
-      "hybrid_rrf",
+      // (the served face fuses through the same rrfFuse)
+      "hybrid_rrf", "hybrid_rrf_served",
       // token_ids assigns vocab ids over the VocabSize(256)-row
       // frequency head (post-limit), then broadcast-joins it back
       "token_ids")

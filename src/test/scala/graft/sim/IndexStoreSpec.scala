@@ -143,6 +143,105 @@ class IndexStoreSpec extends SparkSpec {
     assert(math.abs(meanBal - 1.0) < 1e-9, s"mean balance $meanBal")
   }
 
+  // mirror IndexStore.loadLists: partition-dir inference types
+  // list_id INT where the saved layout carries LONG
+  private def readLists(d: String) = spark.read
+    .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, nsq DOUBLE, list_id BIGINT")
+    .parquet(s"$d/lists")
+
+  private def listFiles(d: String): Map[String, Set[String]] = {
+    val root = new java.io.File(s"$d/lists")
+    root.listFiles().filter(_.getName.startsWith("list_id=")).map { p =>
+      p.getName -> p.listFiles().map(_.getName)
+        .filter(_.endsWith(".parquet")).toSet
+    }.toMap
+  }
+
+  test("delete removes exactly the requested ids and rewrites only touched lists") {
+    val d = Files.createTempDirectory("graft_ix_del").toString
+    IndexStore.saveGiven(emb, d)
+    val n = emb.count()
+    val before = listFiles(d)
+    val lists = readLists(d)
+    val touched = lists
+      .filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      .select("list_id").distinct().collect()
+      .map(r => s"list_id=${r.getLong(0)}").toSet
+    IndexStore.deleteGiven(spark, d,
+      spark.range(100, 120).withColumnRenamed("id", "vec_id"))
+    val after = listFiles(d)
+    assert(readLists(d).count() == n - 20)
+    assert(readLists(d)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 120).count() == 0)
+    // untouched list directories keep their exact part files — the
+    // rewrite is bounded by the touched lists, not the index
+    for ((lid, files) <- before if !touched(lid))
+      assert(after(lid) == files, s"untouched $lid was rewritten")
+    // the post-delete serve equals a fresh build over the remaining
+    // corpus (deleted ids ≥ 16 leave the pinned quantizer unchanged)
+    val served = IndexStore.servedKnnGiven(spark, d, col("vec_id") < 5, 3)
+    val fresh = Ivf.knnGivenCentroids(
+      emb.filter(col("vec_id") < 100 || col("vec_id") >= 120),
+      col("vec_id") < 5, 3)
+    assert(served.collect().toSeq == fresh.collect().toSeq)
+  }
+
+  test("deleting a whole list drops its directory; re-append restores the serve") {
+    val d = Files.createTempDirectory("graft_ix_del_all").toString
+    IndexStore.saveGiven(emb, d)
+    val lists = readLists(d)
+    // the smallest list — its members include its own centroid id
+    // (self-cosine 1), so this exercises deleting a centroid's CORPUS
+    // row while the saved quantizer stays pinned
+    val lid = lists.groupBy("list_id").count()
+      .orderBy(col("count"), col("list_id")).first().getLong(0)
+    val members = lists.filter(col("list_id") === lid).select("vec_id")
+    val memberIds = members.collect().map(_.getLong(0)).toSet
+    IndexStore.deleteGiven(spark, d, members)
+    assert(!new java.io.File(s"$d/lists/list_id=$lid").exists(),
+      s"emptied list directory list_id=$lid should be gone")
+    // delete then append of the same rows is an identity on the serve
+    IndexStore.appendGiven(
+      emb.filter(col("vec_id").isInCollection(memberIds)), d)
+    val restored = IndexStore.servedKnnGiven(spark, d, col("vec_id") < 5, 3)
+    val original = IndexStore.servedKnnGiven(spark, ixDir, col("vec_id") < 5, 3)
+    assert(restored.collect().toSeq == original.collect().toSeq)
+  }
+
+  test("the delete gate face serves the remaining corpus through the pruned path") {
+    val served = IndexStore.knnDeletedQ(spark, sf)
+    val fresh = Ivf.knnGivenCentroids(
+      emb.filter(col("vec_id") < IndexStore.DeletedLo ||
+        col("vec_id") >= IndexStore.DeletedHi),
+      col("vec_id") < 5, 3)
+    assert(served.collect().toSeq == fresh.collect().toSeq)
+  }
+
+  test("bm25 served from the saved artifact is bit-identical to the fresh build") {
+    import graft.text.{Bm25, RagQueries}
+    val docs = Tables.documents(spark, sf)
+    val d = Files.createTempDirectory("graft_bm25_ix").toString
+    Bm25.save(spark, docs, "doc_id", "text", d)
+    val fresh = Bm25.topK(spark, docs, "doc_id", "text",
+      RagQueries.question, 5)
+    val served = Bm25.servedTopK(spark, d, RagQueries.question, 5)
+    assert(served.schema == fresh.schema)
+    assert(served.collect().toSeq == fresh.collect().toSeq)
+    // and the postings scan carries the query's terms as a PUSHED
+    // filter — row-group pruning over the term-clustered file
+    val plan = served.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*In\\(term".r.findFirstIn(plan)
+    assert(pushed.isDefined, s"no pushed In(term…) filter in:\n$plan")
+  }
+
+  test("hybrid RRF served from the persisted indexes matches the fresh pipeline") {
+    import graft.text.RagQueries
+    val served = IndexStore.hybridRrfServedQ(spark, sf)
+    val fresh = RagQueries.hybridRrf(spark, sf)
+    assert(served.schema == fresh.schema)
+    assert(served.collect().toSeq == fresh.collect().toSeq)
+  }
+
   test("serve-time weights scan pushes the query's term set into parquet") {
     import graft.text.{RagQueries, Tfidf}
     val served = Tfidf.searchSaved(spark,

@@ -19,6 +19,31 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("knn_ivf_filtered: pre-filter semantics, not post-filter") {
+    import org.apache.spark.sql.functions.col
+    val rows = Ivf.knnGivenFilteredQ(spark, sf).collect()
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every emitted neighbor shares its query's label, and the label
+    // column itself carries that shared value
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val nb = r.getAs[Long]("neighbor_id")
+      assert(labelOf(nb) == labelOf(q) && r.getAs[Int]("label") == labelOf(q))
+    }
+    // pre-filter ≠ post-filter: filtering the UNFILTERED top-k after
+    // the fact must lose rows for at least one query (the head is
+    // shared across labels), while the filtered search still fills k
+    val unfiltered = Ivf.knnGivenCentroidsQ(spark, sf).collect()
+    val postCount = unfiltered.count { r =>
+      labelOf(r.getAs[Long]("neighbor_id")) ==
+        labelOf(r.getAs[Long]("query_id"))
+    }
+    assert(postCount < rows.length,
+      s"fixture degenerate: post-filter ($postCount) = pre-filter (${rows.length})")
+  }
+
   test("ivf degrades on empty, 1-row, and tiny corpora (k clamped to n)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
