@@ -476,11 +476,14 @@ object Ivf extends QueryModule {
       |norms AS (SELECT vec_id,
       |         CAST(CAST(sum(CAST(CAST(v * v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS nsq
       |       FROM comp GROUP BY vec_id),
-      |cdots AS (SELECT a.vec_id, b.vec_id AS cid,
-      |         CAST(CAST(sum(CAST(CAST(a.v * b.v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dot
-      |       FROM comp a JOIN comp b
-      |         ON a.i = b.i AND b.vec_id < $GivenCentroids
-      |       GROUP BY 1, 2),
+      |cdots AS (SELECT ea.vec_id, cb.vec_id AS cid,
+      |         CAST(CAST(list_sum(list_transform(
+      |           list_zip(ea.embedding[1:$Dim], cb.embedding[1:$Dim]),
+      |           x -> CAST(CAST(CAST(CAST(x[1] AS FLOAT) AS DOUBLE)
+      |             * CAST(CAST(x[2] AS FLOAT) AS DOUBLE)
+      |             AS VARCHAR) AS DECIMAL(24,12)))) AS VARCHAR) AS DOUBLE) AS dot
+      |       FROM embeddings ea JOIN embeddings cb
+      |         ON cb.vec_id < $GivenCentroids),
       |assign AS (SELECT cdots.vec_id, cid AS list_id,
       |         row_number() OVER (PARTITION BY cdots.vec_id
       |           ORDER BY dot / (sqrt(nv.nsq) * sqrt(nc.nsq)) DESC,
@@ -492,14 +495,17 @@ object Ivf extends QueryModule {
   /** KMeans is not ANSI-SQL-expressible → knn_ivf/semdedup stay
     * rows-only; the given-centroids variants are fully gated.
     *
-    * semdedup's pair-dot is a scalar list reduction (list_zip →
-    * list_transform → list_sum), not the comp-unnest join the other
-    * stages use: in-list pair volume is n²/(2·16), and the unnest
-    * form multiplies that by 64 dims into a spilling hash aggregate
-    * (>80 GB at 40k vectors, the rung-3 fixture) while the list form
-    * streams the probe side. Term values and the DECIMAL(24,12)
+    * The two bulk dot-product stages — semdedup's in-list pair-dot
+    * and the assignment's vector×centroid `cdots` — are scalar list
+    * reductions (list_zip → list_transform → list_sum), not the
+    * comp-unnest join the probe-side stages use: the unnest form
+    * multiplies each pair by 64 dims into a spilling hash aggregate
+    * (the 40k-vector rung-3 fixture exhausted an 80 GB temp volume
+    * through it), while the list form computes each pair's dot in
+    * one scalar pass. Term values and the DECIMAL(24,12)
     * half-up/VARCHAR discipline are identical, so results are
-    * bit-equal to the unnest form.
+    * bit-equal to the unnest form. `comp` stays for norms and the
+    * small probe-side joins (bounded by the 5 gate queries).
     */
   /** The given-quantizer probe-and-re-rank oracle, parameterized over
     * the candidate predicate: "vec_id >= 5" is the fresh/served
