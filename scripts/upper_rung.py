@@ -101,6 +101,11 @@ def main():
     ap.add_argument("--temp-dir", default="/tmp/graft_duck_tmp",
                     help="DuckDB spill directory (absolute; the default "
                          "CWD-relative .tmp filled the repo volume)")
+    ap.add_argument("--threads", type=int, default=0,
+                    help="DuckDB thread cap (0 = engine default); fewer "
+                         "threads = fewer concurrently materializing "
+                         "pipelines = a smaller peak spill footprint on "
+                         "the big rungs")
     args = ap.parse_args()
     fix_dir, out_dir, out_json = args.fixture_dir, args.verify_out_dir, args.out
     if not args.skip_spark:
@@ -116,6 +121,8 @@ def main():
     os.makedirs(args.temp_dir, exist_ok=True)
     con.execute(f"SET memory_limit='{args.memory_limit}'")
     con.execute(f"SET temp_directory='{args.temp_dir}'")
+    if args.threads > 0:
+        con.execute(f"SET threads={args.threads}")
     con.execute("SET preserve_insertion_order=false")
     for t in ["documents", "embeddings"]:
         # Spark writes each table as a DIRECTORY of part files

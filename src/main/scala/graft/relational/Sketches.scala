@@ -1,0 +1,328 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryModule
+import graft.plans.AggExpressions
+import graft.sources.Tables
+
+/** Mergeable sketches — the 100 TB cardinality/frequency primitives —
+  * made DETERMINISTIC and therefore DuckDB hash-gated.
+  *
+  * `q_approx` (K6) ships Spark's native HLL++/KLL sketches, whose
+  * register hashing is engine-private — it can only ever be a
+  * rows-only check. This module is the complement: the same sketch
+  * ALGEBRA built on the repo's cross-engine hash discipline
+  * (`conv(md5(tag|key)[0:12], 16, 10)` — 48 bits, exact in BIGINT and
+  * as a dyadic double), so every register, counter, bit and estimate
+  * is bit-reproducible on both engines and the whole sketch lands
+  * inside the correctness gate. A deployment keeps K6 for ad-hoc
+  * speed; these are the AUDITABLE sketches a pipeline can assert on.
+  *
+  * Scale shapes (all map-side combinable, nothing corpus-sized on the
+  * driver): KMV = one distinct-pair aggregate + a bounded k-heap
+  * (CollectTopK — O(K) state per group, no per-group sort); HLL =
+  * ONE max-aggregate over (group, 64 registers) cells; CMS = ONE
+  * count-aggregate over d×w cells broadcast back onto the candidate
+  * set; Bloom = a ≤m-row distinct-position table broadcast into the
+  * probe scan (the runtime-filter/DPP shape: the probe side is
+  * pre-filtered by the build side's membership summary before any
+  * exact join).
+  */
+object Sketches extends QueryModule {
+
+  /** Shared 48-bit cross-engine hash (graft.dedup.Dedup discipline,
+    * widened to 12 hex digits so KMV's order statistics have
+    * negligible collision mass while staying exact in a double).
+    */
+  private def h48(tag: String, key: String): String =
+    s"cast(conv(substring(md5(concat('$tag|', cast($key as string))), 1, 12), 16, 10) as bigint)"
+
+  private def sqlH48(tag: String, key: String): String =
+    s"CAST('0x' || substr(md5('$tag|' || CAST($key AS VARCHAR)), 1, 12) AS BIGINT)"
+
+  // ---------------------------------------------------------------
+  // KMV (k-minimum-values / bottom-k theta sketch): distinct user_id
+  // per event_type. Keep the K smallest DISTINCT hashes; the K-th
+  // smallest normalized to [0,1) estimates density: est = (K-1)/θ.
+  // ---------------------------------------------------------------
+
+  val KmvK = 16
+  private val TwoPow48 = 281474976710656.0 // exact dyadic
+
+  def sketchKmv(spark: SparkSession, dir: String): DataFrame = {
+    val hv = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), expr(h48("kmv", "user_id")).as("hv"))
+      // distinct BEFORE the heap: a duplicate hash must not occupy a
+      // bottom-K slot (map-side partial agg dedups most pairs early)
+      .groupBy("event_type", "hv").agg(count(lit(1)).as("_n")).drop("_n")
+    hv.groupBy("event_type")
+      .agg(AggExpressions.collectTopK(col("hv"), KmvK, largestFirst = false)
+        .as("_bot"))
+      .select(col("event_type"), sort_array(col("_bot")).as("bot"))
+      .withColumn("n_kept", size(col("bot")))
+      .withColumn("kth",
+        when(col("n_kept") === KmvK, element_at(col("bot"), KmvK)))
+      // below K observed distinct the sketch IS the exact count;
+      // (K-1)*2^48 is exact in a double (< 2^52), so the estimate is
+      // one deterministic division on both engines
+      .withColumn("est_distinct",
+        when(col("n_kept") < KmvK, col("n_kept").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble * TwoPow48) / col("kth")))
+      .select("event_type", "n_kept", "kth", "est_distinct")
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------
+  // HLL: 64 registers, register = h mod 64, rho = leading-zero count
+  // of the remaining 42 bits + 1 — computed EXACTLY via bin()'s
+  // minimal binary string (identical semantics both engines), never
+  // floating log2. Σ 2^-Mj is kept as the INTEGER Σ 2^(43-Mj) (every
+  // term exact, 64 terms < 2^50), so the raw estimate is a single
+  // double division from exact integers.
+  // ---------------------------------------------------------------
+
+  val HllM = 64
+  private val HllMaxRho = 43 // 42 payload bits + 1
+  private val TwoPow43 = 8796093022208.0
+  /** alpha_64 · m² · 2^43 — folded to ONE literal so both engines do
+    * exactly one division (the shortest-repr double round-trips
+    * through the SQL text losslessly).
+    */
+  private val HllC = 0.7213 / (1.0 + 1.079 / 64.0) * 4096.0 * TwoPow43
+
+  def sketchHll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    val rho = ev
+      .select(col("event_type"), expr(h48("hll", "user_id")).as("hv"))
+      .withColumn("j", (col("hv") % HllM).cast("int"))
+      .withColumn("w", expr(s"hv div ${HllM}"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(HllMaxRho))
+          .otherwise(lit(HllMaxRho) - length(bin(col("w")))))
+      .groupBy("event_type", "j").agg(max("rho").as("mj"))
+    // every group carries all 64 registers (empty register ⇒ rho 0);
+    // the grid is O(groups·64) — never event volume
+    val grid = ev.select("event_type").distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0), lit(HllM - 1))).as("j"))
+    grid.join(rho, Seq("event_type", "j"), "left")
+      .withColumn("mj", coalesce(col("mj"), lit(0)))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("mj") === 0, 1).otherwise(0)).cast("int").as("v_zero"),
+        sum(expr(s"shiftleft(cast(1 as bigint), $HllMaxRho - mj)"))
+          .cast("bigint").as("s_scaled"))
+      .withColumn("est_raw", lit(HllC) / col("s_scaled").cast("double"))
+      // small-range correction: linear counting below 2.5m when any
+      // register is empty; the ln rides the H7 decimal(18,9) quantize
+      .withColumn("est_distinct",
+        when(col("v_zero") > 0 && col("est_raw") <= lit(2.5 * HllM),
+          lit(HllM.toDouble) * expr(
+            s"cast(cast(ln(cast($HllM as double) / v_zero) as decimal(18,9)) as double)"))
+          .otherwise(col("est_raw")))
+      .select("event_type", "v_zero", "s_scaled", "est_raw", "est_distinct")
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------
+  // Count-min: d=3 salted hash rows × w=32 buckets; every counter is
+  // an exact long. est(key) = min over rows of its bucket counter —
+  // ≥ exact count by construction (spec-pinned). Heavy hitters =
+  // top-10 candidates by estimate (TakeOrdered, never a full sort).
+  // ---------------------------------------------------------------
+
+  val CmsD = 3
+  // CMS width is an ERROR budget, not a corpus function (ε ≈ e/w of
+  // total mass per counter) — fixed geometry is the honest choice,
+  // unlike the Bloom m below which must track the build side
+  val CmsW = 256
+
+  def sketchCmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+      .select("user_id")
+    val pos = ev
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(CmsD - 1))).as("r"))
+      .withColumn("b",
+        expr(h48Salted("cms", "r", "user_id")) % CmsW)
+    val counters = pos.groupBy("r", "b").agg(count(lit(1)).as("c"))
+    val est = pos.distinct()
+      .join(broadcast(counters), Seq("r", "b"))
+      .groupBy("user_id").agg(min("c").as("est_cnt"))
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+    est.join(exact, Seq("user_id"))
+      .orderBy(desc("est_cnt"), asc("user_id"))
+      .limit(10)
+      .select("user_id", "est_cnt", "exact_cnt")
+  }
+
+  /** Row-salted hash: the salt folds into the md5 tag so each CMS row
+    * (and each Bloom probe) is an independent hash function.
+    */
+  private def h48Salted(tag: String, saltCol: String, key: String): String =
+    s"""cast(conv(substring(md5(concat('$tag', cast($saltCol as string),
+       | '|', cast($key as string))), 1, 12), 16, 10) as bigint)"""
+      .stripMargin.replace("\n", "")
+
+  private def sqlH48Salted(tag: String, saltCol: String, key: String): String =
+    s"CAST('0x' || substr(md5('$tag' || CAST($saltCol AS VARCHAR) || '|' || CAST($key AS VARCHAR)), 1, 12) AS BIGINT)"
+
+  // ---------------------------------------------------------------
+  // Bloom-filter join pruning (the runtime-filter shape): the build
+  // side's membership collapses to a ≤m-row distinct-bit-position
+  // table broadcast into the probe scan; a probe row survives iff all
+  // k=3 of its positions are set. No false negatives by construction;
+  // the false-positive count is DETERMINISTIC (same bits both
+  // engines) and emitted — the quantity that prices the filter.
+  //
+  // m is SIZE-DERIVED (the simhash-W/knn-planes ladder discipline): a
+  // fixed m saturates when the build side grows 10× — here m = the
+  // smallest power of 2 ≥ 16·n_build (~5 bits/key at k=3 → ~9% load,
+  // fp ≈ 0.1%), exact integer arithmetic via bin()'s bit length so
+  // both engines derive the identical geometry from ONE count.
+  // ---------------------------------------------------------------
+
+  val BloomK = 3
+  private val bloomMExpr =
+    "shiftleft(cast(1 as bigint), length(bin(greatest(16 * n_build, 2) - 1)))"
+
+  def sketchBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val build = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val msel = build.agg(count(lit(1)).as("n_build"))
+      .withColumn("m", expr(bloomMExpr))
+    val bits = build.crossJoin(broadcast(msel.select("m")))
+      .select(explode(sequence(lit(0), lit(BloomK - 1))).as("i"),
+        col("c_custkey"), col("m"))
+      .select((expr(h48Salted("blm", "i", "c_custkey")) % col("m")).as("p"))
+      .distinct()
+    val probe = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        explode(sequence(lit(0), lit(BloomK - 1))).as("i"))
+      .crossJoin(broadcast(msel.select("m")))
+      .withColumn("p", expr(h48Salted("blm", "i", "o_custkey")) % col("m"))
+    // each probe position matches ≤1 bit row (bits are distinct), so
+    // matched-row count == number of set positions; pass ⇔ all k set
+    val flags = probe
+      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("p"), "left")
+      .groupBy("o_orderkey")
+      .agg(max("o_custkey").as("o_custkey"),
+        sum(coalesce(col("hit"), lit(0))).as("nm"))
+      .withColumn("pass", col("nm") === BloomK)
+      .join(broadcast(build.withColumn("tru", lit(true))
+        .withColumnRenamed("c_custkey", "o_custkey")), Seq("o_custkey"), "left")
+      .withColumn("tru", coalesce(col("tru"), lit(false)))
+    val nBits = bits.agg(count(lit(1)).cast("int").as("n_bits"))
+    flags.agg(
+      count(lit(1)).as("n_probe"),
+      sum(when(col("pass"), 1).otherwise(0)).as("n_pass"),
+      sum(when(col("tru"), 1).otherwise(0)).as("n_true"),
+      sum(when(col("pass") && !col("tru"), 1).otherwise(0)).as("n_fp"))
+      .crossJoin(broadcast(msel))
+      .crossJoin(broadcast(nBits))
+      .select("n_build", "m", "n_bits", "n_probe", "n_pass", "n_true", "n_fp")
+  }
+
+  override def queries: Map[String, Q] = Map(
+    "sketch_kmv" -> (sketchKmv _),
+    "sketch_hll" -> (sketchHll _),
+    "sketch_cms_topk" -> (sketchCmsTopk _),
+    "sketch_bloom_join" -> (sketchBloomJoin _))
+
+  override def oracles: Map[String, String] = Map(
+    "sketch_kmv" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+        |    ${sqlH48("kmv", "user_id")} AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv ASC) AS rn
+        |  FROM h)
+        |SELECT event_type,
+        |  CAST(CASE WHEN count(*) >= $KmvK THEN $KmvK
+        |            ELSE count(*) END AS INT) AS n_kept,
+        |  max(CASE WHEN rn = $KmvK THEN hv END) AS kth,
+        |  CASE WHEN count(*) < $KmvK THEN CAST(count(*) AS DOUBLE)
+        |       ELSE ${(KmvK - 1).toDouble * TwoPow48}
+        |            / max(CASE WHEN rn = $KmvK THEN hv END)
+        |  END AS est_distinct
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "sketch_hll" ->
+      s"""WITH h AS (SELECT event_type,
+        |    ${sqlH48("hll", "user_id")} AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |b AS (SELECT event_type, hv % $HllM AS j, hv // $HllM AS w FROM h),
+        |rho AS (SELECT event_type, j,
+        |    max(CASE WHEN w = 0 THEN $HllMaxRho
+        |             ELSE $HllMaxRho - length(bin(w)) END) AS mj
+        |  FROM b GROUP BY 1, 2),
+        |grid AS (SELECT event_type, CAST(j AS BIGINT) AS j
+        |  FROM (SELECT DISTINCT event_type FROM events
+        |        WHERE user_id IS NOT NULL), UNNEST(range(0, $HllM)) u(j)),
+        |regs AS (SELECT g.event_type, g.j, coalesce(r.mj, 0) AS mj
+        |  FROM grid g LEFT JOIN rho r
+        |    ON r.event_type = g.event_type AND r.j = g.j),
+        |agg AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS INT) AS v_zero,
+        |    CAST(sum(CAST(1 AS BIGINT) << ($HllMaxRho - mj)) AS BIGINT)
+        |      AS s_scaled
+        |  FROM regs GROUP BY event_type)
+        |SELECT event_type, v_zero, s_scaled,
+        |  $HllC / CAST(s_scaled AS DOUBLE) AS est_raw,
+        |  CASE WHEN v_zero > 0
+        |        AND $HllC / CAST(s_scaled AS DOUBLE) <= ${2.5 * HllM}
+        |       THEN CAST($HllM AS DOUBLE) * CAST(CAST(
+        |            ln(CAST($HllM AS DOUBLE) / v_zero)
+        |            AS DECIMAL(18,9)) AS DOUBLE)
+        |       ELSE $HllC / CAST(s_scaled AS DOUBLE)
+        |  END AS est_distinct
+        |FROM agg ORDER BY event_type""".stripMargin,
+    "sketch_cms_topk" ->
+      s"""WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+        |pos AS (SELECT user_id, r,
+        |    ${sqlH48Salted("cms", "r", "user_id")} % $CmsW AS b
+        |  FROM e, UNNEST(range(0, $CmsD)) u(r)),
+        |cnt AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM pos GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT user_id, r, b FROM pos),
+        |est AS (SELECT user_id, CAST(min(c) AS BIGINT) AS est_cnt
+        |  FROM cand JOIN cnt USING (r, b) GROUP BY user_id),
+        |ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, est_cnt, exact_cnt
+        |FROM est JOIN ex USING (user_id)
+        |ORDER BY est_cnt DESC, user_id ASC LIMIT 10""".stripMargin,
+    "sketch_bloom_join" ->
+      s"""WITH build AS (SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |msel AS (SELECT CAST(count(*) AS BIGINT) AS n_build,
+        |    CAST(1 AS BIGINT)
+        |      << length(bin(greatest(16 * count(*), 2) - 1)) AS m
+        |  FROM build),
+        |bits AS (SELECT DISTINCT
+        |    ${sqlH48Salted("blm", "i", "c_custkey")}
+        |      % (SELECT m FROM msel) AS p
+        |  FROM build, UNNEST(range(0, $BloomK)) u(i)),
+        |probe AS (SELECT o_orderkey, o_custkey,
+        |    ${sqlH48Salted("blm", "i", "o_custkey")}
+        |      % (SELECT m FROM msel) AS p
+        |  FROM orders, UNNEST(range(0, $BloomK)) u(i)),
+        |flags AS (SELECT o_orderkey, max(o_custkey) AS o_custkey,
+        |    sum(CASE WHEN bits.p IS NOT NULL THEN 1 ELSE 0 END) AS nm
+        |  FROM probe LEFT JOIN bits ON probe.p = bits.p
+        |  GROUP BY o_orderkey),
+        |f2 AS (SELECT o_orderkey, (nm = $BloomK) AS pass,
+        |    (o_custkey IN (SELECT c_custkey FROM build)) AS tru
+        |  FROM flags)
+        |SELECT (SELECT n_build FROM msel) AS n_build,
+        |  (SELECT m FROM msel) AS m,
+        |  (SELECT CAST(count(*) AS INT) FROM bits) AS n_bits,
+        |  CAST(count(*) AS BIGINT) AS n_probe,
+        |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(sum(CASE WHEN tru THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |  CAST(sum(CASE WHEN pass AND NOT tru THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_fp
+        |FROM f2""".stripMargin)
+}

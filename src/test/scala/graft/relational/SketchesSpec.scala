@@ -1,0 +1,131 @@
+package graft.relational
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Pins the sketch-algebra invariants the DuckDB gate can't express:
+  * estimator accuracy against the exact cardinality, the structural
+  * guarantees (CMS never underestimates, Bloom never false-negatives)
+  * and merge-order determinism (a sketch must not care how partitions
+  * combined).
+  */
+class SketchesSpec extends SparkSpec {
+
+  private def exactDistinct: Map[String, Long] =
+    Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("nd"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("kmv: estimate lands within the sketch's error band") {
+    val exact = exactDistinct
+    val rows = Sketches.sketchKmv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val est = r.getAs[Double]("est_distinct")
+      val n = exact(et).toDouble
+      if (r.getAs[Int]("n_kept") < Sketches.KmvK)
+        assert(est == n, s"$et: below-K must be exact")
+      else
+        // KMV relative error ~ 1/sqrt(K-2); allow 4 sigma
+        assert(math.abs(est - n) / n < 4.0 / math.sqrt(Sketches.KmvK - 2.0),
+          s"$et: est $est vs exact $n")
+    }
+  }
+
+  test("kmv: exact when the group has fewer than K distinct keys") {
+    import spark.implicits._
+    val tiny = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 7L))
+      .toDF("event_type", "user_id")
+    val hv = tiny.filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        expr("cast(conv(substring(md5(concat('kmv|', cast(user_id as string))), 1, 12), 16, 10) as bigint)").as("hv"))
+      .distinct()
+    val got = hv.groupBy("event_type")
+      .agg(graft.plans.AggExpressions
+        .collectTopK(col("hv"), Sketches.KmvK, largestFirst = false).as("b"))
+      .select(col("event_type"), size(col("b")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a" -> 2, "b" -> 1))
+  }
+
+  test("hll: registers are insertion-order and duplication invariant") {
+    val ev = Tables.events(spark, sf)
+    val base = Sketches.sketchHll(spark, sf).collect()
+    // same estimate from a shuffled, duplicated stream: max() registers
+    // make the sketch idempotent and commutative
+    val doubled = ev.unionAll(ev).orderBy(rand(7))
+    val dir2 = java.nio.file.Files.createTempDirectory("hll_dup").toString
+    doubled.write.mode("overwrite")
+      .parquet(s"$dir2/events.parquet")
+    // the query touches only the events table, so the overlay dir
+    // needs nothing else
+    val got = Sketches.sketchHll(spark, dir2).collect()
+    assert(base.map(_.toString).sorted.sameElements(got.map(_.toString).sorted))
+  }
+
+  test("hll: estimate lands within the sketch's error band") {
+    val exact = exactDistinct
+    Sketches.sketchHll(spark, sf).collect().foreach { r =>
+      val n = exact(r.getAs[String]("event_type")).toDouble
+      val est = r.getAs[Double]("est_distinct")
+      // m=64 → rel std err ~1.04/8 = 13%; allow 4 sigma
+      assert(math.abs(est - n) / n < 0.52,
+        s"${r.getAs[String]("event_type")}: est $est vs exact $n")
+    }
+  }
+
+  test("cms: never underestimates, and finds the true heaviest user") {
+    val rows = Sketches.sketchCmsTopk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_cnt") >= r.getAs[Long]("exact_cnt"),
+        s"CMS must overestimate: ${r.mkString(",")}")
+    }
+    val trueTop = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("user_id")).limit(1)
+      .collect().head.getAs[Long]("c")
+    // the true heaviest count must be visible through the sketch's
+    // top-10 (its estimate is >= its exact count, so it ranks)
+    assert(rows.map(_.getAs[Long]("exact_cnt")).max >= trueTop ||
+      rows.map(_.getAs[Long]("est_cnt")).max >= trueTop)
+  }
+
+  test("bloom: no false negatives, fp accounting is consistent") {
+    val r = Sketches.sketchBloomJoin(spark, sf).collect().head
+    val nPass = r.getAs[Long]("n_pass")
+    val nTrue = r.getAs[Long]("n_true")
+    val nFp = r.getAs[Long]("n_fp")
+    assert(nPass >= nTrue, "bloom admits every true match")
+    assert(nFp == nPass - nTrue, "fp = pass - true (true subset pass)")
+    assert(r.getAs[Long]("n_probe") >= nPass)
+    assert(r.getAs[Int]("n_bits") <= r.getAs[Long]("m"))
+    // size ladder: m is the smallest power of two >= 16 * n_build
+    val m = r.getAs[Long]("m")
+    assert((m & (m - 1)) == 0 && m >= 16 * r.getAs[Long]("n_build"))
+    // exact semi-join row count equals n_true
+    val semi = Tables.orders(spark, sf).join(
+      Tables.customer(spark, sf).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey")),
+      Seq("o_custkey"), "left_semi").count()
+    assert(nTrue == semi)
+  }
+
+  test("sketches are deterministic under repartitioning") {
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val a = canon(Sketches.sketchKmv(spark, sf))
+    val b = canon(Sketches.sketchKmv(spark, sf)
+      .repartition(7)) // plan tail reshuffle only
+    assert(a == b)
+    val h1 = canon(Sketches.sketchHll(spark, sf))
+    val h2 = canon(Sketches.sketchHll(spark, sf).repartition(5))
+    assert(h1 == h2)
+  }
+}
