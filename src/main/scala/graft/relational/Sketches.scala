@@ -51,13 +51,18 @@ object Sketches extends QueryModule {
   val KmvK = 16
   private val TwoPow48 = 281474976710656.0 // exact dyadic
 
-  def sketchKmv(spark: SparkSession, dir: String): DataFrame = {
-    val hv = Tables.events(spark, dir)
-      .filter(col("user_id").isNotNull)
+  /** Distinct KMV hashes per group — the pre-heap frame shared by the
+    * gate query and the merge-law spec.
+    */
+  def kmvHashes(ev: DataFrame): DataFrame =
+    ev.filter(col("user_id").isNotNull)
       .select(col("event_type"), expr(h48("kmv", "user_id")).as("hv"))
       // distinct BEFORE the heap: a duplicate hash must not occupy a
       // bottom-K slot (map-side partial agg dedups most pairs early)
       .groupBy("event_type", "hv").agg(count(lit(1)).as("_n")).drop("_n")
+
+  def sketchKmv(spark: SparkSession, dir: String): DataFrame = {
+    val hv = kmvHashes(Tables.events(spark, dir))
     hv.groupBy("event_type")
       .agg(AggExpressions.collectTopK(col("hv"), KmvK, largestFirst = false)
         .as("_bot"))
@@ -93,9 +98,14 @@ object Sketches extends QueryModule {
     */
   private val HllC = 0.7213 / (1.0 + 1.079 / 64.0) * 4096.0 * TwoPow43
 
-  def sketchHll(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
-    val rho = ev
+  /** Occupied HLL registers per group: (event_type, j, mj). The
+    * mergeable sketch STATE — max-idempotent, so the identical body
+    * runs batch (here) and as the streaming update-mode aggregate
+    * ([[graft.streaming.Streaming.hllRegisterStream]]); merging two
+    * shards' registers is an elementwise max (spec-pinned law).
+    */
+  def hllRegisters(ev: DataFrame): DataFrame =
+    ev.filter(col("user_id").isNotNull)
       .select(col("event_type"), expr(h48("hll", "user_id")).as("hv"))
       .withColumn("j", (col("hv") % HllM).cast("int"))
       .withColumn("w", expr(s"hv div ${HllM}"))
@@ -103,6 +113,10 @@ object Sketches extends QueryModule {
         when(col("w") === 0, lit(HllMaxRho))
           .otherwise(lit(HllMaxRho) - length(bin(col("w")))))
       .groupBy("event_type", "j").agg(max("rho").as("mj"))
+
+  def sketchHll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    val rho = hllRegisters(ev)
     // every group carries all 64 registers (empty register ⇒ rho 0);
     // the grid is O(groups·64) — never event volume
     val grid = ev.select("event_type").distinct()

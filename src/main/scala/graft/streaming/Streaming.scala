@@ -343,4 +343,22 @@ object Streaming {
       col("o_ts") <= col("c_ts") + expr(s"INTERVAL $windowSec SECONDS"))
       .select("click_id", "user_id", "c_ts", "o_ts", "o_type")
   }
+
+  /** J12 — streaming face of K36's deterministic HLL: the register
+    * table (event_type, j, mj) maintained continuously over an event
+    * stream in UPDATE mode.
+    *
+    * The sketch state IS the streaming aggregate: max() per register
+    * is idempotent and commutative, so no watermark is needed — state
+    * is bounded at O(groups × 64) REGARDLESS of stream volume or
+    * duplication, the property that makes HLL the canonical streaming
+    * cardinality sketch. The batch estimate assembly (grid join +
+    * one division) reads the register table on its own cadence — the
+    * J7 lambda split, with the stream maintaining the mergeable state
+    * instead of a score. Register values are BIT-EQUAL to the batch
+    * [[graft.relational.Sketches.hllRegisters]] because it IS the
+    * same body (spec-pinned).
+    */
+  def hllRegisterStream(events: DataFrame): DataFrame =
+    graft.relational.Sketches.hllRegisters(events)
 }

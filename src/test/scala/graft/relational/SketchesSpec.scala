@@ -117,6 +117,40 @@ class SketchesSpec extends SparkSpec {
     assert(nTrue == semi)
   }
 
+  test("merge laws: shard-and-merge equals the monolithic sketch") {
+    val ev = Tables.events(spark, sf)
+    val h1 = ev.filter(col("event_id") % 2 === 0)
+    val h2 = ev.filter(col("event_id") % 2 === 1)
+
+    // HLL: registers(A ∪ B) == elementwise max of shard registers
+    val whole = Sketches.hllRegisters(ev)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val merged = Sketches.hllRegisters(h1)
+      .unionAll(Sketches.hllRegisters(h2))
+      .groupBy("event_type", "j").agg(max("mj").as("mj"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(merged == whole)
+
+    // KMV: bottom-K of (bottom-K(A) ∪ bottom-K(B)) == bottom-K(A ∪ B)
+    def bottomK(d: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvHashes(d).groupBy("event_type")
+        .agg(graft.plans.AggExpressions
+          .collectTopK(col("hv"), Sketches.KmvK, largestFirst = false)
+          .as("b"))
+        .select(col("event_type"),
+          sort_array(col("b")).as("b"))
+    val wholeK = bottomK(ev).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val mergedK = bottomK(h1).unionAll(bottomK(h2))
+      .groupBy("event_type")
+      .agg(flatten(collect_list(col("b"))).as("u"))
+      .select(col("event_type"),
+        slice(array_sort(array_distinct(col("u"))), 1, Sketches.KmvK)
+          .as("b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(mergedK == wholeK)
+  }
+
   test("sketches are deterministic under repartitioning") {
     def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toString).sorted.toSeq

@@ -456,4 +456,34 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(2L))
     assert(math.abs(out.head.getAs[Double]("z") - 4.0) < 1e-9)
   }
+
+  test("J12 hll register stream: update-mode registers converge to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = hllRegisterStream(mem.toDF())
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode("update").start()
+    val base = Timestamp.valueOf("2024-01-01 10:00:00")
+    val evs = (1L to 60L).map(i => Event(i, base, i % 17,
+      if (i % 2 == 0) "view" else "click", 1.0))
+    mem.addData(evs.take(30): _*)
+    q.processAllAvailable()
+    // second batch re-delivers a prefix: registers are max-idempotent,
+    // so duplicate arrivals must not move any state
+    mem.addData(evs.drop(30) ++ evs.take(10): _*)
+    q.processAllAvailable()
+    q.stop()
+    // update-mode memory sink appends each revision; mj is monotone,
+    // so the final state per register is its max across revisions
+    val streamed = spark.table("hll_regs")
+      .groupBy("event_type", "j").agg(max("mj").as("mj"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val batch = graft.relational.Sketches.hllRegisters(evs.toDF())
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty && batch.keySet.map(_._1) == Set("view", "click"))
+  }
 }
