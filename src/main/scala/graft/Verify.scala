@@ -6,34 +6,40 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
-    // optional 3rd arg (dev only): comma-separated query-name filter
+    // optional 3rd arg (dev only): comma-separated query-name filter,
+    // or --oracle-only to rewrite oracle_sql.json for an EXISTING dump
+    // (oracle SQL edits don't invalidate the Spark-side parquet)
+    val oracleOnly = args.contains("--oracle-only")
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      args.drop(2).filterNot(_.startsWith("--")).headOption
+        .map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    lazy val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    GraftExtensions.register(spark) // graft SQL functions, as Engine does
     new java.io.File(outDir).mkdirs()
     // A throwing query must NOT vanish silently: it is recorded in
     // failed.json (name → error) next to oracle_sql.json, so a gate
     // shrink is visible as an artifact, not inferred from absence.
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        failed(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+    if (!oracleOnly) {
+      spark.sparkContext.setLogLevel("WARN")
+      GraftExtensions.register(spark) // graft SQL functions, as Engine does
+      SparkEntry.queries
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failed(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        }
+        spark.catalog.clearCache()
       }
-      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -51,11 +57,13 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val failedJson =
-      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/failed.json"), failedJson)
-    if (failed.nonEmpty)
-      System.err.println(s"[verify] ${failed.size} queries FAILED: ${failed.keys.mkString(", ")}")
-    spark.stop()
+    if (!oracleOnly) { // keep an existing dump's failed.json intact
+      val failedJson =
+        failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/failed.json"), failedJson)
+      if (failed.nonEmpty)
+        System.err.println(s"[verify] ${failed.size} queries FAILED: ${failed.keys.mkString(", ")}")
+      spark.stop()
+    }
   }
 }

@@ -199,6 +199,99 @@ object Sketches extends QueryModule {
   // both engines derive the identical geometry from ONE count.
   // ---------------------------------------------------------------
 
+  // ---------------------------------------------------------------
+  // Quantile sketch: a bottom-K-BY-HASH uniform row sample per group
+  // (deterministic reservoir — the K rows with the smallest
+  // h48(event_id) ARE a uniform without-replacement sample, fixed by
+  // the hash, not by scan order), then explicit order statistics
+  // ceil(q·n) over the sorted sample. O(K) state per group via the
+  // same bounded heap as KMV — mergeable: the bottom-K of two shards'
+  // bottom-Ks is the bottom-K of the union (spec-pinned law). The
+  // index arithmetic is the SAME double product/ceil on both engines
+  // (no percentile_disc — its interpolation/tie rules are engine
+  // lore; an explicit element pick is bit-reproducible).
+  // ---------------------------------------------------------------
+
+  val QtlK = 64
+  /** (name, num, den): est_q = ceil(num·n/den)-th order statistic of
+    * the sorted sample — INTEGER ceil-division on both engines. A
+    * double `ceil(q*n)` is a trap twice over: DuckDB parses `0.9` as
+    * DECIMAL (exact ·n) while Spark's literal is a double (0.9·20 =
+    * 18.000…004 → ceil 19), so the engines disagree at exact
+    * boundaries AND neither matches textbook percentile_disc.
+    */
+  private val QtlQs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+  def sketchQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"),
+        expr(h48("qtl", "event_id")).as("hv"))
+    // (hv, value) struct: hv dominates the bounded-heap order; value
+    // rides as payload (and breaks a 48-bit collision identically to
+    // the oracle's ORDER BY hv, value)
+    val sampled = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        AggExpressions.collectTopK(struct(col("hv"), col("value")),
+          QtlK, largestFirst = false).as("_s"))
+      .withColumn("vals",
+        sort_array(expr("transform(_s, x -> x.value)")))
+      .withColumn("n_sample", size(col("vals")))
+    QtlQs.foldLeft(sampled) { case (df, (name, num, den)) =>
+      df.withColumn(name,
+        element_at(col("vals"),
+          expr(s"cast(($num * n_sample + ${den - 1}) div $den as int)")))
+    }.select(Seq(col("event_type"), col("n_total"), col("n_sample")) ++
+        QtlQs.map { case (n, _, _) => col(n) }: _*)
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------
+  // Theta-sketch set operations over the SAME KMV bottom-K state:
+  // pairwise |A∩B| / |A∪B| / Jaccard estimates between event-type
+  // audiences (user_id sets) — the overlap-estimation primitive a
+  // training pipeline runs between corpus shards or train/eval
+  // splits, at O(K) state per set instead of a distinct-join. For a
+  // pair: θ = min of the two sketches' thetas (a group below K
+  // distinct is EXACT — its θ is 2^48), retained = hashes < θ;
+  // est = |retained| · 2^48 / θ, and Jaccard = n∩/n∪ — θ cancels, so
+  // the ratio needs no scaling at all. The G² pair stage runs on
+  // O(groups·K) rows — corpus size only enters the one KMV aggregate.
+  // ---------------------------------------------------------------
+
+  def sketchThetaOps(spark: SparkSession, dir: String): DataFrame = {
+    val bot = kmvHashes(Tables.events(spark, dir))
+      .groupBy("event_type")
+      .agg(AggExpressions.collectTopK(col("hv"), KmvK, largestFirst = false)
+        .as("_bot"))
+      .select(col("event_type"), sort_array(col("_bot")).as("bot"))
+      .withColumn("kth",
+        when(size(col("bot")) === KmvK, element_at(col("bot"), KmvK)))
+    val a = bot.select(col("event_type").as("et_a"), col("bot").as("bot_a"),
+      coalesce(col("kth"), lit(TwoPow48.toLong)).as("th_a"))
+    val b = bot.select(col("event_type").as("et_b"), col("bot").as("bot_b"),
+      coalesce(col("kth"), lit(TwoPow48.toLong)).as("th_b"))
+    a.join(b, col("et_a") < col("et_b"))
+      .withColumn("theta", least(col("th_a"), col("th_b")))
+      .withColumn("n_inter",
+        size(expr("filter(array_intersect(bot_a, bot_b), x -> x < theta)")))
+      .withColumn("n_union",
+        size(expr(
+          "filter(array_distinct(concat(bot_a, bot_b)), x -> x < theta)")))
+      // n_inter·2^48 < 2^52 and θ < 2^48: both sides exact in a
+      // double, one division each; a fully-exact pair (θ = 2^48)
+      // estimates its true counts verbatim
+      .withColumn("est_inter",
+        col("n_inter").cast("double") * TwoPow48 / col("theta"))
+      .withColumn("est_union",
+        col("n_union").cast("double") * TwoPow48 / col("theta"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / col("n_union"))
+      .select("et_a", "et_b", "theta", "n_inter", "n_union",
+        "est_inter", "est_union", "jaccard")
+      .orderBy("et_a", "et_b")
+  }
+
   val BloomK = 3
   private val bloomMExpr =
     "shiftleft(cast(1 as bigint), length(bin(greatest(16 * n_build, 2) - 1)))"
@@ -244,7 +337,9 @@ object Sketches extends QueryModule {
     "sketch_kmv" -> (sketchKmv _),
     "sketch_hll" -> (sketchHll _),
     "sketch_cms_topk" -> (sketchCmsTopk _),
-    "sketch_bloom_join" -> (sketchBloomJoin _))
+    "sketch_bloom_join" -> (sketchBloomJoin _),
+    "sketch_quantiles" -> (sketchQuantiles _),
+    "sketch_theta_ops" -> (sketchThetaOps _))
 
   override def oracles: Map[String, String] = Map(
     "sketch_kmv" ->
@@ -338,5 +433,61 @@ object Sketches extends QueryModule {
         |  CAST(sum(CASE WHEN tru THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
         |  CAST(sum(CASE WHEN pass AND NOT tru THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_fp
-        |FROM f2""".stripMargin)
+        |FROM f2""".stripMargin,
+    "sketch_quantiles" ->
+      s"""WITH e AS (SELECT event_type, value,
+        |    ${sqlH48("qtl", "event_id")} AS hv
+        |  FROM events WHERE value IS NOT NULL),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total
+        |  FROM e GROUP BY 1),
+        |r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY hv, value) AS rn
+        |  FROM e),
+        |v AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value) AS vr,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS INT) AS ns
+        |  FROM r WHERE rn <= $QtlK)
+        |SELECT v.event_type, n.n_total, max(ns) AS n_sample,
+        |${QtlQs.map { case (nm, num, den) =>
+             s"  max(CASE WHEN vr = ($num * ns + ${den - 1}) // $den" +
+             s" THEN value END) AS $nm" }.mkString(",\n")}
+        |FROM v JOIN n ON v.event_type = n.event_type
+        |GROUP BY v.event_type, n.n_total
+        |ORDER BY v.event_type""".stripMargin,
+    "sketch_theta_ops" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+        |    ${sqlH48("kmv", "user_id")} AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY hv ASC) AS rn
+        |  FROM h),
+        |bot AS (SELECT event_type, hv FROM r WHERE rn <= $KmvK),
+        |k AS (SELECT event_type,
+        |    coalesce(max(CASE WHEN rn = $KmvK THEN hv END),
+        |             ${TwoPow48.toLong}) AS th
+        |  FROM r WHERE rn <= $KmvK GROUP BY event_type),
+        |p AS (SELECT a.event_type AS et_a, b.event_type AS et_b,
+        |    least(a.th, b.th) AS theta
+        |  FROM k a JOIN k b ON a.event_type < b.event_type),
+        |i AS (SELECT p.et_a, p.et_b, CAST(count(*) AS INT) AS n_inter
+        |  FROM p JOIN bot x ON x.event_type = p.et_a AND x.hv < p.theta
+        |         JOIN bot y ON y.event_type = p.et_b AND y.hv = x.hv
+        |  GROUP BY 1, 2),
+        |u AS (SELECT p.et_a, p.et_b,
+        |    CAST(count(DISTINCT z.hv) AS INT) AS n_union
+        |  FROM p JOIN bot z ON z.event_type IN (p.et_a, p.et_b)
+        |                   AND z.hv < p.theta
+        |  GROUP BY 1, 2)
+        |SELECT p.et_a, p.et_b, p.theta,
+        |  coalesce(i.n_inter, 0) AS n_inter, u.n_union,
+        |  CAST(coalesce(i.n_inter, 0) AS DOUBLE) * $TwoPow48 / p.theta
+        |    AS est_inter,
+        |  CAST(u.n_union AS DOUBLE) * $TwoPow48 / p.theta AS est_union,
+        |  CAST(coalesce(i.n_inter, 0) AS DOUBLE) / u.n_union AS jaccard
+        |FROM p LEFT JOIN i ON i.et_a = p.et_a AND i.et_b = p.et_b
+        |       JOIN u ON u.et_a = p.et_a AND u.et_b = p.et_b
+        |ORDER BY p.et_a, p.et_b""".stripMargin)
 }

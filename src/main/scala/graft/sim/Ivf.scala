@@ -495,17 +495,23 @@ object Ivf extends QueryModule {
   /** KMeans is not ANSI-SQL-expressible → knn_ivf/semdedup stay
     * rows-only; the given-centroids variants are fully gated.
     *
-    * The two bulk dot-product stages — semdedup's in-list pair-dot
-    * and the assignment's vector×centroid `cdots` — are scalar list
-    * reductions (list_zip → list_transform → list_sum), not the
-    * comp-unnest join the probe-side stages use: the unnest form
-    * multiplies each pair by 64 dims into a spilling hash aggregate
-    * (the 40k-vector rung-3 fixture exhausted an 80 GB temp volume
-    * through it), while the list form computes each pair's dot in
-    * one scalar pass. Term values and the DECIMAL(24,12)
-    * half-up/VARCHAR discipline are identical, so results are
-    * bit-equal to the unnest form. `comp` stays for norms and the
-    * small probe-side joins (bounded by the 5 gate queries).
+    * EVERY pair-dot stage — semdedup's in-list pairs, the
+    * assignment's vector×centroid `cdots`, and the probe-side knn
+    * re-rank — is a scalar list reduction (list_zip → list_transform
+    * → list_sum), never a join between two unnested `comp` copies.
+    * The unnest-join form is a join-order landmine: `comp a JOIN
+    * comp b ON a.i = b.i` has only 64 distinct i values, so if the
+    * oracle's optimizer applies the dimension equality before the
+    * vec_id bindings, the intermediate is |comp|²/64 rows — measured
+    * at the 40k rung-3 fixture as an >80 GB spill-to-death on the
+    * knn pdots (round 13; the same form on semdedup died identically
+    * in rounds 11-12, which is why it was rewritten first). The list
+    * form computes each pair's dot in one streaming scalar pass —
+    * rung 3 replays it with a flat ~KB temp footprint. Term values
+    * and the DECIMAL(24,12) half-up/VARCHAR discipline are identical,
+    * so results are bit-equal to the unnest form (rung-2 artifact
+    * hashed identical across the rewrite). `comp` stays ONLY for
+    * `norms` (a self-aggregate, join-free — no blow-up shape).
     */
   /** The given-quantizer probe-and-re-rank oracle, parameterized over
     * the candidate predicate: "vec_id >= 5" is the fresh/served
@@ -519,11 +525,14 @@ object Ivf extends QueryModule {
       |cand AS (SELECT vec_id AS neighbor_id, list_id FROM lists
       |       WHERE $candWhere),
       |pdots AS (SELECT p.query_id, c.neighbor_id, c.list_id,
-      |         CAST(CAST(sum(CAST(CAST(a.v * b.v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dot
+      |         CAST(CAST(list_sum(list_transform(
+      |           list_zip(ea.embedding[1:$Dim], eb.embedding[1:$Dim]),
+      |           x -> CAST(CAST(CAST(CAST(x[1] AS FLOAT) AS DOUBLE)
+      |             * CAST(CAST(x[2] AS FLOAT) AS DOUBLE)
+      |             AS VARCHAR) AS DECIMAL(24,12)))) AS VARCHAR) AS DOUBLE) AS dot
       |       FROM probes p JOIN cand c ON p.list_id = c.list_id
-      |         JOIN comp a ON a.vec_id = p.query_id
-      |         JOIN comp b ON b.vec_id = c.neighbor_id AND a.i = b.i
-      |       GROUP BY 1, 2, 3),
+      |         JOIN embeddings ea ON ea.vec_id = p.query_id
+      |         JOIN embeddings eb ON eb.vec_id = c.neighbor_id),
       |scored AS (SELECT query_id, neighbor_id, list_id,
       |         dot / (sqrt(nq.nsq) * sqrt(nc.nsq)) AS cosine
       |       FROM pdots JOIN norms nq ON query_id = nq.vec_id
@@ -547,12 +556,15 @@ object Ivf extends QueryModule {
       |       FROM lists c JOIN lbl l ON c.vec_id = l.vec_id
       |       WHERE c.vec_id >= 5),
       |pdots AS (SELECT p.query_id, c.neighbor_id, c.list_id, p.label,
-      |         CAST(CAST(sum(CAST(CAST(a.v * b.v AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dot
+      |         CAST(CAST(list_sum(list_transform(
+      |           list_zip(ea.embedding[1:$Dim], eb.embedding[1:$Dim]),
+      |           x -> CAST(CAST(CAST(CAST(x[1] AS FLOAT) AS DOUBLE)
+      |             * CAST(CAST(x[2] AS FLOAT) AS DOUBLE)
+      |             AS VARCHAR) AS DECIMAL(24,12)))) AS VARCHAR) AS DOUBLE) AS dot
       |       FROM probes p JOIN cand c
       |         ON p.list_id = c.list_id AND p.label = c.label
-      |         JOIN comp a ON a.vec_id = p.query_id
-      |         JOIN comp b ON b.vec_id = c.neighbor_id AND a.i = b.i
-      |       GROUP BY 1, 2, 3, 4),
+      |         JOIN embeddings ea ON ea.vec_id = p.query_id
+      |         JOIN embeddings eb ON eb.vec_id = c.neighbor_id),
       |scored AS (SELECT query_id, neighbor_id, list_id, label,
       |         dot / (sqrt(nq.nsq) * sqrt(nc.nsq)) AS cosine
       |       FROM pdots JOIN norms nq ON query_id = nq.vec_id

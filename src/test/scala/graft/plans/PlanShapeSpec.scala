@@ -114,7 +114,15 @@ class PlanShapeSpec extends SparkSpec {
       // bm25_topk_served crosses its broadcast 1-row loaded corpus
       // stats, the same shape as bm25_topk_docs's stats frame; the
       // served hybrid composes both served retrievals' 1-row crosses
-      "bm25_topk_served", "hybrid_rrf_served")
+      "bm25_topk_served", "hybrid_rrf_served",
+      // round 13, the sketch faces: sketch_bloom_join crosses its
+      // broadcast 1-row m-selector (and the 1-row n_build/n_bits
+      // frames) into the build/probe position hashing — the sketch
+      // GEOMETRY, never a data side; sketch_theta_ops' pair stage is
+      // a `et_a < et_b` non-equi join over the O(groups)-row bottom-K
+      // sketch table (5 rows per side at the gate, O(G²·K) anywhere —
+      // corpus size only enters the upstream KMV aggregate)
+      "sketch_bloom_join", "sketch_theta_ops")
     // (embedding_pca/_r left the list in round 9: the iteration moved
     // to a driver-side solve over the collected d² summary — the
     // RowMatrix.computePrincipalComponents shape — so their plans no

@@ -151,6 +151,95 @@ class SketchesSpec extends SparkSpec {
     assert(mergedK == wholeK)
   }
 
+  test("quantiles: monotone, in-range, and rank-accurate at sample size") {
+    val vals = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (k, rs) =>
+        k -> rs.map(_.getDouble(1)).sorted }
+    val rows = Sketches.sketchQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val (p50, p90, p99) = (r.getAs[Double]("p50"),
+        r.getAs[Double]("p90"), r.getAs[Double]("p99"))
+      assert(p50 <= p90 && p90 <= p99, s"$et: quantiles not monotone")
+      val corpus = vals(et)
+      assert(corpus.contains(p50) && corpus.contains(p99),
+        s"$et: estimates must be actual corpus values")
+      // rank accuracy: the q-th sample quantile of K uniform draws has
+      // rank-proportion std err sqrt(q(1-q)/K); allow 4 sigma
+      for ((est, q) <- Seq(p50 -> 0.5, p90 -> 0.9, p99 -> 0.99)) {
+        val frac = corpus.count(_ <= est).toDouble / corpus.length
+        val tol = 4.0 * math.sqrt(q * (1 - q) / Sketches.QtlK) + 0.02
+        assert(math.abs(frac - q) <= tol,
+          s"$et q=$q: rank fraction $frac outside ±$tol")
+      }
+    }
+  }
+
+  test("quantiles: exact percentile_disc when the group fits the sample") {
+    import spark.implicits._
+    // 10 rows < K: the sample IS the group, so ceil(q·n) indexes the
+    // true sorted values — textbook percentile_disc
+    val vs = Seq(5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0, 4.0, 6.0, 10.0)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("qtl_tiny").toString
+    vs.zipWithIndex.map { case (v, i) => (i.toLong, t0, "a", v) }
+      .toDF("event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Sketches.sketchQuantiles(spark, dir).collect().head
+    assert(r.getAs[Int]("n_sample") == 10)
+    assert(r.getAs[Double]("p50") == 5.0)  // ceil(0.5·10)=5th
+    assert(r.getAs[Double]("p90") == 9.0)  // ceil(0.9·10)=9th
+    assert(r.getAs[Double]("p99") == 10.0) // ceil(9.9)=10th
+  }
+
+  test("theta ops: exact on below-K sets, estimated on partial overlap") {
+    // sf0.001 has 15 distinct users per type (< K=16): every pair
+    // rides the exact path — θ = 2^48, retained = full sets
+    val exact = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .select("event_type", "user_id").distinct().collect()
+      .groupBy(_.getString(0)).map { case (k, rs) =>
+        k -> rs.map(_.getAs[Number](1).longValue).toSet }
+    val rows = Sketches.sketchThetaOps(spark, sf).collect()
+    assert(rows.length == exact.size * (exact.size - 1) / 2)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("et_a"), r.getAs[String]("et_b"))
+      val (sa, sb) = (exact(a), exact(b))
+      assert(r.getAs[Double]("est_inter") == sa.intersect(sb).size.toDouble,
+        s"$a∩$b: below-K pair must be exact")
+      assert(r.getAs[Double]("est_union") == sa.union(sb).size.toDouble)
+      assert(r.getAs[Double]("jaccard") ==
+        sa.intersect(sb).size.toDouble / sa.union(sb).size)
+    }
+
+    // estimated path: two 100-user groups sharing 50 (jaccard 1/3),
+    // both far above K — assert the estimate's error band, and the
+    // structural invariants that hold at ANY K
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("theta_est").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    ((1 to 100).map(u => ("a", u.toLong)) ++
+      (51 to 150).map(u => ("b", u.toLong)))
+      .zipWithIndex.map { case ((et, u), i) => (i.toLong, t0, et, u) }
+      .toDF("event_id", "ts", "event_type", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = Sketches.sketchThetaOps(spark, dir).collect().head
+    assert(e.getAs[Long]("theta") < Sketches.KmvK * 17592186044416L,
+      "above-K pair must carry a real (estimated) theta")
+    assert(e.getAs[Int]("n_inter") <= e.getAs[Int]("n_union"))
+    assert(e.getAs[Double]("est_inter") <= e.getAs[Double]("est_union"))
+    val j = e.getAs[Double]("jaccard")
+    assert(j >= 0.0 && j <= 1.0)
+    // true jaccard 50/150 = 1/3; K=16 draws → σ ≈ sqrt(j(1-j)/K) ≈
+    // 0.12; allow 4σ (deterministic — this either always passes or
+    // the geometry changed)
+    assert(math.abs(j - 1.0 / 3.0) < 0.48, s"jaccard $j vs 1/3")
+    val estU = e.getAs[Double]("est_union")
+    assert(math.abs(estU - 150.0) / 150.0 < 4.0 / math.sqrt(Sketches.KmvK - 2.0),
+      s"union est $estU vs 150")
+  }
+
   test("sketches are deterministic under repartitioning") {
     def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toString).sorted.toSeq
