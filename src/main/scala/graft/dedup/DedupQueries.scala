@@ -234,6 +234,64 @@ object DedupQueries extends QueryModule {
       docs.select(col("doc_id"), (coin >= 8).as("is_new")))
   }
 
+  /** F13 — cross-corpus near-dup DECONTAMINATION: the fuzzy twin of
+    * L5's exact n-gram `decontaminate`. Exact gram overlap misses the
+    * paraphrased/reflowed contamination a crawl actually carries; the
+    * near-dup form asks "which TRAIN documents are near-duplicates of
+    * an EVAL document" through the same MinHash→LSH→exact-Jaccard
+    * chain as F2 — but as a CROSS-corpus join (train buckets ⋈ eval
+    * buckets on (band, bucket)), never a self-join, so work scales
+    * with |train|+|eval| grams plus O(cross candidates), and the
+    * typically-tiny eval side co-partitions (or broadcasts, AQE's
+    * call) against the train bucket table. Splits ride the same
+    * deterministic md5 smp|-coin as L3/L5 (train <800, eval ≥900), so
+    * this composes with the sampled pipeline the other L queries
+    * describe. Output is the decontamination REPORT a pipeline acts
+    * on: per contaminated train doc, how many eval docs it collides
+    * with and the worst (max-Jaccard) match — argmax resolved as
+    * min(eval_id) among max-jaccard ties, double-equality safe
+    * because both engines derive jaccard from the same exact-integer
+    * division. Index build (sets/sigs) is the shared memoized
+    * [[NearDup]] build — the marginal cost over F2 is the band join
+    * and the O(candidates) verify.
+    */
+  def decontaminateNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val ix = NearDup.index(Tables.documents(spark, dir))
+    val sb = expr(
+      """cast(conv(substring(md5(concat('smp|', cast(doc_id as string))),
+        |  1, 8), 16, 10) as bigint) % 1000""".stripMargin)
+    val buckets = Dedup.bandBuckets(ix.sigs).withColumn("sb", sb)
+    val trainB = buckets.filter(col("sb") < 800)
+      .select(col("doc_id").as("train_id"), col("band"), col("bucket"))
+    val evalB = buckets.filter(col("sb") >= 900)
+      .select(col("doc_id").as("eval_id"), col("band"), col("bucket"))
+    val cand = trainB.join(evalB, Seq("band", "bucket"))
+      .select("train_id", "eval_id").distinct()
+    // O(cross near-dups) rows; checkpointed because the argmax join
+    // below reads it twice (census + tie-broken worst match)
+    val pairs = cand
+      .join(ix.sets.select(col("doc_id").as("train_id"), col("gs").as("ga")),
+        "train_id")
+      .join(ix.sets.select(col("doc_id").as("eval_id"), col("gs").as("gb")),
+        "eval_id")
+      .withColumn("inter",
+        size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double")
+          / (size(col("ga")).cast("long") + size(col("gb")) - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select("train_id", "eval_id", "jaccard")
+      .localCheckpoint(true)
+    val census = pairs.groupBy("train_id")
+      .agg(count(lit(1)).as("n_eval_matches"), max("jaccard").as("max_jaccard"))
+    census.join(pairs, "train_id")
+      .filter(col("jaccard") === col("max_jaccard"))
+      .groupBy("train_id", "n_eval_matches", "max_jaccard")
+      .agg(min("eval_id").as("matched_eval_id"))
+      .select("train_id", "n_eval_matches", "max_jaccard", "matched_eval_id")
+      .orderBy("train_id")
+  }
+
   /** The incremental join for any (doc_id, text) corpus and explicit
     * (doc_id, is_new) batch flags (spec entry point — builds its own
     * sets/signatures).
@@ -274,6 +332,7 @@ object DedupQueries extends QueryModule {
 
   override def queries: Map[String, Q] = Map(
     "dedup_incremental" -> (dedupIncremental _),
+    "decontaminate_neardup" -> (decontaminateNeardup _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -387,6 +446,35 @@ object DedupQueries extends QueryModule {
         |ORDER BY keeper_id""".stripMargin,
     "dedup_minhash" -> (minhashPairsCtes() +
       "\nSELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"),
+    "decontaminate_neardup" -> (minhashBucketCtes() + s""",
+      |sb AS (SELECT doc_id,
+      |         CAST('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |              AS BIGINT) % 1000 AS b
+      |       FROM documents),
+      |cand AS (SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+      |       FROM buckets t JOIN sb st ON st.doc_id = t.doc_id AND st.b < 800
+      |            JOIN buckets e ON e.band = t.band AND e.bucket = t.bucket
+      |            JOIN sb se ON se.doc_id = e.doc_id AND se.b >= 900),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT c.train_id, c.eval_id, count(*) AS i
+      |       FROM cand c
+      |       JOIN sh s1 ON s1.doc_id = c.train_id
+      |       JOIN sh s2 ON s2.doc_id = c.eval_id AND s1.g = s2.g
+      |       GROUP BY 1, 2),
+      |cpairs AS (SELECT train_id, eval_id,
+      |         CAST(i AS DOUBLE) / (sa.n + sz.n - i) AS jaccard
+      |       FROM inter JOIN sizes sa ON train_id = sa.doc_id
+      |                  JOIN sizes sz ON eval_id = sz.doc_id
+      |       WHERE CAST(i AS DOUBLE) / (sa.n + sz.n - i) >= 0.5),
+      |mx AS (SELECT train_id, CAST(count(*) AS BIGINT) AS n_eval_matches,
+      |         max(jaccard) AS max_jaccard
+      |       FROM cpairs GROUP BY 1)
+      |SELECT mx.train_id, mx.n_eval_matches, mx.max_jaccard,
+      |  min(p.eval_id) AS matched_eval_id
+      |FROM mx JOIN cpairs p ON p.train_id = mx.train_id
+      |    AND p.jaccard = mx.max_jaccard
+      |GROUP BY 1, 2, 3
+      |ORDER BY mx.train_id""".stripMargin),
     "minhash_est" -> (minhashChainCtes() + s""",
       |agree AS (SELECT c.doc_a, c.doc_b,
       |         CAST(count(*) FILTER (ma.m = mb.m) AS DOUBLE)

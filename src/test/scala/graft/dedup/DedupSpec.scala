@@ -245,4 +245,35 @@ class DedupSpec extends SparkSpec {
     // every reported pair has a NEW probe side
     assert(rows.forall { case (n, _) => Set(3L, 5L)(n) })
   }
+
+  test("decontaminate_neardup is exactly the cross-split slice of the self-join") {
+    // the cross-corpus (train ⋈ eval) LSH join must report precisely
+    // those F2 near-dup pairs that straddle the split: candidate
+    // generation is symmetric (same (band, bucket) equality), so no
+    // pair can appear on one side and not the other
+    val rows = DedupQueries.decontaminateNeardup(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture must contain cross-split near-dups")
+    def splitB(id: Long): Long =
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"smp|$id")
+          .substring(0, 8), 16) % 1000
+    val full = DedupQueries.dedupMinhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard")))
+    val expected = full.flatMap { case (a, b, j) =>
+      Seq((a, b, j), (b, a, j)) }
+      .filter { case (t, e, _) => splitB(t) < 800 && splitB(e) >= 900 }
+      .groupBy(_._1).map { case (t, ps) =>
+        val mx = ps.map(_._3).max
+        (t, ps.length.toLong, mx, ps.filter(_._3 == mx).map(_._2).min)
+      }.toSet
+    val got = rows.map(r => (r.getAs[Long]("train_id"),
+      r.getAs[Long]("n_eval_matches"), r.getAs[Double]("max_jaccard"),
+      r.getAs[Long]("matched_eval_id"))).toSet
+    assert(got == expected, s"diff: ${(got -- expected) ++ (expected -- got)}")
+    assert(rows.forall(r => r.getAs[Double]("max_jaccard") >= 0.5))
+    // split membership: train ids in the train coin range, matches in eval
+    assert(rows.forall(r => splitB(r.getAs[Long]("train_id")) < 800))
+    assert(rows.forall(r => splitB(r.getAs[Long]("matched_eval_id")) >= 900))
+  }
 }
