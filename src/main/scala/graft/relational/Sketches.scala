@@ -154,14 +154,33 @@ object Sketches extends QueryModule {
   // unlike the Bloom m below which must track the build side
   val CmsW = 256
 
-  def sketchCmsTopk(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
-      .select("user_id")
-    val pos = ev
+  /** One row per (key, CMS row, bucket): each key's d salted hash
+    * positions. Shared by the batch top-k and the streaming counter
+    * face.
+    */
+  def cmsPositions(ev: DataFrame): DataFrame =
+    ev.filter(col("user_id").isNotNull)
       .select(col("user_id"),
         explode(sequence(lit(0), lit(CmsD - 1))).as("r"))
       .withColumn("b",
         expr(h48Salted("cms", "r", "user_id")) % CmsW)
+
+  /** The CMS counter cells (r, b, c) — the mergeable sketch STATE:
+    * merging two shards is an elementwise SUM (spec-pinned law).
+    * Additive, not idempotent: unlike HLL's max registers, a
+    * re-delivered row INFLATES its counters — the sketch is exact
+    * under effectively-once delivery and over-counts (never under)
+    * otherwise. Runs identically batch (here) and as the streaming
+    * update-mode aggregate
+    * ([[graft.streaming.Streaming.cmsCounterStream]]).
+    */
+  def cmsCounters(ev: DataFrame): DataFrame =
+    cmsPositions(ev).groupBy("r", "b").agg(count(lit(1)).as("c"))
+
+  def sketchCmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+      .select("user_id")
+    val pos = cmsPositions(ev)
     val counters = pos.groupBy("r", "b").agg(count(lit(1)).as("c"))
     val est = pos.distinct()
       .join(broadcast(counters), Seq("r", "b"))

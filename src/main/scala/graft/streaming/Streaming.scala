@@ -361,4 +361,21 @@ object Streaming {
     */
   def hllRegisterStream(events: DataFrame): DataFrame =
     graft.relational.Sketches.hllRegisters(events)
+
+  /** J13 — streaming face of K37's count-min sketch: the counter grid
+    * (r, b, c) maintained continuously in UPDATE mode.
+    *
+    * Same bounded-state story as J12 — O(d·w) = 768 cells regardless
+    * of stream volume — but the OPPOSITE delivery contract: counters
+    * are ADDITIVE (a count aggregate), not max-idempotent, so a
+    * re-delivered row inflates its d cells. Under effectively-once
+    * delivery the stream state is bit-equal to the batch
+    * [[graft.relational.Sketches.cmsCounters]] (it IS the same body);
+    * under at-least-once it over-counts by exactly the re-delivered
+    * mass — still never an undercount, so est ≥ exact survives
+    * re-delivery (both pinned in spec). Estimate/top-k assembly reads
+    * the counter table on its own cadence, the J7/J12 lambda split.
+    */
+  def cmsCounterStream(events: DataFrame): DataFrame =
+    graft.relational.Sketches.cmsCounters(events)
 }

@@ -149,6 +149,16 @@ class SketchesSpec extends SparkSpec {
           .as("b"))
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     assert(mergedK == wholeK)
+
+    // CMS: counters(A ∪ B) == elementwise SUM of shard counters (the
+    // additive merge law — contrast with HLL's max-idempotence)
+    val wholeC = Sketches.cmsCounters(ev)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val mergedC = Sketches.cmsCounters(h1)
+      .unionAll(Sketches.cmsCounters(h2))
+      .groupBy("r", "b").agg(sum("c").as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(mergedC == wholeC && wholeC.nonEmpty)
   }
 
   test("quantiles: monotone, in-range, and rank-accurate at sample size") {

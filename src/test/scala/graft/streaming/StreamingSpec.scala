@@ -486,4 +486,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty && batch.keySet.map(_._1) == Set("view", "click"))
   }
+
+  test("J13 cms counter stream: exact under exactly-once, over-counts (never under) on re-delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 10:00:00")
+    val evs = (1L to 60L).map(i => Event(i, base, i % 17,
+      if (i % 2 == 0) "view" else "click", 1.0))
+    def finalCounters(table: String): Map[(Int, Long), Long] =
+      // update-mode sink appends revisions; counts are monotone, so
+      // the final state per cell is its max across revisions
+      spark.table(table).groupBy("r", "b").agg(max("c").as("c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.relational.Sketches.cmsCounters(evs.toDF())
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val mem = MemoryStream[Event]
+    val q = Streaming.cmsCounterStream(mem.toDF())
+      .writeStream.format("memory").queryName("cms_cells")
+      .outputMode("update").start()
+    mem.addData(evs.take(30): _*)
+    q.processAllAvailable()
+    mem.addData(evs.drop(30): _*)
+    q.processAllAvailable()
+    val exact = finalCounters("cms_cells")
+    // exactly-once: stream state bit-equals the batch body
+    assert(exact == batch && batch.nonEmpty)
+    // at-least-once: a re-delivered prefix INFLATES its cells — the
+    // additive contract (vs J12's idempotent registers). Every cell
+    // stays >= the true counter: est >= exact survives re-delivery.
+    mem.addData(evs.take(10): _*)
+    q.processAllAvailable()
+    q.stop()
+    val inflated = finalCounters("cms_cells")
+    assert(batch.forall { case (k, c) => inflated(k) >= c })
+    assert(inflated.exists { case (k, c) => c > batch(k) })
+    // the over-count is exactly the re-delivered mass
+    assert(inflated.values.sum - batch.values.sum ==
+      10L * graft.relational.Sketches.CmsD)
+  }
 }
