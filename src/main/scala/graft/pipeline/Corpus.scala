@@ -393,7 +393,52 @@ object Corpus extends QueryModule {
     df.orderBy("doc_id")
   }
 
+  /** L12 sample size per lang group. */
+  val QpfK = 64
+
+  /** L12 — sample-quantile corpus TRIM: keep documents inside
+    * [p10, p99] of their LANGUAGE's token-count distribution, with
+    * both thresholds taken from the K39 bottom-K-by-hash sample
+    * instead of an exact percentile. The exact form needs a global
+    * sort (or percentile_disc shuffle) PER GROUP over the full
+    * corpus; the sample form computes thresholds from O(K) state per
+    * lang via the same bounded heap as KMV — one map-side-combinable
+    * aggregate — then applies them in the same scan-shaped pass as
+    * every other per-doc verdict, with the O(langs)-row threshold
+    * table broadcast. Trimming BOTH tails is the curation shape
+    * (too-short docs carry no signal, extreme-length outliers are
+    * concatenation junk); per-lang thresholds because length
+    * distributions differ by language. Index arithmetic is the K39
+    * integer ceil-division; below-K langs get textbook-exact
+    * percentiles (the sample IS the group).
+    */
+  def qualityPercentileFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Par.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+    val th = d
+      .withColumn("hv",
+        expr(graft.relational.Sketches.h48("qpf", "doc_id")))
+      .groupBy("lang")
+      .agg(graft.plans.AggExpressions.collectTopK(
+        struct(col("hv"), col("n_tokens")), QpfK, largestFirst = false)
+        .as("_s"))
+      .withColumn("vals", sort_array(expr("transform(_s, x -> x.n_tokens)")))
+      .withColumn("ns", size(col("vals")))
+      .select(col("lang"),
+        element_at(col("vals"),
+          expr("cast((ns + 9) div 10 as int)")).as("lo"),
+        element_at(col("vals"),
+          expr("cast((99 * ns + 99) div 100 as int)")).as("hi"))
+    d.join(broadcast(th), "lang")
+      .withColumn("kept",
+        col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+      .select("doc_id", "lang", "n_tokens", "lo", "hi", "kept")
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, Q] = Map(
+    "quality_percentile_filter" -> (qualityPercentileFilter _),
     "corpus_sample" -> (corpusSample _),
     "corpus_clean" -> (corpusClean _),
     "corpus_loss_report" -> (corpusLossReport _),
@@ -460,6 +505,27 @@ object Corpus extends QueryModule {
   override def oracles: Map[String, String] = staticOracles ++ dynOracles
 
   private val staticOracles: Map[String, String] = Map(
+    "quality_percentile_filter" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ${graft.relational.Sketches.sqlH48("qpf", "doc_id")} AS hv
+        |  FROM documents),
+        |r AS (SELECT lang, n_tokens,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY hv, n_tokens) AS rn
+        |  FROM d),
+        |v AS (SELECT lang, n_tokens,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS vr,
+        |    CAST(count(*) OVER (PARTITION BY lang) AS INT) AS ns
+        |  FROM r WHERE rn <= $QpfK),
+        |th AS (SELECT lang,
+        |    max(CASE WHEN vr = (ns + 9) // 10 THEN n_tokens END) AS lo,
+        |    max(CASE WHEN vr = (99 * ns + 99) // 100 THEN n_tokens END) AS hi
+        |  FROM v GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_tokens, th.lo, th.hi,
+        |  d.n_tokens >= th.lo AND d.n_tokens <= th.hi AS kept
+        |FROM d JOIN th USING (lang)
+        |ORDER BY d.doc_id""".stripMargin,
     // weight literals go VARCHAR→DOUBLE: DuckDB's decimal→double cast
     // is not correctly rounded (same discipline as the Holt oracle)
     "domain_mix" ->

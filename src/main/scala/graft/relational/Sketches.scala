@@ -36,10 +36,10 @@ object Sketches extends QueryModule {
     * widened to 12 hex digits so KMV's order statistics have
     * negligible collision mass while staying exact in a double).
     */
-  private def h48(tag: String, key: String): String =
+  private[graft] def h48(tag: String, key: String): String =
     s"cast(conv(substring(md5(concat('$tag|', cast($key as string))), 1, 12), 16, 10) as bigint)"
 
-  private def sqlH48(tag: String, key: String): String =
+  private[graft] def sqlH48(tag: String, key: String): String =
     s"CAST('0x' || substr(md5('$tag|' || CAST($key AS VARCHAR)), 1, 12) AS BIGINT)"
 
   // ---------------------------------------------------------------

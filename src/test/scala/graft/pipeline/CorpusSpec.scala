@@ -241,4 +241,41 @@ class CorpusSpec extends SparkSpec {
       Corpus.DsirK).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("quality_percentile_filter: verdict consistency and sample rank accuracy") {
+    import org.apache.spark.sql.functions._
+    val rows = Corpus.qualityPercentileFilter(spark, sf).collect()
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length == n) // every doc gets a verdict, none dropped
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rs) =>
+      val lens = rs.map(_.getAs[Long]("n_tokens"))
+      val (lo, hi) = (rs.head.getAs[Long]("lo"), rs.head.getAs[Long]("hi"))
+      assert(rs.forall(r => r.getAs[Long]("lo") == lo
+        && r.getAs[Long]("hi") == hi), s"$lang: thresholds not constant")
+      assert(lo <= hi)
+      // thresholds are actual corpus lengths of this lang (sampled rows)
+      assert(lens.contains(lo) && lens.contains(hi))
+      rs.foreach { r =>
+        val t = r.getAs[Long]("n_tokens")
+        assert(r.getAs[Boolean]("kept") == (t >= lo && t <= hi))
+      }
+      // rank accuracy of the sampled p10: 4 sigma of sqrt(q(1-q)/K)
+      val frac = lens.count(_ < lo).toDouble / lens.length
+      val tol = 4.0 * math.sqrt(0.1 * 0.9 / Corpus.QpfK) + 0.02
+      assert(frac <= 0.1 + tol, s"$lang: p10 rank fraction $frac")
+    }
+    // below-K lang is textbook-exact: 20 docs -> lo = 2nd shortest,
+    // hi = ceil(99*20/100) = 20th = max
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qpf_tiny").toString
+    (1 to 20).map(i => (i.toLong, ("w " * i).trim, "xx", "s", i.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val tiny = Corpus.qualityPercentileFilter(spark, dir).collect()
+    assert(tiny.length == 20)
+    assert(tiny.head.getAs[Long]("lo") == 2L)
+    assert(tiny.head.getAs[Long]("hi") == 20L)
+    assert(tiny.count(_.getAs[Boolean]("kept")) == 19) // only len-1 trimmed
+  }
 }
