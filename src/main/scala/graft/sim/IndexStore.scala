@@ -462,7 +462,55 @@ object IndexStore extends graft.QueryModule {
       .orderBy("list_id")
   }
 
+  /** G21 — embedding DRIFT report: per-list population-stability
+    * index between the corpus's OLD and NEW halves (vec_id below /
+    * at-or-above the midpoint — the before/after split a daily
+    * embedding feed produces), over the SAME given-quantizer cells
+    * as G17. Quantization buckets are the standard PSI binning for
+    * high-dimensional drift: a list whose occupancy share moved is a
+    * region of embedding space that moved, exactly what tells a
+    * deployment to re-train its quantizer or re-balance its index.
+    * Plan: the memoized assignment + ONE combinable two-way count
+    * aggregate to O(nLists) cells + a broadcast 1-row totals frame —
+    * corpus size never re-enters. Arithmetic: Laplace add-1
+    * smoothing keeps empty cells finite; each share is one double
+    * division of exact integers; the ln of the EXACT integer-product
+    * ratio rides the H7 decimal(18,9) quantize; psi_term is one
+    * multiply of those two doubles. Σ psi_term > 0.2 is the
+    * conventional "investigate" line.
+    */
+  def embeddingDriftQ(spark: SparkSession, dir: String): DataFrame = {
+    val (_, assigned) = Ivf.givenListed(
+      graft.sources.Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding"))
+    val half = assigned.agg(count(lit(1)).as("n_vecs"))
+      .select(expr("n_vecs div 2").as("half"))
+    val cells = assigned.crossJoin(broadcast(half))
+      .groupBy("list_id")
+      .agg(
+        sum(when(col("vec_id") < col("half"), 1).otherwise(0))
+          .cast("long").as("n_old"),
+        sum(when(col("vec_id") >= col("half"), 1).otherwise(0))
+          .cast("long").as("n_new"))
+    val tot = cells.agg(sum("n_old").cast("long").as("t_old"),
+      sum("n_new").cast("long").as("t_new"),
+      count(lit(1)).as("n_lists"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("p_old",
+        (col("n_old") + 1).cast("double") / (col("t_old") + col("n_lists")))
+      .withColumn("p_new",
+        (col("n_new") + 1).cast("double") / (col("t_new") + col("n_lists")))
+      .withColumn("ln_ratio", expr(
+        """cast(cast(ln(cast((n_old + 1) * (t_new + n_lists) as double)
+          |  / ((n_new + 1) * (t_old + n_lists))) as decimal(18,9))
+          |  as double)""".stripMargin))
+      .withColumn("psi_term", (col("p_old") - col("p_new")) * col("ln_ratio"))
+      .select("list_id", "n_old", "n_new", "p_old", "p_new", "psi_term")
+      .orderBy("list_id")
+  }
+
   override def queries: Map[String, Q] = Map(
+    "embedding_drift" -> (embeddingDriftQ _),
     "knn_ivf_served" -> (knnServedQ _),
     "knn_ivf_deleted" -> (knnDeletedQ _),
     "cosine_topk_served" -> (cosineTopkServedQ _),
@@ -482,6 +530,28 @@ object IndexStore extends graft.QueryModule {
     "bm25_topk_served" -> graft.text.RagQueries.oracles("bm25_topk_docs"),
     "hybrid_rrf_served" -> graft.text.RagQueries.oracles("hybrid_rrf"),
     "knn_pq_served" -> Pq.oracles("knn_pq"),
+    "embedding_drift" -> (Ivf.givenAssignSql + """
+      |halves AS (SELECT count(*) // 2 AS half FROM lists),
+      |cells AS (SELECT list_id,
+      |         CAST(sum(CASE WHEN vec_id < half THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_old,
+      |         CAST(sum(CASE WHEN vec_id >= half THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_new
+      |       FROM lists, halves GROUP BY 1),
+      |tots AS (SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+      |         CAST(sum(n_new) AS BIGINT) AS t_new,
+      |         count(*) AS n_lists
+      |       FROM cells)
+      |SELECT list_id, n_old, n_new,
+      |  CAST(n_old + 1 AS DOUBLE) / (t_old + n_lists) AS p_old,
+      |  CAST(n_new + 1 AS DOUBLE) / (t_new + n_lists) AS p_new,
+      |  (CAST(n_old + 1 AS DOUBLE) / (t_old + n_lists)
+      |   - CAST(n_new + 1 AS DOUBLE) / (t_new + n_lists))
+      |  * CAST(CAST(ln(CAST((n_old + 1) * (t_new + n_lists) AS DOUBLE)
+      |      / ((n_new + 1) * (t_old + n_lists))) AS DECIMAL(18,9))
+      |      AS DOUBLE) AS psi_term
+      |FROM cells, tots
+      |ORDER BY list_id""".stripMargin),
     "ivf_list_stats" -> (Ivf.givenAssignSql + """
       |counts AS (SELECT list_id, count(*) AS n_vectors
       |       FROM lists GROUP BY 1),

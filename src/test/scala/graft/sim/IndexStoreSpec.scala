@@ -253,4 +253,44 @@ class IndexStoreSpec extends SparkSpec {
     val pushed = "PushedFilters: \\[[^\\]]*In\\(term".r.findFirstIn(plan)
     assert(pushed.isDefined, s"no pushed In(term…) filter in:\n$plan")
   }
+
+  test("embedding_drift: cells reconcile with list stats, terms non-negative") {
+    val rows = IndexStore.embeddingDriftQ(spark, sf).collect()
+    val stats = IndexStore.listStatsQ(spark, sf).collect()
+      .map(r => r.getAs[Long]("list_id") -> r.getAs[Long]("n_vectors")).toMap
+    assert(rows.map(_.getAs[Long]("list_id")).toSet == stats.keySet)
+    rows.foreach { r =>
+      // old + new = the list's G17 occupancy; halves partition exactly
+      assert(r.getAs[Long]("n_old") + r.getAs[Long]("n_new") ==
+        stats(r.getAs[Long]("list_id")))
+      // (p_old - p_new) and ln(p_old/p_new) always share a sign, so
+      // every PSI term is >= 0 — negative means the algebra broke
+      assert(r.getAs[Double]("psi_term") >= 0.0)
+      assert(r.getAs[Double]("p_old") > 0.0 && r.getAs[Double]("p_new") > 0.0)
+    }
+    assert(rows.map(r => r.getAs[Long]("n_old") + r.getAs[Long]("n_new")).sum ==
+      Tables.embeddings(spark, sf).count())
+  }
+
+  test("embedding_drift: mirrored halves (A/A) report exactly zero PSI") {
+    import spark.implicits._
+    // new half duplicates the old half's vectors -> identical per-list
+    // occupancy -> every smoothed share pair equal -> psi_term == 0.0
+    // exactly (0 * ln(1), no float slack needed)
+    val n = 40L
+    val old = (0L until n).map { k =>
+      k -> Array.tabulate(16)(i =>
+        (math.sin(k * 17 + i * 3) * 10).toFloat)
+    }
+    val mirrored = old ++ old.map { case (k, v) => (k + n) -> v }
+    val dir = java.nio.file.Files.createTempDirectory("drift_aa").toString
+    mirrored.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = IndexStore.embeddingDriftQ(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_old") == r.getAs[Long]("n_new"))
+      assert(r.getAs[Double]("psi_term") == 0.0)
+    }
+  }
 }
