@@ -28,6 +28,16 @@ object AggExpressions {
     Bridge.column(
       Bridge.collectTopK(Bridge.expression(item), k, !largestFirst))
 
+  /** The k smallest DISTINCT longs of `item` per group, ascending —
+    * the KMV/theta sketch state as one aggregate (dedup folded into
+    * the bounded heap, see [[BottomKLongsDistinct]]): one exchange of
+    * ≤k longs per (task, group) instead of distinct + heap.
+    */
+  def bottomKLongsDistinct(item: Column, k: Int): Column =
+    Bridge.column(
+      BottomKLongsDistinct(Bridge.expression(item), k)
+        .toAggregateExpression())
+
   /** knn-shaped top-k: per `key`, the k rows with the LARGEST
     * `orderCol`, ties to the SMALLEST `tieCol` — identical rows to
     * `row_number() OVER (PARTITION BY key ORDER BY orderCol DESC,

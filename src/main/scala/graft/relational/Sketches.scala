@@ -21,8 +21,9 @@ import graft.sources.Tables
   * speed; these are the AUDITABLE sketches a pipeline can assert on.
   *
   * Scale shapes (all map-side combinable, nothing corpus-sized on the
-  * driver): KMV = one distinct-pair aggregate + a bounded k-heap
-  * (CollectTopK — O(K) state per group, no per-group sort); HLL =
+  * driver): KMV = ONE bounded dedup-in-heap aggregate
+  * ([[graft.plans.BottomKLongsDistinct]] — ≤K longs per (task, group)
+  * on the wire, no distinct exchange, no per-group sort); HLL =
   * ONE max-aggregate over (group, 64 registers) cells; CMS = ONE
   * count-aggregate over d×w cells broadcast back onto the candidate
   * set; Bloom = a ≤m-row distinct-position table broadcast into the
@@ -51,23 +52,33 @@ object Sketches extends QueryModule {
   val KmvK = 16
   private val TwoPow48 = 281474976710656.0 // exact dyadic
 
-  /** Distinct KMV hashes per group — the pre-heap frame shared by the
-    * gate query and the merge-law spec.
+  /** KMV hash rows per group, duplicates INCLUDED — dedup lives in
+    * the [[kmvBottomK]] aggregate's bounded state, not a separate
+    * distinct exchange.
     */
   def kmvHashes(ev: DataFrame): DataFrame =
     ev.filter(col("user_id").isNotNull)
       .select(col("event_type"), expr(h48("kmv", "user_id")).as("hv"))
-      // distinct BEFORE the heap: a duplicate hash must not occupy a
-      // bottom-K slot (map-side partial agg dedups most pairs early)
-      .groupBy("event_type", "hv").agg(count(lit(1)).as("_n")).drop("_n")
 
-  def sketchKmv(spark: SparkSession, dir: String): DataFrame = {
-    val hv = kmvHashes(Tables.events(spark, dir))
+  /** The per-group KMV state: k smallest DISTINCT hashes, ascending.
+    * One exchange of ≤k longs per (task, group) — the former
+    * distinct-then-heap form paid a full (group, hv) distinct shuffle
+    * FIRST, the dominant sketch cost at corpus scale. Idempotent
+    * under re-delivery (a re-inserted hash is a no-op) — the
+    * streaming face [[graft.streaming.Streaming.kmvSketchStream]]
+    * runs this same body in update mode.
+    */
+  def kmvBottomK(hv: DataFrame): DataFrame =
     hv.groupBy("event_type")
-      .agg(AggExpressions.collectTopK(col("hv"), KmvK, largestFirst = false)
-        .as("_bot"))
-      .select(col("event_type"), sort_array(col("_bot")).as("bot"))
-      .withColumn("n_kept", size(col("bot")))
+      .agg(AggExpressions.bottomKLongsDistinct(col("hv"), KmvK).as("bot"))
+
+  /** Estimate assembly from a KMV state frame (event_type, bot) —
+    * shared by the fresh build and the persisted-rollup serve
+    * ([[SketchStore]]), so a rollup answers in exactly the fresh
+    * build's algebra.
+    */
+  def kmvEstimate(bot: DataFrame): DataFrame =
+    bot.withColumn("n_kept", size(col("bot")))
       .withColumn("kth",
         when(col("n_kept") === KmvK, element_at(col("bot"), KmvK)))
       // below K observed distinct the sketch IS the exact count;
@@ -78,7 +89,9 @@ object Sketches extends QueryModule {
           .otherwise(lit((KmvK - 1).toDouble * TwoPow48) / col("kth")))
       .select("event_type", "n_kept", "kth", "est_distinct")
       .orderBy("event_type")
-  }
+
+  def sketchKmv(spark: SparkSession, dir: String): DataFrame =
+    kmvEstimate(kmvBottomK(kmvHashes(Tables.events(spark, dir))))
 
   // ---------------------------------------------------------------
   // HLL: 64 registers, register = h mod 64, rho = leading-zero count
@@ -90,13 +103,25 @@ object Sketches extends QueryModule {
   // ---------------------------------------------------------------
 
   val HllM = 64
-  private val HllMaxRho = 43 // 42 payload bits + 1
+  private[graft] val HllMaxRho = 43 // 42 payload bits + 1
   private val TwoPow43 = 8796093022208.0
   /** alpha_64 · m² · 2^43 — folded to ONE literal so both engines do
     * exactly one division (the shortest-repr double round-trips
     * through the SQL text losslessly).
     */
-  private val HllC = 0.7213 / (1.0 + 1.079 / 64.0) * 4096.0 * TwoPow43
+  private[graft] val HllC = 0.7213 / (1.0 + 1.079 / 64.0) * 4096.0 * TwoPow43
+
+  /** Adds (j, w, rho) to a frame carrying an `hv` hash column — the
+    * per-row register derivation shared by the whole-corpus registers
+    * ([[hllRegisters]]) and the day-keyed daily states
+    * ([[SketchStore.hllDaily]]).
+    */
+  private[graft] def withHllRegisterCols(hashed: DataFrame): DataFrame =
+    hashed.withColumn("j", (col("hv") % HllM).cast("int"))
+      .withColumn("w", expr(s"hv div ${HllM}"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(HllMaxRho))
+          .otherwise(lit(HllMaxRho) - length(bin(col("w")))))
 
   /** Occupied HLL registers per group: (event_type, j, mj). The
     * mergeable sketch STATE — max-idempotent, so the identical body
@@ -105,21 +130,21 @@ object Sketches extends QueryModule {
     * shards' registers is an elementwise max (spec-pinned law).
     */
   def hllRegisters(ev: DataFrame): DataFrame =
-    ev.filter(col("user_id").isNotNull)
-      .select(col("event_type"), expr(h48("hll", "user_id")).as("hv"))
-      .withColumn("j", (col("hv") % HllM).cast("int"))
-      .withColumn("w", expr(s"hv div ${HllM}"))
-      .withColumn("rho",
-        when(col("w") === 0, lit(HllMaxRho))
-          .otherwise(lit(HllMaxRho) - length(bin(col("w")))))
+    withHllRegisterCols(
+      ev.filter(col("user_id").isNotNull)
+        .select(col("event_type"), expr(h48("hll", "user_id")).as("hv")))
       .groupBy("event_type", "j").agg(max("rho").as("mj"))
 
-  def sketchHll(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
-    val rho = hllRegisters(ev)
+  /** Estimate assembly from occupied-register rows (event_type, j,
+    * mj) — shared by the fresh build and the persisted-rollup serve.
+    * The 64-register grid derives from the register frame itself
+    * (any group with ≥1 hashed row has ≥1 occupied register), so the
+    * caller needs nothing but the mergeable state.
+    */
+  def hllEstimate(rho: DataFrame): DataFrame = {
     // every group carries all 64 registers (empty register ⇒ rho 0);
     // the grid is O(groups·64) — never event volume
-    val grid = ev.select("event_type").distinct()
+    val grid = rho.select("event_type").distinct()
       .select(col("event_type"),
         explode(sequence(lit(0), lit(HllM - 1))).as("j"))
     grid.join(rho, Seq("event_type", "j"), "left")
@@ -141,6 +166,9 @@ object Sketches extends QueryModule {
       .orderBy("event_type")
   }
 
+  def sketchHll(spark: SparkSession, dir: String): DataFrame =
+    hllEstimate(hllRegisters(Tables.events(spark, dir)))
+
   // ---------------------------------------------------------------
   // Count-min: d=3 salted hash rows × w=32 buckets; every counter is
   // an exact long. est(key) = min over rows of its bucket counter —
@@ -158,10 +186,10 @@ object Sketches extends QueryModule {
     * positions. Shared by the batch top-k and the streaming counter
     * face.
     */
-  def cmsPositions(ev: DataFrame): DataFrame =
+  def cmsPositions(ev: DataFrame, extraKeys: Seq[String] = Nil): DataFrame =
     ev.filter(col("user_id").isNotNull)
-      .select(col("user_id"),
-        explode(sequence(lit(0), lit(CmsD - 1))).as("r"))
+      .select(extraKeys.map(col) ++ Seq(col("user_id"),
+        explode(sequence(lit(0), lit(CmsD - 1))).as("r")): _*)
       .withColumn("b",
         expr(h48Salted("cms", "r", "user_id")) % CmsW)
 
@@ -200,7 +228,7 @@ object Sketches extends QueryModule {
        | '|', cast($key as string))), 1, 12), 16, 10) as bigint)"""
       .stripMargin.replace("\n", "")
 
-  private def sqlH48Salted(tag: String, saltCol: String, key: String): String =
+  private[graft] def sqlH48Salted(tag: String, saltCol: String, key: String): String =
     s"CAST('0x' || substr(md5('$tag' || CAST($saltCol AS VARCHAR) || '|' || CAST($key AS VARCHAR)), 1, 12) AS BIGINT)"
 
   // ---------------------------------------------------------------
@@ -279,11 +307,7 @@ object Sketches extends QueryModule {
   // ---------------------------------------------------------------
 
   def sketchThetaOps(spark: SparkSession, dir: String): DataFrame = {
-    val bot = kmvHashes(Tables.events(spark, dir))
-      .groupBy("event_type")
-      .agg(AggExpressions.collectTopK(col("hv"), KmvK, largestFirst = false)
-        .as("_bot"))
-      .select(col("event_type"), sort_array(col("_bot")).as("bot"))
+    val bot = kmvBottomK(kmvHashes(Tables.events(spark, dir)))
       .withColumn("kth",
         when(size(col("bot")) === KmvK, element_at(col("bot"), KmvK)))
     val a = bot.select(col("event_type").as("et_a"), col("bot").as("bot_a"),

@@ -378,4 +378,24 @@ object Streaming {
     */
   def cmsCounterStream(events: DataFrame): DataFrame =
     graft.relational.Sketches.cmsCounters(events)
+
+  /** J14 — streaming face of K35/K40's KMV bottom-k state,
+    * completing the streaming sketch trio's delivery-contract
+    * spectrum: HLL registers merge by max (J12, idempotent), CMS
+    * counters by sum (J13, additive — re-delivery inflates), and the
+    * KMV set by bounded distinct-insert (idempotent like max, but
+    * carrying the ORDER STATISTICS that give exact-below-K counts and
+    * the theta set algebra). State is O(groups × K) longs at any
+    * volume; a re-delivered row re-inserts an already-present hash —
+    * a no-op, so no watermark is needed and at-least-once delivery is
+    * exact. The dedup lives INSIDE the aggregate's bounded state
+    * ([[graft.plans.BottomKLongsDistinct]]) — a streaming distinct-
+    * then-heap would need an unbounded dedup store. Estimate/theta
+    * assembly stays batch-side on its own cadence (the lambda split);
+    * emitted arrays bit-equal the batch [[graft.relational.Sketches
+    * .kmvBottomK]] because it IS the same body (spec-pinned).
+    */
+  def kmvSketchStream(events: DataFrame): DataFrame =
+    graft.relational.Sketches.kmvBottomK(
+      graft.relational.Sketches.kmvHashes(events))
 }

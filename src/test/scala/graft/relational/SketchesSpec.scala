@@ -132,13 +132,10 @@ class SketchesSpec extends SparkSpec {
     assert(merged == whole)
 
     // KMV: bottom-K of (bottom-K(A) ∪ bottom-K(B)) == bottom-K(A ∪ B)
+    // — through the production dedup-in-heap aggregate
     def bottomK(d: org.apache.spark.sql.DataFrame) =
-      Sketches.kmvHashes(d).groupBy("event_type")
-        .agg(graft.plans.AggExpressions
-          .collectTopK(col("hv"), Sketches.KmvK, largestFirst = false)
-          .as("b"))
-        .select(col("event_type"),
-          sort_array(col("b")).as("b"))
+      Sketches.kmvBottomK(Sketches.kmvHashes(d))
+        .select(col("event_type"), col("bot").as("b"))
     val wholeK = bottomK(ev).collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     val mergedK = bottomK(h1).unionAll(bottomK(h2))
@@ -159,6 +156,22 @@ class SketchesSpec extends SparkSpec {
       .groupBy("r", "b").agg(sum("c").as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(mergedC == wholeC && wholeC.nonEmpty)
+  }
+
+  test("bottom-k distinct aggregate: duplicates never occupy slots, ascending, bounded") {
+    import spark.implicits._
+    // 200 rows over 30 distinct values, the smallest value repeated
+    // 171 times — a duplicate-blind heap would fill every slot with it
+    val vals = (1L to 30L) ++ Seq.fill(170)(1L)
+    val got = vals.map(("g", _)).toDF("event_type", "hv")
+      .transform(Sketches.kmvBottomK)
+      .collect().head.getSeq[Long](1)
+    assert(got == (1L to Sketches.KmvK.toLong))
+    // below-k group: the full distinct set, still ascending
+    val small = Seq(5L, 3L, 5L, 9L, 3L).map(("s", _))
+      .toDF("event_type", "hv").transform(Sketches.kmvBottomK)
+      .collect().head.getSeq[Long](1)
+    assert(small == Seq(3L, 5L, 9L))
   }
 
   test("quantiles: monotone, in-range, and rank-accurate at sample size") {

@@ -525,4 +525,37 @@ class StreamingSpec extends SparkSpec {
     assert(inflated.values.sum - batch.values.sum ==
       10L * graft.relational.Sketches.CmsD)
   }
+
+  test("J14 kmv sketch stream: bounded distinct state, idempotent under re-delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 10:00:00")
+    // 60 events over 25 distinct users per type — above K=16, so the
+    // bounded heap genuinely evicts
+    val evs = (1L to 120L).map(i => Event(i, base, i % 25,
+      if (i % 2 == 0) "view" else "click", 1.0))
+    val mem = MemoryStream[Event]
+    val q = Streaming.kmvSketchStream(mem.toDF())
+      .writeStream.format("memory").queryName("kmv_bot")
+      .outputMode("complete").start()
+    mem.addData(evs.take(60): _*)
+    q.processAllAvailable()
+    mem.addData(evs.drop(60): _*)
+    q.processAllAvailable()
+    def state(): Map[String, Seq[Long]] =
+      spark.sql("SELECT * FROM kmv_bot").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val once = state()
+    val batch = graft.relational.Sketches.kmvBottomK(
+      graft.relational.Sketches.kmvHashes(evs.toDF())).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(once == batch && batch.nonEmpty)
+    assert(batch.values.forall(_.length == graft.relational.Sketches.KmvK))
+    // re-delivery: inserting already-seen hashes must not move ANY
+    // group's state — the idempotent contract (vs J13's inflation)
+    mem.addData(evs.take(40): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(state() == batch)
+  }
 }
