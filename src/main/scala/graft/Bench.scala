@@ -108,7 +108,11 @@ object Bench {
       "pq_saved_index" -> (() => { sim.IndexStore.prebuildSavedPq(spark, sfDir); () }),
       // after given_centroid_lists: residual codes quantize against
       // the (already-billed) given-quantizer assignment
-      "pq_residual_codes" -> (() => sim.Pq.prebuildResidual(spark, sfDir)))
+      "pq_residual_codes" -> (() => sim.Pq.prebuildResidual(spark, sfDir)),
+      // the one corpus-sized pass behind the three sketch_rollup_*
+      // queries: per-day KMV/HLL/CMS states written day-partitioned
+      "sketch_daily" -> (() =>
+        { relational.SketchStore.prebuild(spark, sfDir); () }))
     val queryFns = SparkEntry.queries.toSeq.sortBy(_._1)
     val bTimes = buildFns.map(_._1 -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
     val qTimes = queryFns.map(_._1 -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap

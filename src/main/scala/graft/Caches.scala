@@ -21,6 +21,7 @@ object Caches {
     sim.Pq.clearCacheForBench()
     sim.Ivf.clearCacheForBench()
     sim.IndexStore.clearCacheForBench()
+    relational.SketchStore.clearCacheForBench()
     sim.Pca.clearCacheForBench()
   }
 }

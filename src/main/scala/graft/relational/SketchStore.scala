@@ -1,0 +1,275 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.plans.AggExpressions
+import graft.sources.Tables
+
+/** Persisted daily sketches → merged rollups (SURVEY §2 K41-K43) —
+  * the warehouse pattern MERGEABLE sketches exist for: an offline job
+  * writes one bounded sketch state per (day, group); any later
+  * question over a date range is answered from the O(days × groups ×
+  * state) artifact alone, never by rescanning events. At 100 TB the
+  * daily build is the only corpus-sized pass, and it happens once per
+  * day — a "distinct users last N days" rollup then reads kilobytes.
+  *
+  * Layout: `kmv/`, `hll/`, `cms/` under one store dir, each
+  * PARTITIONED BY day, so a date-range rollup prunes to exactly its
+  * days at the source (`PartitionFilters`, spec-asserted) — the
+  * IndexStore `lists/` discipline applied to the time axis.
+  *
+  * Merge algebra (the spec-pinned laws, now exercised through
+  * persistence): KMV re-aggregates exploded day states through the
+  * SAME bounded dedup-in-heap aggregate as the build (bottom-K of
+  * day bottom-Ks == bottom-K of the union); HLL registers merge by
+  * elementwise max; CMS counters by elementwise sum. Each rollup is
+  * gated by the MONOLITHIC sketch's oracle over the range-filtered
+  * events — the hash gate proves merged-persisted == fresh-over-range
+  * cross-engine, estimates included.
+  */
+object SketchStore extends graft.QueryModule {
+
+  /** Served range: the store's first `RollupDays` days. The cutoff is
+    * collected from the O(days×groups) artifact (a serving-size
+    * quantity, like IndexStore's probe set) and pushed as a LITERAL
+    * so the day filter prunes partitions at plan time.
+    */
+  val RollupDays = 7
+
+  private def withDay(ev: DataFrame): DataFrame =
+    ev.filter(col("user_id").isNotNull)
+      .withColumn("day", to_date(col("ts")))
+
+  /** Per-(day, event_type) KMV state — one bounded aggregate, day
+    * folded into the grouping key.
+    */
+  def kmvDaily(ev: DataFrame): DataFrame =
+    withDay(ev)
+      .select(col("day"), col("event_type"),
+        expr(Sketches.h48("kmv", "user_id")).as("hv"))
+      .groupBy("day", "event_type")
+      .agg(AggExpressions.bottomKLongsDistinct(col("hv"), Sketches.KmvK)
+        .as("bot"))
+
+  /** Per-(day, event_type, j) occupied HLL registers. */
+  def hllDaily(ev: DataFrame): DataFrame =
+    Sketches.withHllRegisterCols(
+      withDay(ev).select(col("day"), col("event_type"),
+        expr(Sketches.h48("hll", "user_id")).as("hv")))
+      .groupBy("day", "event_type", "j").agg(max("rho").as("mj"))
+
+  /** Per-(day, r, b) CMS counter cells. */
+  def cmsDaily(ev: DataFrame): DataFrame =
+    Sketches.cmsPositions(withDay(ev), Seq("day"))
+      .groupBy("day", "r", "b").agg(count(lit(1)).as("c"))
+
+  /** Write the three daily-state families, each day-partitioned (one
+    * file per day directory — a day's state is read whole or not at
+    * all). Overwrites any prior store at `path`.
+    */
+  def save(spark: SparkSession, sfDir: String, path: String): Unit =
+    save(Tables.events(spark, sfDir), path)
+
+  def save(ev: DataFrame, path: String): Unit = {
+    def write(df: DataFrame, sub: String): Unit =
+      df.repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(s"$path/$sub")
+    write(kmvDaily(ev), "kmv")
+    write(hllDaily(ev), "hll")
+    write(cmsDaily(ev), "cms")
+  }
+
+  /** The daily-job arrival path: (re)write ONE day's states into an
+    * existing store. Dynamic partition overwrite replaces exactly the
+    * touched day directories and nothing else, so the job is
+    * IDEMPOTENT — a crashed or duplicated daily run re-lands the same
+    * partitions instead of appending duplicate state rows (the
+    * contract that makes a sketch store safe to operate: re-run any
+    * day, any number of times, rollups unchanged). New days simply
+    * land as new partitions.
+    */
+  def writeDay(ev: DataFrame, path: String, day: java.time.LocalDate): Unit = {
+    val dayEv = ev.filter(to_date(col("ts")) === lit(java.sql.Date.valueOf(day)))
+    def write(df: DataFrame, sub: String): Unit =
+      df.repartition(col("day"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(s"$path/$sub")
+    write(kmvDaily(dayEv), "kmv")
+    write(hllDaily(dayEv), "hll")
+    write(cmsDaily(dayEv), "cms")
+  }
+
+  // explicit schemas: an empty-corpus store has no files to infer
+  // from, and inference would type the day= partition dirs after the
+  // data columns anyway (the IndexStore loadLists lesson)
+  private def loadKmv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("event_type STRING, bot ARRAY<BIGINT>, day DATE")
+      .parquet(s"$path/kmv")
+
+  private def loadHll(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("event_type STRING, j INT, mj INT, day DATE")
+      .parquet(s"$path/hll")
+
+  private def loadCms(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("r INT, b BIGINT, c BIGINT, day DATE")
+      .parquet(s"$path/cms")
+
+  /** First day in the store + RollupDays — ONE driver-side date from
+    * the day-sized artifact, returned as a literal so the range scan
+    * partition-prunes.
+    */
+  private def cutoffDay(daily: DataFrame): java.sql.Date = {
+    val first = daily.agg(min("day")).head().getDate(0)
+    java.sql.Date.valueOf(first.toLocalDate.plusDays(RollupDays))
+  }
+
+  private[relational] def rangedKmv(spark: SparkSession, path: String): DataFrame = {
+    val daily = loadKmv(spark, path)
+    daily.filter(col("day") < lit(cutoffDay(daily)))
+  }
+
+  /** K41 — distinct-cardinality over the range from persisted daily
+    * KMV states: explode day states, re-run the SAME bounded
+    * dedup-in-heap aggregate (the merge law in production form), then
+    * the shared estimate tail. Reads ≤ days×groups×K longs.
+    */
+  def rollupKmvQ(spark: SparkSession, dir: String): DataFrame =
+    Sketches.kmvEstimate(Sketches.kmvBottomK(
+      rangedKmv(spark, prebuild(spark, dir))
+        .select(col("event_type"), explode(col("bot")).as("hv"))))
+
+  /** K42 — HLL estimate over the range: elementwise-max register
+    * merge + the shared estimate assembly.
+    */
+  def rollupHllQ(spark: SparkSession, dir: String): DataFrame = {
+    val daily = loadHll(spark, prebuild(spark, dir))
+    val ranged = daily.filter(col("day") < lit(cutoffDay(daily)))
+    Sketches.hllEstimate(
+      ranged.groupBy("event_type", "j").agg(max("mj").as("mj")))
+  }
+
+  /** K43 — the merged CMS counter grid over the range (elementwise
+    * sum — counters are additive, so the merged grid is EXACTLY the
+    * grid a fresh build over the range produces; point estimates are
+    * O(1) lookups against it afterwards). O(d·w) output.
+    */
+  def rollupCmsQ(spark: SparkSession, dir: String): DataFrame = {
+    val daily = loadCms(spark, prebuild(spark, dir))
+    val ranged = daily.filter(col("day") < lit(cutoffDay(daily)))
+    ranged.groupBy("r", "b").agg(sum("c").cast("bigint").as("c"))
+      .orderBy("r", "b")
+  }
+
+  // --- driver-query face ---------------------------------------------
+
+  /** Content-addressed store dir per corpus (the memo-key lesson:
+    * identity must include the source path).
+    */
+  private[relational] def storeDirFor(sfDir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_sketch_daily_$h"
+  }
+
+  // save-once-per-(session, corpus): the rollup queries measure the
+  // range serve, not the daily build; evicted per bench sweep so the
+  // build is billed cold each sweep (`builds.sketch_daily`)
+  private val savedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private[graft] def clearCacheForBench(): Unit = savedCache.clear()
+
+  def prebuild(spark: SparkSession, dir: String): String =
+    savedCache.synchronized {
+      savedCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+      savedCache.getOrElseUpdate((spark, dir), {
+        val p = storeDirFor(dir)
+        save(spark, dir, p)
+        p
+      })
+    }
+
+  override def queries: Map[String, Q] = Map(
+    "sketch_rollup_kmv" -> (rollupKmvQ _),
+    "sketch_rollup_hll" -> (rollupHllQ _),
+    "sketch_rollup_cms" -> (rollupCmsQ _))
+
+  /** The monolithic sketches' oracles over the range-filtered events:
+    * the gate proves merged-persisted == fresh-over-range.
+    */
+  private val cutSql =
+    s"""cut AS (SELECT min(CAST(ts AS DATE)) + $RollupDays AS c
+      |  FROM events WHERE user_id IS NOT NULL)""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "sketch_rollup_kmv" ->
+      s"""WITH $cutSql,
+        |h AS (SELECT DISTINCT event_type,
+        |    ${Sketches.sqlH48("kmv", "user_id")} AS hv
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND CAST(ts AS DATE) < (SELECT c FROM cut)),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv ASC) AS rn
+        |  FROM h)
+        |SELECT event_type,
+        |  CAST(CASE WHEN count(*) >= ${Sketches.KmvK} THEN ${Sketches.KmvK}
+        |            ELSE count(*) END AS INT) AS n_kept,
+        |  max(CASE WHEN rn = ${Sketches.KmvK} THEN hv END) AS kth,
+        |  CASE WHEN count(*) < ${Sketches.KmvK} THEN CAST(count(*) AS DOUBLE)
+        |       ELSE ${(Sketches.KmvK - 1).toDouble * 281474976710656.0}
+        |            / max(CASE WHEN rn = ${Sketches.KmvK} THEN hv END)
+        |  END AS est_distinct
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "sketch_rollup_hll" ->
+      s"""WITH $cutSql,
+        |e AS (SELECT event_type, user_id FROM events
+        |  WHERE user_id IS NOT NULL
+        |    AND CAST(ts AS DATE) < (SELECT c FROM cut)),
+        |h AS (SELECT event_type,
+        |    ${Sketches.sqlH48("hll", "user_id")} AS hv
+        |  FROM e),
+        |b AS (SELECT event_type, hv % ${Sketches.HllM} AS j,
+        |    hv // ${Sketches.HllM} AS w FROM h),
+        |rho AS (SELECT event_type, j,
+        |    max(CASE WHEN w = 0 THEN ${Sketches.HllMaxRho}
+        |             ELSE ${Sketches.HllMaxRho} - length(bin(w)) END) AS mj
+        |  FROM b GROUP BY 1, 2),
+        |grid AS (SELECT event_type, CAST(j AS BIGINT) AS j
+        |  FROM (SELECT DISTINCT event_type FROM e),
+        |       UNNEST(range(0, ${Sketches.HllM})) u(j)),
+        |regs AS (SELECT g.event_type, g.j, coalesce(r.mj, 0) AS mj
+        |  FROM grid g LEFT JOIN rho r
+        |    ON r.event_type = g.event_type AND r.j = g.j),
+        |agg AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS INT) AS v_zero,
+        |    CAST(sum(CAST(1 AS BIGINT) << (${Sketches.HllMaxRho} - mj)) AS BIGINT)
+        |      AS s_scaled
+        |  FROM regs GROUP BY event_type)
+        |SELECT event_type, v_zero, s_scaled,
+        |  ${Sketches.HllC} / CAST(s_scaled AS DOUBLE) AS est_raw,
+        |  CASE WHEN v_zero > 0
+        |        AND ${Sketches.HllC} / CAST(s_scaled AS DOUBLE)
+        |            <= ${2.5 * Sketches.HllM}
+        |       THEN CAST(${Sketches.HllM} AS DOUBLE) * CAST(CAST(
+        |            ln(CAST(${Sketches.HllM} AS DOUBLE) / v_zero)
+        |            AS DECIMAL(18,9)) AS DOUBLE)
+        |       ELSE ${Sketches.HllC} / CAST(s_scaled AS DOUBLE)
+        |  END AS est_distinct
+        |FROM agg ORDER BY event_type""".stripMargin,
+    "sketch_rollup_cms" ->
+      s"""WITH $cutSql,
+        |e AS (SELECT user_id FROM events
+        |  WHERE user_id IS NOT NULL
+        |    AND CAST(ts AS DATE) < (SELECT c FROM cut)),
+        |pos AS (SELECT user_id, r,
+        |    ${Sketches.sqlH48Salted("cms", "r", "user_id")} % ${Sketches.CmsW}
+        |      AS b
+        |  FROM e, UNNEST(range(0, ${Sketches.CmsD})) u(r))
+        |SELECT CAST(r AS INT) AS r, b, CAST(count(*) AS BIGINT) AS c
+        |FROM pos GROUP BY 1, 2 ORDER BY r, b""".stripMargin)
+}
