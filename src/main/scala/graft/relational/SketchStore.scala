@@ -64,6 +64,22 @@ object SketchStore extends graft.QueryModule {
     Sketches.cmsPositions(withDay(ev), Seq("day"))
       .groupBy("day", "r", "b").agg(count(lit(1)).as("c"))
 
+  /** Per-(day, event_type) quantile state: that day's row count plus
+    * its bottom-K-by-hash (hv, value) sample — the sample is fixed by
+    * the hash, so day samples merge into exactly the monolithic
+    * sample (the K smallest of the union are each within their day's
+    * K smallest).
+    */
+  def qtlDaily(ev: DataFrame): DataFrame =
+    ev.filter(col("value").isNotNull)
+      .withColumn("day", to_date(col("ts")))
+      .select(col("day"), col("event_type"), col("value"),
+        expr(Sketches.h48("qtl", "event_id")).as("hv"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n_total"),
+        AggExpressions.collectTopK(struct(col("hv"), col("value")),
+          Sketches.QtlK, largestFirst = false).as("samp"))
+
   /** Write the three daily-state families, each day-partitioned (one
     * file per day directory — a day's state is read whole or not at
     * all). Overwrites any prior store at `path`.
@@ -78,6 +94,7 @@ object SketchStore extends graft.QueryModule {
     write(kmvDaily(ev), "kmv")
     write(hllDaily(ev), "hll")
     write(cmsDaily(ev), "cms")
+    write(qtlDaily(ev), "qtl")
   }
 
   /** The daily-job arrival path: (re)write ONE day's states into an
@@ -99,6 +116,7 @@ object SketchStore extends graft.QueryModule {
     write(kmvDaily(dayEv), "kmv")
     write(hllDaily(dayEv), "hll")
     write(cmsDaily(dayEv), "cms")
+    write(qtlDaily(dayEv), "qtl")
   }
 
   // explicit schemas: an empty-corpus store has no files to infer
@@ -118,6 +136,12 @@ object SketchStore extends graft.QueryModule {
     spark.read
       .schema("r INT, b BIGINT, c BIGINT, day DATE")
       .parquet(s"$path/cms")
+
+  private def loadQtl(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("event_type STRING, n_total BIGINT, " +
+        "samp ARRAY<STRUCT<hv: BIGINT, value: DOUBLE>>, day DATE")
+      .parquet(s"$path/qtl")
 
   /** First day in the store + RollupDays — ONE driver-side date from
     * the day-sized artifact, returned as a literal so the range scan
@@ -151,6 +175,26 @@ object SketchStore extends graft.QueryModule {
     val ranged = daily.filter(col("day") < lit(cutoffDay(daily)))
     Sketches.hllEstimate(
       ranged.groupBy("event_type", "j").agg(max("mj").as("mj")))
+  }
+
+  /** K44 — quantiles over the range from persisted daily samples:
+    * day row-counts sum; day bottom-K-by-hash samples re-heap through
+    * the SAME bounded aggregate (the K smallest of the union are each
+    * within their day's K smallest, so the merged sample IS the
+    * monolithic sample over the range); then the shared
+    * order-statistic tail.
+    */
+  def rollupQtlQ(spark: SparkSession, dir: String): DataFrame = {
+    val daily = loadQtl(spark, prebuild(spark, dir))
+    val ranged = daily.filter(col("day") < lit(cutoffDay(daily)))
+    val totals = ranged.groupBy("event_type")
+      .agg(sum("n_total").cast("bigint").as("n_total"))
+    val merged = ranged
+      .select(col("event_type"), explode(col("samp")).as("x"))
+      .groupBy("event_type")
+      .agg(AggExpressions.collectTopK(col("x"),
+        Sketches.QtlK, largestFirst = false).as("_s"))
+    Sketches.qtlEstimate(totals.join(merged, "event_type"))
   }
 
   /** K43 — the merged CMS counter grid over the range (elementwise
@@ -197,7 +241,8 @@ object SketchStore extends graft.QueryModule {
   override def queries: Map[String, Q] = Map(
     "sketch_rollup_kmv" -> (rollupKmvQ _),
     "sketch_rollup_hll" -> (rollupHllQ _),
-    "sketch_rollup_cms" -> (rollupCmsQ _))
+    "sketch_rollup_cms" -> (rollupCmsQ _),
+    "sketch_rollup_quantiles" -> (rollupQtlQ _))
 
   /** The monolithic sketches' oracles over the range-filtered events:
     * the gate proves merged-persisted == fresh-over-range.
@@ -261,6 +306,31 @@ object SketchStore extends graft.QueryModule {
         |       ELSE ${Sketches.HllC} / CAST(s_scaled AS DOUBLE)
         |  END AS est_distinct
         |FROM agg ORDER BY event_type""".stripMargin,
+    "sketch_rollup_quantiles" ->
+      s"""WITH cut AS (SELECT min(CAST(ts AS DATE)) + $RollupDays AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |e AS (SELECT event_type, value,
+        |    ${Sketches.sqlH48("qtl", "event_id")} AS hv
+        |  FROM events WHERE value IS NOT NULL
+        |    AND CAST(ts AS DATE) < (SELECT c FROM cut)),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total
+        |  FROM e GROUP BY 1),
+        |r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY hv, value) AS rn
+        |  FROM e),
+        |v AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value) AS vr,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS INT) AS ns
+        |  FROM r WHERE rn <= ${Sketches.QtlK})
+        |SELECT v.event_type, n.n_total, max(ns) AS n_sample,
+        |${Sketches.QtlQs.map { case (nm, num, den) =>
+             s"  max(CASE WHEN vr = ($num * ns + ${den - 1}) // $den" +
+             s" THEN value END) AS $nm" }.mkString(",\n")}
+        |FROM v JOIN n ON v.event_type = n.event_type
+        |GROUP BY v.event_type, n.n_total
+        |ORDER BY v.event_type""".stripMargin,
     "sketch_rollup_cms" ->
       s"""WITH $cutSql,
         |e AS (SELECT user_id FROM events

@@ -267,7 +267,26 @@ object Sketches extends QueryModule {
     * 18.000…004 → ceil 19), so the engines disagree at exact
     * boundaries AND neither matches textbook percentile_disc.
     */
-  private val QtlQs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+  private[graft] val QtlQs =
+    Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+  /** Order-statistic assembly from a sampled frame (event_type,
+    * n_total, _s: array<struct<hv,value>>) — shared by the fresh
+    * build and the persisted-rollup serve.
+    */
+  def qtlEstimate(sampled: DataFrame): DataFrame = {
+    val withVals = sampled
+      .withColumn("vals",
+        sort_array(expr("transform(_s, x -> x.value)")))
+      .withColumn("n_sample", size(col("vals")))
+    QtlQs.foldLeft(withVals) { case (df, (name, num, den)) =>
+      df.withColumn(name,
+        element_at(col("vals"),
+          expr(s"cast(($num * n_sample + ${den - 1}) div $den as int)")))
+    }.select(Seq(col("event_type"), col("n_total"), col("n_sample")) ++
+        QtlQs.map { case (n, _, _) => col(n) }: _*)
+      .orderBy("event_type")
+  }
 
   def sketchQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -277,20 +296,10 @@ object Sketches extends QueryModule {
     // (hv, value) struct: hv dominates the bounded-heap order; value
     // rides as payload (and breaks a 48-bit collision identically to
     // the oracle's ORDER BY hv, value)
-    val sampled = ev.groupBy("event_type")
+    qtlEstimate(ev.groupBy("event_type")
       .agg(count(lit(1)).as("n_total"),
         AggExpressions.collectTopK(struct(col("hv"), col("value")),
-          QtlK, largestFirst = false).as("_s"))
-      .withColumn("vals",
-        sort_array(expr("transform(_s, x -> x.value)")))
-      .withColumn("n_sample", size(col("vals")))
-    QtlQs.foldLeft(sampled) { case (df, (name, num, den)) =>
-      df.withColumn(name,
-        element_at(col("vals"),
-          expr(s"cast(($num * n_sample + ${den - 1}) div $den as int)")))
-    }.select(Seq(col("event_type"), col("n_total"), col("n_sample")) ++
-        QtlQs.map { case (n, _, _) => col(n) }: _*)
-      .orderBy("event_type")
+          QtlK, largestFirst = false).as("_s")))
   }
 
   // ---------------------------------------------------------------

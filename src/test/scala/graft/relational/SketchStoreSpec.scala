@@ -47,6 +47,21 @@ class SketchStoreSpec extends SparkSpec {
     val mono = Sketches.cmsCounters(ev)
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(allCms == mono && mono.nonEmpty)
+
+    val qtlDaily = spark.read
+      .schema("event_type STRING, n_total BIGINT, " +
+        "samp ARRAY<STRUCT<hv: BIGINT, value: DOUBLE>>, day DATE")
+      .parquet(s"$storeDir/qtl")
+    val allQtl = Sketches.qtlEstimate(
+      qtlDaily.groupBy("event_type")
+        .agg(sum("n_total").cast("bigint").as("n_total"))
+        .join(qtlDaily
+          .select(col("event_type"), explode(col("samp")).as("x"))
+          .groupBy("event_type")
+          .agg(graft.plans.AggExpressions.collectTopK(col("x"),
+            Sketches.QtlK, largestFirst = false).as("_s")), "event_type"))
+    assert(allQtl.collect().toSeq ==
+      Sketches.sketchQuantiles(spark, sf).collect().toSeq)
   }
 
   test("range rollup equals a fresh build over the range-filtered events") {
@@ -73,6 +88,23 @@ class SketchStoreSpec extends SparkSpec {
     val wantCms = Sketches.cmsCounters(ranged)
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(gotCms == wantCms)
+
+    // quantile cut derives from value-notnull days (its own artifact)
+    val qCut = ev.filter(col("value").isNotNull)
+      .agg(min(to_date(col("ts")))).head().getDate(0)
+      .toLocalDate.plusDays(SketchStore.RollupDays)
+    val qRanged = ev
+      .filter(to_date(col("ts")) < lit(java.sql.Date.valueOf(qCut)))
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"),
+        expr(Sketches.h48("qtl", "event_id")).as("hv"))
+    val wantQtl = Sketches.qtlEstimate(qRanged.groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        graft.plans.AggExpressions.collectTopK(
+          struct(col("hv"), col("value")),
+          Sketches.QtlK, largestFirst = false).as("_s")))
+    assert(SketchStore.rollupQtlQ(spark, sf).collect().toSeq ==
+      wantQtl.collect().toSeq)
   }
 
   test("the range scan is partition-pruned to the rollup days") {
