@@ -247,6 +247,26 @@ object StressBench {
     time("embedding_pca_x" + mult) {
       graft.sim.Pca.pca1(embAmp).count()
     }
+    // sketch store: the daily build is the ONE corpus-sized pass
+    // (bounded aggregates per family — linear in event volume; user
+    // ids offset per copy so distinct users scale too)...
+    val sketchDir = s"/tmp/graft_stress_sketch_x$mult-${System.nanoTime()}"
+    time("sketch_daily_build_x" + mult) {
+      graft.relational.SketchStore.save(eventsAmp, sketchDir)
+      spark.read.parquet(s"$sketchDir/kmv").count()
+    }
+    // ...while the rollup reads ONLY the O(days×groups×K) artifact —
+    // its time must stay ~FLAT as mult grows (amplified copies share
+    // the 30-day range and 5 types, so the artifact size is pinned;
+    // THAT is the point of the store at 100 TB)
+    time("sketch_rollup_x" + mult) {
+      graft.relational.Sketches.kmvEstimate(graft.relational.Sketches
+        .kmvBottomK(spark.read
+          .schema("event_type STRING, bot ARRAY<BIGINT>, day DATE")
+          .parquet(s"$sketchDir/kmv")
+          .select(col("event_type"), explode(col("bot")).as("hv"))))
+        .count()
+    }
     time("neardup_clusters_x" + mult) {
       val sh = graft.dedup.Dedup.shingleSets(docsAmp, "doc_id", "text").persist()
       val pairs = graft.dedup.Dedup.jaccardVerify(

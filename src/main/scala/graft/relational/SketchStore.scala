@@ -209,6 +209,111 @@ object SketchStore extends graft.QueryModule {
       .orderBy("r", "b")
   }
 
+  /** K45 — rolling 7-day distinct users per (day, event_type), the
+    * WAU/MAU product question, answered ENTIRELY from the persisted
+    * daily KMV states: each report day merges its trailing window's
+    * day states (a non-equi join of the O(days) day list against the
+    * O(days × groups) state table — both sketch-artifact-sized, the
+    * events table is never touched), re-heaps through the bounded
+    * dedup-in-heap aggregate, and runs the shared estimate algebra
+    * per report day. The naive form rescans window-sized slices of
+    * the corpus once PER DAY — O(days × window × events/day); this is
+    * O(days × window × groups × K) longs, independent of event
+    * volume. Oracle: the monolithic KMV SQL per (report_day, window)
+    * — the gate proves every window's merged state cross-engine.
+    */
+  def rollupWauQ(spark: SparkSession, dir: String): DataFrame = {
+    val daily = loadKmv(spark, prebuild(spark, dir))
+    val days = daily.select(col("day").as("report_day")).distinct()
+    val win = broadcast(days).join(daily,
+      col("day").between(date_sub(col("report_day"), RollupDays - 1),
+        col("report_day")))
+    val merged = win
+      .select(col("report_day"), col("event_type"),
+        explode(col("bot")).as("hv"))
+      .groupBy("report_day", "event_type")
+      .agg(AggExpressions.bottomKLongsDistinct(col("hv"), Sketches.KmvK)
+        .as("bot"))
+    merged.withColumn("n_kept", size(col("bot")))
+      .withColumn("kth",
+        when(col("n_kept") === Sketches.KmvK,
+          element_at(col("bot"), Sketches.KmvK)))
+      .withColumn("est_distinct",
+        when(col("n_kept") < Sketches.KmvK, col("n_kept").cast("double"))
+          .otherwise(lit((Sketches.KmvK - 1).toDouble * 281474976710656.0)
+            / col("kth")))
+      .select("report_day", "event_type", "n_kept", "kth", "est_distinct")
+      .orderBy("report_day", "event_type")
+  }
+
+  /** Merge one micro-batch of events INTO an existing store — the
+    * continuous form of [[writeDay]] for a stream that doesn't align
+    * with day boundaries ([[graft.streaming.Streaming
+    * .sketchStoreStream]]). Per family: build the batch's day states,
+    * read ONLY the touched day partitions (the day list is collected
+    * — O(days per batch), the probe-set discipline — and pushed as a
+    * literal IN partition filter), re-aggregate the union, and
+    * dynamic-overwrite exactly those partitions. Work per batch is
+    * bounded by batch volume + O(touched days × groups × state), the
+    * store is never rewritten.
+    *
+    * Delivery contracts match the streaming sketch trio: KMV sets and
+    * HLL registers are idempotent (a re-delivered batch merges to a
+    * no-op); the CMS counters and the WHOLE quantile family are
+    * ADDITIVE — re-delivery inflates counts AND re-enters sample rows
+    * as duplicate heap entries (deduping the merge would instead drop
+    * the genuine 48-bit-collision duplicates the monolithic build
+    * keeps, breaking bit-exactness). Both are exact under the
+    * effectively-once delivery foreachBatch's checkpoint provides —
+    * spec-pinned.
+    */
+  def upsertBatch(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    def upsert(newDf: DataFrame, sub: String, load: => DataFrame,
+        merge: DataFrame => DataFrame): Unit = {
+      val days = newDf.select("day").distinct().collect().map(_.getDate(0))
+      if (days.isEmpty) return
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      val existing =
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/$sub")))
+          load.filter(col("day").isin(days: _*))
+        else newDf.limit(0)
+      // localCheckpoint MATERIALIZES the merged state before the
+      // write: the overwrite replaces the very partitions the merge
+      // reads, so the read must complete first, not race the commit
+      // (bounded: touched days × groups × state rows)
+      merge(existing.unionByName(newDf))
+        .localCheckpoint()
+        .repartition(col("day"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(s"$path/$sub")
+    }
+    upsert(kmvDaily(batch), "kmv", loadKmv(spark, path), df =>
+      df.select(col("day"), col("event_type"), explode(col("bot")).as("hv"))
+        .groupBy("day", "event_type")
+        .agg(AggExpressions.bottomKLongsDistinct(col("hv"), Sketches.KmvK)
+          .as("bot")))
+    upsert(hllDaily(batch), "hll", loadHll(spark, path), df =>
+      df.groupBy("day", "event_type", "j").agg(max("mj").as("mj")))
+    upsert(cmsDaily(batch), "cms", loadCms(spark, path), df =>
+      df.groupBy("day", "r", "b").agg(sum("c").cast("bigint").as("c")))
+    upsert(qtlDaily(batch), "qtl", loadQtl(spark, path), df => {
+      // totals and samples aggregate separately: summing n_total over
+      // EXPLODED sample rows would multiply it by the sample size
+      val totals = df.groupBy("day", "event_type")
+        .agg(sum("n_total").cast("bigint").as("n_total"))
+      val samp = df
+        .select(col("day"), col("event_type"), explode(col("samp")).as("x"))
+        .groupBy("day", "event_type")
+        .agg(AggExpressions.collectTopK(col("x"), Sketches.QtlK,
+          largestFirst = false).as("samp"))
+      totals.join(samp, Seq("day", "event_type"))
+        .select("event_type", "n_total", "samp", "day")
+    })
+  }
+
   // --- driver-query face ---------------------------------------------
 
   /** Content-addressed store dir per corpus (the memo-key lesson:
@@ -242,7 +347,8 @@ object SketchStore extends graft.QueryModule {
     "sketch_rollup_kmv" -> (rollupKmvQ _),
     "sketch_rollup_hll" -> (rollupHllQ _),
     "sketch_rollup_cms" -> (rollupCmsQ _),
-    "sketch_rollup_quantiles" -> (rollupQtlQ _))
+    "sketch_rollup_quantiles" -> (rollupQtlQ _),
+    "sketch_wau" -> (rollupWauQ _))
 
   /** The monolithic sketches' oracles over the range-filtered events:
     * the gate proves merged-persisted == fresh-over-range.
@@ -331,6 +437,29 @@ object SketchStore extends graft.QueryModule {
         |FROM v JOIN n ON v.event_type = n.event_type
         |GROUP BY v.event_type, n.n_total
         |ORDER BY v.event_type""".stripMargin,
+    "sketch_wau" ->
+      s"""WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS report_day
+        |  FROM events WHERE user_id IS NOT NULL),
+        |h AS (SELECT DISTINCT d.report_day, e.event_type,
+        |    ${Sketches.sqlH48("kmv", "e.user_id")} AS hv
+        |  FROM events e JOIN days d
+        |    ON CAST(e.ts AS DATE)
+        |       BETWEEN d.report_day - ${RollupDays - 1} AND d.report_day
+        |  WHERE e.user_id IS NOT NULL),
+        |r AS (SELECT report_day, event_type, hv,
+        |    row_number() OVER (PARTITION BY report_day, event_type
+        |                       ORDER BY hv ASC) AS rn
+        |  FROM h)
+        |SELECT report_day, event_type,
+        |  CAST(CASE WHEN count(*) >= ${Sketches.KmvK} THEN ${Sketches.KmvK}
+        |            ELSE count(*) END AS INT) AS n_kept,
+        |  max(CASE WHEN rn = ${Sketches.KmvK} THEN hv END) AS kth,
+        |  CASE WHEN count(*) < ${Sketches.KmvK} THEN CAST(count(*) AS DOUBLE)
+        |       ELSE ${(Sketches.KmvK - 1).toDouble * 281474976710656.0}
+        |            / max(CASE WHEN rn = ${Sketches.KmvK} THEN hv END)
+        |  END AS est_distinct
+        |FROM r GROUP BY report_day, event_type
+        |ORDER BY report_day, event_type""".stripMargin,
     "sketch_rollup_cms" ->
       s"""WITH $cutSql,
         |e AS (SELECT user_id FROM events

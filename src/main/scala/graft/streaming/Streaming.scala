@@ -398,4 +398,27 @@ object Streaming {
   def kmvSketchStream(events: DataFrame): DataFrame =
     graft.relational.Sketches.kmvBottomK(
       graft.relational.Sketches.kmvHashes(events))
+
+  /** J15 — continuous maintenance of the PERSISTED sketch store
+    * ([[graft.relational.SketchStore]]): each micro-batch's day
+    * states merge into the day-partitioned artifact via
+    * `upsertBatch` (read touched days only, re-aggregate, dynamic-
+    * overwrite those partitions). Where J12-J14 hold sketch state in
+    * the streaming state store for the CURRENT answer, this face
+    * keeps the offline artifact current, so batch rollups (K41-K44)
+    * are always answerable from parquet without a daily job — the
+    * lambda architecture collapsed to one writer. foreachBatch is the
+    * right tool: the sink is a partitioned parquet MERGE, which no
+    * streaming output mode expresses; exactly-once comes from the
+    * checkpoint's batch-id dedup plus the merge's delivery contracts
+    * (KMV/HLL idempotent, CMS and the quantile family additive —
+    * spec-pinned on upsertBatch itself).
+    */
+  def sketchStoreStream(events: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.relational.SketchStore.upsertBatch(batch, path)
+      }
 }

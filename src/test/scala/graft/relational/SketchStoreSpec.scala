@@ -142,6 +142,86 @@ class SketchStoreSpec extends SparkSpec {
       lastDayRows.select("event_type").distinct().count())
   }
 
+  test("upsertBatch merges mid-day batches into exactly the full-save store") {
+    val d = Files.createTempDirectory("graft_sketch_upsert").toString
+    // split at an event_id cut so BOTH batches carry rows of the same
+    // days — the merge path, not just the new-partition path
+    val cut = ev.agg(max("event_id")).head().getLong(0) / 2
+    SketchStore.upsertBatch(ev.filter(col("event_id") <= cut), d)
+    SketchStore.upsertBatch(ev.filter(col("event_id") > cut), d)
+
+    val full = Files.createTempDirectory("graft_sketch_full").toString
+    SketchStore.save(ev, full)
+    def rows(p: String, sub: String, schema: String): Set[String] =
+      spark.read.schema(schema).parquet(s"$p/$sub")
+        .collect().map(_.toString).toSet
+    for ((sub, schema) <- Seq(
+        "kmv" -> "event_type STRING, bot ARRAY<BIGINT>, day DATE",
+        "hll" -> "event_type STRING, j INT, mj INT, day DATE",
+        "cms" -> "r INT, b BIGINT, c BIGINT, day DATE",
+        "qtl" -> ("event_type STRING, n_total BIGINT, " +
+          "samp ARRAY<STRUCT<hv: BIGINT, value: DOUBLE>>, day DATE"))) {
+      val got = rows(d, sub, schema)
+      val want = rows(full, sub, schema)
+      assert(got == want && want.nonEmpty, s"family $sub diverged")
+    }
+  }
+
+  test("re-delivered batch: KMV/HLL idempotent, CMS/quantiles additive") {
+    val d = Files.createTempDirectory("graft_sketch_redeliver").toString
+    SketchStore.upsertBatch(ev, d)
+    def kmv() = spark.read
+      .schema("event_type STRING, bot ARRAY<BIGINT>, day DATE")
+      .parquet(s"$d/kmv").collect().map(_.toString).toSet
+    def hll() = spark.read
+      .schema("event_type STRING, j INT, mj INT, day DATE")
+      .parquet(s"$d/hll").collect().map(_.toString).toSet
+    def cmsMass() = spark.read
+      .schema("r INT, b BIGINT, c BIGINT, day DATE")
+      .parquet(s"$d/cms").agg(sum("c")).head().getLong(0)
+    def qtl() = spark.read
+      .schema("event_type STRING, n_total BIGINT, " +
+        "samp ARRAY<STRUCT<hv: BIGINT, value: DOUBLE>>, day DATE")
+      .parquet(s"$d/qtl")
+      .collect().map(r => (r.getString(0), r.getDate(3).toString) ->
+        (r.getLong(1), r.getSeq[org.apache.spark.sql.Row](2))).toMap
+    val (k1, h1, m1, q1) = (kmv(), hll(), cmsMass(), qtl())
+    SketchStore.upsertBatch(ev, d) // at-least-once: the whole batch again
+    assert(kmv() == k1 && hll() == h1)
+    assert(cmsMass() == 2 * m1) // additive: inflates by the re-sent mass
+    val q2 = qtl()
+    assert(q2.keySet == q1.keySet)
+    def bag(s: Seq[org.apache.spark.sql.Row]): Map[String, Int] =
+      s.map(_.toString).groupBy(identity).view.mapValues(_.size).toMap
+    q1.foreach { case (k, (n, samp)) =>
+      assert(q2(k)._1 == 2 * n) // count additive
+      // the sample is additive too: re-sent rows re-enter the bounded
+      // heap as duplicates (each entry's multiplicity doubles while
+      // the merged size stays under K)
+      if (2 * samp.size <= Sketches.QtlK)
+        assert(bag(q2(k)._2) == bag(samp).view.mapValues(_ * 2).toMap)
+    }
+  }
+
+  test("wau: a report day's rolling state equals a fresh KMV over its window") {
+    val wau = SketchStore.rollupWauQ(spark, sf)
+    val last = wau.agg(max("report_day")).head().getDate(0)
+    val lo = java.sql.Date.valueOf(
+      last.toLocalDate.minusDays(SketchStore.RollupDays - 1))
+    val fresh = Sketches.kmvEstimate(Sketches.kmvBottomK(Sketches.kmvHashes(
+      ev.filter(to_date(col("ts")).between(lit(lo), lit(last))))))
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.get(2), r.getDouble(3))).toMap
+    val got = wau.filter(col("report_day") === lit(last))
+      .collect().map(r => r.getString(1) ->
+        (r.getInt(2), r.get(3), r.getDouble(4))).toMap
+    assert(got == fresh && fresh.nonEmpty)
+    // one row per (day, group): the report is days × groups sized
+    val days = ev.filter(col("user_id").isNotNull)
+      .select(to_date(col("ts"))).distinct().count()
+    assert(wau.count() >= days)
+  }
+
   test("two corpora get two store dirs (path-addressed identity)") {
     assert(SketchStore.storeDirFor("/a/corpus") !=
       SketchStore.storeDirFor("/b/corpus"))

@@ -558,4 +558,44 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(state() == batch)
   }
+
+  test("J15 sketch store stream: micro-batches maintain the persisted store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_sketch_stream").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sketch_stream_ckpt").toString
+    // 80 events across 3 days, day 2 split across the two micro-
+    // batches — forces the same-partition merge path
+    val evs = (1L to 80L).map { i =>
+      Event(i, Timestamp.valueOf(s"2024-01-0${1 + (i % 3)} 10:00:00"),
+        i % 21, if (i % 2 == 0) "view" else "click", i.toDouble)
+    }
+    val mem = MemoryStream[Event]
+    val q = Streaming.sketchStoreStream(mem.toDF(), storeDir)
+      .option("checkpointLocation", ckpt).start()
+    mem.addData(evs.take(50): _*)
+    q.processAllAvailable()
+    mem.addData(evs.drop(50): _*)
+    q.processAllAvailable()
+    q.stop()
+    // the continuously-maintained store answers exactly what a batch
+    // save over the full corpus answers — every family
+    val batchDir = java.nio.file.Files
+      .createTempDirectory("graft_sketch_stream_batch").toString
+    graft.relational.SketchStore.save(evs.toDF(), batchDir)
+    for ((sub, schema) <- Seq(
+        "kmv" -> "event_type STRING, bot ARRAY<BIGINT>, day DATE",
+        "hll" -> "event_type STRING, j INT, mj INT, day DATE",
+        "cms" -> "r INT, b BIGINT, c BIGINT, day DATE",
+        "qtl" -> ("event_type STRING, n_total BIGINT, " +
+          "samp ARRAY<STRUCT<hv: BIGINT, value: DOUBLE>>, day DATE"))) {
+      val got = spark.read.schema(schema).parquet(s"$storeDir/$sub")
+        .collect().map(_.toString).toSet
+      val want = spark.read.schema(schema).parquet(s"$batchDir/$sub")
+        .collect().map(_.toString).toSet
+      assert(got == want && want.nonEmpty, s"family $sub diverged")
+    }
+  }
 }
