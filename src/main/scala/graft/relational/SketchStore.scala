@@ -84,8 +84,22 @@ object SketchStore extends graft.QueryModule {
     * file per day directory — a day's state is read whole or not at
     * all). Overwrites any prior store at `path`.
     */
-  def save(spark: SparkSession, sfDir: String, path: String): Unit =
+  def save(spark: SparkSession, sfDir: String, path: String): Unit = {
     save(Tables.events(spark, sfDir), path)
+    saveBloom(spark, sfDir, path)
+  }
+
+  /** The Bloom runtime filter as an ARTIFACT (corpus-level, not
+    * daily): the build side's (n_build, m) meta row and its ≤m-row
+    * distinct set-bit-position table. A later probe job loads
+    * kilobytes instead of re-scanning the build side — the saved form
+    * of the runtime-filter/DPP shape.
+    */
+  def saveBloom(spark: SparkSession, sfDir: String, path: String): Unit = {
+    val (msel, bits) = Sketches.bloomState(Sketches.bloomBuild(spark, sfDir))
+    msel.write.mode("overwrite").parquet(s"$path/bloom_meta")
+    bits.write.mode("overwrite").parquet(s"$path/bloom_bits")
+  }
 
   def save(ev: DataFrame, path: String): Unit = {
     def write(df: DataFrame, sub: String): Unit =
@@ -149,7 +163,11 @@ object SketchStore extends graft.QueryModule {
     */
   private def cutoffDay(daily: DataFrame): java.sql.Date = {
     val first = daily.agg(min("day")).head().getDate(0)
-    java.sql.Date.valueOf(first.toLocalDate.plusDays(RollupDays))
+    // empty store ⇒ null min ⇒ epoch cutoff: the range is empty and
+    // every rollup answers empty instead of throwing
+    val lo = if (first == null) java.time.LocalDate.EPOCH
+      else first.toLocalDate
+    java.sql.Date.valueOf(lo.plusDays(RollupDays))
   }
 
   private[relational] def rangedKmv(spark: SparkSession, path: String): DataFrame = {
@@ -244,6 +262,65 @@ object SketchStore extends graft.QueryModule {
             / col("kth")))
       .select("report_day", "event_type", "n_kept", "kth", "est_distinct")
       .orderBy("report_day", "event_type")
+  }
+
+  /** K47 — the Bloom join pricing served from the PERSISTED bit
+    * table: the probe census runs against loaded (meta, bits) instead
+    * of rebuilding them. Gated by sketch_bloom_join's oracle VERBATIM
+    * — the artifact must price exactly what the fresh filter prices.
+    */
+  def servedBloomQ(spark: SparkSession, dir: String): DataFrame = {
+    val p = prebuild(spark, dir)
+    val msel = spark.read.schema("n_build BIGINT, m BIGINT")
+      .parquet(s"$p/bloom_meta")
+    val bits = spark.read.schema("p BIGINT").parquet(s"$p/bloom_bits")
+    Sketches.bloomCensus(spark, dir, Sketches.bloomBuild(spark, dir),
+      msel, bits)
+  }
+
+  /** K46 — week-over-week audience OVERLAP per event_type from the
+    * persisted daily KMV states: merge week 1's and week 2's day
+    * states into one sketch each, then run the theta set algebra
+    * between the two windows of the SAME group (K40 runs it between
+    * groups) — the retention / audience-churn primitive, answered at
+    * O(days × groups × K) from the artifact. θ = min of the two
+    * windows' thetas; a window below K distinct is exact (θ = 2^48).
+    */
+  def rollupWowQ(spark: SparkSession, dir: String): DataFrame = {
+    val daily = loadKmv(spark, prebuild(spark, dir))
+    val firstDay = daily.agg(min("day")).head().getDate(0)
+    val d0 = if (firstDay == null) java.time.LocalDate.EPOCH
+      else firstDay.toLocalDate
+    def week(lo: java.time.LocalDate): DataFrame =
+      Sketches.kmvBottomK(
+        daily.filter(col("day") >= lit(java.sql.Date.valueOf(lo)) &&
+            col("day") < lit(java.sql.Date.valueOf(lo.plusDays(RollupDays))))
+          .select(col("event_type"), explode(col("bot")).as("hv")))
+        .withColumn("kth",
+          when(size(col("bot")) === Sketches.KmvK,
+            element_at(col("bot"), Sketches.KmvK)))
+    val two48 = 281474976710656L
+    val a = week(d0).select(col("event_type"), col("bot").as("bot_a"),
+      coalesce(col("kth"), lit(two48)).as("th_a"))
+    val b = week(d0.plusDays(RollupDays))
+      .select(col("event_type"), col("bot").as("bot_b"),
+        coalesce(col("kth"), lit(two48)).as("th_b"))
+    a.join(b, "event_type")
+      .withColumn("theta", least(col("th_a"), col("th_b")))
+      .withColumn("n_inter",
+        size(expr("filter(array_intersect(bot_a, bot_b), x -> x < theta)")))
+      .withColumn("n_union",
+        size(expr(
+          "filter(array_distinct(concat(bot_a, bot_b)), x -> x < theta)")))
+      .withColumn("est_inter",
+        col("n_inter").cast("double") * two48.toDouble / col("theta"))
+      .withColumn("est_union",
+        col("n_union").cast("double") * two48.toDouble / col("theta"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / col("n_union"))
+      .select("event_type", "theta", "n_inter", "n_union",
+        "est_inter", "est_union", "jaccard")
+      .orderBy("event_type")
   }
 
   /** Merge one micro-batch of events INTO an existing store — the
@@ -348,7 +425,9 @@ object SketchStore extends graft.QueryModule {
     "sketch_rollup_hll" -> (rollupHllQ _),
     "sketch_rollup_cms" -> (rollupCmsQ _),
     "sketch_rollup_quantiles" -> (rollupQtlQ _),
-    "sketch_wau" -> (rollupWauQ _))
+    "sketch_wau" -> (rollupWauQ _),
+    "sketch_wow_overlap" -> (rollupWowQ _),
+    "sketch_bloom_served" -> (servedBloomQ _))
 
   /** The monolithic sketches' oracles over the range-filtered events:
     * the gate proves merged-persisted == fresh-over-range.
@@ -358,6 +437,9 @@ object SketchStore extends graft.QueryModule {
       |  FROM events WHERE user_id IS NOT NULL)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // the fresh pricing's oracle verbatim: the persisted bit table
+    // must price exactly what the fresh filter prices
+    "sketch_bloom_served" -> Sketches.oracles("sketch_bloom_join"),
     "sketch_rollup_kmv" ->
       s"""WITH $cutSql,
         |h AS (SELECT DISTINCT event_type,
@@ -437,6 +519,53 @@ object SketchStore extends graft.QueryModule {
         |FROM v JOIN n ON v.event_type = n.event_type
         |GROUP BY v.event_type, n.n_total
         |ORDER BY v.event_type""".stripMargin,
+    "sketch_wow_overlap" ->
+      s"""WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d FROM events
+        |  WHERE user_id IS NOT NULL),
+        |h1 AS (SELECT DISTINCT event_type,
+        |    ${Sketches.sqlH48("kmv", "user_id")} AS hv
+        |  FROM events, d0 WHERE user_id IS NOT NULL
+        |    AND CAST(ts AS DATE) >= d AND CAST(ts AS DATE) < d + $RollupDays),
+        |h2 AS (SELECT DISTINCT event_type,
+        |    ${Sketches.sqlH48("kmv", "user_id")} AS hv
+        |  FROM events, d0 WHERE user_id IS NOT NULL
+        |    AND CAST(ts AS DATE) >= d + $RollupDays
+        |    AND CAST(ts AS DATE) < d + ${2 * RollupDays}),
+        |r1 AS (SELECT event_type, hv, row_number()
+        |    OVER (PARTITION BY event_type ORDER BY hv ASC) AS rn FROM h1),
+        |r2 AS (SELECT event_type, hv, row_number()
+        |    OVER (PARTITION BY event_type ORDER BY hv ASC) AS rn FROM h2),
+        |b1 AS (SELECT event_type, hv FROM r1 WHERE rn <= ${Sketches.KmvK}),
+        |b2 AS (SELECT event_type, hv FROM r2 WHERE rn <= ${Sketches.KmvK}),
+        |k1 AS (SELECT event_type,
+        |    coalesce(max(CASE WHEN rn = ${Sketches.KmvK} THEN hv END),
+        |             281474976710656) AS th
+        |  FROM r1 WHERE rn <= ${Sketches.KmvK} GROUP BY event_type),
+        |k2 AS (SELECT event_type,
+        |    coalesce(max(CASE WHEN rn = ${Sketches.KmvK} THEN hv END),
+        |             281474976710656) AS th
+        |  FROM r2 WHERE rn <= ${Sketches.KmvK} GROUP BY event_type),
+        |p AS (SELECT k1.event_type, least(k1.th, k2.th) AS theta
+        |  FROM k1 JOIN k2 ON k1.event_type = k2.event_type),
+        |i AS (SELECT p.event_type, CAST(count(*) AS INT) AS n_inter
+        |  FROM p JOIN b1 x ON x.event_type = p.event_type AND x.hv < p.theta
+        |         JOIN b2 y ON y.event_type = p.event_type AND y.hv = x.hv
+        |  GROUP BY 1),
+        |u AS (SELECT p.event_type,
+        |    CAST(count(DISTINCT z.hv) AS INT) AS n_union
+        |  FROM p JOIN (SELECT * FROM b1 UNION ALL SELECT * FROM b2) z
+        |    ON z.event_type = p.event_type AND z.hv < p.theta
+        |  GROUP BY 1)
+        |SELECT p.event_type, p.theta,
+        |  coalesce(i.n_inter, 0) AS n_inter, u.n_union,
+        |  CAST(coalesce(i.n_inter, 0) AS DOUBLE) * 281474976710656.0
+        |    / p.theta AS est_inter,
+        |  CAST(u.n_union AS DOUBLE) * 281474976710656.0 / p.theta
+        |    AS est_union,
+        |  CAST(coalesce(i.n_inter, 0) AS DOUBLE) / u.n_union AS jaccard
+        |FROM p LEFT JOIN i ON i.event_type = p.event_type
+        |       JOIN u ON u.event_type = p.event_type
+        |ORDER BY p.event_type""".stripMargin,
     "sketch_wau" ->
       s"""WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS report_day
         |  FROM events WHERE user_id IS NOT NULL),

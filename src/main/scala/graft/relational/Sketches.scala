@@ -348,9 +348,12 @@ object Sketches extends QueryModule {
   private val bloomMExpr =
     "shiftleft(cast(1 as bigint), length(bin(greatest(16 * n_build, 2) - 1)))"
 
-  def sketchBloomJoin(spark: SparkSession, dir: String): DataFrame = {
-    val build = Tables.customer(spark, dir)
-      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+  /** The build side's Bloom state — (n_build, m) plus the distinct
+    * set-bit-position table — shared by the fresh join pricing (here)
+    * and the persisted-artifact serve ([[SketchStore]]).
+    */
+  private[relational] def bloomState(build: DataFrame)
+      : (DataFrame, DataFrame) = {
     val msel = build.agg(count(lit(1)).as("n_build"))
       .withColumn("m", expr(bloomMExpr))
     val bits = build.crossJoin(broadcast(msel.select("m")))
@@ -358,6 +361,14 @@ object Sketches extends QueryModule {
         col("c_custkey"), col("m"))
       .select((expr(h48Salted("blm", "i", "c_custkey")) % col("m")).as("p"))
       .distinct()
+    (msel, bits)
+  }
+
+  /** The probe-side census against a given Bloom state — the tail of
+    * [[sketchBloomJoin]], reusable over a LOADED state.
+    */
+  private[relational] def bloomCensus(spark: SparkSession, dir: String,
+      build: DataFrame, msel: DataFrame, bits: DataFrame): DataFrame = {
     val probe = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"),
         explode(sequence(lit(0), lit(BloomK - 1))).as("i"))
@@ -383,6 +394,18 @@ object Sketches extends QueryModule {
       .crossJoin(broadcast(msel))
       .crossJoin(broadcast(nBits))
       .select("n_build", "m", "n_bits", "n_probe", "n_pass", "n_true", "n_fp")
+  }
+
+  /** The build side used by the gated bloom queries. */
+  private[relational] def bloomBuild(spark: SparkSession, dir: String)
+      : DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+
+  def sketchBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val build = bloomBuild(spark, dir)
+    val (msel, bits) = bloomState(build)
+    bloomCensus(spark, dir, build, msel, bits)
   }
 
   override def queries: Map[String, Q] = Map(

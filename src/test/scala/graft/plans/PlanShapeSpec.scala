@@ -122,7 +122,17 @@ class PlanShapeSpec extends SparkSpec {
       // a `et_a < et_b` non-equi join over the O(groups)-row bottom-K
       // sketch table (5 rows per side at the gate, O(G²·K) anywhere —
       // corpus size only enters the upstream KMV aggregate)
-      "sketch_bloom_join", "sketch_theta_ops")
+      "sketch_bloom_join", "sketch_theta_ops",
+      // the persisted-store faces: sketch_wau's window join crosses
+      // the broadcast O(days) report-day list with the O(days×groups)
+      // day-state table (both sketch-artifact-sized — events never
+      // enter); sketch_bloom_served inherits sketch_bloom_join's
+      // 1-row geometry crosses over the LOADED meta/bits
+      "sketch_wau", "sketch_bloom_served",
+      // embedding_drift crosses its broadcast 1-row corpus-midpoint
+      // frame and 1-row totals frame into the O(nLists) cell table
+      // (the ivf_list_stats shape)
+      "embedding_drift")
     // (embedding_pca/_r left the list in round 9: the iteration moved
     // to a driver-side solve over the collected d² summary — the
     // RowMatrix.computePrincipalComponents shape — so their plans no

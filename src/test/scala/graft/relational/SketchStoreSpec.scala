@@ -222,6 +222,20 @@ class SketchStoreSpec extends SparkSpec {
     assert(wau.count() >= days)
   }
 
+  test("wow overlap: one row per shared group, theta-consistent bounds") {
+    val wow = SketchStore.rollupWowQ(spark, sf).collect()
+    val types = ev.filter(col("user_id").isNotNull)
+      .select("event_type").distinct().count()
+    assert(wow.length == types) // every group active in both weeks
+    wow.foreach { r =>
+      val (nI, nU) = (r.getInt(2), r.getInt(3))
+      val j = r.getDouble(6)
+      assert(nI <= nU && nU > 0)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getDouble(4) <= r.getDouble(5)) // est_inter <= est_union
+    }
+  }
+
   test("two corpora get two store dirs (path-addressed identity)") {
     assert(SketchStore.storeDirFor("/a/corpus") !=
       SketchStore.storeDirFor("/b/corpus"))
