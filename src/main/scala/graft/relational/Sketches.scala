@@ -396,6 +396,94 @@ object Sketches extends QueryModule {
       .select("n_build", "m", "n_bits", "n_probe", "n_pass", "n_true", "n_fp")
   }
 
+  // ---------------------------------------------------------------
+  // Data profile (the ANALYZE TABLE / CBO-stats pass): one scan of
+  // events exploded by stack() into (column, canonical-string,
+  // numeric) rows, then ONE combinable aggregate per column — row
+  // count, null count, numeric min/max, and NDV from the same KMV
+  // bottom-K state as K35 (exact below K, estimated above — at 100 TB
+  // this is the honest ndv; an exact multi-column count-distinct
+  // would Expand the scan per column). Canonicalization is the
+  // cross-engine trap: BIGINTs stringify identically, timestamps
+  // hash their exact integer micros (unix_micros/epoch_us), doubles
+  // round-trip through DECIMAL(18,6) text so both engines hash the
+  // same characters.
+  // ---------------------------------------------------------------
+
+  /** (column, Spark string canon, DuckDB string canon, Spark numeric,
+    * DuckDB numeric) per profiled events column.
+    */
+  private val ProfCols = Seq(
+    ("event_id", "cast(event_id as string)", "CAST(event_id AS VARCHAR)",
+      "cast(event_id as double)", "CAST(event_id AS DOUBLE)"),
+    ("event_type", "event_type", "event_type",
+      "cast(null as double)", "CAST(NULL AS DOUBLE)"),
+    ("props", "props", "props",
+      "cast(null as double)", "CAST(NULL AS DOUBLE)"),
+    ("ts", "cast(unix_micros(ts) as string)", "CAST(epoch_us(ts) AS VARCHAR)",
+      "cast(null as double)", "CAST(NULL AS DOUBLE)"),
+    ("user_id", "cast(user_id as string)", "CAST(user_id AS VARCHAR)",
+      "cast(user_id as double)", "CAST(user_id AS DOUBLE)"),
+    ("value", "cast(cast(value as decimal(18,6)) as string)",
+      "CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR)",
+      "value", "value"))
+
+  def dataProfile(spark: SparkSession, dir: String): DataFrame = {
+    val stackArgs = ProfCols.map { case (n, s, _, d, _) =>
+      s"'$n', $s, $d" }.mkString(", ")
+    val long = Tables.events(spark, dir).select(
+      expr(s"stack(${ProfCols.size}, $stackArgs) as (col_name, sval, nval)"))
+    val hv = "cast(conv(substring(md5(concat('prof|', sval)), 1, 12), 16, 10) as bigint)"
+    long.groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("sval").isNull, 1).otherwise(0)).cast("bigint")
+          .as("n_null"),
+        min("nval").as("min_num"), max("nval").as("max_num"),
+        AggExpressions.bottomKLongsDistinct(expr(hv), KmvK).as("bot"))
+      .withColumn("n_kept", size(col("bot")))
+      .withColumn("kth",
+        when(col("n_kept") === KmvK, element_at(col("bot"), KmvK)))
+      .withColumn("ndv_est",
+        when(col("n_kept") < KmvK, col("n_kept").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble * TwoPow48) / col("kth")))
+      .select("col_name", "n_rows", "n_null", "min_num", "max_num",
+        "n_kept", "kth", "ndv_est")
+      .orderBy("col_name")
+  }
+
+  private[relational] def dataProfileSql: String = {
+    val longSql = ProfCols.map { case (n, _, s, _, d) =>
+      s"SELECT '$n' AS col_name, $s AS sval, $d AS nval FROM events"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH long AS (
+      |  $longSql),
+      |base AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN sval IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_null,
+      |    min(nval) AS min_num, max(nval) AS max_num
+      |  FROM long GROUP BY 1),
+      |h AS (SELECT DISTINCT col_name,
+      |    CAST('0x' || substr(md5('prof|' || sval), 1, 12) AS BIGINT) AS hv
+      |  FROM long WHERE sval IS NOT NULL),
+      |r AS (SELECT col_name, hv,
+      |    row_number() OVER (PARTITION BY col_name ORDER BY hv ASC) AS rn
+      |  FROM h),
+      |k AS (SELECT col_name,
+      |    CAST(CASE WHEN count(*) >= $KmvK THEN $KmvK
+      |              ELSE count(*) END AS INT) AS n_kept,
+      |    max(CASE WHEN rn = $KmvK THEN hv END) AS kth,
+      |    CASE WHEN count(*) < $KmvK THEN CAST(count(*) AS DOUBLE)
+      |         ELSE ${(KmvK - 1).toDouble * TwoPow48}
+      |              / max(CASE WHEN rn = $KmvK THEN hv END)
+      |    END AS ndv_est
+      |  FROM r GROUP BY col_name)
+      |SELECT base.col_name, n_rows, n_null, min_num, max_num,
+      |  n_kept, kth, ndv_est
+      |FROM base JOIN k ON base.col_name = k.col_name
+      |ORDER BY base.col_name""".stripMargin
+  }
+
   /** The build side used by the gated bloom queries. */
   private[relational] def bloomBuild(spark: SparkSession, dir: String)
       : DataFrame =
@@ -414,9 +502,11 @@ object Sketches extends QueryModule {
     "sketch_cms_topk" -> (sketchCmsTopk _),
     "sketch_bloom_join" -> (sketchBloomJoin _),
     "sketch_quantiles" -> (sketchQuantiles _),
-    "sketch_theta_ops" -> (sketchThetaOps _))
+    "sketch_theta_ops" -> (sketchThetaOps _),
+    "data_profile" -> (dataProfile _))
 
   override def oracles: Map[String, String] = Map(
+    "data_profile" -> dataProfileSql,
     "sketch_kmv" ->
       s"""WITH h AS (SELECT DISTINCT event_type,
         |    ${sqlH48("kmv", "user_id")} AS hv

@@ -174,6 +174,29 @@ class SketchesSpec extends SparkSpec {
     assert(small == Seq(3L, 5L, 9L))
   }
 
+  test("data profile: exact ndv below K, null accounting, numeric ranges") {
+    val ev = Tables.events(spark, sf)
+    val prof = Sketches.dataProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet == Set("event_id", "event_type", "props", "ts",
+      "user_id", "value"))
+    val n = ev.count()
+    prof.values.foreach(r => assert(r.getLong(1) == n))
+    // event_type is below K distinct ⇒ the profile's ndv is EXACT
+    val types = ev.filter(col("event_type").isNotNull)
+      .select("event_type").distinct().count()
+    assert(types < Sketches.KmvK &&
+      prof("event_type").getDouble(7) == types.toDouble)
+    // null accounting matches the direct count
+    val nullUsers = ev.filter(col("user_id").isNull).count()
+    assert(prof("user_id").getLong(2) == nullUsers)
+    // numeric range matches the direct aggregate; non-numeric is null
+    val (lo, hi) = ev.agg(min("value"), max("value"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).head
+    assert(prof("value").getDouble(3) == lo && prof("value").getDouble(4) == hi)
+    assert(prof("event_type").isNullAt(3) && prof("ts").isNullAt(4))
+  }
+
   test("quantiles: monotone, in-range, and rank-accurate at sample size") {
     val vals = Tables.events(spark, sf).filter(col("value").isNotNull)
       .select("event_type", "value").collect()
