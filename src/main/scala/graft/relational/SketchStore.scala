@@ -264,6 +264,33 @@ object SketchStore extends graft.QueryModule {
       .orderBy("report_day", "event_type")
   }
 
+  /** K50 — the store's operational HEALTH report (the ivf_list_stats
+    * discipline applied to the time axis): per family — day coverage,
+    * first/last day, CALENDAR GAPS (days in [first, last] with no
+    * partition — a silently-failed daily job is exactly a gap), and
+    * state-row count. Reads only the artifact (O(days×groups×state)
+    * rows); the oracle recomputes every number from events, so the
+    * gate proves the store holds EXACTLY the days and states the
+    * corpus implies — no lost partitions, no stale extras.
+    */
+  def storeStatsQ(spark: SparkSession, dir: String): DataFrame = {
+    val p = prebuild(spark, dir)
+    def fam(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_state_rows"),
+          countDistinct("day").as("n_days"),
+          min("day").as("first_day"), max("day").as("last_day"))
+        .select(lit(name).as("family"), col("n_days"),
+          col("first_day"), col("last_day"),
+          (datediff(col("last_day"), col("first_day")) + 1 - col("n_days"))
+            .as("n_gap_days"),
+          col("n_state_rows"))
+    fam("cms", loadCms(spark, p))
+      .unionByName(fam("hll", loadHll(spark, p)))
+      .unionByName(fam("kmv", loadKmv(spark, p)))
+      .unionByName(fam("qtl", loadQtl(spark, p)))
+      .orderBy("family")
+  }
+
   /** K47 — the Bloom join pricing served from the PERSISTED bit
     * table: the probe census runs against loaded (meta, bits) instead
     * of rebuilding them. Gated by sketch_bloom_join's oracle VERBATIM
@@ -427,7 +454,8 @@ object SketchStore extends graft.QueryModule {
     "sketch_rollup_quantiles" -> (rollupQtlQ _),
     "sketch_wau" -> (rollupWauQ _),
     "sketch_wow_overlap" -> (rollupWowQ _),
-    "sketch_bloom_served" -> (servedBloomQ _))
+    "sketch_bloom_served" -> (servedBloomQ _),
+    "sketch_store_stats" -> (storeStatsQ _))
 
   /** The monolithic sketches' oracles over the range-filtered events:
     * the gate proves merged-persisted == fresh-over-range.
@@ -440,6 +468,33 @@ object SketchStore extends graft.QueryModule {
     // the fresh pricing's oracle verbatim: the persisted bit table
     // must price exactly what the fresh filter prices
     "sketch_bloom_served" -> Sketches.oracles("sketch_bloom_join"),
+    // every number recomputed from EVENTS: the gate proves the store
+    // holds exactly the days/states the corpus implies
+    "sketch_store_stats" ->
+      s"""WITH ue AS (SELECT CAST(ts AS DATE) AS day, event_type, user_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |kmv_rows AS (SELECT DISTINCT day, event_type FROM ue),
+        |hll_rows AS (SELECT DISTINCT day, event_type,
+        |    ${Sketches.sqlH48("hll", "user_id")} % ${Sketches.HllM} AS j
+        |  FROM ue),
+        |cms_rows AS (SELECT DISTINCT day, r,
+        |    ${Sketches.sqlH48Salted("cms", "r", "user_id")} % ${Sketches.CmsW}
+        |      AS b
+        |  FROM ue, UNNEST(range(0, ${Sketches.CmsD})) u(r)),
+        |qtl_rows AS (SELECT DISTINCT CAST(ts AS DATE) AS day, event_type
+        |  FROM events WHERE value IS NOT NULL),
+        |f AS (
+        |  SELECT 'cms' AS family, day FROM cms_rows
+        |  UNION ALL SELECT 'hll', day FROM hll_rows
+        |  UNION ALL SELECT 'kmv', day FROM kmv_rows
+        |  UNION ALL SELECT 'qtl', day FROM qtl_rows)
+        |SELECT family,
+        |  CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+        |  min(day) AS first_day, max(day) AS last_day,
+        |  CAST(max(day) - min(day) + 1 - count(DISTINCT day) AS BIGINT)
+        |    AS n_gap_days,
+        |  CAST(count(*) AS BIGINT) AS n_state_rows
+        |FROM f GROUP BY family ORDER BY family""".stripMargin,
     "sketch_rollup_kmv" ->
       s"""WITH $cutSql,
         |h AS (SELECT DISTINCT event_type,

@@ -302,6 +302,37 @@ object Sketches extends QueryModule {
           QtlK, largestFirst = false).as("_s")))
   }
 
+  /** Equi-depth histogram buckets per group — the CBO companion to
+    * K23's fixed-WIDTH histogram: boundary i of B buckets is the
+    * ceil(i·n_s/B)-th order statistic of the SAME bottom-K-by-hash
+    * sample as K39 (sample-based equi-depth is the standard ANALYZE
+    * histogram; exact equi-depth needs a per-group global sort).
+    * Long-form output (group, bucket, boundary) — O(groups·B) rows.
+    */
+  val HistBuckets = 8
+
+  def sketchEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"),
+        expr(h48("qtl", "event_id")).as("hv"))
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        AggExpressions.collectTopK(struct(col("hv"), col("value")),
+          QtlK, largestFirst = false).as("_s"))
+      .withColumn("vals",
+        sort_array(expr("transform(_s, x -> x.value)")))
+      .withColumn("n_sample", size(col("vals")))
+      .select(col("event_type"), col("n_total"), col("n_sample"),
+        explode(sequence(lit(1), lit(HistBuckets - 1))).as("bucket"),
+        col("vals"))
+      .withColumn("boundary",
+        element_at(col("vals"), expr(
+          s"cast((bucket * n_sample + ${HistBuckets - 1}) div $HistBuckets as int)")))
+      .drop("vals")
+      .orderBy("event_type", "bucket")
+  }
+
   // ---------------------------------------------------------------
   // Theta-sketch set operations over the SAME KMV bottom-K state:
   // pairwise |A∩B| / |A∪B| / Jaccard estimates between event-type
@@ -503,10 +534,35 @@ object Sketches extends QueryModule {
     "sketch_bloom_join" -> (sketchBloomJoin _),
     "sketch_quantiles" -> (sketchQuantiles _),
     "sketch_theta_ops" -> (sketchThetaOps _),
+    "sketch_equidepth_hist" -> (sketchEquidepth _),
     "data_profile" -> (dataProfile _))
 
   override def oracles: Map[String, String] = Map(
     "data_profile" -> dataProfileSql,
+    "sketch_equidepth_hist" ->
+      s"""WITH e AS (SELECT event_type, value,
+        |    ${sqlH48("qtl", "event_id")} AS hv
+        |  FROM events WHERE value IS NOT NULL),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total
+        |  FROM e GROUP BY 1),
+        |r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY hv, value) AS rn
+        |  FROM e),
+        |v AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value) AS vr,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS INT) AS ns
+        |  FROM r WHERE rn <= $QtlK),
+        |idx AS (SELECT CAST(i AS INT) AS bucket
+        |  FROM UNNEST(range(1, $HistBuckets)) u(i))
+        |SELECT v.event_type, n.n_total, max(ns) AS n_sample, bucket,
+        |  max(CASE WHEN vr = (bucket * ns + ${HistBuckets - 1})
+        |                     // $HistBuckets
+        |      THEN value END) AS boundary
+        |FROM v JOIN n ON v.event_type = n.event_type CROSS JOIN idx
+        |GROUP BY v.event_type, n.n_total, bucket
+        |ORDER BY v.event_type, bucket""".stripMargin,
     "sketch_kmv" ->
       s"""WITH h AS (SELECT DISTINCT event_type,
         |    ${sqlH48("kmv", "user_id")} AS hv

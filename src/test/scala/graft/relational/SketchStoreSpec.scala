@@ -236,6 +236,34 @@ class SketchStoreSpec extends SparkSpec {
     }
   }
 
+  test("store stats: a lost day partition surfaces as a calendar gap") {
+    val d = Files.createTempDirectory("graft_sketch_gap").toString
+    SketchStore.save(ev, d)
+    def kmvStats(): (Long, Long, Long) = {
+      val daily = spark.read
+        .schema("event_type STRING, bot ARRAY<BIGINT>, day DATE")
+        .parquet(s"$d/kmv")
+      val r = daily.agg(countDistinct("day"), min("day"), max("day"),
+        count(lit(1))).head()
+      (r.getLong(0),
+        (r.getDate(2).toLocalDate.toEpochDay
+          - r.getDate(1).toLocalDate.toEpochDay) + 1 - r.getLong(0),
+        r.getLong(3))
+    }
+    val (days0, gaps0, _) = kmvStats()
+    assert(gaps0 == 0 && days0 > 2)
+    // simulate a silently-failed daily job: drop a MIDDLE day's dir
+    val mid = ev.filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day")).distinct()
+      .orderBy("day").collect().map(_.getDate(0)).apply(1)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$d/kmv/day=$mid"), true))
+    val (days1, gaps1, _) = kmvStats()
+    assert(days1 == days0 - 1 && gaps1 == 1)
+  }
+
   test("two corpora get two store dirs (path-addressed identity)") {
     assert(SketchStore.storeDirFor("/a/corpus") !=
       SketchStore.storeDirFor("/b/corpus"))

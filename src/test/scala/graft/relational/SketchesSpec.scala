@@ -197,6 +197,24 @@ class SketchesSpec extends SparkSpec {
     assert(prof("event_type").isNullAt(3) && prof("ts").isNullAt(4))
   }
 
+  test("equi-depth: boundaries monotone and in range per group") {
+    val ev = Tables.events(spark, sf).filter(col("value").isNotNull)
+    val ranges = ev.groupBy("event_type")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val byType = Sketches.sketchEquidepth(spark, sf).collect()
+      .groupBy(_.getString(0))
+    assert(byType.nonEmpty)
+    byType.foreach { case (t, rows) =>
+      val bs = rows.sortBy(_.getInt(3)).map(_.getDouble(4))
+      assert(bs.length == Sketches.HistBuckets - 1)
+      assert(bs.sliding(2).forall(p => p(0) <= p(1)), s"$t not monotone")
+      val (lo, hi) = ranges(t)
+      assert(bs.head >= lo && bs.last <= hi)
+    }
+  }
+
   test("quantiles: monotone, in-range, and rank-accurate at sample size") {
     val vals = Tables.events(spark, sf).filter(col("value").isNotNull)
       .select("event_type", "value").collect()
