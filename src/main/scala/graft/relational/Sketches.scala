@@ -375,6 +375,50 @@ object Sketches extends QueryModule {
       .orderBy("et_a", "et_b")
   }
 
+  /** Join-cardinality estimation between two TABLES' key columns —
+    * the CBO primitive behind join ordering: one global KMV sketch
+    * per side (customer.c_custkey build, orders.o_custkey probe),
+    * then the K40 theta algebra between them. est_inter estimates
+    * the DISTINCT matching keys; containment = n∩/n_probe-retained
+    * estimates the probe-side key hit rate (the join selectivity a
+    * planner feeds its cardinality model). Each side is ONE bounded
+    * aggregate — at 100 TB this replaces a distinct-join just to
+    * price a join.
+    */
+  def sketchJoinCard(spark: SparkSession, dir: String): DataFrame = {
+    def side(df: DataFrame, key: String): DataFrame =
+      df.filter(col(key).isNotNull)
+        .select(expr(h48("jc", key)).as("hv"))
+        .agg(AggExpressions.bottomKLongsDistinct(col("hv"), KmvK).as("bot"))
+        .select(col("bot"),
+          when(size(col("bot")) === KmvK, element_at(col("bot"), KmvK))
+            .otherwise(lit(TwoPow48.toLong)).as("th"))
+    val a = side(Tables.customer(spark, dir), "c_custkey")
+      .select(col("bot").as("bot_a"), col("th").as("th_a"))
+    val b = side(Tables.orders(spark, dir), "o_custkey")
+      .select(col("bot").as("bot_b"), col("th").as("th_b"))
+    a.crossJoin(broadcast(b)) // 1 row × 1 row
+      .withColumn("theta", least(col("th_a"), col("th_b")))
+      .withColumn("n_inter",
+        size(expr("filter(array_intersect(bot_a, bot_b), x -> x < theta)")))
+      .withColumn("n_b_ret",
+        size(expr("filter(bot_b, x -> x < theta)")))
+      // per-side distinct estimates use the K35 estimator: exact
+      // below K, (K-1)·2^48/θ at K
+      .withColumn("est_build",
+        when(size(col("bot_a")) < KmvK, size(col("bot_a")).cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble * TwoPow48) / col("th_a")))
+      .withColumn("est_probe",
+        when(size(col("bot_b")) < KmvK, size(col("bot_b")).cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble * TwoPow48) / col("th_b")))
+      .withColumn("est_inter",
+        col("n_inter").cast("double") * TwoPow48 / col("theta"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / col("n_b_ret"))
+      .select("theta", "n_inter", "n_b_ret",
+        "est_build", "est_probe", "est_inter", "containment")
+  }
+
   val BloomK = 3
   private val bloomMExpr =
     "shiftleft(cast(1 as bigint), length(bin(greatest(16 * n_build, 2) - 1)))"
@@ -535,10 +579,44 @@ object Sketches extends QueryModule {
     "sketch_quantiles" -> (sketchQuantiles _),
     "sketch_theta_ops" -> (sketchThetaOps _),
     "sketch_equidepth_hist" -> (sketchEquidepth _),
+    "sketch_join_card" -> (sketchJoinCard _),
     "data_profile" -> (dataProfile _))
 
   override def oracles: Map[String, String] = Map(
     "data_profile" -> dataProfileSql,
+    "sketch_join_card" ->
+      s"""WITH ha AS (SELECT DISTINCT ${sqlH48("jc", "c_custkey")} AS hv
+        |  FROM customer WHERE c_custkey IS NOT NULL),
+        |hb AS (SELECT DISTINCT ${sqlH48("jc", "o_custkey")} AS hv
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |ra AS (SELECT hv, row_number() OVER (ORDER BY hv ASC) AS rn FROM ha),
+        |rb AS (SELECT hv, row_number() OVER (ORDER BY hv ASC) AS rn FROM hb),
+        |ba AS (SELECT hv FROM ra WHERE rn <= $KmvK),
+        |bb AS (SELECT hv FROM rb WHERE rn <= $KmvK),
+        |ka AS (SELECT CAST(count(*) AS INT) AS n,
+        |    coalesce(max(CASE WHEN rn = $KmvK THEN hv END),
+        |             ${TwoPow48.toLong}) AS th
+        |  FROM ra WHERE rn <= $KmvK),
+        |kb AS (SELECT CAST(count(*) AS INT) AS n,
+        |    coalesce(max(CASE WHEN rn = $KmvK THEN hv END),
+        |             ${TwoPow48.toLong}) AS th
+        |  FROM rb WHERE rn <= $KmvK),
+        |p AS (SELECT least(ka.th, kb.th) AS theta, ka.th AS th_a,
+        |    kb.th AS th_b, ka.n AS n_a, kb.n AS n_b FROM ka, kb),
+        |i AS (SELECT CAST(count(*) AS INT) AS n_inter
+        |  FROM ba JOIN bb ON ba.hv = bb.hv, p WHERE ba.hv < p.theta),
+        |nb AS (SELECT CAST(count(*) AS INT) AS n_b_ret
+        |  FROM bb, p WHERE bb.hv < p.theta)
+        |SELECT p.theta, i.n_inter, nb.n_b_ret,
+        |  CASE WHEN p.n_a < $KmvK THEN CAST(p.n_a AS DOUBLE)
+        |       ELSE ${(KmvK - 1).toDouble * TwoPow48} / p.th_a
+        |  END AS est_build,
+        |  CASE WHEN p.n_b < $KmvK THEN CAST(p.n_b AS DOUBLE)
+        |       ELSE ${(KmvK - 1).toDouble * TwoPow48} / p.th_b
+        |  END AS est_probe,
+        |  CAST(i.n_inter AS DOUBLE) * $TwoPow48 / p.theta AS est_inter,
+        |  CAST(i.n_inter AS DOUBLE) / nb.n_b_ret AS containment
+        |FROM p, i, nb""".stripMargin,
     "sketch_equidepth_hist" ->
       s"""WITH e AS (SELECT event_type, value,
         |    ${sqlH48("qtl", "event_id")} AS hv

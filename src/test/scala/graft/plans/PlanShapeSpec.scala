@@ -132,7 +132,10 @@ class PlanShapeSpec extends SparkSpec {
       // embedding_drift crosses its broadcast 1-row corpus-midpoint
       // frame and 1-row totals frame into the O(nLists) cell table
       // (the ivf_list_stats shape)
-      "embedding_drift")
+      "embedding_drift",
+      // sketch_join_card crosses its two 1-row global KMV sketch
+      // aggregates (one per table side)
+      "sketch_join_card")
     // (embedding_pca/_r left the list in round 9: the iteration moved
     // to a driver-side solve over the collected d² summary — the
     // RowMatrix.computePrincipalComponents shape — so their plans no

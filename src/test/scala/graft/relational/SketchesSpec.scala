@@ -197,6 +197,18 @@ class SketchesSpec extends SparkSpec {
     assert(prof("event_type").isNullAt(3) && prof("ts").isNullAt(4))
   }
 
+  test("join cardinality: full containment on the TPC-H FK, sane estimates") {
+    val r = Sketches.sketchJoinCard(spark, sf).collect().head
+    // every o_custkey exists in customer ⇒ the probe sketch's retained
+    // hashes are all present in the build sketch ⇒ containment == 1.0
+    assert(r.getAs[Double]("containment") == 1.0)
+    val nCust = Tables.customer(spark, sf).count().toDouble
+    val est = r.getAs[Double]("est_build")
+    // K=16 sketch: crude but bounded — within 4σ ≈ 4/√(K-2)
+    assert(est > nCust * 0.3 && est < nCust * 3.0,
+      s"est_build $est vs true $nCust")
+  }
+
   test("equi-depth: boundaries monotone and in range per group") {
     val ev = Tables.events(spark, sf).filter(col("value").isNotNull)
     val ranges = ev.groupBy("event_type")
