@@ -80,6 +80,33 @@ object SketchStore extends graft.QueryModule {
         AggExpressions.collectTopK(struct(col("hv"), col("value")),
           Sketches.QtlK, largestFirst = false).as("samp"))
 
+  /** Daily heavy-hitter CANDIDATES: each day's top-[[HhN]] user_ids
+    * by that day's CMS estimate (est desc, user_id asc — a total
+    * order, so the set is deterministic). NOT a mergeable state — a
+    * day's top-N derives from the day's full counter grid, which is
+    * why this family is written by the daily jobs ([[save]] /
+    * [[writeDay]]) but NOT maintained by [[upsertBatch]] (a
+    * partial-day batch cannot re-rank the day). The windowed query
+    * treats the union of daily top-Ns as its candidate SUPERSET — the
+    * standard practical windowed-HH design: a key in a window's true
+    * top-10 that never entered any day's top-32 would be missed
+    * (coverage heuristic), but everything emitted is estimated from
+    * the exact merged grid (no false arithmetic).
+    */
+  def hhDaily(ev: DataFrame): DataFrame = {
+    val pos = Sketches.cmsPositions(withDay(ev), Seq("day"))
+    val counters = pos.groupBy("day", "r", "b").agg(count(lit(1)).as("c"))
+    val est = pos.distinct()
+      .join(broadcast(counters), Seq("day", "r", "b"))
+      .groupBy("day", "user_id").agg(min("c").as("est_day"))
+    est.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("day")
+          .orderBy(desc("est_day"), asc("user_id"))))
+      .filter(col("rn") <= HhN).drop("rn")
+  }
+
+  val HhN = 32
+
   /** Write the three daily-state families, each day-partitioned (one
     * file per day directory — a day's state is read whole or not at
     * all). Overwrites any prior store at `path`.
@@ -109,6 +136,7 @@ object SketchStore extends graft.QueryModule {
     write(hllDaily(ev), "hll")
     write(cmsDaily(ev), "cms")
     write(qtlDaily(ev), "qtl")
+    write(hhDaily(ev), "hh")
   }
 
   /** The daily-job arrival path: (re)write ONE day's states into an
@@ -131,6 +159,7 @@ object SketchStore extends graft.QueryModule {
     write(hllDaily(dayEv), "hll")
     write(cmsDaily(dayEv), "cms")
     write(qtlDaily(dayEv), "qtl")
+    write(hhDaily(dayEv), "hh")
   }
 
   // explicit schemas: an empty-corpus store has no files to infer
@@ -150,6 +179,11 @@ object SketchStore extends graft.QueryModule {
     spark.read
       .schema("r INT, b BIGINT, c BIGINT, day DATE")
       .parquet(s"$path/cms")
+
+  private def loadHh(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("user_id BIGINT, est_day BIGINT, day DATE")
+      .parquet(s"$path/hh")
 
   private def loadQtl(spark: SparkSession, path: String): DataFrame =
     spark.read
@@ -262,6 +296,35 @@ object SketchStore extends graft.QueryModule {
             / col("kth")))
       .select("report_day", "event_type", "n_kept", "kth", "est_distinct")
       .orderBy("report_day", "event_type")
+  }
+
+  /** K52 — windowed heavy hitters from the store: candidates = the
+    * UNION of the range's daily top-[[HhN]] sets (the documented
+    * coverage superset, O(days × N) ids); counts = each candidate's
+    * positions looked up in the elementwise-SUMMED window grid (768
+    * broadcast rows); top-10 by (est desc, user_id asc). Events are
+    * never rescanned, and every emitted estimate is the EXACT
+    * window-grid minimum for its key — identical to what a fresh CMS
+    * over the range estimates (counters are additive), which is what
+    * the oracle replays.
+    */
+  def hhWindowQ(spark: SparkSession, dir: String): DataFrame = {
+    val p = prebuild(spark, dir)
+    val cmsDaily0 = loadCms(spark, p)
+    val cut = cutoffDay(cmsDaily0)
+    val grid = cmsDaily0.filter(col("day") < lit(cut))
+      .groupBy("r", "b").agg(sum("c").cast("bigint").as("c"))
+    val cand = loadHh(spark, p).filter(col("day") < lit(cut))
+      .select("user_id").distinct()
+    val pos = cand
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(Sketches.CmsD - 1))).as("r"))
+      .withColumn("b",
+        expr(Sketches.h48Salted("cms", "r", "user_id")) % Sketches.CmsW)
+    pos.join(broadcast(grid), Seq("r", "b"))
+      .groupBy("user_id").agg(min("c").as("est_cnt"))
+      .orderBy(desc("est_cnt"), asc("user_id"))
+      .limit(10)
   }
 
   /** K50 — the store's operational HEALTH report (the ivf_list_stats
@@ -455,7 +518,8 @@ object SketchStore extends graft.QueryModule {
     "sketch_wau" -> (rollupWauQ _),
     "sketch_wow_overlap" -> (rollupWowQ _),
     "sketch_bloom_served" -> (servedBloomQ _),
-    "sketch_store_stats" -> (storeStatsQ _))
+    "sketch_store_stats" -> (storeStatsQ _),
+    "sketch_hh_window" -> (hhWindowQ _))
 
   /** The monolithic sketches' oracles over the range-filtered events:
     * the gate proves merged-persisted == fresh-over-range.
@@ -468,6 +532,36 @@ object SketchStore extends graft.QueryModule {
     // the fresh pricing's oracle verbatim: the persisted bit table
     // must price exactly what the fresh filter prices
     "sketch_bloom_served" -> Sketches.oracles("sketch_bloom_join"),
+    "sketch_hh_window" ->
+      s"""WITH cut AS (SELECT min(CAST(ts AS DATE)) + $RollupDays AS c
+        |  FROM events WHERE user_id IS NOT NULL),
+        |e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events
+        |  WHERE user_id IS NOT NULL),
+        |pos AS (SELECT day, user_id, r,
+        |    ${Sketches.sqlH48Salted("cms", "r", "user_id")} % ${Sketches.CmsW}
+        |      AS b
+        |  FROM e, UNNEST(range(0, ${Sketches.CmsD})) u(r)),
+        |dgrid AS (SELECT day, r, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM pos GROUP BY 1, 2, 3),
+        |dest AS (SELECT day, user_id, CAST(min(c) AS BIGINT) AS est_day
+        |  FROM (SELECT DISTINCT day, user_id, r, b FROM pos) cand
+        |       JOIN dgrid USING (day, r, b)
+        |  GROUP BY day, user_id),
+        |dtop AS (SELECT day, user_id FROM (
+        |    SELECT day, user_id, row_number() OVER (PARTITION BY day
+        |        ORDER BY est_day DESC, user_id ASC) AS rn FROM dest)
+        |  WHERE rn <= $HhN),
+        |wcand AS (SELECT DISTINCT user_id FROM dtop
+        |  WHERE day < (SELECT c FROM cut)),
+        |wgrid AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c FROM pos
+        |  WHERE day < (SELECT c FROM cut) GROUP BY 1, 2),
+        |wpos AS (SELECT user_id, r,
+        |    ${Sketches.sqlH48Salted("cms", "r", "user_id")} % ${Sketches.CmsW}
+        |      AS b
+        |  FROM wcand, UNNEST(range(0, ${Sketches.CmsD})) u(r))
+        |SELECT user_id, CAST(min(c) AS BIGINT) AS est_cnt
+        |FROM wpos JOIN wgrid USING (r, b) GROUP BY user_id
+        |ORDER BY est_cnt DESC, user_id ASC LIMIT 10""".stripMargin,
     // every number recomputed from EVENTS: the gate proves the store
     // holds exactly the days/states the corpus implies
     "sketch_store_stats" ->

@@ -223,7 +223,7 @@ object Sketches extends QueryModule {
   /** Row-salted hash: the salt folds into the md5 tag so each CMS row
     * (and each Bloom probe) is an independent hash function.
     */
-  private def h48Salted(tag: String, saltCol: String, key: String): String =
+  private[graft] def h48Salted(tag: String, saltCol: String, key: String): String =
     s"""cast(conv(substring(md5(concat('$tag', cast($saltCol as string),
        | '|', cast($key as string))), 1, 12), 16, 10) as bigint)"""
       .stripMargin.replace("\n", "")

@@ -264,6 +264,22 @@ class SketchStoreSpec extends SparkSpec {
     assert(days1 == days0 - 1 && gaps1 == 1)
   }
 
+  test("hh window: never underestimates the exact window count, ranked") {
+    val hh = SketchStore.hhWindowQ(spark, sf).collect()
+    assert(hh.length == 10)
+    val ests = hh.map(_.getLong(1))
+    assert(ests.sliding(2).forall(p => p(0) >= p(1))) // ranked desc
+    val cut = ev.filter(col("user_id").isNotNull)
+      .agg(min(to_date(col("ts")))).head().getDate(0)
+      .toLocalDate.plusDays(SketchStore.RollupDays)
+    val exact = ev.filter(col("user_id").isNotNull)
+      .filter(to_date(col("ts")) < lit(java.sql.Date.valueOf(cut)))
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // CMS property survives the store round-trip: est >= exact
+    hh.foreach(r => assert(r.getLong(1) >= exact(r.getLong(0))))
+  }
+
   test("two corpora get two store dirs (path-addressed identity)") {
     assert(SketchStore.storeDirFor("/a/corpus") !=
       SketchStore.storeDirFor("/b/corpus"))
