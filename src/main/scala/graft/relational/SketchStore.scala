@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.plans.AggExpressions
 import graft.sources.Tables
 
-/** Persisted daily sketches → merged rollups (SURVEY §2 K41-K43) —
+/** Persisted daily sketches → merged rollups (SURVEY §2 K41-K47,
+  * K50, K52) —
   * the warehouse pattern MERGEABLE sketches exist for: an offline job
   * writes one bounded sketch state per (day, group); any later
   * question over a date range is answered from the O(days × groups ×
@@ -14,10 +15,12 @@ import graft.sources.Tables
   * daily build is the only corpus-sized pass, and it happens once per
   * day — a "distinct users last N days" rollup then reads kilobytes.
   *
-  * Layout: `kmv/`, `hll/`, `cms/` under one store dir, each
-  * PARTITIONED BY day, so a date-range rollup prunes to exactly its
-  * days at the source (`PartitionFilters`, spec-asserted) — the
-  * IndexStore `lists/` discipline applied to the time axis.
+  * Layout: `kmv/`, `hll/`, `cms/`, `qtl/`, `hh/` under one store
+  * dir, each PARTITIONED BY day, so a date-range rollup prunes to
+  * exactly its days at the source (`PartitionFilters`,
+  * spec-asserted) — the IndexStore `lists/` discipline applied to
+  * the time axis — plus the corpus-level `bloom_meta/` /
+  * `bloom_bits/` runtime-filter artifact.
   *
   * Merge algebra (the spec-pinned laws, now exercised through
   * persistence): KMV re-aggregates exploded day states through the
@@ -107,9 +110,9 @@ object SketchStore extends graft.QueryModule {
 
   val HhN = 32
 
-  /** Write the three daily-state families, each day-partitioned (one
-    * file per day directory — a day's state is read whole or not at
-    * all). Overwrites any prior store at `path`.
+  /** Write the daily-state families, each day-partitioned (one file
+    * per day directory — a day's state is read whole or not at all).
+    * Overwrites any prior store at `path`.
     */
   def save(spark: SparkSession, sfDir: String, path: String): Unit = {
     save(Tables.events(spark, sfDir), path)
