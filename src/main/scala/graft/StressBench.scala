@@ -267,6 +267,11 @@ object StressBench {
           .select(col("event_type"), explode(col("bot")).as("hv"))))
         .count()
     }
+    // the stress store is a throwaway: drop it so repeated sweeps
+    // don't accumulate dead artifacts on the spill volume
+    val sketchStorePath = new org.apache.hadoop.fs.Path(sketchDir)
+    sketchStorePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sketchStorePath, true)
     time("neardup_clusters_x" + mult) {
       val sh = graft.dedup.Dedup.shingleSets(docsAmp, "doc_id", "text").persist()
       val pairs = graft.dedup.Dedup.jaccardVerify(

@@ -13,6 +13,15 @@ object Verify {
     val only: Option[Set[String]] =
       args.drop(2).filterNot(_.startsWith("--")).headOption
         .map(_.split(",").toSet)
+    // --oracle-only rewrites an EXISTING dump's oracle_sql.json; a
+    // name filter would silently shrink that file to the subset and
+    // the next gate run would cover N queries with no trace — refuse
+    // the combination instead
+    require(!(oracleOnly && only.isDefined),
+      "--oracle-only refreshes the FULL oracle_sql.json of an existing " +
+        "dump; combining it with a query-name filter would silently " +
+        "shrink the gate. Drop the filter (or run a filtered dump " +
+        "without --oracle-only into a fresh outDir).")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     lazy val spark = SparkSession.builder()
       .master(s"local[$cpus]")

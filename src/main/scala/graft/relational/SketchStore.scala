@@ -97,9 +97,16 @@ object SketchStore extends graft.QueryModule {
     * the exact merged grid (no false arithmetic).
     */
   def hhDaily(ev: DataFrame): DataFrame = {
-    val pos = Sketches.cmsPositions(withDay(ev), Seq("day"))
-    val counters = pos.groupBy("day", "r", "b").agg(count(lit(1)).as("c"))
-    val est = pos.distinct()
+    // one corpus scan (the sketchCmsTopk shape, day-keyed): count per
+    // (day, user) first, hash per DISTINCT day-user; per-cell counts
+    // are the SUM of hitting users' counts — value-identical to
+    // counting events per cell, with md5 + cell aggregation on
+    // O(day-users·d) rows instead of O(events·d)
+    val perUser = withDay(ev).groupBy("day", "user_id")
+      .agg(count(lit(1)).as("n"))
+    val pos = Sketches.cmsPositions(perUser, Seq("day", "n"))
+    val counters = pos.groupBy("day", "r", "b").agg(sum("n").as("c"))
+    val est = pos
       .join(broadcast(counters), Seq("day", "r", "b"))
       .groupBy("day", "user_id").agg(min("c").as("est_day"))
     est.withColumn("rn", row_number().over(
@@ -289,16 +296,7 @@ object SketchStore extends graft.QueryModule {
       .groupBy("report_day", "event_type")
       .agg(AggExpressions.bottomKLongsDistinct(col("hv"), Sketches.KmvK)
         .as("bot"))
-    merged.withColumn("n_kept", size(col("bot")))
-      .withColumn("kth",
-        when(col("n_kept") === Sketches.KmvK,
-          element_at(col("bot"), Sketches.KmvK)))
-      .withColumn("est_distinct",
-        when(col("n_kept") < Sketches.KmvK, col("n_kept").cast("double"))
-          .otherwise(lit((Sketches.KmvK - 1).toDouble * 281474976710656.0)
-            / col("kth")))
-      .select("report_day", "event_type", "n_kept", "kth", "est_distinct")
-      .orderBy("report_day", "event_type")
+    Sketches.kmvEstimate(merged, Seq("report_day", "event_type"))
   }
 
   /** K52 — windowed heavy hitters from the store: candidates = the
@@ -354,6 +352,10 @@ object SketchStore extends graft.QueryModule {
       .unionByName(fam("hll", loadHll(spark, p)))
       .unionByName(fam("kmv", loadKmv(spark, p)))
       .unionByName(fam("qtl", loadQtl(spark, p)))
+      // an EMPTY family would emit its global-agg placeholder row
+      // (n_days=0, null dates) while the oracle's GROUP BY over zero
+      // events emits nothing — drop it so empty stores agree
+      .filter(col("n_days") > 0)
       .orderBy("family")
   }
 
@@ -392,7 +394,7 @@ object SketchStore extends graft.QueryModule {
         .withColumn("kth",
           when(size(col("bot")) === Sketches.KmvK,
             element_at(col("bot"), Sketches.KmvK)))
-    val two48 = 281474976710656L
+    val two48 = Sketches.TwoPow48L
     val a = week(d0).select(col("event_type"), col("bot").as("bot_a"),
       coalesce(col("kth"), lit(two48)).as("th_a"))
     val b = week(d0.plusDays(RollupDays))
@@ -439,8 +441,12 @@ object SketchStore extends graft.QueryModule {
     */
   def upsertBatch(batch: DataFrame, path: String): Unit = {
     val spark = batch.sparkSession
-    def upsert(newDf: DataFrame, sub: String, load: => DataFrame,
+    def upsert(newDf0: DataFrame, sub: String, load: => DataFrame,
         merge: DataFrame => DataFrame): Unit = {
+      // materialize the batch's day states ONCE: both the touched-day
+      // collect and the merge below consume them (without this the
+      // whole daily aggregation runs twice per family)
+      val newDf = newDf0.localCheckpoint()
       val days = newDf.select("day").distinct().collect().map(_.getDate(0))
       if (days.isEmpty) return
       val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -482,6 +488,30 @@ object SketchStore extends graft.QueryModule {
       totals.join(samp, Seq("day", "event_type"))
         .select("event_type", "n_total", "samp", "day")
     })
+  }
+
+  /** [[upsertBatch]] guarded by a RECORDED batch id — the streaming
+    * sink's entry point ([[graft.streaming.Streaming
+    * .sketchStoreStream]]). foreachBatch is at-least-once: after a
+    * crash between the store writes and the checkpoint commit, Spark
+    * re-invokes the SAME batch id, and a bare re-merge would
+    * permanently double the additive families (CMS counters,
+    * quantile counts/samples). A marker directory per applied id
+    * makes a completed batch's replay a no-op. Remaining window,
+    * documented: a crash MID-upsert (some families written, marker
+    * not yet) re-applies the whole batch — the already-written
+    * additive families of that one batch double; the idempotent
+    * families (KMV/HLL) are unaffected in every case.
+    */
+  def upsertBatchOnce(batch: DataFrame, path: String, batchId: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), batch.sparkSession.sparkContext.hadoopConfiguration)
+    val marker =
+      new org.apache.hadoop.fs.Path(s"$path/_applied_batches/$batchId")
+    if (fs.exists(marker)) return
+    upsertBatch(batch, path)
+    fs.mkdirs(marker)
+    ()
   }
 
   // --- driver-query face ---------------------------------------------

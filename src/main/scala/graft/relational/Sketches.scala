@@ -50,7 +50,8 @@ object Sketches extends QueryModule {
   // ---------------------------------------------------------------
 
   val KmvK = 16
-  private val TwoPow48 = 281474976710656.0 // exact dyadic
+  private[graft] val TwoPow48 = 281474976710656.0 // exact dyadic
+  private[graft] val TwoPow48L = 281474976710656L
 
   /** KMV hash rows per group, duplicates INCLUDED — dedup lives in
     * the [[kmvBottomK]] aggregate's bounded state, not a separate
@@ -77,7 +78,8 @@ object Sketches extends QueryModule {
     * ([[SketchStore]]), so a rollup answers in exactly the fresh
     * build's algebra.
     */
-  def kmvEstimate(bot: DataFrame): DataFrame =
+  def kmvEstimate(bot: DataFrame,
+      keys: Seq[String] = Seq("event_type")): DataFrame =
     bot.withColumn("n_kept", size(col("bot")))
       .withColumn("kth",
         when(col("n_kept") === KmvK, element_at(col("bot"), KmvK)))
@@ -87,8 +89,9 @@ object Sketches extends QueryModule {
       .withColumn("est_distinct",
         when(col("n_kept") < KmvK, col("n_kept").cast("double"))
           .otherwise(lit((KmvK - 1).toDouble * TwoPow48) / col("kth")))
-      .select("event_type", "n_kept", "kth", "est_distinct")
-      .orderBy("event_type")
+      .select(keys.map(col) ++
+        Seq(col("n_kept"), col("kth"), col("est_distinct")): _*)
+      .orderBy(keys.map(col): _*)
 
   def sketchKmv(spark: SparkSession, dir: String): DataFrame =
     kmvEstimate(kmvBottomK(kmvHashes(Tables.events(spark, dir))))
@@ -206,15 +209,19 @@ object Sketches extends QueryModule {
     cmsPositions(ev).groupBy("r", "b").agg(count(lit(1)).as("c"))
 
   def sketchCmsTopk(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
-      .select("user_id")
-    val pos = cmsPositions(ev)
-    val counters = pos.groupBy("r", "b").agg(count(lit(1)).as("c"))
-    val est = pos.distinct()
-      .join(broadcast(counters), Seq("r", "b"))
-      .groupBy("user_id").agg(min("c").as("est_cnt"))
-    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
-    est.join(exact, Seq("user_id"))
+    // ONE corpus scan: the per-user count (needed for exact_cnt
+    // anyway) comes first, then positions hash per DISTINCT user —
+    // counters are the per-cell SUM of hitting users' counts, value-
+    // identical to counting events per cell but with the md5 and the
+    // cell aggregation on O(users·d) rows instead of O(events·d)
+    val perUser = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull).select("user_id")
+      .groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+    val pos = cmsPositions(perUser, Seq("exact_cnt"))
+    val counters = pos.groupBy("r", "b").agg(sum("exact_cnt").as("c"))
+    pos.join(broadcast(counters), Seq("r", "b"))
+      .groupBy("user_id").agg(min("c").as("est_cnt"),
+        max("exact_cnt").as("exact_cnt"))
       .orderBy(desc("est_cnt"), asc("user_id"))
       .limit(10)
       .select("user_id", "est_cnt", "exact_cnt")
@@ -347,13 +354,16 @@ object Sketches extends QueryModule {
   // ---------------------------------------------------------------
 
   def sketchThetaOps(spark: SparkSession, dir: String): DataFrame = {
+    // persist: the pair stage self-joins this O(groups)-row frame —
+    // without it each join side recomputes the corpus KMV aggregate
     val bot = kmvBottomK(kmvHashes(Tables.events(spark, dir)))
       .withColumn("kth",
         when(size(col("bot")) === KmvK, element_at(col("bot"), KmvK)))
+      .persist()
     val a = bot.select(col("event_type").as("et_a"), col("bot").as("bot_a"),
-      coalesce(col("kth"), lit(TwoPow48.toLong)).as("th_a"))
+      coalesce(col("kth"), lit(TwoPow48L)).as("th_a"))
     val b = bot.select(col("event_type").as("et_b"), col("bot").as("bot_b"),
-      coalesce(col("kth"), lit(TwoPow48.toLong)).as("th_b"))
+      coalesce(col("kth"), lit(TwoPow48L)).as("th_b"))
     a.join(b, col("et_a") < col("et_b"))
       .withColumn("theta", least(col("th_a"), col("th_b")))
       .withColumn("n_inter",
@@ -392,7 +402,7 @@ object Sketches extends QueryModule {
         .agg(AggExpressions.bottomKLongsDistinct(col("hv"), KmvK).as("bot"))
         .select(col("bot"),
           when(size(col("bot")) === KmvK, element_at(col("bot"), KmvK))
-            .otherwise(lit(TwoPow48.toLong)).as("th"))
+            .otherwise(lit(TwoPow48L)).as("th"))
     val a = side(Tables.customer(spark, dir), "c_custkey")
       .select(col("bot").as("bot_a"), col("th").as("th_a"))
     val b = side(Tables.orders(spark, dir), "o_custkey")

@@ -409,16 +409,19 @@ object Streaming {
     * are always answerable from parquet without a daily job — the
     * lambda architecture collapsed to one writer. foreachBatch is the
     * right tool: the sink is a partitioned parquet MERGE, which no
-    * streaming output mode expresses; exactly-once comes from the
-    * checkpoint's batch-id dedup plus the merge's delivery contracts
-    * (KMV/HLL idempotent, CMS and the quantile family additive —
-    * spec-pinned on upsertBatch itself).
+    * streaming output mode expresses. foreachBatch is at-least-once,
+    * so the batch id is RECORDED in the store (`_applied_batches/`)
+    * and a completed batch's replay is a no-op — without that, a
+    * crash-replay would permanently double the additive families
+    * (see [[graft.relational.SketchStore.upsertBatchOnce]] for the
+    * remaining mid-upsert window and the per-family delivery
+    * contracts, all spec-pinned).
     */
   def sketchStoreStream(events: DataFrame, path: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.relational.SketchStore.upsertBatch(batch, path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.relational.SketchStore.upsertBatchOnce(batch, path, batchId)
       }
 }

@@ -280,6 +280,23 @@ class SketchStoreSpec extends SparkSpec {
     hh.foreach(r => assert(r.getLong(1) >= exact(r.getLong(0))))
   }
 
+  test("upsertBatchOnce: a completed batch's replay is a no-op") {
+    val d = Files.createTempDirectory("graft_sketch_once").toString
+    def mass(): Long = spark.read
+      .schema("r INT, b BIGINT, c BIGINT, day DATE")
+      .parquet(s"$d/cms").agg(sum("c")).head().getLong(0)
+    SketchStore.upsertBatchOnce(ev, d, 7L)
+    val m = mass()
+    // foreachBatch re-invokes the SAME id after a crash-replay: the
+    // recorded marker must make it a no-op even for the ADDITIVE
+    // families (bare upsertBatch would double them)
+    SketchStore.upsertBatchOnce(ev, d, 7L)
+    assert(mass() == m)
+    // a NEW id applies normally
+    SketchStore.upsertBatchOnce(ev, d, 8L)
+    assert(mass() == 2 * m)
+  }
+
   test("two corpora get two store dirs (path-addressed identity)") {
     assert(SketchStore.storeDirFor("/a/corpus") !=
       SketchStore.storeDirFor("/b/corpus"))
