@@ -27,14 +27,16 @@ def canon(df):
 def cell_eq(a, b):
     if a is None and b is None:
         return True
-    try:
-        if isinstance(a, float) or isinstance(b, float):
-            fa, fb = float(a), float(b)
-            if math.isnan(fa) and math.isnan(fb):
-                return True
-            return fa == fb
-    except (TypeError, ValueError):
-        pass
+    # Driver-faithful: the driver hashes rendered values, so 62500.0
+    # (float) vs 62500 (int) hash DIFFERENTLY. Never coerce across the
+    # float/int boundary (the round-13 ivf_list_stats slip).
+    a_f, b_f = isinstance(a, float), isinstance(b, float)
+    if a_f != b_f:
+        return False
+    if a_f:
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
     return str(a) == str(b)
 
 
@@ -55,10 +57,19 @@ def main():
             print(f"FAIL {name}: {e}")
             failed.append(name)
             continue
-        for col in set(exp.columns) & set(got.columns):
-            de, dg = str(exp[col].dtype), str(got[col].dtype)
-            if de != dg:
-                print(f"  dtype {name}.{col}: oracle={de} spark={dg}")
+        # Driver-faithful: a final-column dtype mismatch IS a failure
+        # (the driver's hash is type-sensitive — round-13 ivf_list_stats
+        # shipped red because this used to be a non-fatal warning).
+        dtype_bad = [
+            (col, str(exp[col].dtype), str(got[col].dtype))
+            for col in set(exp.columns) & set(got.columns)
+            if str(exp[col].dtype) != str(got[col].dtype)
+        ]
+        if dtype_bad:
+            for col, de, dg in sorted(dtype_bad):
+                print(f"FAIL {name}: dtype col={col} oracle={de} spark={dg}")
+            failed.append(name)
+            continue
         if list(exp.columns) != list(got.columns):
             print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
             failed.append(name)

@@ -558,7 +558,7 @@ object IndexStore extends graft.QueryModule {
       |tot AS (SELECT sum(n_vectors) AS total, count(*) AS n_lists
       |       FROM counts)
       |SELECT list_id, n_vectors,
-      |  (n_vectors * 1000000) // total AS share_ppm,
+      |  CAST((n_vectors * 1000000) // total AS BIGINT) AS share_ppm,
       |  CAST(n_vectors * n_lists AS DOUBLE) / total AS balance
       |FROM counts, tot
       |ORDER BY list_id""".stripMargin))
