@@ -308,6 +308,18 @@ object SketchStore extends graft.QueryModule {
     * window-grid minimum for its key — identical to what a fresh CMS
     * over the range estimates (counters are additive), which is what
     * the oracle replays.
+    *
+    * `err_budget` surfaces the window grid's CMS error bound next to
+    * every estimate: ε·N = (e/w)·N where N is the window's total
+    * counted mass (Σ_b c over ONE hash row — every row sums to the
+    * same total by construction). The standard guarantee is
+    * exact ≤ est ≤ exact + ε·N w.h.p. (spec-pinned), so a consumer
+    * reading est ≈ err_budget knows the grid is saturated for this
+    * corpus and the ranking is collision noise, not signal — the
+    * uniform sf0.1 corpus is exactly such a case. Arithmetic: e as a
+    * shared 17-digit literal (= Math.E's decimal rendering, parses to
+    * the identical double in both engines), one multiply + one divide
+    * in the same order, then the H7 decimal(18,9) quantize.
     */
   def hhWindowQ(spark: SparkSession, dir: String): DataFrame = {
     val p = prebuild(spark, dir)
@@ -315,6 +327,8 @@ object SketchStore extends graft.QueryModule {
     val cut = cutoffDay(cmsDaily0)
     val grid = cmsDaily0.filter(col("day") < lit(cut))
       .groupBy("r", "b").agg(sum("c").cast("bigint").as("c"))
+    val mass = grid.filter(col("r") === 0)
+      .agg(sum("c").cast("bigint").as("mass"))
     val cand = loadHh(spark, p).filter(col("day") < lit(cut))
       .select("user_id").distinct()
     val pos = cand
@@ -324,6 +338,12 @@ object SketchStore extends graft.QueryModule {
         expr(Sketches.h48Salted("cms", "r", "user_id")) % Sketches.CmsW)
     pos.join(broadcast(grid), Seq("r", "b"))
       .groupBy("user_id").agg(min("c").as("est_cnt"))
+      .crossJoin(broadcast(mass))
+      .withColumn("err_budget", expr(
+        "cast(cast(2.718281828459045 * cast(mass as double) " +
+          s"/ cast(${Sketches.CmsW} as double) as decimal(18,9)) " +
+          "as double)"))
+      .select("user_id", "est_cnt", "err_budget")
       .orderBy(desc("est_cnt"), asc("user_id"))
       .limit(10)
   }
@@ -439,7 +459,14 @@ object SketchStore extends graft.QueryModule {
     * effectively-once delivery foreachBatch's checkpoint provides —
     * spec-pinned.
     */
-  def upsertBatch(batch: DataFrame, path: String): Unit = {
+  def upsertBatch(batch: DataFrame, path: String): Unit =
+    familyUpserts(batch, path).foreach(_._2())
+
+  /** The four family merges as named thunks, so [[upsertBatchOnce]]
+    * can guard EACH behind its own replay marker.
+    */
+  private def familyUpserts(batch: DataFrame, path: String)
+      : Seq[(String, () => Unit)] = {
     val spark = batch.sparkSession
     def upsert(newDf0: DataFrame, sub: String, load: => DataFrame,
         merge: DataFrame => DataFrame): Unit = {
@@ -466,51 +493,72 @@ object SketchStore extends graft.QueryModule {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("day").parquet(s"$path/$sub")
     }
-    upsert(kmvDaily(batch), "kmv", loadKmv(spark, path), df =>
-      df.select(col("day"), col("event_type"), explode(col("bot")).as("hv"))
-        .groupBy("day", "event_type")
-        .agg(AggExpressions.bottomKLongsDistinct(col("hv"), Sketches.KmvK)
-          .as("bot")))
-    upsert(hllDaily(batch), "hll", loadHll(spark, path), df =>
-      df.groupBy("day", "event_type", "j").agg(max("mj").as("mj")))
-    upsert(cmsDaily(batch), "cms", loadCms(spark, path), df =>
-      df.groupBy("day", "r", "b").agg(sum("c").cast("bigint").as("c")))
-    upsert(qtlDaily(batch), "qtl", loadQtl(spark, path), df => {
-      // totals and samples aggregate separately: summing n_total over
-      // EXPLODED sample rows would multiply it by the sample size
-      val totals = df.groupBy("day", "event_type")
-        .agg(sum("n_total").cast("bigint").as("n_total"))
-      val samp = df
-        .select(col("day"), col("event_type"), explode(col("samp")).as("x"))
-        .groupBy("day", "event_type")
-        .agg(AggExpressions.collectTopK(col("x"), Sketches.QtlK,
-          largestFirst = false).as("samp"))
-      totals.join(samp, Seq("day", "event_type"))
-        .select("event_type", "n_total", "samp", "day")
-    })
+    Seq(
+      "kmv" -> (() =>
+        upsert(kmvDaily(batch), "kmv", loadKmv(spark, path), df =>
+          df.select(col("day"), col("event_type"),
+              explode(col("bot")).as("hv"))
+            .groupBy("day", "event_type")
+            .agg(AggExpressions.bottomKLongsDistinct(col("hv"),
+              Sketches.KmvK).as("bot")))),
+      "hll" -> (() =>
+        upsert(hllDaily(batch), "hll", loadHll(spark, path), df =>
+          df.groupBy("day", "event_type", "j").agg(max("mj").as("mj")))),
+      "cms" -> (() =>
+        upsert(cmsDaily(batch), "cms", loadCms(spark, path), df =>
+          df.groupBy("day", "r", "b").agg(sum("c").cast("bigint").as("c")))),
+      "qtl" -> (() =>
+        upsert(qtlDaily(batch), "qtl", loadQtl(spark, path), df => {
+          // totals and samples aggregate separately: summing n_total
+          // over EXPLODED sample rows would multiply it by the sample
+          // size
+          val totals = df.groupBy("day", "event_type")
+            .agg(sum("n_total").cast("bigint").as("n_total"))
+          val samp = df
+            .select(col("day"), col("event_type"),
+              explode(col("samp")).as("x"))
+            .groupBy("day", "event_type")
+            .agg(AggExpressions.collectTopK(col("x"), Sketches.QtlK,
+              largestFirst = false).as("samp"))
+          totals.join(samp, Seq("day", "event_type"))
+            .select("event_type", "n_total", "samp", "day")
+        })))
   }
 
-  /** [[upsertBatch]] guarded by a RECORDED batch id — the streaming
-    * sink's entry point ([[graft.streaming.Streaming
+  /** [[upsertBatch]] guarded by RECORDED batch-id markers — the
+    * streaming sink's entry point ([[graft.streaming.Streaming
     * .sketchStoreStream]]). foreachBatch is at-least-once: after a
     * crash between the store writes and the checkpoint commit, Spark
     * re-invokes the SAME batch id, and a bare re-merge would
     * permanently double the additive families (CMS counters,
-    * quantile counts/samples). A marker directory per applied id
-    * makes a completed batch's replay a no-op. Remaining window,
-    * documented: a crash MID-upsert (some families written, marker
-    * not yet) re-applies the whole batch — the already-written
-    * additive families of that one batch double; the idempotent
-    * families (KMV/HLL) are unaffected in every case.
+    * quantile counts/samples). Markers are PER FAMILY
+    * (`_applied_batches/<id>/<family>`, written right after that
+    * family's overwrite commits, plus a terminal `_done`): a replay
+    * — whole-batch OR mid-upsert — skips exactly the families that
+    * already landed, closing the round-13 window where a crash
+    * between family writes re-applied (and doubled) the additive
+    * families that had committed. The residual window is now a crash
+    * between ONE family's overwrite and its own marker mkdir — the
+    * narrowest this design can make it without a transactional
+    * table format.
     */
   def upsertBatchOnce(batch: DataFrame, path: String, batchId: Long): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), batch.sparkSession.sparkContext.hadoopConfiguration)
-    val marker =
+    val base =
       new org.apache.hadoop.fs.Path(s"$path/_applied_batches/$batchId")
-    if (fs.exists(marker)) return
-    upsertBatch(batch, path)
-    fs.mkdirs(marker)
+    val done = new org.apache.hadoop.fs.Path(base, "_done")
+    // legacy whole-batch marker (an EMPTY <id> dir) also means done
+    if (fs.exists(done) ||
+        (fs.exists(base) && fs.listStatus(base).isEmpty)) return
+    familyUpserts(batch, path).foreach { case (fam, apply) =>
+      val m = new org.apache.hadoop.fs.Path(base, fam)
+      if (!fs.exists(m)) {
+        apply()
+        fs.mkdirs(m)
+      }
+    }
+    fs.mkdirs(done)
     ()
   }
 
@@ -591,9 +639,14 @@ object SketchStore extends graft.QueryModule {
         |wpos AS (SELECT user_id, r,
         |    ${Sketches.sqlH48Salted("cms", "r", "user_id")} % ${Sketches.CmsW}
         |      AS b
-        |  FROM wcand, UNNEST(range(0, ${Sketches.CmsD})) u(r))
-        |SELECT user_id, CAST(min(c) AS BIGINT) AS est_cnt
-        |FROM wpos JOIN wgrid USING (r, b) GROUP BY user_id
+        |  FROM wcand, UNNEST(range(0, ${Sketches.CmsD})) u(r)),
+        |mass AS (SELECT CAST(sum(c) AS BIGINT) AS mass FROM wgrid
+        |  WHERE r = 0)
+        |SELECT user_id, CAST(min(c) AS BIGINT) AS est_cnt,
+        |  CAST(CAST(2.718281828459045 * CAST(mass AS DOUBLE)
+        |    / CAST(${Sketches.CmsW} AS DOUBLE) AS DECIMAL(18,9))
+        |    AS DOUBLE) AS err_budget
+        |FROM wpos JOIN wgrid USING (r, b), mass GROUP BY user_id, mass
         |ORDER BY est_cnt DESC, user_id ASC LIMIT 10""".stripMargin,
     // every number recomputed from EVENTS: the gate proves the store
     // holds exactly the days/states the corpus implies

@@ -173,7 +173,7 @@ object Sketches extends QueryModule {
     hllEstimate(hllRegisters(Tables.events(spark, dir)))
 
   // ---------------------------------------------------------------
-  // Count-min: d=3 salted hash rows × w=32 buckets; every counter is
+  // Count-min: d=3 salted hash rows × w=256 buckets; every counter is
   // an exact long. est(key) = min over rows of its bucket counter —
   // ≥ exact count by construction (spec-pinned). Heavy hitters =
   // top-10 candidates by estimate (TakeOrdered, never a full sort).
@@ -354,12 +354,15 @@ object Sketches extends QueryModule {
   // ---------------------------------------------------------------
 
   def sketchThetaOps(spark: SparkSession, dir: String): DataFrame = {
-    // persist: the pair stage self-joins this O(groups)-row frame —
-    // without it each join side recomputes the corpus KMV aggregate
+    // localCheckpoint (eager, like decontaminateNeardup): the pair
+    // stage self-joins this O(groups)-row frame — without
+    // materialization each join side recomputes the corpus KMV
+    // aggregate, and unlike persist() the blocks carry no cache-
+    // manager entry to leak across a long session of invocations
     val bot = kmvBottomK(kmvHashes(Tables.events(spark, dir)))
       .withColumn("kth",
         when(size(col("bot")) === KmvK, element_at(col("bot"), KmvK)))
-      .persist()
+      .localCheckpoint(true)
     val a = bot.select(col("event_type").as("et_a"), col("bot").as("bot_a"),
       coalesce(col("kth"), lit(TwoPow48L)).as("th_a"))
     val b = bot.select(col("event_type").as("et_b"), col("bot").as("bot_b"),
@@ -564,8 +567,9 @@ object Sketches extends QueryModule {
       |    END AS ndv_est
       |  FROM r GROUP BY col_name)
       |SELECT base.col_name, n_rows, n_null, min_num, max_num,
-      |  n_kept, kth, ndv_est
-      |FROM base JOIN k ON base.col_name = k.col_name
+      |  COALESCE(n_kept, CAST(0 AS INT)) AS n_kept, kth,
+      |  COALESCE(ndv_est, CAST(0.0 AS DOUBLE)) AS ndv_est
+      |FROM base LEFT JOIN k ON base.col_name = k.col_name
       |ORDER BY base.col_name""".stripMargin
   }
 

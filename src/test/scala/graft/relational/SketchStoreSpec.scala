@@ -272,12 +272,22 @@ class SketchStoreSpec extends SparkSpec {
     val cut = ev.filter(col("user_id").isNotNull)
       .agg(min(to_date(col("ts")))).head().getDate(0)
       .toLocalDate.plusDays(SketchStore.RollupDays)
-    val exact = ev.filter(col("user_id").isNotNull)
+    val window = ev.filter(col("user_id").isNotNull)
       .filter(to_date(col("ts")) < lit(java.sql.Date.valueOf(cut)))
-      .groupBy("user_id").count()
+    val exact = window.groupBy("user_id").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // CMS property survives the store round-trip: est >= exact
-    hh.foreach(r => assert(r.getLong(1) >= exact(r.getLong(0))))
+    // the emitted budget is ε·N = (e/w)·N for the window's mass N
+    val n = window.count()
+    val budget = math.E * n.toDouble / Sketches.CmsW
+    hh.foreach { r =>
+      val (est, emitted) = (r.getLong(1), r.getDouble(2))
+      // CMS properties survive the store round-trip:
+      // exact <= est <= exact + ε·N, and the surfaced budget is the
+      // real ε·N (same literal, modulo the decimal(18,9) quantize)
+      assert(est >= exact(r.getLong(0)))
+      assert(est.toDouble <= exact(r.getLong(0)).toDouble + emitted)
+      assert(math.abs(emitted - budget) < 1e-6)
+    }
   }
 
   test("upsertBatchOnce: a completed batch's replay is a no-op") {
@@ -295,6 +305,32 @@ class SketchStoreSpec extends SparkSpec {
     // a NEW id applies normally
     SketchStore.upsertBatchOnce(ev, d, 8L)
     assert(mass() == 2 * m)
+  }
+
+  test("upsertBatchOnce: mid-upsert crash replay skips landed families") {
+    val d = Files.createTempDirectory("graft_sketch_mid").toString
+    def cmsMass(): Long = spark.read
+      .schema("r INT, b BIGINT, c BIGINT, day DATE")
+      .parquet(s"$d/cms").agg(sum("c")).head().getLong(0)
+    SketchStore.upsertBatchOnce(ev, d, 1L)
+    val m = cmsMass()
+    // simulate a crash AFTER the additive cms family committed but
+    // BEFORE the batch finished: _done and the other families'
+    // markers are gone, cms's survives — the replay must re-apply
+    // only the marker-less families and leave cms alone (a bare
+    // whole-batch replay would double it permanently)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
+    for (mk <- Seq("_done", "kmv", "hll", "qtl"))
+      assert(fs.delete(
+        new org.apache.hadoop.fs.Path(s"$d/_applied_batches/1/$mk"), true))
+    SketchStore.upsertBatchOnce(ev, d, 1L)
+    assert(cmsMass() == m)
+    // legacy whole-batch marker (empty <id> dir) still means done
+    val legacy = new org.apache.hadoop.fs.Path(s"$d/_applied_batches/2")
+    fs.mkdirs(legacy)
+    SketchStore.upsertBatchOnce(ev, d, 2L)
+    assert(cmsMass() == m)
   }
 
   test("two corpora get two store dirs (path-addressed identity)") {

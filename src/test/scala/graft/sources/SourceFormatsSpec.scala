@@ -93,6 +93,38 @@ class SourceFormatsSpec extends SparkSpec {
     assert(at.getAs[Map[String, String]]("label_map")("geo") == "Austria")
   }
 
+  test("json-stat fetch seam: disk binding round-trips the A2 flatten") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fetchseam")
+    val doc2 =
+      """{"id": ["ind", "geo"], "size": [1, 2],
+        | "dimension": {
+        |   "ind": {"category": {"index": {"X": 0}, "label": {"X": "X ind"}}},
+        |   "geo": {"category": {"index": {"AT": 0, "BE": 1},
+        |     "label": {"AT": "Austria", "BE": "Belgium"}}}},
+        | "value": {"0": 1.5, "1": 2.5}}""".stripMargin
+    java.nio.file.Files.writeString(dir.resolve("nrg_cb_e.json"),
+      graft.etl.JsonStat.sampleDoc)
+    java.nio.file.Files.writeString(dir.resolve("ten00124.json"), doc2)
+    // the reference's DATASETS dict shape (etl/main.py:53-65), urls
+    // bound to landed payloads
+    val fetched = new DiskJsonStatFetcher().fetch(spark, Map(
+      "nrg_cb_e" -> dir.resolve("nrg_cb_e.json").toString,
+      "ten00124" -> dir.resolve("ten00124.json").toString))
+    assert(fetched.columns.toSeq == Seq("dataset_code", "json"))
+    assert(fetched.select("dataset_code").orderBy("dataset_code")
+      .collect().map(_.getString(0)).toSeq ==
+      Seq("nrg_cb_e", "ten00124"))
+    // round-trips A2: the seam's rows flatten to the SAME observations
+    // as the landing-zone directory route
+    def obs(df: org.apache.spark.sql.DataFrame)
+        : Seq[(Double, Map[String, String])] =
+      graft.etl.JsonStat.flatten(df, "json").collect()
+        .map(r => (r.getAs[Double]("value"),
+          r.getAs[Map[String, String]]("code_map")))
+        .toSeq.sortBy(_._1)
+    assert(obs(fetched) == obs(Tables.fromJsonStatDocs(spark, dir.toString)))
+  }
+
   test("malformed csv rows: dropped under DROPMALFORMED, fatal under FAILFAST") {
     val dir = "/tmp/graft_src_bad"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
