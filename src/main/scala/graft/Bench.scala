@@ -118,8 +118,15 @@ object Bench {
     val qTimes = queryFns.map(_._1 -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val errCount = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
-    for (_ <- 1 to reps) {
-      Caches.clearAll()
+    // SPARK_GRAFT_BENCH_WARM=1: clear the build memos only before the
+    // FIRST sweep — later sweeps hit warm builds, so query times carry
+    // no fresh-build churn (GC/spill contention). Comparing a warm run
+    // against the default cold-every-sweep run separates build-phase
+    // contention from genuine per-query plan cost (round-13 verdict
+    // item 5). The driver's bench always runs cold.
+    val warmBuilds = sys.env.get("SPARK_GRAFT_BENCH_WARM").contains("1")
+    for (rep <- 1 to reps) {
+      if (!warmBuilds || rep == 1) Caches.clearAll()
       buildFns.foreach { case (name, fn) =>
         val (t, err) = timed(fn)
         err match {

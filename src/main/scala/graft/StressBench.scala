@@ -252,7 +252,16 @@ object StressBench {
     // ids offset per copy so distinct users scale too)...
     val sketchDir = s"/tmp/graft_stress_sketch_x$mult-${System.nanoTime()}"
     time("sketch_daily_build_x" + mult) {
-      graft.relational.SketchStore.save(eventsAmp, sketchDir)
+      // per-family attribution (round-13 verdict: the aggregate
+      // build's ×12→×24 scaling read super-linear with no culprit
+      // named) — each family is its own corpus pass, timed alone
+      for ((sub, fam) <- graft.relational.SketchStore.dailyFamilies) {
+        val t0 = System.nanoTime()
+        graft.relational.SketchStore.writeFamily(
+          fam(eventsAmp), sub, sketchDir)
+        println(f"STRESS   sketch_daily_${sub}_x$mult%d " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
       spark.read.parquet(s"$sketchDir/kmv").count()
     }
     // ...while the rollup reads ONLY the O(days×groups×K) artifact —

@@ -138,16 +138,21 @@ object SketchStore extends graft.QueryModule {
     bits.write.mode("overwrite").parquet(s"$path/bloom_bits")
   }
 
-  def save(ev: DataFrame, path: String): Unit = {
-    def write(df: DataFrame, sub: String): Unit =
-      df.repartition(col("day"))
-        .write.mode("overwrite").partitionBy("day").parquet(s"$path/$sub")
-    write(kmvDaily(ev), "kmv")
-    write(hllDaily(ev), "hll")
-    write(cmsDaily(ev), "cms")
-    write(qtlDaily(ev), "qtl")
-    write(hhDaily(ev), "hh")
-  }
+  /** The five daily-state families by name — [[save]] and the stress
+    * harness's per-family attribution share this list.
+    */
+  val dailyFamilies: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "kmv" -> (kmvDaily _), "hll" -> (hllDaily _), "cms" -> (cmsDaily _),
+    "qtl" -> (qtlDaily _), "hh" -> (hhDaily _))
+
+  private[graft] def writeFamily(df: DataFrame, sub: String,
+      path: String): Unit =
+    df.repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(s"$path/$sub")
+
+  def save(ev: DataFrame, path: String): Unit =
+    dailyFamilies.foreach { case (sub, fam) =>
+      writeFamily(fam(ev), sub, path) }
 
   /** The daily-job arrival path: (re)write ONE day's states into an
     * existing store. Dynamic partition overwrite replaces exactly the
