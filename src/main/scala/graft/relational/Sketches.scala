@@ -388,6 +388,36 @@ object Sketches extends QueryModule {
       .orderBy("et_a", "et_b")
   }
 
+  /** K53 — join-KEY skew report: the diagnostic a 100 TB deployment
+    * runs BEFORE a big join to decide whether the key needs salting
+    * or AQE skew handling. One count-groupBy over the key (map-side
+    * combined, so the hot keys being diagnosed partial-aggregate per
+    * task instead of flooding one reducer — the classic reason a
+    * count survives the very skew it measures), then top-10 keys by
+    * count (TakeOrdered, never a full sort) against the broadcast
+    * 1-row totals. `skew` = cnt·ndv/n_rows — the key's multiple of a
+    * uniform key's share (1.0 = perfectly uniform; a planner salts
+    * when max skew × per-key bytes exceeds a task's budget). The
+    * grouped frame feeds both the totals and the top-10; AQE's
+    * exchange reuse shares the one shuffle between them. Exact
+    * integer counts; share_ppm integer div; skew is one multiply +
+    * one divide in the same order both engines.
+    */
+  def keySkew(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+      .groupBy(col("user_id").as("key_val"))
+      .agg(count(lit(1)).as("cnt"))
+    val t = g.agg(sum("cnt").cast("bigint").as("n_rows"),
+      count(lit(1)).as("ndv"))
+    g.crossJoin(broadcast(t))
+      .withColumn("share_ppm", expr("(cnt * 1000000) div n_rows"))
+      .withColumn("skew",
+        col("cnt").cast("double") * col("ndv") / col("n_rows"))
+      .select("key_val", "cnt", "share_ppm", "skew", "n_rows", "ndv")
+      .orderBy(desc("cnt"), asc("key_val"))
+      .limit(10)
+  }
+
   /** Join-cardinality estimation between two TABLES' key columns —
     * the CBO primitive behind join ordering: one global KMV sketch
     * per side (customer.c_custkey build, orders.o_custkey probe),
@@ -594,9 +624,22 @@ object Sketches extends QueryModule {
     "sketch_theta_ops" -> (sketchThetaOps _),
     "sketch_equidepth_hist" -> (sketchEquidepth _),
     "sketch_join_card" -> (sketchJoinCard _),
+    "key_skew_report" -> (keySkew _),
     "data_profile" -> (dataProfile _))
 
   override def oracles: Map[String, String] = Map(
+    "key_skew_report" ->
+      """WITH g AS (SELECT user_id AS key_val,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS ndv FROM g)
+        |SELECT key_val, cnt,
+        |  CAST((cnt * 1000000) // n_rows AS BIGINT) AS share_ppm,
+        |  CAST(cnt AS DOUBLE) * ndv / n_rows AS skew,
+        |  n_rows, ndv
+        |FROM g, t
+        |ORDER BY cnt DESC, key_val ASC LIMIT 10""".stripMargin,
     "data_profile" -> dataProfileSql,
     "sketch_join_card" ->
       s"""WITH ha AS (SELECT DISTINCT ${sqlH48("jc", "c_custkey")} AS hv

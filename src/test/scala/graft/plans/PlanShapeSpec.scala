@@ -135,7 +135,12 @@ class PlanShapeSpec extends SparkSpec {
       "embedding_drift",
       // sketch_join_card crosses its two 1-row global KMV sketch
       // aggregates (one per table side)
-      "sketch_join_card")
+      "sketch_join_card",
+      // key_skew_report crosses the grouped key counts with their
+      // broadcast 1-row totals aggregate (the ivf_list_stats shape);
+      // sketch_hh_window crosses its broadcast 1-row window-mass
+      // frame for the err_budget column (round 14, same shape)
+      "key_skew_report", "sketch_hh_window")
     // (embedding_pca/_r left the list in round 9: the iteration moved
     // to a driver-side solve over the collected d² summary — the
     // RowMatrix.computePrincipalComponents shape — so their plans no
