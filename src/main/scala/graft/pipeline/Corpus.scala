@@ -437,8 +437,48 @@ object Corpus extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** L13 — mixture reweighting PLAN (the DoReMi-adjacent planning
+    * half of L8's mixture execution): per language, observed token
+    * share vs a uniform target, a downsample-only multiplier
+    * `least(1, target/observed)` (upsampling = repeating data, a
+    * decision a human makes), the token budget the multiplier keeps,
+    * and the post-reweight expected shares — the table a pretraining
+    * data lead reads before committing a mixture. Shapes: ONE
+    * map-side-combined token aggregate over the corpus (the L7
+    * tokenization, gate-proven identical cross-engine), then all
+    * ratio algebra on the O(langs)-row frame with two broadcast 1-row
+    * totals (the corpus_stats shape). Integer ppm shares; the
+    * multiplier is one double division (divisor floored at 1 ppm so a
+    * vanishingly small lang can't divide by zero at 100 TB) and
+    * keep_tokens = floor(n·mult) — single IEEE ops, identical in
+    * either engine.
+    */
+  def mixtureReweight(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir).filter(col("lang").isNotNull)
+      .groupBy("lang")
+      .agg(sum(size(split(col("text"), " ")).cast("bigint"))
+        .as("n_tokens"))
+    val t = g.agg(sum("n_tokens").cast("bigint").as("tok_total"),
+      count(lit(1)).as("n_langs"))
+    val j = g.crossJoin(broadcast(t))
+      .withColumn("obs_ppm", expr("(n_tokens * 1000000) div tok_total"))
+      .withColumn("target_ppm", expr("1000000 div n_langs"))
+      .withColumn("mult", least(lit(1.0),
+        col("target_ppm").cast("double") /
+          greatest(col("obs_ppm"), lit(1L)).cast("double")))
+      .withColumn("keep_tokens",
+        expr("cast(floor(cast(n_tokens as double) * mult) as bigint)"))
+    val t2 = j.agg(sum("keep_tokens").cast("bigint").as("keep_total"))
+    j.crossJoin(broadcast(t2))
+      .withColumn("exp_ppm", expr("(keep_tokens * 1000000) div keep_total"))
+      .select("lang", "n_tokens", "obs_ppm", "target_ppm", "mult",
+        "keep_tokens", "exp_ppm", "tok_total", "keep_total")
+      .orderBy("lang")
+  }
+
   override def queries: Map[String, Q] = Map(
     "quality_percentile_filter" -> (qualityPercentileFilter _),
+    "mixture_reweight" -> (mixtureReweight _),
     "corpus_sample" -> (corpusSample _),
     "corpus_clean" -> (corpusClean _),
     "corpus_loss_report" -> (corpusLossReport _),
@@ -505,6 +545,32 @@ object Corpus extends QueryModule {
   override def oracles: Map[String, String] = staticOracles ++ dynOracles
 
   private val staticOracles: Map[String, String] = Map(
+    "mixture_reweight" ->
+      """WITH g AS (SELECT lang,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+        |    CAST(count(*) AS BIGINT) AS n_langs FROM g),
+        |j AS (SELECT lang, n_tokens, tok_total, n_langs,
+        |    CAST((n_tokens * 1000000) // tok_total AS BIGINT) AS obs_ppm,
+        |    CAST(1000000 // n_langs AS BIGINT) AS target_ppm
+        |  FROM g CROSS JOIN t),
+        |m AS (SELECT *,
+        |    LEAST(1.0, CAST(target_ppm AS DOUBLE) /
+        |      CAST(GREATEST(obs_ppm, 1) AS DOUBLE)) AS mult
+        |  FROM j),
+        |k AS (SELECT *,
+        |    CAST(floor(CAST(n_tokens AS DOUBLE) * mult) AS BIGINT)
+        |      AS keep_tokens
+        |  FROM m),
+        |t2 AS (SELECT CAST(sum(keep_tokens) AS BIGINT) AS keep_total
+        |  FROM k)
+        |SELECT lang, n_tokens, obs_ppm, target_ppm, mult, keep_tokens,
+        |  CAST((keep_tokens * 1000000) // keep_total AS BIGINT)
+        |    AS exp_ppm,
+        |  tok_total, keep_total
+        |FROM k CROSS JOIN t2
+        |ORDER BY lang""".stripMargin,
     "quality_percentile_filter" ->
       s"""WITH d AS (SELECT doc_id, lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -1,6 +1,7 @@
 package graft.relational
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryModule
@@ -418,6 +419,214 @@ object Sketches extends QueryModule {
       .limit(10)
   }
 
+  // ---------------------------------------------------------------
+  // K54/K55 — the write-path half of the operations story. K53 asks
+  // "is this JOIN key skewed"; these ask "how should the WRITE be
+  // laid out": per-partition file counts (the small-file problem)
+  // and sample-derived range boundaries with an exact balance audit
+  // (the repartitionByRange plan, surfaced as a query).
+  // ---------------------------------------------------------------
+
+  /** Target rows per output file for [[partitionLayoutPlan]] — at a
+    * deployment this is bytes-derived config; the gate pins the
+    * arithmetic, not the constant.
+    */
+  val WriteTargetRows = 1024L
+
+  /** K54 — write-layout plan per day partition of events: how many
+    * files tonight's partition write should produce (integer-ceil of
+    * rows/target), how full the LAST file lands (a chronically
+    * low-fill tail is the small-file problem), the partition's share
+    * and skew vs a uniform day (the K53 skew form on the PARTITION
+    * axis), and a coalesce-candidate flag (under half a target file
+    * — the partitions a nightly compactor should merge). ONE
+    * map-side-combined count-groupBy on the partition key + a
+    * broadcast 1-row totals frame; all-integer arithmetic except the
+    * same-order double skew.
+    */
+  def partitionLayoutPlan(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(spark, dir).filter(col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_rows"))
+    val t = g.agg(sum("n_rows").cast("bigint").as("n_total"),
+      count(lit(1)).as("n_days"))
+    g.crossJoin(broadcast(t))
+      .withColumn("n_files",
+        expr(s"(n_rows + ${WriteTargetRows - 1}) div $WriteTargetRows"))
+      .withColumn("last_fill_ppm", expr(
+        s"((n_rows - (n_files - 1) * $WriteTargetRows) * 1000000) div $WriteTargetRows"))
+      .withColumn("share_ppm", expr("(n_rows * 1000000) div n_total"))
+      .withColumn("skew",
+        col("n_rows").cast("double") * col("n_days") / col("n_total"))
+      .withColumn("is_small",
+        expr(s"cast(case when n_rows * 2 < $WriteTargetRows then 1 else 0 end as bigint)"))
+      .select("day", "n_rows", "n_files", "last_fill_ppm", "share_ppm",
+        "skew", "is_small", "n_total", "n_days")
+      .orderBy("day")
+  }
+
+  /** Sample size / bucket count for [[rangePartitionPlan]]. */
+  val RppS = 256
+  val RppB = 8
+
+  /** K55 — range-partition plan + exact balance audit: the
+    * `repartitionByRange` / sorted-export planner surfaced as a
+    * query. Boundaries come from a BOUNDED deterministic sample
+    * (bottom-[[RppS]] rows by the shared 48-bit hash of the primary
+    * key — ONE combinable O(S)-state aggregate, the K39/K49
+    * discipline; Spark's own RangePartitioner samples the same way,
+    * non-deterministically) via the integer-ceil order statistic
+    * `ceil(i·ns/B)`; then ONE full scan assigns every row its
+    * planned bucket through a codegen'd comparison chain (the B-1
+    * boundary values are driver-collected literals from the
+    * 256-value sample — the bounded-collect pattern the cutoff
+    * literals already use) and counts per bucket, map-side combined
+    * into ≤ B groups. The audit answers the question a 100 TB export
+    * asks BEFORE the global sort: would these boundaries balance the
+    * shuffle (skew = bucket's multiple of the uniform 1/B share)?
+    * `lo`/`hi` carry each bucket's planned boundary values (NULL at
+    * the open ends) via two broadcast joins against the B-1-row
+    * boundary frame. Exact counts; boundary doubles are data values
+    * selected, never computed, so they cross engines bit-exact.
+    */
+  def rangePartitionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.orders(spark, dir)
+      .filter(col("o_totalprice").isNotNull)
+      .select(col("o_totalprice").as("v"),
+        expr(h48("rpp", "o_orderkey")).as("hv"))
+    val vals = e
+      .agg(AggExpressions.collectTopK(struct(col("hv"), col("v")),
+        RppS, largestFirst = false).as("_s"))
+      .select(expr("transform(_s, x -> x.v)").as("vals"))
+      .head().getSeq[Double](0).sorted
+    val ns = vals.length
+    // empty relation → no sample → a single open-ended bucket plan
+    // over zero rows (the empty frame), never an index out of bounds
+    val bounds = if (ns == 0) Seq.empty[Double]
+    else (1 until RppB).map(i => vals((i * ns + RppB - 1) / RppB - 1))
+    val bucketCol = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("v") >= lit(b), 1).otherwise(0)
+    }.cast("bigint")
+    val g = e.groupBy(bucketCol.as("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+    val t = g.agg(sum("n_rows").cast("bigint").as("n_total"))
+    val bdf = bounds.zipWithIndex
+      .map { case (b, i) => ((i + 1).toLong, b) }.toDF("bi", "bval")
+    g.crossJoin(broadcast(t))
+      .join(broadcast(bdf.select(col("bi"), col("bval").as("lo"))),
+        col("bucket") === col("bi"), "left").drop("bi")
+      .join(broadcast(bdf.select(col("bi").as("bi2"), col("bval").as("hi"))),
+        col("bucket") + 1 === col("bi2"), "left").drop("bi2")
+      .withColumn("share_ppm", expr("(n_rows * 1000000) div n_total"))
+      .withColumn("skew",
+        col("n_rows").cast("double") * RppB / col("n_total"))
+      .select("bucket", "n_rows", "share_ppm", "skew", "lo", "hi",
+        "n_total")
+      .orderBy("bucket")
+  }
+
+  // ---------------------------------------------------------------
+  // K56/K57 — the READ-path layout diagnostics closing the
+  // operations story: K54 plans how a write lands, these measure
+  // what the landed layout buys a reader (zone-map pruning) and
+  // what a compactor should do about the small partitions K54
+  // flags. Both run entirely on the O(partitions)-row layout frame
+  // — one metadata row per day partition, 10³-10⁵ rows at 100 TB —
+  // so every window/join below is metadata-sized by construction;
+  // events enter exactly once, through the min/max/count groupBy.
+  // ---------------------------------------------------------------
+
+  /** K56 — zone-map effectiveness report: what parquet footer
+    * min/max stats buy a reader on THIS layout. Per day partition:
+    * the zone map (min/max of `value`), `chain_start` marking the
+    * interval-graph component structure under the (min_v, max_v,
+    * day) total order (a value-clustered layout has ~n_parts
+    * chains — every range disjoint — while a random layout
+    * collapses to 1 chain: nothing prunes), and `can_skip` for the
+    * deterministic probe predicate `value >= probe` where `probe` =
+    * max over partitions of min_v (the tightest point predicate the
+    * layout itself guarantees at least one partition must serve).
+    * Summary columns (n_chains, n_skippable) ride along broadcast.
+    * The running-max chain window is unpartitioned BUT over the
+    * metadata frame — the module-header bound; the two 1-row
+    * crosses are the ivf_list_stats shape. min/max doubles are data
+    * values selected, never computed — cross-engine bit-exact.
+    */
+  def zoneMapReport(spark: SparkSession, dir: String): DataFrame =
+    zoneMapOf(
+      Tables.events(spark, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_rows"), min("value").as("min_v"),
+          max("value").as("max_v")))
+
+  /** Core of [[zoneMapReport]] over a prepared zone frame
+    * (day, n_rows, min_v, max_v) — split out so the spec can pin the
+    * chain/skip algebra on a synthetic clustered layout.
+    */
+  private[graft] def zoneMapOf(z: DataFrame): DataFrame = {
+    val w = Window.orderBy("min_v", "max_v", "day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chained = z
+      .withColumn("prev_hi", max("max_v").over(w))
+      .withColumn("chain_start", expr(
+        "cast(case when prev_hi is null or min_v > prev_hi then 1 else 0 end as bigint)"))
+      .drop("prev_hi")
+    val t1 = z.agg(max("min_v").as("probe"),
+      count(lit(1)).as("n_parts"))
+    val j = chained.crossJoin(broadcast(t1))
+      .withColumn("can_skip", expr(
+        "cast(case when max_v < probe then 1 else 0 end as bigint)"))
+    val t2 = j.agg(sum("chain_start").cast("bigint").as("n_chains"),
+      sum("can_skip").cast("bigint").as("n_skippable"))
+    j.crossJoin(broadcast(t2))
+      .select("day", "n_rows", "min_v", "max_v", "chain_start",
+        "can_skip", "probe", "n_parts", "n_chains", "n_skippable")
+      .orderBy("day")
+  }
+
+  /** Compaction batch budget for [[compactionPlan]] — rows per
+    * OPTIMIZE batch (8 target files' worth; bytes-derived config at
+    * a deployment, the gate pins the arithmetic).
+    */
+  val CompactTargetRows = 8 * WriteTargetRows
+
+  /** K57 — compaction (OPTIMIZE) plan: the actionable follow-up to
+    * K54's small-partition flags. Day partitions are packed in day
+    * order into rewrite batches cut every [[CompactTargetRows]] rows
+    * of running total (the L3 corpus_pack cut discipline on the
+    * PARTITION axis — deterministic, no sequential greedy state:
+    * `grp` = floor(rows-before-this-partition / budget), so a batch
+    * overshoots by at most one partition and day ranges stay
+    * contiguous, preserving partition-pruning locality after the
+    * rewrite). Emits each partition's batch assignment plus the
+    * batch's totals and fill vs budget — what a nightly compactor
+    * executes directly. The cumsum window is unpartitioned BUT over
+    * the metadata frame (module-header bound); the batch-totals join
+    * is a tiny hash equi-join on grp. All-integer arithmetic.
+    */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(spark, dir).filter(col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_rows"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    val cum = g
+      .withColumn("cum_before",
+        coalesce(sum("n_rows").over(w), lit(0L)))
+      .withColumn("grp", expr(s"cum_before div $CompactTargetRows"))
+      .drop("cum_before")
+    val gg = cum.groupBy("grp")
+      .agg(sum("n_rows").cast("bigint").as("grp_rows"),
+        count(lit(1)).as("grp_parts"))
+    cum.join(broadcast(gg), "grp")
+      .withColumn("grp_fill_ppm",
+        expr(s"(grp_rows * 1000000) div $CompactTargetRows"))
+      .select("day", "n_rows", "grp", "grp_rows", "grp_parts",
+        "grp_fill_ppm")
+      .orderBy("day")
+  }
+
   /** Join-cardinality estimation between two TABLES' key columns —
     * the CBO primitive behind join ordering: one global KMV sketch
     * per side (customer.c_custkey build, orders.o_custkey probe),
@@ -625,6 +834,10 @@ object Sketches extends QueryModule {
     "sketch_equidepth_hist" -> (sketchEquidepth _),
     "sketch_join_card" -> (sketchJoinCard _),
     "key_skew_report" -> (keySkew _),
+    "partition_layout_plan" -> (partitionLayoutPlan _),
+    "range_partition_plan" -> (rangePartitionPlan _),
+    "zone_map_report" -> (zoneMapReport _),
+    "compaction_plan" -> (compactionPlan _),
     "data_profile" -> (dataProfile _))
 
   override def oracles: Map[String, String] = Map(
@@ -640,6 +853,94 @@ object Sketches extends QueryModule {
         |  n_rows, ndv
         |FROM g, t
         |ORDER BY cnt DESC, key_val ASC LIMIT 10""".stripMargin,
+    "partition_layout_plan" ->
+      s"""WITH g AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total,
+        |    CAST(count(*) AS BIGINT) AS n_days FROM g)
+        |SELECT day, n_rows,
+        |  CAST((n_rows + ${WriteTargetRows - 1}) // $WriteTargetRows
+        |       AS BIGINT) AS n_files,
+        |  CAST(((n_rows - ((n_rows + ${WriteTargetRows - 1})
+        |          // $WriteTargetRows - 1) * $WriteTargetRows)
+        |        * 1000000) // $WriteTargetRows AS BIGINT)
+        |    AS last_fill_ppm,
+        |  CAST((n_rows * 1000000) // n_total AS BIGINT) AS share_ppm,
+        |  CAST(n_rows AS DOUBLE) * n_days / n_total AS skew,
+        |  CAST(CASE WHEN n_rows * 2 < $WriteTargetRows THEN 1 ELSE 0
+        |       END AS BIGINT) AS is_small,
+        |  n_total, n_days
+        |FROM g CROSS JOIN t
+        |ORDER BY day""".stripMargin,
+    "range_partition_plan" ->
+      s"""WITH e AS (SELECT o_totalprice AS v,
+        |    ${sqlH48("rpp", "o_orderkey")} AS hv
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |r AS (SELECT v, row_number() OVER (ORDER BY hv, v) AS rn
+        |  FROM e),
+        |sv AS (SELECT v, row_number() OVER (ORDER BY v) AS vr,
+        |    count(*) OVER () AS ns
+        |  FROM r WHERE rn <= $RppS),
+        |b AS (SELECT CAST(i AS BIGINT) AS bi,
+        |    max(CASE WHEN vr = (i * ns + ${RppB - 1}) // $RppB
+        |        THEN v END) AS bval
+        |  FROM sv CROSS JOIN range(1, $RppB) t(i) GROUP BY 1),
+        |a AS (SELECT CAST((SELECT count(*) FROM b WHERE b.bval <= e.v)
+        |    AS BIGINT) AS bucket FROM e),
+        |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM a GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM g)
+        |SELECT g.bucket, g.n_rows,
+        |  CAST((g.n_rows * 1000000) // t.n_total AS BIGINT)
+        |    AS share_ppm,
+        |  CAST(g.n_rows AS DOUBLE) * $RppB / t.n_total AS skew,
+        |  lob.bval AS lo, hib.bval AS hi, t.n_total
+        |FROM g CROSS JOIN t
+        |LEFT JOIN b lob ON lob.bi = g.bucket
+        |LEFT JOIN b hib ON hib.bi = g.bucket + 1
+        |ORDER BY g.bucket""".stripMargin,
+    "zone_map_report" ->
+      """WITH z AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    min(value) AS min_v, max(value) AS max_v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |c AS (SELECT *, max(max_v) OVER (ORDER BY min_v, max_v, day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS prev_hi FROM z),
+        |c2 AS (SELECT day, n_rows, min_v, max_v,
+        |    CAST(CASE WHEN prev_hi IS NULL OR min_v > prev_hi
+        |         THEN 1 ELSE 0 END AS BIGINT) AS chain_start FROM c),
+        |t1 AS (SELECT max(min_v) AS probe,
+        |    CAST(count(*) AS BIGINT) AS n_parts FROM z),
+        |j AS (SELECT c2.*, t1.probe, t1.n_parts,
+        |    CAST(CASE WHEN max_v < probe THEN 1 ELSE 0 END AS BIGINT)
+        |      AS can_skip
+        |  FROM c2 CROSS JOIN t1),
+        |t2 AS (SELECT CAST(sum(chain_start) AS BIGINT) AS n_chains,
+        |    CAST(sum(can_skip) AS BIGINT) AS n_skippable FROM j)
+        |SELECT day, n_rows, min_v, max_v, chain_start, can_skip,
+        |  probe, n_parts, n_chains, n_skippable
+        |FROM j CROSS JOIN t2
+        |ORDER BY day""".stripMargin,
+    "compaction_plan" ->
+      s"""WITH g AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |c AS (SELECT day, n_rows,
+        |    CAST(COALESCE(sum(n_rows) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // $CompactTargetRows AS BIGINT) AS grp
+        |  FROM g),
+        |gg AS (SELECT grp, CAST(sum(n_rows) AS BIGINT) AS grp_rows,
+        |    CAST(count(*) AS BIGINT) AS grp_parts
+        |  FROM c GROUP BY 1)
+        |SELECT c.day, c.n_rows, c.grp, gg.grp_rows, gg.grp_parts,
+        |  CAST((gg.grp_rows * 1000000) // $CompactTargetRows AS BIGINT)
+        |    AS grp_fill_ppm
+        |FROM c JOIN gg USING (grp)
+        |ORDER BY c.day""".stripMargin,
     "data_profile" -> dataProfileSql,
     "sketch_join_card" ->
       s"""WITH ha AS (SELECT DISTINCT ${sqlH48("jc", "c_custkey")} AS hv

@@ -1,0 +1,114 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryModule
+import graft.sources.Tables
+
+/** K58 — CDC-style snapshot diff: the table_changes / change-data-feed
+  * operator a versioned lake exposes between two loads of the same
+  * table (which rows appeared, vanished, or changed — and WHICH
+  * columns changed). The reference's pipeline re-loads Eurostat cubes
+  * wholesale (etl/main.py:75-96 fetches, load_modes replaces); a
+  * deployment at 100 TB can't re-publish a full table to find out what
+  * tonight's load actually changed — it diffs.
+  *
+  * The two snapshots are carved deterministically from `orders` by the
+  * shared md5 coin (the L1 split discipline: any worker re-derives any
+  * row's role, both engines agree bit-for-bit): coin 0 = row absent
+  * from OLD (an insert), coin 1 = absent from NEW (a delete), coin 2 =
+  * price bumped in NEW, coin 3 = status recoded in NEW — everything
+  * else unchanged. The diff itself is the real operator: ONE
+  * co-partitioned full-outer hash join on the primary key, change
+  * classification and the per-column `chg_mask` bitmask (bit 0 price,
+  * bit 1 status, bit 2 orderdate) as codegen'd comparisons, unchanged
+  * rows filtered out — so output is bounded by CHURN, not table size,
+  * and nothing ever gathers on the driver. Null-safe by the SQL
+  * null-comparison contract both engines share (NULL <> NULL is NULL →
+  * not a change); the injected +1.0 / recode are deterministic IEEE
+  * ops, identical in either engine.
+  */
+object SnapshotDiff extends QueryModule {
+
+  /** The snapshot coin: 48-bit md5 prefix mod 10 — the Sketches.h48
+    * family with a role modulus.
+    */
+  private def coinExpr: String =
+    "cast(conv(substring(md5(concat('snp|', cast(o_orderkey as string))), 1, 12), 16, 10) as bigint) % 10"
+
+  private def sqlCoin: String =
+    "CAST('0x' || substr(md5('snp|' || CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT) % 10"
+
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate")
+      .withColumn("c", expr(coinExpr))
+    val old = o.filter(col("c") =!= 0).select(
+      col("o_orderkey").as("k_old"),
+      col("o_totalprice").as("old_price"),
+      col("o_orderstatus").as("old_status"),
+      col("o_orderdate").as("old_date"))
+    val neu = o.filter(col("c") =!= 1).select(
+      col("o_orderkey").as("k_new"),
+      when(col("c") === 2, col("o_totalprice") + lit(1.0))
+        .otherwise(col("o_totalprice")).as("new_price"),
+      when(col("c") === 3, lit("X"))
+        .otherwise(col("o_orderstatus")).as("new_status"),
+      col("o_orderdate").as("new_date"))
+    old.join(neu, col("k_old") === col("k_new"), "full_outer")
+      .withColumn("kind",
+        when(col("k_old").isNull, "insert")
+          .when(col("k_new").isNull, "delete")
+          .when(col("old_price") =!= col("new_price") ||
+            col("old_status") =!= col("new_status") ||
+            col("old_date") =!= col("new_date"), "update")
+          .otherwise("unchanged"))
+      .filter(col("kind") =!= "unchanged")
+      .withColumn("o_orderkey", coalesce(col("k_old"), col("k_new")))
+      .withColumn("chg_mask", when(col("kind") === "update",
+        when(col("old_price") =!= col("new_price"), lit(1L)).otherwise(lit(0L)) +
+          when(col("old_status") =!= col("new_status"), lit(2L)).otherwise(lit(0L)) +
+          when(col("old_date") =!= col("new_date"), lit(4L)).otherwise(lit(0L)))
+        .otherwise(lit(0L)))
+      .select("o_orderkey", "kind", "chg_mask", "old_price", "new_price",
+        "old_status", "new_status")
+      .orderBy("o_orderkey")
+  }
+
+  override def queries: Map[String, Q] = Map(
+    "snapshot_diff" -> (snapshotDiff _))
+
+  override def oracles: Map[String, String] = Map(
+    "snapshot_diff" ->
+      s"""WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |    o_orderdate, $sqlCoin AS c FROM orders),
+        |old AS (SELECT o_orderkey AS k_old, o_totalprice AS old_price,
+        |    o_orderstatus AS old_status, o_orderdate AS old_date
+        |  FROM o WHERE c <> 0),
+        |neu AS (SELECT o_orderkey AS k_new,
+        |    CASE WHEN c = 2 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS new_price,
+        |    CASE WHEN c = 3 THEN 'X' ELSE o_orderstatus END AS new_status,
+        |    o_orderdate AS new_date
+        |  FROM o WHERE c <> 1),
+        |j AS (SELECT * FROM old FULL OUTER JOIN neu ON k_old = k_new),
+        |d AS (SELECT COALESCE(k_old, k_new) AS o_orderkey,
+        |    CASE WHEN k_old IS NULL THEN 'insert'
+        |         WHEN k_new IS NULL THEN 'delete'
+        |         WHEN old_price <> new_price OR old_status <> new_status
+        |           OR old_date <> new_date THEN 'update'
+        |         ELSE 'unchanged' END AS kind,
+        |    old_price, new_price, old_status, new_status,
+        |    old_date, new_date, k_old, k_new
+        |  FROM j)
+        |SELECT o_orderkey, kind,
+        |  CAST(CASE WHEN kind = 'update' THEN
+        |      CASE WHEN old_price <> new_price THEN 1 ELSE 0 END
+        |    + CASE WHEN old_status <> new_status THEN 2 ELSE 0 END
+        |    + CASE WHEN old_date <> new_date THEN 4 ELSE 0 END
+        |    ELSE 0 END AS BIGINT) AS chg_mask,
+        |  old_price, new_price, old_status, new_status
+        |FROM d WHERE kind <> 'unchanged'
+        |ORDER BY o_orderkey""".stripMargin)
+}

@@ -278,4 +278,36 @@ class CorpusSpec extends SparkSpec {
     assert(tiny.head.getAs[Long]("hi") == 20L)
     assert(tiny.count(_.getAs[Boolean]("kept")) == 19) // only len-1 trimmed
   }
+
+  test("mixture_reweight: downsample-only plan improves balance") {
+    val rows = Corpus.mixtureReweight(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.head.getAs[Long]("tok_total")
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == total)
+    assert(rows.map(_.getAs[Long]("keep_tokens")).sum ==
+      rows.head.getAs[Long]("keep_total"))
+    val target = 1000000L / rows.length
+    rows.foreach { r =>
+      assert(r.getAs[Long]("target_ppm") == target)
+      val mult = r.getAs[Double]("mult")
+      assert(mult > 0.0 && mult <= 1.0, "downsample-only")
+      assert(r.getAs[Long]("keep_tokens") <= r.getAs[Long]("n_tokens"))
+      // a lang at or under target keeps everything
+      if (r.getAs[Long]("obs_ppm") <= target)
+        assert(mult == 1.0 &&
+          r.getAs[Long]("keep_tokens") == r.getAs[Long]("n_tokens"))
+    }
+    // the dominant language is cut hardest, and the plan's post-
+    // reweight share spread is no worse than the observed one
+    val byObs = rows.sortBy(_.getAs[Long]("obs_ppm"))
+    assert(byObs.last.getAs[Double]("mult") ==
+      rows.map(_.getAs[Double]("mult")).min)
+    assert(byObs.last.getAs[Long]("exp_ppm") <=
+      byObs.last.getAs[Long]("obs_ppm"))
+    val expSpread = rows.map(_.getAs[Long]("exp_ppm")).max -
+      rows.map(_.getAs[Long]("exp_ppm")).min
+    val obsSpread = rows.map(_.getAs[Long]("obs_ppm")).max -
+      rows.map(_.getAs[Long]("obs_ppm")).min
+    assert(expSpread <= obsSpread)
+  }
 }

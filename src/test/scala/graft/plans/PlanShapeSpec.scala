@@ -139,8 +139,18 @@ class PlanShapeSpec extends SparkSpec {
       // key_skew_report crosses the grouped key counts with their
       // broadcast 1-row totals aggregate (the ivf_list_stats shape);
       // sketch_hh_window crosses its broadcast 1-row window-mass
-      // frame for the err_budget column (round 14, same shape)
-      "key_skew_report", "sketch_hh_window")
+      // frame for the err_budget column (round 14, same shape);
+      // partition_layout_plan / range_partition_plan cross their
+      // per-partition / per-bucket counts with broadcast 1-row
+      // totals the same way (round 14)
+      "key_skew_report", "sketch_hh_window",
+      "partition_layout_plan", "range_partition_plan",
+      // zone_map_report crosses its broadcast 1-row probe/n_parts
+      // and n_chains/n_skippable summary frames into the
+      // O(partitions)-row zone frame (round 14, same shape);
+      // mixture_reweight crosses its broadcast 1-row corpus-totals
+      // and keep-totals frames into the O(langs)-row plan (round 14)
+      "zone_map_report", "mixture_reweight")
     // (embedding_pca/_r left the list in round 9: the iteration moved
     // to a driver-side solve over the collected d² summary — the
     // RowMatrix.computePrincipalComponents shape — so their plans no
@@ -177,7 +187,12 @@ class PlanShapeSpec extends SparkSpec {
       "hybrid_rrf", "hybrid_rrf_served",
       // token_ids assigns vocab ids over the VocabSize(256)-row
       // frequency head (post-limit), then broadcast-joins it back
-      "token_ids")
+      "token_ids",
+      // zone_map_report's chain window and compaction_plan's cumsum
+      // run over the O(partitions)-row LAYOUT frame — one metadata
+      // row per day partition (10³-10⁵ rows at 100 TB), never event
+      // rows; events enter once through the min/max/count groupBy
+      "zone_map_report", "compaction_plan")
     val offenders = plans.collect {
       case (name, info) if info.globalWindows > 0 && !allowed(name) =>
         s"$name(${info.globalWindows})"

@@ -209,6 +209,127 @@ class SketchesSpec extends SparkSpec {
       s"est_build $est vs true $nCust")
   }
 
+  test("partition layout plan: ceil-div file counts and coherent shares") {
+    val rows = Sketches.partitionLayoutPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.head.getAs[Long]("n_total")
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total)
+    assert(rows.head.getAs[Long]("n_days") == rows.length)
+    val t = Sketches.WriteTargetRows
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_rows")
+      val f = r.getAs[Long]("n_files")
+      assert(f == (n + t - 1) / t, "n_files must be ceil(rows/target)")
+      val fill = r.getAs[Long]("last_fill_ppm")
+      assert(fill > 0 && fill <= 1000000L)
+      assert((r.getAs[Long]("is_small") == 1L) == (n * 2 < t))
+      val skew = r.getAs[Double]("skew")
+      assert(skew == n.toDouble * rows.length / total)
+    }
+    // shares are floor-ppm of a full partition: they sum to ≤ 1e6
+    // and within one ppm-per-day of it
+    val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length)
+  }
+
+  test("range partition plan: boundaries ordered, audit counts exhaustive") {
+    val rows = Sketches.rangePartitionPlan(spark, sf).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(rows.nonEmpty && rows.length <= Sketches.RppB)
+    val total = rows.head.getAs[Long]("n_total")
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total)
+    // open ends are open; interior boundaries are the planned range
+    assert(rows.head.getAs[Long]("bucket") == 0L && rows.head.isNullAt(
+      rows.head.fieldIndex("lo")))
+    assert(rows.last.isNullAt(rows.last.fieldIndex("hi")))
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("lo")) && !r.isNullAt(r.fieldIndex("hi")))
+        assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi"))
+    }
+    // a bucket's lo is the previous bucket's hi when both adjacent
+    rows.sliding(2).foreach {
+      case Array(a, b)
+        if b.getAs[Long]("bucket") == a.getAs[Long]("bucket") + 1 &&
+           !a.isNullAt(a.fieldIndex("hi")) =>
+        assert(a.getAs[Double]("hi") == b.getAs[Double]("lo"))
+      case _ =>
+    }
+    // the audit exists to price balance: on the smooth o_totalprice
+    // column a 256-row sample must land every bucket within 4× of
+    // the uniform 1/B share
+    rows.foreach { r =>
+      val skew = r.getAs[Double]("skew")
+      assert(skew > 0.25 && skew < 4.0, s"bucket skew $skew out of band")
+    }
+  }
+
+  test("zone map report: chain/skip algebra coherent on the real layout") {
+    val rows = Sketches.zoneMapReport(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[Long]("n_parts") == rows.length)
+    val probe = rows.map(_.getAs[Double]("min_v")).max
+    assert(rows.head.getAs[Double]("probe") == probe)
+    val skippable = rows.count(_.getAs[Double]("max_v") < probe)
+    assert(rows.head.getAs[Long]("n_skippable") == skippable)
+    assert(rows.map(_.getAs[Long]("chain_start")).sum ==
+      rows.head.getAs[Long]("n_chains"))
+    // first partition in the (min_v, max_v, day) order starts chain 1
+    val first = rows.minBy(r => (r.getAs[Double]("min_v"),
+      r.getAs[Double]("max_v"), r.getAs[java.sql.Date]("day").toString))
+    assert(first.getAs[Long]("chain_start") == 1L)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_v") <= r.getAs[Double]("max_v"))
+      assert(Set(0L, 1L)(r.getAs[Long]("chain_start")))
+    }
+  }
+
+  test("zone map report: a value-clustered layout prunes, a random one can't") {
+    import spark.implicits._
+    def z(rows: Seq[(String, Long, Double, Double)]) =
+      rows.toDF("d", "n_rows", "min_v", "max_v")
+        .withColumn("day", to_date(col("d"))).drop("d")
+    // disjoint per-partition ranges = the layout a sorted write makes
+    val sorted = Sketches.zoneMapOf(z(Seq(
+      ("2024-01-01", 10L, 0.0, 1.0), ("2024-01-02", 10L, 2.0, 3.0),
+      ("2024-01-03", 10L, 4.0, 5.0)))).collect()
+    assert(sorted.head.getAs[Long]("n_chains") == 3L)
+    assert(sorted.head.getAs[Long]("n_skippable") == 2L)
+    // fully-overlapping ranges = the layout a random write makes
+    val random = Sketches.zoneMapOf(z(Seq(
+      ("2024-01-01", 10L, 0.0, 9.0), ("2024-01-02", 10L, 0.1, 8.0),
+      ("2024-01-03", 10L, 0.2, 9.5)))).collect()
+    assert(random.head.getAs[Long]("n_chains") == 1L)
+    assert(random.head.getAs[Long]("n_skippable") == 0L)
+  }
+
+  test("compaction plan: contiguous day batches cut by running total") {
+    val rows = Sketches.compactionPlan(spark, sf).collect()
+      .sortBy(_.getAs[java.sql.Date]("day").toString)
+    assert(rows.nonEmpty)
+    val t = Sketches.CompactTargetRows
+    // grp must equal floor(rows-before / budget) in day order
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("grp") == cum / t)
+      cum += r.getAs[Long]("n_rows")
+    }
+    // batch totals agree with their members
+    rows.groupBy(_.getAs[Long]("grp")).foreach { case (_, members) =>
+      val grpRows = members.map(_.getAs[Long]("n_rows")).sum
+      members.foreach { m =>
+        assert(m.getAs[Long]("grp_rows") == grpRows)
+        assert(m.getAs[Long]("grp_parts") == members.length)
+        assert(m.getAs[Long]("grp_fill_ppm") == grpRows * 1000000L / t)
+      }
+    }
+    // day-ordered packing keeps batches contiguous (grp non-decreasing)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("grp") <= b.getAs[Long]("grp"))
+      case _ =>
+    }
+  }
+
   test("equi-depth: boundaries monotone and in range per group") {
     val ev = Tables.events(spark, sf).filter(col("value").isNotNull)
     val ranges = ev.groupBy("event_type")
