@@ -509,7 +509,72 @@ object IndexStore extends graft.QueryModule {
       .orderBy("list_id")
   }
 
+  /** G22 — IVF REBALANCE plan: the action G17's stats and G21's
+    * drift report lead to. Per inverted list — its occupancy, its
+    * balance (multiple of the mean list), the planned `action`
+    * (`split` past 2× the mean: the list degrades probe-bounded
+    * search toward a scan; `merge` under ¼: the list wastes a probe;
+    * `keep` otherwise — the standard occupancy band an IVF/ANN
+    * service rebalances on), `split_into` = ceil(balance) sublists
+    * for split lists, and `merge_into` = the nearest OTHER centroid
+    * by cosine for merge lists (where its vectors land when the list
+    * dissolves). Action thresholds are EXACT integer comparisons
+    * (n·L vs 2·total, 4·n·L vs total) — no double ever decides a
+    * plan row; the merge-target argmax rides the assignment's own
+    * quantized-dot cosine and (cos desc, cid asc) tie-break, so the
+    * oracle replays it from the identical cdots algebra. Scale: the
+    * memoized assignment's ONE corpus aggregate (shared with G17) +
+    * an O(L²) centroid-pair stage on the O(√n)-lists frame —
+    * metadata-sized at any corpus; a list with zero vectors has no
+    * assignment row (absent from counts on both engines), the same
+    * contract as G17.
+    */
+  def rebalancePlanQ(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, assigned) = Ivf.givenListed(
+      graft.sources.Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding"))
+    val counts = assigned.groupBy("list_id")
+      .agg(count(lit(1)).as("n_vectors"))
+    val a = cents.select(col("cid").as("cid_a"), col("ce").as("ea"),
+      col("cn").as("na"))
+    val b = cents.select(col("cid").as("cid_b"), col("ce").as("eb"),
+      col("cn").as("nb"))
+    val near = a.join(b, col("cid_a") =!= col("cid_b"))
+      .withColumn("cos", Vectors.cosineFrom(
+        Vectors.dot("ea", "eb"), col("na"), col("nb")))
+      .groupBy(col("cid_a").as("list_id"))
+      .agg(max_by(col("cid_b"), struct(col("cos"), -col("cid_b")))
+        .as("nearest_cid"))
+    rebalanceOf(counts, near)
+  }
+
+  /** The G22 action algebra over prepared (list_id, n_vectors)
+    * counts and (list_id, nearest_cid) merge targets — split out so
+    * the spec can pin split/merge decisions on synthetic occupancy.
+    */
+  private[sim] def rebalanceOf(counts: DataFrame,
+      near: DataFrame): DataFrame =
+    counts
+      .crossJoin(broadcast(counts.agg(
+        sum("n_vectors").cast("bigint").as("total"),
+        count(lit(1)).as("n_lists"))))
+      .join(broadcast(near), Seq("list_id"), "left")
+      .withColumn("balance",
+        expr("cast(n_vectors * n_lists as double) / total"))
+      .withColumn("action",
+        when(expr("n_vectors * n_lists > 2 * total"), "split")
+          .when(expr("n_vectors * n_lists * 4 < total"), "merge")
+          .otherwise("keep"))
+      .withColumn("split_into",
+        expr("(n_vectors * n_lists + total - 1) div total"))
+      .withColumn("merge_into",
+        when(col("action") === "merge", col("nearest_cid")))
+      .select("list_id", "n_vectors", "balance", "action",
+        "split_into", "merge_into", "total", "n_lists")
+      .orderBy("list_id")
+
   override def queries: Map[String, Q] = Map(
+    "ivf_rebalance_plan" -> (rebalancePlanQ _),
     "embedding_drift" -> (embeddingDriftQ _),
     "knn_ivf_served" -> (knnServedQ _),
     "knn_ivf_deleted" -> (knnDeletedQ _),
@@ -552,6 +617,31 @@ object IndexStore extends graft.QueryModule {
       |      AS DOUBLE) AS psi_term
       |FROM cells, tots
       |ORDER BY list_id""".stripMargin),
+    "ivf_rebalance_plan" -> (Ivf.givenAssignSql + s"""
+      |counts AS (SELECT list_id, CAST(count(*) AS BIGINT) AS n_vectors
+      |       FROM lists GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
+      |       CAST(count(*) AS BIGINT) AS n_lists FROM counts),
+      |near AS (SELECT c.vec_id AS nl_id, c.cid,
+      |       row_number() OVER (PARTITION BY c.vec_id
+      |         ORDER BY c.dot / (sqrt(na.nsq) * sqrt(nb.nsq)) DESC,
+      |                  c.cid ASC) AS rn
+      |     FROM cdots c JOIN norms na ON c.vec_id = na.vec_id
+      |          JOIN norms nb ON c.cid = nb.vec_id
+      |     WHERE c.vec_id < ${Ivf.GivenCentroids} AND c.vec_id <> c.cid)
+      |SELECT counts.list_id, n_vectors,
+      |  CAST(n_vectors * n_lists AS DOUBLE) / total AS balance,
+      |  CASE WHEN n_vectors * n_lists > 2 * total THEN 'split'
+      |       WHEN n_vectors * n_lists * 4 < total THEN 'merge'
+      |       ELSE 'keep' END AS action,
+      |  CAST((n_vectors * n_lists + total - 1) // total AS BIGINT)
+      |    AS split_into,
+      |  CASE WHEN n_vectors * n_lists * 4 < total THEN near.cid END
+      |    AS merge_into,
+      |  total, n_lists
+      |FROM counts CROSS JOIN tot
+      |LEFT JOIN near ON near.nl_id = counts.list_id AND near.rn = 1
+      |ORDER BY counts.list_id""".stripMargin),
     "ivf_list_stats" -> (Ivf.givenAssignSql + """
       |counts AS (SELECT list_id, count(*) AS n_vectors
       |       FROM lists GROUP BY 1),

@@ -133,6 +133,11 @@ class PlanShapeSpec extends SparkSpec {
       // frame and 1-row totals frame into the O(nLists) cell table
       // (the ivf_list_stats shape)
       "embedding_drift",
+      // ivf_rebalance_plan inherits the assignment's broadcast
+      // 16-row centroid cross, adds the 16×16 centroid-pair non-equi
+      // join (O(L²) on the √n-lists frame — metadata-sized) and the
+      // 1-row totals cross (round 14)
+      "ivf_rebalance_plan",
       // sketch_join_card crosses its two 1-row global KMV sketch
       // aggregates (one per table side)
       "sketch_join_card",

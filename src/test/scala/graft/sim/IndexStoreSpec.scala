@@ -293,4 +293,46 @@ class IndexStoreSpec extends SparkSpec {
       assert(r.getAs[Double]("psi_term") == 0.0)
     }
   }
+
+  test("ivf_rebalance_plan: integer thresholds decide split/merge/keep") {
+    import spark.implicits._
+    // 4 lists, total 32, mean 8: 20 > 2×mean → split into ceil(2.5)=3;
+    // 1 < mean/4 → merge; 8 and 3 inside the band → keep
+    val counts = Seq((0L, 20L), (1L, 8L), (2L, 3L), (3L, 1L))
+      .toDF("list_id", "n_vectors")
+    val near = Seq((0L, 1L), (1L, 0L), (2L, 1L), (3L, 2L))
+      .toDF("list_id", "nearest_cid")
+    val byId = IndexStore.rebalanceOf(counts, near).collect()
+      .map(r => r.getAs[Long]("list_id") -> r).toMap
+    assert(byId(0L).getAs[String]("action") == "split")
+    assert(byId(0L).getAs[Long]("split_into") == 3L)
+    assert(byId(0L).isNullAt(byId(0L).fieldIndex("merge_into")))
+    assert(byId(1L).getAs[String]("action") == "keep")
+    assert(byId(2L).getAs[String]("action") == "keep")
+    assert(byId(3L).getAs[String]("action") == "merge")
+    assert(byId(3L).getAs[Long]("merge_into") == 2L)
+    assert(byId.values.forall(_.getAs[Long]("total") == 32L))
+  }
+
+  test("ivf_rebalance_plan: merge target is the cosine-nearest other centroid") {
+    val rows = IndexStore.rebalancePlanQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.head.getAs[Long]("total")
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == total)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_vectors")
+      val L = r.getAs[Long]("n_lists")
+      val expected =
+        if (n * L > 2 * total) "split"
+        else if (n * L * 4 < total) "merge" else "keep"
+      assert(r.getAs[String]("action") == expected)
+      assert(r.getAs[Long]("split_into") == (n * L + total - 1) / total)
+      if (expected != "merge")
+        assert(r.isNullAt(r.fieldIndex("merge_into")))
+      else {
+        val m = r.getAs[Long]("merge_into")
+        assert(m != r.getAs[Long]("list_id") && m >= 0 && m < 16)
+      }
+    }
+  }
 }
