@@ -40,23 +40,46 @@ object SnapshotDiff extends QueryModule {
   private def sqlCoin: String =
     "CAST('0x' || substr(md5('snp|' || CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT) % 10"
 
-  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
+  /** The coin-carved (old, new) snapshot pair over an orders frame,
+    * both in the ORIGINAL column names — shared by the batch diff and
+    * the streaming face's spec feed.
+    */
+  private[graft] def carved(orders: DataFrame): (DataFrame, DataFrame) = {
+    val o = orders
       .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate")
       .withColumn("c", expr(coinExpr))
-    val old = o.filter(col("c") =!= 0).select(
-      col("o_orderkey").as("k_old"),
+    val old = o.filter(col("c") =!= 0).drop("c")
+    val neu = o.filter(col("c") =!= 1).select(
+      col("o_orderkey"),
+      when(col("c") === 2, col("o_totalprice") + lit(1.0))
+        .otherwise(col("o_totalprice")).as("o_totalprice"),
+      when(col("c") === 3, lit("X"))
+        .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+      col("o_orderdate"))
+    (old, neu)
+  }
+
+  /** Rename a snapshot to the diff's old/new side. */
+  private[graft] def asOld(snap: DataFrame): DataFrame =
+    snap.select(col("o_orderkey").as("k_old"),
       col("o_totalprice").as("old_price"),
       col("o_orderstatus").as("old_status"),
       col("o_orderdate").as("old_date"))
-    val neu = o.filter(col("c") =!= 1).select(
-      col("o_orderkey").as("k_new"),
-      when(col("c") === 2, col("o_totalprice") + lit(1.0))
-        .otherwise(col("o_totalprice")).as("new_price"),
-      when(col("c") === 3, lit("X"))
-        .otherwise(col("o_orderstatus")).as("new_status"),
+
+  private[graft] def asNew(snap: DataFrame): DataFrame =
+    snap.select(col("o_orderkey").as("k_new"),
+      col("o_totalprice").as("new_price"),
+      col("o_orderstatus").as("new_status"),
       col("o_orderdate").as("new_date"))
-    old.join(neu, col("k_old") === col("k_new"), "full_outer")
+
+  /** Kind/mask classification over a joined old×new frame — the
+    * shared body of the batch full-outer diff and the streaming
+    * left-join face ([[graft.streaming.Streaming.snapshotDiffStream]]
+    * runs this identical algebra, so stream rows bit-equal batch
+    * rows). No sort here: streams can't order.
+    */
+  private[graft] def classified(joined: DataFrame): DataFrame =
+    joined
       .withColumn("kind",
         when(col("k_old").isNull, "insert")
           .when(col("k_new").isNull, "delete")
@@ -73,6 +96,11 @@ object SnapshotDiff extends QueryModule {
         .otherwise(lit(0L)))
       .select("o_orderkey", "kind", "chg_mask", "old_price", "new_price",
         "old_status", "new_status")
+
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val (old, neu) = carved(Tables.orders(spark, dir))
+    classified(asOld(old).join(asNew(neu),
+      col("k_old") === col("k_new"), "full_outer"))
       .orderBy("o_orderkey")
   }
 

@@ -323,6 +323,28 @@ object Streaming {
       .select("event_id", "event_type", "value", "z")
   }
 
+  /** J16 — streaming face of K58's CDC snapshot diff: the NEW
+    * snapshot arrives as a stream (tonight's load lands row by row)
+    * and each arriving row is classified against the STATIC old
+    * snapshot — insert (no old row) or update (any compared column
+    * differs, same `chg_mask` bits) — through the batch face's
+    * identical [[graft.relational.SnapshotDiff.classified]] algebra,
+    * so emitted rows are BIT-EQUAL to the batch diff's (spec-pinned).
+    * Stateless stream-static left join (the J7 lambda split: the old
+    * snapshot is the batch-refreshed side, classification is
+    * continuous) → append mode, no watermark or state store, each
+    * input row emits at most once. HONEST delivery contract: a
+    * row-by-row stream can never observe a DELETE (absence has no
+    * arrival) — deletes are the batch face's to report after the load
+    * completes; this face covers the insert/update surface a
+    * continuously-ingesting consumer acts on.
+    */
+  def snapshotDiffStream(newRows: DataFrame, old: DataFrame): DataFrame =
+    graft.relational.SnapshotDiff.classified(
+      graft.relational.SnapshotDiff.asNew(newRows).join(
+        broadcast(graft.relational.SnapshotDiff.asOld(old)),
+        col("k_new") === col("k_old"), "left"))
+
   /** J4 — stream-stream interval join (the streaming face of the
     * batch q_range_join): each click joined to the same user's
     * follow-up events within `windowSec`. Watermarks on BOTH sides

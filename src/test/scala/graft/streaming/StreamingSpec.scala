@@ -598,4 +598,39 @@ class StreamingSpec extends SparkSpec {
       assert(got == want && want.nonEmpty, s"family $sub diverged")
     }
   }
+
+  test("J16 snapshot diff stream: insert/update rows bit-equal the batch diff") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (old, neu) = graft.relational.SnapshotDiff.carved(
+      graft.sources.Tables.orders(spark, sf))
+    val oldRows = old.collect()
+    val feed = neu.collect().map(r => (r.getLong(0), r.getDouble(1),
+      r.getString(2), r.getAs[java.time.LocalDateTime](3)))
+    val mem = MemoryStream[(Long, Double, String, java.time.LocalDateTime)]
+    val q = snapshotDiffStream(
+      mem.toDF().toDF("o_orderkey", "o_totalprice", "o_orderstatus",
+        "o_orderdate"),
+      old.localCheckpoint(true))
+      .writeStream.format("memory").queryName("snap_diff")
+      .outputMode("append").start()
+    // the new snapshot lands across two micro-batches mid-table
+    mem.addData(feed.take(feed.length / 2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(feed.drop(feed.length / 2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("snap_diff").collect()
+      .map(_.toSeq.toList).sortBy(_.head.asInstanceOf[Long])
+    // the batch face minus deletes: absence never ARRIVES on a stream
+    val batch = graft.relational.SnapshotDiff.snapshotDiff(spark, sf)
+      .filter(col("kind") =!= "delete").collect()
+      .map(_.toSeq.toList).sortBy(_.head.asInstanceOf[Long])
+    assert(streamed.nonEmpty && streamed.length == batch.length)
+    assert(streamed.toList == batch.toList)
+    // and the deletes the stream cannot see exist only on the batch face
+    assert(graft.relational.SnapshotDiff.snapshotDiff(spark, sf)
+      .filter(col("kind") === "delete").count() ==
+      oldRows.length - feed.count(t => oldRows.exists(_.getLong(0) == t._1)))
+  }
 }
