@@ -214,6 +214,56 @@ object Forecast {
            | / test_size)""".stripMargin))
       .select("geo", "indicator", "rmse_holt")
 
+  /** Rolling-origin folds for [[holtBacktest]]. */
+  val BacktestFolds = 3
+
+  /** E11 — rolling-origin Holt BACKTEST (the standard forecast
+    * evaluation the single-holdout E4/E7 numbers approximate): for
+    * each of the last [[BacktestFolds]] origins, refit on the prefix
+    * ending just before that year and forecast one step into it —
+    * per-fold (forecast, actual, err) plus the series' backtest RMSE.
+    * ONE [[fitHolt]] projection fits ALL series × folds (the fold
+    * axis is an explode, the truncated history a `slice` — no
+    * per-fold job, no driver loop), so the whole backtest costs ~K×
+    * the single fit at any series count. RMSE crosses engines
+    * exactly: each err² quantizes to DECIMAL(27,6) (the lf roll_std
+    * discipline) so the 3-row sum is order-free, then one
+    * decimal→double cast + divide + sqrt in the same order both
+    * sides. Needs n ≥ 5 so the shortest prefix still has ≥ 2 points.
+    */
+  def holtBacktest(obs: DataFrame): DataFrame = {
+    // years ride along because series can have GAPS: the fold's
+    // target year is the (n-k+1)-th OBSERVATION's year, not
+    // last_year - k + 1
+    val folds = obs.groupBy("geo", "indicator")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(year, value))), s -> s.value)")
+        .as("vs"),
+        expr(
+          "transform(array_sort(collect_list(struct(year, value))), s -> s.year)")
+          .as("ys"))
+      .withColumn("n", size(col("vs")))
+      .filter(col("n") >= 5)
+      .select(col("geo"), col("indicator"), col("vs"), col("ys"),
+        col("n"), explode(expr(s"sequence(1, $BacktestFolds)")).as("fold"))
+      .withColumn("train", expr("slice(vs, 1, n - fold)"))
+      .withColumn("actual", expr("element_at(vs, n - fold + 1)"))
+      .withColumn("year", expr("element_at(ys, n - fold + 1)"))
+    val fr = fitHolt(folds, "train", Seq("fold", "year", "actual"))
+      .withColumn("forecast", col("fit.l") + col("fit.b"))
+      .withColumn("err", col("forecast") - col("actual"))
+      .drop("fit")
+    val r = fr.groupBy("geo", "indicator")
+      .agg(sum(expr("cast(err * err as decimal(27,6))")).as("sse_d"),
+        count(lit(1)).as("n_folds"))
+      .withColumn("rmse_bt",
+        sqrt(col("sse_d").cast("double") / col("n_folds")))
+      .select("geo", "indicator", "rmse_bt", "n_folds")
+    fr.join(r, Seq("geo", "indicator"))
+      .select("geo", "indicator", "fold", "year", "forecast", "actual",
+        "err", "rmse_bt", "n_folds")
+  }
+
   /** E7 — per-series model selection by holdout RMSE: pooled GBT vs
     * fitted Holt (forecast_utils.py:192-204; ties go to the GBT
     * candidate, mirroring the reference's sort order). Series where

@@ -33,6 +33,9 @@ object ForecastQueries extends QueryModule {
   def holtForecast(s: SparkSession, d: String): DataFrame =
     Forecast.holtForecast(obs(s, d)).orderBy("geo", "indicator", "year")
 
+  def holtBacktestQ(s: SparkSession, d: String): DataFrame =
+    Forecast.holtBacktest(obs(s, d)).orderBy("geo", "indicator", "fold")
+
   def gbtForecast(s: SparkSession, d: String): DataFrame =
     Gbt.forecast(obs(s, d)).orderBy("geo", "indicator", "year")
 
@@ -132,6 +135,7 @@ object ForecastQueries extends QueryModule {
     "train_test_split" -> (trainTestSplit _),
     "rmse_eval" -> (rmseEval _),
     "holt_forecast" -> (holtForecast _),
+    "forecast_backtest" -> (holtBacktestQ _),
     "gbt_forecast" -> (gbtForecast _),
     "gbt_forecast_given_model" -> (gbtForecastGiven _),
     "model_select_given_model" -> (modelSelectGivenQ _),
@@ -195,6 +199,61 @@ object ForecastQueries extends QueryModule {
         |  UNNEST(range(1, ${Forecast.Horizon + 1})) u(h)
         |WHERE b.rn = 1
         |ORDER BY b.geo, b.indicator, year""".stripMargin
+
+  /** E11 oracle — the holt_forecast recursive fold with a FOLD
+    * dimension: each (series, k) recursion reads only vs[1..n-k]
+    * (stopping early IS the slice), best-(α,β) per fold by the same
+    * (sse, a, be) order, one-step forecast vs the held-out point.
+    * RMSE replays the DECIMAL(27,6) quantize with both casts routed
+    * through VARCHAR (the graft.sim.Vectors tie-rounding discipline).
+    */
+  private val holtBacktestSql: String =
+    cte.replaceFirst("^WITH ", "WITH RECURSIVE ").trim + ",\n" +
+      s"""s2 AS (SELECT geo, indicator,
+        |    list(value ORDER BY year) AS vs, list(year ORDER BY year) AS ys
+        |  FROM observations GROUP BY 1, 2 HAVING count(*) >= 5),
+        |folds AS (SELECT geo, indicator, vs, ys, len(vs) AS n,
+        |    CAST(k AS INTEGER) AS k
+        |  FROM s2, UNNEST(range(1, ${Forecast.BacktestFolds + 1})) u(k)),
+        |grid AS (SELECT CAST(ga.a AS DOUBLE) AS a, CAST(gb.be AS DOUBLE) AS be
+        |  FROM (SELECT unnest([$gridSql]) AS a) ga,
+        |       (SELECT unnest([$gridSql]) AS be) gb),
+        |steps(geo, indicator, k, a, be, i, l, b, sse) AS (
+        |  SELECT geo, indicator, k, a, be, 2,
+        |    vs[1], vs[2] - vs[1], CAST(0 AS DOUBLE)
+        |  FROM folds, grid
+        |  UNION ALL
+        |  SELECT st.geo, st.indicator, st.k, st.a, st.be, st.i + 1,
+        |    st.a * f.vs[st.i] + (1 - st.a) * (st.l + st.b),
+        |    st.be * ((st.a * f.vs[st.i] + (1 - st.a) * (st.l + st.b)) - st.l)
+        |      + (1 - st.be) * st.b,
+        |    st.sse + (f.vs[st.i] - (st.l + st.b)) * (f.vs[st.i] - (st.l + st.b))
+        |  FROM steps st JOIN folds f ON f.geo = st.geo
+        |    AND f.indicator = st.indicator AND f.k = st.k
+        |  WHERE st.i <= f.n - f.k),
+        |best AS (SELECT st.geo, st.indicator, st.k, st.l, st.b,
+        |    row_number() OVER (PARTITION BY st.geo, st.indicator, st.k
+        |                       ORDER BY st.sse, st.a, st.be) AS rn
+        |  FROM steps st JOIN folds f ON f.geo = st.geo
+        |    AND f.indicator = st.indicator AND f.k = st.k
+        |  WHERE st.i = f.n - f.k + 1),
+        |fr AS (SELECT b.geo, b.indicator, b.k AS fold,
+        |    CAST(f.ys[f.n - b.k + 1] AS INTEGER) AS year,
+        |    b.l + b.b AS forecast, f.vs[f.n - b.k + 1] AS actual,
+        |    (b.l + b.b) - f.vs[f.n - b.k + 1] AS err
+        |  FROM best b JOIN folds f ON f.geo = b.geo
+        |    AND f.indicator = b.indicator AND f.k = b.k
+        |  WHERE b.rn = 1),
+        |r AS (SELECT geo, indicator,
+        |    sqrt(CAST(CAST(sum(CAST(CAST(err * err AS VARCHAR)
+        |        AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
+        |      / count(*)) AS rmse_bt,
+        |    CAST(count(*) AS BIGINT) AS n_folds
+        |  FROM fr GROUP BY 1, 2)
+        |SELECT fr.geo, fr.indicator, fr.fold, fr.year, fr.forecast,
+        |  fr.actual, fr.err, r.rmse_bt, r.n_folds
+        |FROM fr JOIN r ON r.geo = fr.geo AND r.indicator = fr.indicator
+        |ORDER BY fr.geo, fr.indicator, fr.fold""".stripMargin
 
   /** Model-derived oracle entries, registered when their query runs
     * (Verify runs every query before dumping oracle_sql.json, so
@@ -464,6 +523,7 @@ object ForecastQueries extends QueryModule {
         |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |ORDER BY geo, indicator, year""".stripMargin),
     "holt_forecast" -> holtForecastSql,
+    "forecast_backtest" -> holtBacktestSql,
     "ols_trend" -> (cte +
       """, pre AS (SELECT geo, indicator,
         |    CAST(year - 1998 AS BIGINT) AS x,

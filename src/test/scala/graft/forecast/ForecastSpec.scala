@@ -327,4 +327,37 @@ class ForecastSpec extends SparkSpec {
       assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12)
     }
   }
+
+  test("forecast_backtest: rolling origins hit real observations, RMSE coheres") {
+    val rows = ForecastQueries.holtBacktestQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val obs = graft.etl.Observations.panel(spark, sf)
+      .select("geo", "indicator", "year", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        r.getDouble(3)).toMap
+    val bySeries = rows.groupBy(r =>
+      (r.getAs[String]("geo"), r.getAs[String]("indicator")))
+    bySeries.foreach { case ((g, i), fs) =>
+      assert(fs.length == Forecast.BacktestFolds &&
+        fs.head.getAs[Long]("n_folds") == Forecast.BacktestFolds)
+      // each fold's held-out actual IS the observed value of its year
+      fs.foreach { f =>
+        assert(f.getAs[Double]("actual") ==
+          obs((g, i, f.getAs[Int]("year"))))
+        assert(f.getAs[Double]("err") ==
+          f.getAs[Double]("forecast") - f.getAs[Double]("actual"))
+      }
+      // folds cover the series' last K OBSERVATIONS (years can gap),
+      // strictly one origin per observation
+      val years = fs.map(_.getAs[Int]("year")).sorted
+      assert(years.distinct.length == years.length)
+      assert(years.zip(years.tail).forall(p => p._2 > p._1))
+      // the emitted RMSE is the fold errors' quadratic mean (up to
+      // the decimal(27,6) quantize of each square)
+      val sse = fs.map(f => math.pow(f.getAs[Double]("err"), 2)).sum
+      val rmse = math.sqrt(sse / fs.length)
+      assert(math.abs(fs.head.getAs[Double]("rmse_bt") - rmse)
+        <= 1e-5 * math.max(1.0, rmse), s"series ($g,$i)")
+    }
+  }
 }
