@@ -104,39 +104,84 @@ object SnapshotDiff extends QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** K59 — the CDC SUMMARY a pipeline alerts on (diff volume is the
+    * canary for a bad load: a delete spike means a truncated extract,
+    * an update spike a backfill): per kind — row count, per-column
+    * change counts (the chg_mask bits summed out), and churn as ppm
+    * of the table. One aggregate over the K58 diff (already
+    * churn-bounded) + the broadcast 1-row table count; O(kinds)
+    * output at any table size. All-integer arithmetic.
+    */
+  def snapshotDiffSummary(spark: SparkSession, dir: String): DataFrame = {
+    val (old, neu) = carved(Tables.orders(spark, dir))
+    val d = classified(asOld(old).join(asNew(neu),
+      col("k_old") === col("k_new"), "full_outer"))
+    val t = Tables.orders(spark, dir).agg(count(lit(1)).as("n_table"))
+    d.groupBy("kind")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("chg_mask & 1")).as("n_price_chg"),
+        sum(expr("(chg_mask & 2) div 2")).as("n_status_chg"),
+        sum(expr("(chg_mask & 4) div 4")).as("n_date_chg"))
+      .crossJoin(broadcast(t))
+      .withColumn("churn_ppm", expr("(n_rows * 1000000) div n_table"))
+      .select("kind", "n_rows", "n_price_chg", "n_status_chg",
+        "n_date_chg", "churn_ppm", "n_table")
+      .orderBy("kind")
+  }
+
   override def queries: Map[String, Q] = Map(
-    "snapshot_diff" -> (snapshotDiff _))
+    "snapshot_diff" -> (snapshotDiff _),
+    "snapshot_diff_summary" -> (snapshotDiffSummary _))
+
+  /** The diff CTE chain (through the churn-filtered, mask-carrying
+    * `dd`) shared by the K58 row-level oracle and the K59 summary.
+    */
+  private def diffCtes: String =
+    s"""WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus,
+      |    o_orderdate, $sqlCoin AS c FROM orders),
+      |old AS (SELECT o_orderkey AS k_old, o_totalprice AS old_price,
+      |    o_orderstatus AS old_status, o_orderdate AS old_date
+      |  FROM o WHERE c <> 0),
+      |neu AS (SELECT o_orderkey AS k_new,
+      |    CASE WHEN c = 2 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS new_price,
+      |    CASE WHEN c = 3 THEN 'X' ELSE o_orderstatus END AS new_status,
+      |    o_orderdate AS new_date
+      |  FROM o WHERE c <> 1),
+      |j AS (SELECT * FROM old FULL OUTER JOIN neu ON k_old = k_new),
+      |d AS (SELECT COALESCE(k_old, k_new) AS o_orderkey,
+      |    CASE WHEN k_old IS NULL THEN 'insert'
+      |         WHEN k_new IS NULL THEN 'delete'
+      |         WHEN old_price <> new_price OR old_status <> new_status
+      |           OR old_date <> new_date THEN 'update'
+      |         ELSE 'unchanged' END AS kind,
+      |    old_price, new_price, old_status, new_status,
+      |    old_date, new_date, k_old, k_new
+      |  FROM j),
+      |dd AS (SELECT o_orderkey, kind,
+      |    CAST(CASE WHEN kind = 'update' THEN
+      |        CASE WHEN old_price <> new_price THEN 1 ELSE 0 END
+      |      + CASE WHEN old_status <> new_status THEN 2 ELSE 0 END
+      |      + CASE WHEN old_date <> new_date THEN 4 ELSE 0 END
+      |      ELSE 0 END AS BIGINT) AS chg_mask,
+      |    old_price, new_price, old_status, new_status
+      |  FROM d WHERE kind <> 'unchanged')""".stripMargin
 
   override def oracles: Map[String, String] = Map(
-    "snapshot_diff" ->
-      s"""WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus,
-        |    o_orderdate, $sqlCoin AS c FROM orders),
-        |old AS (SELECT o_orderkey AS k_old, o_totalprice AS old_price,
-        |    o_orderstatus AS old_status, o_orderdate AS old_date
-        |  FROM o WHERE c <> 0),
-        |neu AS (SELECT o_orderkey AS k_new,
-        |    CASE WHEN c = 2 THEN o_totalprice + 1.0
-        |         ELSE o_totalprice END AS new_price,
-        |    CASE WHEN c = 3 THEN 'X' ELSE o_orderstatus END AS new_status,
-        |    o_orderdate AS new_date
-        |  FROM o WHERE c <> 1),
-        |j AS (SELECT * FROM old FULL OUTER JOIN neu ON k_old = k_new),
-        |d AS (SELECT COALESCE(k_old, k_new) AS o_orderkey,
-        |    CASE WHEN k_old IS NULL THEN 'insert'
-        |         WHEN k_new IS NULL THEN 'delete'
-        |         WHEN old_price <> new_price OR old_status <> new_status
-        |           OR old_date <> new_date THEN 'update'
-        |         ELSE 'unchanged' END AS kind,
-        |    old_price, new_price, old_status, new_status,
-        |    old_date, new_date, k_old, k_new
-        |  FROM j)
-        |SELECT o_orderkey, kind,
-        |  CAST(CASE WHEN kind = 'update' THEN
-        |      CASE WHEN old_price <> new_price THEN 1 ELSE 0 END
-        |    + CASE WHEN old_status <> new_status THEN 2 ELSE 0 END
-        |    + CASE WHEN old_date <> new_date THEN 4 ELSE 0 END
-        |    ELSE 0 END AS BIGINT) AS chg_mask,
-        |  old_price, new_price, old_status, new_status
-        |FROM d WHERE kind <> 'unchanged'
-        |ORDER BY o_orderkey""".stripMargin)
+    "snapshot_diff" -> (diffCtes + """
+      |SELECT o_orderkey, kind, chg_mask,
+      |  old_price, new_price, old_status, new_status
+      |FROM dd
+      |ORDER BY o_orderkey""".stripMargin),
+    "snapshot_diff_summary" -> (diffCtes + """,
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_table FROM orders)
+      |SELECT kind, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(chg_mask & 1) AS BIGINT) AS n_price_chg,
+      |  CAST(sum((chg_mask & 2) // 2) AS BIGINT) AS n_status_chg,
+      |  CAST(sum((chg_mask & 4) // 4) AS BIGINT) AS n_date_chg,
+      |  CAST((count(*) * 1000000) // t.n_table AS BIGINT) AS churn_ppm,
+      |  t.n_table
+      |FROM dd CROSS JOIN t
+      |GROUP BY kind, t.n_table
+      |ORDER BY kind""".stripMargin))
 }

@@ -155,7 +155,10 @@ class PlanShapeSpec extends SparkSpec {
       // O(partitions)-row zone frame (round 14, same shape);
       // mixture_reweight crosses its broadcast 1-row corpus-totals
       // and keep-totals frames into the O(langs)-row plan (round 14)
-      "zone_map_report", "mixture_reweight")
+      "zone_map_report", "mixture_reweight",
+      // snapshot_diff_summary crosses its broadcast 1-row table-count
+      // frame into the O(kinds)-row summary (round 14, same shape)
+      "snapshot_diff_summary")
     // (embedding_pca/_r left the list in round 9: the iteration moved
     // to a driver-side solve over the collected d² summary — the
     // RowMatrix.computePrincipalComponents shape — so their plans no

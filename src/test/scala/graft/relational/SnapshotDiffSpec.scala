@@ -64,4 +64,24 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(rows.length == expected,
       s"diff rows ${rows.length} vs churn keys $expected")
   }
+
+  test("summary recomputes from the row-level diff") {
+    val sm = SnapshotDiff.snapshotDiffSummary(spark, sf).collect()
+      .map(r => r.getAs[String]("kind") -> r).toMap
+    assert(sm.keySet == Set("insert", "delete", "update"))
+    val nTable = Tables.orders(spark, sf).count()
+    val byKind = rows.groupBy(_.getAs[String]("kind"))
+    sm.foreach { case (kind, s) =>
+      val rs = byKind(kind)
+      assert(s.getAs[Long]("n_rows") == rs.length)
+      assert(s.getAs[Long]("n_price_chg") ==
+        rs.count(r => (r.getAs[Long]("chg_mask") & 1L) == 1L))
+      assert(s.getAs[Long]("n_status_chg") ==
+        rs.count(r => (r.getAs[Long]("chg_mask") & 2L) == 2L))
+      assert(s.getAs[Long]("n_date_chg") == 0L)
+      assert(s.getAs[Long]("churn_ppm") ==
+        rs.length.toLong * 1000000L / nTable)
+      assert(s.getAs[Long]("n_table") == nTable)
+    }
+  }
 }
