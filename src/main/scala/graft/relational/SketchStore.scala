@@ -546,6 +546,14 @@ object SketchStore extends graft.QueryModule {
     * between ONE family's overwrite and its own marker mkdir — the
     * narrowest this design can make it without a transactional
     * table format.
+    *
+    * Emptiness is NOT overloaded: a `_started` sentinel lands before
+    * the first family applies, so a batch dir that exists but is
+    * empty can only be the LEGACY whole-batch marker (pre-sentinel
+    * stores used an empty `<id>` dir as "done") — never a crash
+    * inside a family marker's mkdirs, which under the old check was
+    * read as done and silently skipped the whole batch on replay
+    * (data loss, strictly worse than the double-count it replaced).
     */
   def upsertBatchOnce(batch: DataFrame, path: String, batchId: Long): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -553,9 +561,13 @@ object SketchStore extends graft.QueryModule {
     val base =
       new org.apache.hadoop.fs.Path(s"$path/_applied_batches/$batchId")
     val done = new org.apache.hadoop.fs.Path(base, "_done")
-    // legacy whole-batch marker (an EMPTY <id> dir) also means done
+    // legacy whole-batch marker (an EMPTY <id> dir, pre-_started
+    // stores only) also means done
     if (fs.exists(done) ||
         (fs.exists(base) && fs.listStatus(base).isEmpty)) return
+    // sentinel first: one create() call lays base + _started, so no
+    // later crash can leave base empty-but-started
+    fs.create(new org.apache.hadoop.fs.Path(base, "_started"), true).close()
     familyUpserts(batch, path).foreach { case (fam, apply) =>
       val m = new org.apache.hadoop.fs.Path(base, fam)
       if (!fs.exists(m)) {

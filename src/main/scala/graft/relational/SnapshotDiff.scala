@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.QueryModule
@@ -77,22 +77,32 @@ object SnapshotDiff extends QueryModule {
     * left-join face ([[graft.streaming.Streaming.snapshotDiffStream]]
     * runs this identical algebra, so stream rows bit-equal batch
     * rows). No sort here: streams can't order.
+    *
+    * Change detection is NULL-SAFE (`not(a <=> b)` / the oracle's
+    * `IS DISTINCT FROM`): a column transitioning NULL→value or
+    * value→NULL is a real update a CDC feed must report, while plain
+    * `<>` yields NULL there and the row would silently classify as
+    * unchanged. The carved TPC-H columns are never null, so the gate
+    * can't see the difference — the null-transition contract is
+    * spec-pinned instead (SnapshotDiffSpec).
     */
+  private def chg(a: String, b: String): Column = !(col(a) <=> col(b))
+
   private[graft] def classified(joined: DataFrame): DataFrame =
     joined
       .withColumn("kind",
         when(col("k_old").isNull, "insert")
           .when(col("k_new").isNull, "delete")
-          .when(col("old_price") =!= col("new_price") ||
-            col("old_status") =!= col("new_status") ||
-            col("old_date") =!= col("new_date"), "update")
+          .when(chg("old_price", "new_price") ||
+            chg("old_status", "new_status") ||
+            chg("old_date", "new_date"), "update")
           .otherwise("unchanged"))
       .filter(col("kind") =!= "unchanged")
       .withColumn("o_orderkey", coalesce(col("k_old"), col("k_new")))
       .withColumn("chg_mask", when(col("kind") === "update",
-        when(col("old_price") =!= col("new_price"), lit(1L)).otherwise(lit(0L)) +
-          when(col("old_status") =!= col("new_status"), lit(2L)).otherwise(lit(0L)) +
-          when(col("old_date") =!= col("new_date"), lit(4L)).otherwise(lit(0L)))
+        when(chg("old_price", "new_price"), lit(1L)).otherwise(lit(0L)) +
+          when(chg("old_status", "new_status"), lit(2L)).otherwise(lit(0L)) +
+          when(chg("old_date", "new_date"), lit(4L)).otherwise(lit(0L)))
         .otherwise(lit(0L)))
       .select("o_orderkey", "kind", "chg_mask", "old_price", "new_price",
         "old_status", "new_status")
@@ -152,17 +162,21 @@ object SnapshotDiff extends QueryModule {
       |d AS (SELECT COALESCE(k_old, k_new) AS o_orderkey,
       |    CASE WHEN k_old IS NULL THEN 'insert'
       |         WHEN k_new IS NULL THEN 'delete'
-      |         WHEN old_price <> new_price OR old_status <> new_status
-      |           OR old_date <> new_date THEN 'update'
+      |         WHEN old_price IS DISTINCT FROM new_price
+      |           OR old_status IS DISTINCT FROM new_status
+      |           OR old_date IS DISTINCT FROM new_date THEN 'update'
       |         ELSE 'unchanged' END AS kind,
       |    old_price, new_price, old_status, new_status,
       |    old_date, new_date, k_old, k_new
       |  FROM j),
       |dd AS (SELECT o_orderkey, kind,
       |    CAST(CASE WHEN kind = 'update' THEN
-      |        CASE WHEN old_price <> new_price THEN 1 ELSE 0 END
-      |      + CASE WHEN old_status <> new_status THEN 2 ELSE 0 END
-      |      + CASE WHEN old_date <> new_date THEN 4 ELSE 0 END
+      |        CASE WHEN old_price IS DISTINCT FROM new_price
+      |             THEN 1 ELSE 0 END
+      |      + CASE WHEN old_status IS DISTINCT FROM new_status
+      |             THEN 2 ELSE 0 END
+      |      + CASE WHEN old_date IS DISTINCT FROM new_date
+      |             THEN 4 ELSE 0 END
       |      ELSE 0 END AS BIGINT) AS chg_mask,
       |    old_price, new_price, old_status, new_status
       |  FROM d WHERE kind <> 'unchanged')""".stripMargin

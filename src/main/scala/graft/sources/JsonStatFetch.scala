@@ -43,5 +43,20 @@ final class DiskJsonStatFetcher extends JsonStatFetcher {
     datasets.toSeq.sortBy(_._1).map { case (code, path) =>
       spark.read.option("wholetext", "true").text(path)
         .select(lit(code).as("dataset_code"), col("value").as("json"))
-    }.reduce(_.unionByName(_))
+    }.reduceOption(_.unionByName(_))
+      .getOrElse(JsonStatFetcher.emptyResult(spark))
+}
+
+object JsonStatFetcher {
+  /** The `(dataset_code, json)` schema as an empty frame — what any
+    * binding returns for an empty DATASETS map (a bare `.reduce`
+    * would throw instead).
+    */
+  private[sources] def emptyResult(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("dataset_code", StringType),
+        StructField("json", StringType))))
+  }
 }

@@ -340,9 +340,14 @@ object Streaming {
     * continuously-ingesting consumer acts on.
     */
   def snapshotDiffStream(newRows: DataFrame, old: DataFrame): DataFrame =
+    // no broadcast hint on the static side: the OLD snapshot is a
+    // full prior table load in the deployment scenario — table-sized,
+    // not dimension-sized — so the planner must stay free to pick a
+    // shuffled stream-static join; a forced broadcast would gather
+    // the whole prior snapshot on the driver
     graft.relational.SnapshotDiff.classified(
       graft.relational.SnapshotDiff.asNew(newRows).join(
-        broadcast(graft.relational.SnapshotDiff.asOld(old)),
+        graft.relational.SnapshotDiff.asOld(old),
         col("k_new") === col("k_old"), "left"))
 
   /** J4 — stream-stream interval join (the streaming face of the

@@ -333,6 +333,30 @@ class SketchStoreSpec extends SparkSpec {
     assert(cmsMass() == m)
   }
 
+  test("upsertBatchOnce: started-but-empty batch replays in full") {
+    val d = Files.createTempDirectory("graft_sketch_started").toString
+    def cmsMass(): Long = spark.read
+      .schema("r INT, b BIGINT, c BIGINT, day DATE")
+      .parquet(s"$d/cms").agg(sum("c")).head().getLong(0)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
+    // simulate a crash right after the _started sentinel landed but
+    // before ANY family applied: the batch dir exists and holds only
+    // _started. Pre-sentinel code could reach the same dir-exists
+    // state empty (a crash inside the first family marker's mkdirs)
+    // and the empty-dir-means-legacy-done check then SKIPPED the
+    // batch — silent data loss. With the sentinel the dir is
+    // non-empty, so the replay must apply everything.
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$d/_applied_batches/5/_started"), true).close()
+    SketchStore.upsertBatchOnce(ev, d, 5L)
+    val m = cmsMass()
+    assert(m > 0, "replay after started-only crash applied the batch")
+    // and the completed batch is now marker-done: replay is a no-op
+    SketchStore.upsertBatchOnce(ev, d, 5L)
+    assert(cmsMass() == m)
+  }
+
   test("two corpora get two store dirs (path-addressed identity)") {
     assert(SketchStore.storeDirFor("/a/corpus") !=
       SketchStore.storeDirFor("/b/corpus"))

@@ -84,4 +84,34 @@ class SnapshotDiffSpec extends SparkSpec {
       assert(s.getAs[Long]("n_table") == nTable)
     }
   }
+
+  test("NULL transitions classify as updates (null-safe comparison)") {
+    // the carved gate columns are never null, so the hash gate can't
+    // see this class: a column moving NULL→value or value→NULL is a
+    // real update a CDC feed must report — plain <> yields NULL there
+    // and the row would silently drop as 'unchanged'
+    import spark.implicits._
+    val joined = Seq(
+      // (key, old_price, new_price, old_status, new_status) — dates equal
+      (1L, Option.empty[Double], Some(5.0), Some("A"), Some("A")),
+      (2L, Some(5.0), Option.empty[Double], Some("A"), Some("A")),
+      (3L, Some(5.0), Some(5.0), Option.empty[String], Some("B")),
+      (4L, Option.empty[Double], Option.empty[Double], Some("A"), Some("A")),
+      (5L, Some(5.0), Some(5.0), Some("A"), Some("A")))
+      .toDF("k", "old_price", "new_price", "old_status", "new_status")
+      .select(col("k").as("k_old"), col("k").as("k_new"),
+        col("old_price"), col("new_price"),
+        col("old_status"), col("new_status"),
+        to_date(lit("2024-01-01")).as("old_date"),
+        to_date(lit("2024-01-01")).as("new_date"))
+    val out = SnapshotDiff.classified(joined)
+      .collect().map(r => r.getAs[Long]("o_orderkey") ->
+        (r.getAs[String]("kind"), r.getAs[Long]("chg_mask"))).toMap
+    assert(out(1L) == ("update", 1L), "NULL→value price is an update")
+    assert(out(2L) == ("update", 1L), "value→NULL price is an update")
+    assert(out(3L) == ("update", 2L), "NULL→value status is an update")
+    // NULL <=> NULL is TRUE: both-null is NOT a change
+    assert(!out.contains(4L), "NULL==NULL must stay unchanged")
+    assert(!out.contains(5L), "equal row must stay unchanged")
+  }
 }

@@ -125,6 +125,14 @@ class SourceFormatsSpec extends SparkSpec {
     assert(obs(fetched) == obs(Tables.fromJsonStatDocs(spark, dir.toString)))
   }
 
+  test("json-stat fetch seam: empty DATASETS map yields an empty frame") {
+    // a bare .reduce over zero per-dataset frames throws; the seam's
+    // contract is the (dataset_code, json) schema at any map size
+    val fetched = new DiskJsonStatFetcher().fetch(spark, Map.empty)
+    assert(fetched.columns.toSeq == Seq("dataset_code", "json"))
+    assert(fetched.count() == 0L)
+  }
+
   test("malformed csv rows: dropped under DROPMALFORMED, fatal under FAILFAST") {
     val dir = "/tmp/graft_src_bad"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
