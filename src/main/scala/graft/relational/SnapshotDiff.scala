@@ -88,7 +88,11 @@ object SnapshotDiff extends QueryModule {
     */
   private def chg(a: String, b: String): Column = !(col(a) <=> col(b))
 
-  private[graft] def classified(joined: DataFrame): DataFrame =
+  /** The classification columns shared by the narrow gate face and
+    * the WIDE face [[classifiedWide]] the apply/SCD2 consumers need
+    * (they must carry the date column to reconstruct full rows).
+    */
+  private def classifyCols(joined: DataFrame): DataFrame =
     joined
       .withColumn("kind",
         when(col("k_old").isNull, "insert")
@@ -104,8 +108,105 @@ object SnapshotDiff extends QueryModule {
           when(chg("old_status", "new_status"), lit(2L)).otherwise(lit(0L)) +
           when(chg("old_date", "new_date"), lit(4L)).otherwise(lit(0L)))
         .otherwise(lit(0L)))
+
+  private[graft] def classified(joined: DataFrame): DataFrame =
+    classifyCols(joined)
       .select("o_orderkey", "kind", "chg_mask", "old_price", "new_price",
         "old_status", "new_status")
+
+  /** [[classified]] plus the full old/new column set — the change
+    * FEED a downstream consumer applies ([[applyDiff]]) or versions
+    * ([[scd2FromDiff]]); still churn-bounded.
+    */
+  private[graft] def classifiedWide(joined: DataFrame): DataFrame =
+    classifyCols(joined)
+      .select("o_orderkey", "kind", "chg_mask",
+        "old_price", "new_price", "old_status", "new_status",
+        "old_date", "new_date")
+
+  /** The carved wide diff — shared input of the apply/SCD2 faces. */
+  private def carvedDiffWide(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (old, neu) = carved(Tables.orders(spark, dir))
+    (old, classifiedWide(asOld(old).join(asNew(neu),
+      col("k_old") === col("k_new"), "full_outer")))
+  }
+
+  /** K60 — APPLY a change feed: old ∘ diff = new, the MERGE INTO a
+    * CDC consumer runs instead of re-publishing the table (the K58
+    * header's point: at 100 TB you ship churn, not snapshots). One
+    * co-partitioned LEFT ANTI join of the standing snapshot against
+    * the diff's delete/update keys (both sides hash on the primary
+    * key — the only shuffle, and the diff side is churn-sized) plus a
+    * union of the diff's insert/update images; unchanged rows are
+    * never rewritten by the feed. The identity apply(old, diff(old,
+    * new)) == new is both spec-pinned and hash-gated (the oracle
+    * replays this same kept-∪-upserts algebra from the diff CTEs, so
+    * the gate proves the apply REBUILDS new, not merely selects it).
+    */
+  def applyDiff(old: DataFrame, diffWide: DataFrame): DataFrame = {
+    val changedKeys = diffWide
+      .filter(col("kind").isin("delete", "update"))
+      .select("o_orderkey")
+    val kept = old.join(changedKeys, Seq("o_orderkey"), "left_anti")
+    val upserts = diffWide
+      .filter(col("kind").isin("insert", "update"))
+      .select(col("o_orderkey"), col("new_price").as("o_totalprice"),
+        col("new_status").as("o_orderstatus"),
+        col("new_date").as("o_orderdate"))
+    kept.unionByName(upserts)
+  }
+
+  def snapshotApply(spark: SparkSession, dir: String): DataFrame = {
+    val (old, diff) = carvedDiffWide(spark, dir)
+    applyDiff(old, diff).orderBy("o_orderkey")
+  }
+
+  /** The SCD2 effective date the diff's changes land under. */
+  private[relational] val DiffEffectiveDate = "1996-06-01"
+
+  /** K61 — SCD2 versioning CONSUMING the change feed (the A9
+    * etl_scd2 shape, but fed by the K58 diff instead of comparing
+    * full snapshots — the verdict's "dimension versioning consumes
+    * change feeds" arc): untouched keys stay one open version;
+    * an update CLOSES the old version at the effective date and
+    * opens the new image; a delete closes with no successor; an
+    * insert opens at the effective date. Three churn-sized
+    * projections of the diff + one anti join — the apply plan with
+    * version bookkeeping; output is |dim| + churn rows.
+    */
+  def scd2FromDiff(old: DataFrame, diffWide: DataFrame): DataFrame = {
+    val eff = lit(DiffEffectiveDate)
+    val closedKeys = diffWide
+      .filter(col("kind").isin("delete", "update"))
+      .select("o_orderkey")
+    val untouched = old.join(closedKeys, Seq("o_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        lit("1995-01-01").as("valid_from"),
+        lit(null).cast("string").as("valid_to"),
+        lit(true).as("is_current"))
+    val closed = diffWide
+      .filter(col("kind").isin("delete", "update"))
+      .select(col("o_orderkey"), col("old_price").as("o_totalprice"),
+        col("old_status").as("o_orderstatus"),
+        lit("1995-01-01").as("valid_from"),
+        eff.as("valid_to"),
+        lit(false).as("is_current"))
+    val opened = diffWide
+      .filter(col("kind").isin("insert", "update"))
+      .select(col("o_orderkey"), col("new_price").as("o_totalprice"),
+        col("new_status").as("o_orderstatus"),
+        eff.as("valid_from"),
+        lit(null).cast("string").as("valid_to"),
+        lit(true).as("is_current"))
+    untouched.unionByName(closed).unionByName(opened)
+  }
+
+  def snapshotScd2(spark: SparkSession, dir: String): DataFrame = {
+    val (old, diff) = carvedDiffWide(spark, dir)
+    scd2FromDiff(old, diff)
+      .orderBy("o_orderkey", "valid_from", "is_current")
+  }
 
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val (old, neu) = carved(Tables.orders(spark, dir))
@@ -141,7 +242,9 @@ object SnapshotDiff extends QueryModule {
 
   override def queries: Map[String, Q] = Map(
     "snapshot_diff" -> (snapshotDiff _),
-    "snapshot_diff_summary" -> (snapshotDiffSummary _))
+    "snapshot_diff_summary" -> (snapshotDiffSummary _),
+    "snapshot_apply" -> (snapshotApply _),
+    "snapshot_scd2" -> (snapshotScd2 _))
 
   /** The diff CTE chain (through the churn-filtered, mask-carrying
     * `dd`) shared by the K58 row-level oracle and the K59 summary.
@@ -197,5 +300,40 @@ object SnapshotDiff extends QueryModule {
       |  t.n_table
       |FROM dd CROSS JOIN t
       |GROUP BY kind, t.n_table
-      |ORDER BY kind""".stripMargin))
+      |ORDER BY kind""".stripMargin),
+    // the apply oracle REPLAYS the merge algebra (kept ∪ upserts)
+    // from the diff CTE chain — never a bare SELECT FROM neu — so the
+    // hash gate proves old ∘ diff reconstructs new
+    "snapshot_apply" -> (diffCtes + """,
+      |chg AS (SELECT o_orderkey FROM d WHERE kind IN ('delete','update')),
+      |kept AS (SELECT o.k_old AS o_orderkey, o.old_price AS o_totalprice,
+      |    o.old_status AS o_orderstatus, o.old_date AS o_orderdate
+      |  FROM old o LEFT JOIN chg ON o.k_old = chg.o_orderkey
+      |  WHERE chg.o_orderkey IS NULL),
+      |ups AS (SELECT o_orderkey, new_price AS o_totalprice,
+      |    new_status AS o_orderstatus, new_date AS o_orderdate
+      |  FROM d WHERE kind IN ('insert','update'))
+      |SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderdate
+      |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ups)
+      |ORDER BY o_orderkey""".stripMargin),
+    "snapshot_scd2" -> (diffCtes + s""",
+      |chgk AS (SELECT o_orderkey FROM d WHERE kind IN ('delete','update')),
+      |unt AS (SELECT o.k_old AS o_orderkey, o.old_price AS o_totalprice,
+      |    o.old_status AS o_orderstatus, '1995-01-01' AS valid_from,
+      |    CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+      |  FROM old o LEFT JOIN chgk ON o.k_old = chgk.o_orderkey
+      |  WHERE chgk.o_orderkey IS NULL),
+      |cls AS (SELECT o_orderkey, old_price AS o_totalprice,
+      |    old_status AS o_orderstatus, '1995-01-01' AS valid_from,
+      |    '$DiffEffectiveDate' AS valid_to, FALSE AS is_current
+      |  FROM d WHERE kind IN ('delete','update')),
+      |opn AS (SELECT o_orderkey, new_price AS o_totalprice,
+      |    new_status AS o_orderstatus, '$DiffEffectiveDate' AS valid_from,
+      |    CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+      |  FROM d WHERE kind IN ('insert','update'))
+      |SELECT o_orderkey, o_totalprice, o_orderstatus, valid_from,
+      |  valid_to, is_current
+      |FROM (SELECT * FROM unt UNION ALL SELECT * FROM cls
+      |      UNION ALL SELECT * FROM opn)
+      |ORDER BY o_orderkey, valid_from, is_current""".stripMargin))
 }

@@ -85,6 +85,44 @@ class SnapshotDiffSpec extends SparkSpec {
     }
   }
 
+  test("apply identity: old ∘ diff(old, new) == new, bit-for-bit") {
+    val (_, neu) = SnapshotDiff.carved(Tables.orders(spark, sf))
+    val applied = SnapshotDiff.snapshotApply(spark, sf)
+    assert(applied.columns.toSeq == neu.columns.toSeq)
+    assert(applied.count() == neu.count())
+    assert(applied.exceptAll(neu).isEmpty, "apply emitted rows not in new")
+    assert(neu.exceptAll(applied).isEmpty, "apply missed rows of new")
+  }
+
+  test("scd2-from-diff: version bookkeeping per change kind") {
+    val scd = SnapshotDiff.snapshotScd2(spark, sf).collect()
+      .groupBy(_.getAs[Long]("o_orderkey"))
+    coins.foreach { case (k, c) =>
+      val vs = scd.getOrElse(k, Array.empty)
+      c match {
+        case 0 => // insert: one OPEN version at the effective date
+          assert(vs.length == 1 && vs(0).getAs[Boolean]("is_current")
+            && vs(0).getAs[String]("valid_from") == "1996-06-01", s"key $k")
+        case 1 => // delete: one CLOSED version, no successor
+          assert(vs.length == 1 && !vs(0).getAs[Boolean]("is_current")
+            && vs(0).getAs[String]("valid_to") == "1996-06-01", s"key $k")
+        case 2 | 3 => // update: closed old image + open new image
+          assert(vs.length == 2, s"key $k")
+          val (closed, open) =
+            (vs.find(!_.getAs[Boolean]("is_current")).get,
+             vs.find(_.getAs[Boolean]("is_current")).get)
+          assert(closed.getAs[String]("valid_to") == "1996-06-01")
+          assert(open.getAs[String]("valid_from") == "1996-06-01")
+          if (c == 3) assert(open.getAs[String]("o_orderstatus") == "X")
+          if (c == 2) assert(open.getAs[Double]("o_totalprice") ==
+            closed.getAs[Double]("o_totalprice") + 1.0)
+        case _ => // untouched: one open version from the old image
+          assert(vs.length == 1 && vs(0).getAs[Boolean]("is_current")
+            && vs(0).getAs[String]("valid_from") == "1995-01-01", s"key $k")
+      }
+    }
+  }
+
   test("NULL transitions classify as updates (null-safe comparison)") {
     // the carved gate columns are never null, so the hash gate can't
     // see this class: a column moving NULL→value or value→NULL is a
