@@ -47,6 +47,41 @@ final class DiskJsonStatFetcher extends JsonStatFetcher {
       .getOrElse(JsonStatFetcher.emptyResult(spark))
 }
 
+/** HTTP binding — the reference's live pull itself (etl/main.py:75-96:
+  * `requests.get(url)` per DATASETS entry, `response.json()` into the
+  * transform) as a driver-side `java.net.http` GET per dataset. The
+  * loop is O(#datasets) and each payload is one small JSON-stat cube,
+  * so driver-side acquisition is the correct shape (see the trait
+  * doc); the cluster's work starts at the landed `(dataset_code,
+  * json)` rows, which feed [[graft.etl.JsonStat.flatten]] identically
+  * to the disk binding. A non-200 status fails the pull loudly —
+  * landing a half-fetched batch silently is the ETL bug class the
+  * reference's `response.raise_for_status()` guards too.
+  *
+  * Spec'd against an in-process loopback HTTP server (no egress
+  * needed): the binding round-trips the A2 flatten bit-for-bit with
+  * the disk route.
+  */
+final class HttpJsonStatFetcher(
+    timeout: java.time.Duration = java.time.Duration.ofSeconds(30))
+    extends JsonStatFetcher {
+  override def fetch(spark: SparkSession,
+      datasets: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(timeout).build()
+    datasets.toSeq.sortBy(_._1).map { case (code, url) =>
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .timeout(timeout).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200,
+        s"GET $url for dataset $code returned ${resp.statusCode()}")
+      (code, resp.body())
+    }.toDF("dataset_code", "json")
+  }
+}
+
 object JsonStatFetcher {
   /** The `(dataset_code, json)` schema as an empty frame — what any
     * binding returns for an empty DATASETS map (a bare `.reduce`

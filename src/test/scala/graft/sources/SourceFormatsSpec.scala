@@ -125,6 +125,51 @@ class SourceFormatsSpec extends SparkSpec {
     assert(obs(fetched) == obs(Tables.fromJsonStatDocs(spark, dir.toString)))
   }
 
+  test("json-stat fetch seam: HTTP binding round-trips via loopback") {
+    // an in-process loopback server stands in for the Eurostat
+    // dissemination API (this environment has no egress; the binding
+    // itself is the real java.net.http GET the deployment runs)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def handler(body: String, status: Int = 200)
+        : com.sun.net.httpserver.HttpHandler =
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val b = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(status, b.length.toLong)
+        ex.getResponseBody.write(b)
+        ex.close()
+      }
+    server.createContext("/data/nrg_cb_e",
+      handler(graft.etl.JsonStat.sampleDoc))
+    server.createContext("/missing", handler("gone", 404))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val fetched = new HttpJsonStatFetcher().fetch(spark,
+        Map("nrg_cb_e" -> s"$base/data/nrg_cb_e"))
+      assert(fetched.columns.toSeq == Seq("dataset_code", "json"))
+      val rows = fetched.collect()
+      assert(rows.length == 1 && rows(0).getString(0) == "nrg_cb_e")
+      // the pulled payload flattens identically to the disk route
+      val viaHttp = graft.etl.JsonStat.flatten(fetched, "json")
+        .orderBy("value").collect().map(_.getAs[Double]("value")).toSeq
+      val dir = java.nio.file.Files.createTempDirectory("graft_httpseam")
+      java.nio.file.Files.writeString(dir.resolve("nrg_cb_e.json"),
+        graft.etl.JsonStat.sampleDoc)
+      val viaDisk = graft.etl.JsonStat.flatten(
+        new DiskJsonStatFetcher().fetch(spark,
+          Map("nrg_cb_e" -> dir.resolve("nrg_cb_e.json").toString)), "json")
+        .orderBy("value").collect().map(_.getAs[Double]("value")).toSeq
+      assert(viaHttp == viaDisk)
+      // a non-200 fails the pull loudly, never lands a partial batch
+      val err = intercept[IllegalArgumentException] {
+        new HttpJsonStatFetcher().fetch(spark,
+          Map("bad" -> s"$base/missing"))
+      }
+      assert(err.getMessage.contains("404"))
+    } finally server.stop(0)
+  }
+
   test("json-stat fetch seam: empty DATASETS map yields an empty frame") {
     // a bare .reduce over zero per-dataset frames throws; the seam's
     // contract is the (dataset_code, json) schema at any map size
