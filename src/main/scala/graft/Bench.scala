@@ -112,7 +112,11 @@ object Bench {
       // the one corpus-sized pass behind the three sketch_rollup_*
       // queries: per-day KMV/HLL/CMS states written day-partitioned
       "sketch_daily" -> (() =>
-        { relational.SketchStore.prebuild(spark, sfDir); () }))
+        { relational.SketchStore.prebuild(spark, sfDir); () }),
+      // the batch-compacted events rewrite behind compacted_layout:
+      // one grp-hashed shuffle of events + the staged-swap commit
+      "compacted_events" -> (() =>
+        { relational.Compactor.prebuild(spark, sfDir); () }))
     val queryFns = SparkEntry.queries.toSeq.sortBy(_._1)
     val bTimes = buildFns.map(_._1 -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
     val qTimes = queryFns.map(_._1 -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap

@@ -22,6 +22,7 @@ object Caches {
     sim.Ivf.clearCacheForBench()
     sim.IndexStore.clearCacheForBench()
     relational.SketchStore.clearCacheForBench()
+    relational.Compactor.clearCacheForBench()
     sim.Pca.clearCacheForBench()
   }
 }

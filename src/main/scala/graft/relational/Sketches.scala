@@ -444,10 +444,21 @@ object Sketches extends QueryModule {
     * broadcast 1-row totals frame; all-integer arithmetic except the
     * same-order double skew.
     */
-  def partitionLayoutPlan(spark: SparkSession, dir: String): DataFrame = {
-    val g = Tables.events(spark, dir).filter(col("ts").isNotNull)
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n_rows"))
+  def partitionLayoutPlan(spark: SparkSession, dir: String): DataFrame =
+    layoutOf(
+      Tables.events(spark, dir).filter(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_rows")),
+      "day")
+
+  /** The K54 layout algebra over a prepared (key, n_rows) partition
+    * frame — split out so the same audit runs on ANY partition axis:
+    * the day partitions of the raw layout (the gate query) and the
+    * rewrite batches of the COMPACTED layout
+    * ([[graft.relational.Compactor]]'s spec re-runs it there to prove
+    * compaction cleared the small-partition flags).
+    */
+  private[graft] def layoutOf(g: DataFrame, key: String): DataFrame = {
     val t = g.agg(sum("n_rows").cast("bigint").as("n_total"),
       count(lit(1)).as("n_days"))
     g.crossJoin(broadcast(t))
@@ -460,9 +471,9 @@ object Sketches extends QueryModule {
         col("n_rows").cast("double") * col("n_days") / col("n_total"))
       .withColumn("is_small",
         expr(s"cast(case when n_rows * 2 < $WriteTargetRows then 1 else 0 end as bigint)"))
-      .select("day", "n_rows", "n_files", "last_fill_ppm", "share_ppm",
+      .select(key, "n_rows", "n_files", "last_fill_ppm", "share_ppm",
         "skew", "is_small", "n_total", "n_days")
-      .orderBy("day")
+      .orderBy(key)
   }
 
   /** Sample size / bucket count for [[rangePartitionPlan]]. */
@@ -606,16 +617,25 @@ object Sketches extends QueryModule {
     * the metadata frame (module-header bound); the batch-totals join
     * is a tiny hash equi-join on grp. All-integer arithmetic.
     */
-  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
-    val g = Tables.events(spark, dir).filter(col("ts").isNotNull)
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n_rows"))
+  /** The K57 cut discipline over a prepared (day, n_rows) frame —
+    * the metadata-sized cumsum assigning each partition its rewrite
+    * batch; shared by the plan query and the EXECUTOR
+    * ([[graft.relational.Compactor.execute]]), so what the compactor
+    * rewrites is exactly what the plan query reports.
+    */
+  private[relational] def batchCuts(g: DataFrame): DataFrame = {
     val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
-    val cum = g
-      .withColumn("cum_before",
+    g.withColumn("cum_before",
         coalesce(sum("n_rows").over(w), lit(0L)))
       .withColumn("grp", expr(s"cum_before div $CompactTargetRows"))
       .drop("cum_before")
+  }
+
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val cum = batchCuts(
+      Tables.events(spark, dir).filter(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_rows")))
     val gg = cum.groupBy("grp")
       .agg(sum("n_rows").cast("bigint").as("grp_rows"),
         count(lit(1)).as("grp_parts"))
