@@ -116,7 +116,11 @@ object Bench {
       // the batch-compacted events rewrite behind compacted_layout:
       // one grp-hashed shuffle of events + the staged-swap commit
       "compacted_events" -> (() =>
-        { relational.Compactor.prebuild(spark, sfDir); () }))
+        { relational.Compactor.prebuild(spark, sfDir); () }),
+      // the range-bucketed orders export behind range_exported_layout:
+      // one bounded sample aggregate + one bucket-hashed shuffle
+      "range_export" -> (() =>
+        { relational.RangeExport.prebuild(spark, sfDir); () }))
     val queryFns = SparkEntry.queries.toSeq.sortBy(_._1)
     val bTimes = buildFns.map(_._1 -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
     val qTimes = queryFns.map(_._1 -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap

@@ -23,6 +23,7 @@ object Caches {
     sim.IndexStore.clearCacheForBench()
     relational.SketchStore.clearCacheForBench()
     relational.Compactor.clearCacheForBench()
+    relational.RangeExport.clearCacheForBench()
     sim.Pca.clearCacheForBench()
   }
 }

@@ -500,12 +500,23 @@ object Sketches extends QueryModule {
     * boundary frame. Exact counts; boundary doubles are data values
     * selected, never computed, so they cross engines bit-exact.
     */
-  def rangePartitionPlan(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val e = Tables.orders(spark, dir)
+  /** The K55 (v, hv) frame over orders — shared by the plan query
+    * and the exporter ([[RangeExport]]), so both derive boundaries
+    * from the identical deterministic sample.
+    */
+  private[relational] def rangeFrame(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.orders(spark, dir)
       .filter(col("o_totalprice").isNotNull)
       .select(col("o_totalprice").as("v"),
         expr(h48("rpp", "o_orderkey")).as("hv"))
+
+  /** Sample-derived range boundaries over a prepared (v, hv) frame:
+    * ONE bounded combinable aggregate (bottom-[[RppS]] by the shared
+    * hash) + the integer-ceil order statistic — the only driver-side
+    * materialization, O([[RppS]]) values at any table size.
+    */
+  private[relational] def rangeBoundsOf(e: DataFrame): Seq[Double] = {
     val vals = e
       .agg(AggExpressions.collectTopK(struct(col("hv"), col("v")),
         RppS, largestFirst = false).as("_s"))
@@ -514,11 +525,25 @@ object Sketches extends QueryModule {
     val ns = vals.length
     // empty relation → no sample → a single open-ended bucket plan
     // over zero rows (the empty frame), never an index out of bounds
-    val bounds = if (ns == 0) Seq.empty[Double]
+    if (ns == 0) Seq.empty[Double]
     else (1 until RppB).map(i => vals((i * ns + RppB - 1) / RppB - 1))
-    val bucketCol = bounds.foldLeft(lit(0)) { (acc, b) =>
+  }
+
+  /** The planned bucket of a `v` column under `bounds` — a codegen'd
+    * comparison chain over the B-1 driver-collected boundary
+    * literals.
+    */
+  private[relational] def bucketColOf(bounds: Seq[Double])
+      : org.apache.spark.sql.Column =
+    bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col("v") >= lit(b), 1).otherwise(0)
     }.cast("bigint")
+
+  def rangePartitionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = rangeFrame(spark, dir)
+    val bounds = rangeBoundsOf(e)
+    val bucketCol = bucketColOf(bounds)
     val g = e.groupBy(bucketCol.as("bucket"))
       .agg(count(lit(1)).as("n_rows"))
     val t = g.agg(sum("n_rows").cast("bigint").as("n_total"))
