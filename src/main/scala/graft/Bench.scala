@@ -93,6 +93,10 @@ object Bench {
       // the G20 gate's fixture, billed here so knn_ivf_deleted times
       // the serve, not the index surgery
       "ivf_deleted_index" -> (() => { sim.IndexStore.prebuildSavedDeleted(spark, sfDir); () }),
+      // a THIRD save plus the split/merge rewrite under the tight gate
+      // band — the G23 gate's fixture, billed here so
+      // knn_ivf_rebalanced times the serve, not the index surgery
+      "ivf_rebalanced_index" -> (() => { sim.IndexStore.prebuildSavedRebalanced(spark, sfDir); () }),
       // after tfidf_index: persists that (already-billed) index
       "tfidf_saved_index" -> (() => { sim.IndexStore.prebuildSavedTfidf(spark, sfDir); () }),
       // after tfidf_index: the BM25 artifact derives from the same

@@ -273,6 +273,7 @@ object IndexStore extends graft.QueryModule {
   private[graft] def clearCacheForBench(): Unit = {
     savedCache.clear(); savedTfidfCache.clear(); savedPqCache.clear()
     savedDeletedCache.clear(); savedBm25Cache.clear()
+    savedRebalCache.clear()
   }
 
   /** Ensure the saved index exists for the driver corpus (bench bills
@@ -573,8 +574,218 @@ object IndexStore extends graft.QueryModule {
         "split_into", "merge_into", "total", "n_lists")
       .orderBy("list_id")
 
+  /** Occupancy band for a rebalance pass: split when
+    * n·L·splitDen > splitNum·total, merge when
+    * n·L·mergeDen < mergeNum·total. [[RebalancePolicy.Standard]] is
+    * the G22 plan's band (2×/¼); [[RebalancePolicy.Tight]] (±10%) is
+    * the gate fixture's — the gate corpus assigns near-uniformly, so
+    * only a tight band exercises both actions on real data (the
+    * standard band's decisions are spec-pinned on synthetic
+    * occupancy). The band is deployment config; the gate pins the
+    * EXECUTION algebra, which is band-independent.
+    */
+  final case class RebalancePolicy(splitNum: Long, splitDen: Long,
+      mergeNum: Long, mergeDen: Long)
+  object RebalancePolicy {
+    val Standard = RebalancePolicy(2, 1, 1, 4)
+    val Tight = RebalancePolicy(11, 10, 9, 10)
+  }
+
+  /** G23 — EXECUTE the G22 rebalance plan on a saved index: split
+    * each over-full list into sub-lists around member-seeded
+    * sub-centroids, dissolve each under-full list into its
+    * cosine-nearest KEEP list, rewrite `centroids/` to the
+    * post-rebalance quantizer. The plan→action arc closes here: G17
+    * diagnoses, G21 attributes, G22 plans, this acts.
+    *
+    * Decision algebra (every rule integer- or quantized-cosine-exact,
+    * so the DuckDB oracle replays it bit-for-bit):
+    *  - actions from `policy` over the per-list counts — the G22
+    *    thresholds parameterized;
+    *  - a split list's s = max(2, min(ceil(balance), n)) sub-centroids
+    *    are its OWN members at evenly spaced ranks of the
+    *    cosine-to-parent ordering (rank_j = ((2j+1)·n) div (2s) + 1 —
+    *    quantile seeding: deterministic, spread along the list's
+    *    radial axis; a k-means re-fit would be better geometry but
+    *    iterative, the knn_ivf-vs-given-centroids trade again), and
+    *    members re-assign to their argmax sub-centroid (quantized
+    *    cos desc, subcid asc — sub-centroid ids ARE the seed members'
+    *    vec_ids, the given-centroids discipline);
+    *  - a merge list dissolves WHOLE into its cosine-nearest KEEP
+    *    centroid (targets resolve against keeps only: dissolving into
+    *    a list that is itself dissolving or splitting would undo the
+    *    pass). Dissolution concentrates — a target absorbing several
+    *    dissolved lists can exceed the split threshold; the next pass
+    *    splits it (rebalancing is iterative by nature, spec-pinned
+    *    per-action rather than as a global max claim).
+    *
+    * Commit: staged rows land under `lists_rebalance_staging`
+    * partitioned by their NEW list_id, then per-directory swaps (the
+    * [[deleteGiven]] crash contract — any prefix leaves every list
+    * directory whole): drop split parents, swap staged sub-list and
+    * merge-target directories in, drop merge sources, swap
+    * `centroids/`. Scale: the decisions ride the O(√n) counts/
+    * centroid frames (the only driver materializations, the probe-set
+    * bound); data I/O is bounded by the TOUCHED lists (split members,
+    * merge members, merge-target rows) — keep lists are never read or
+    * rewritten.
+    */
+  def rebalanceGiven(spark: SparkSession, dir: String,
+      policy: RebalancePolicy = RebalancePolicy.Standard): Unit = {
+    import spark.implicits._
+    val lists = loadLists(spark, dir)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val counts = lists.groupBy("list_id")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return
+    val total = counts.values.sum
+    val nl = counts.size.toLong
+    val splits = counts.collect { case (l, n)
+      if n * nl * policy.splitDen > policy.splitNum * total => l }.toSet
+    val mergesRaw = counts.collect { case (l, n)
+      if n * nl * policy.mergeDen < policy.mergeNum * total => l }.toSet
+    val keeps = counts.keySet -- splits -- mergesRaw
+    // nothing to dissolve into ⇒ under-full lists stay (documented
+    // guard; a corpus with no keep list is one the band mis-fits)
+    val merges = if (keeps.isEmpty) Set.empty[Long] else mergesRaw
+    if (splits.isEmpty && merges.isEmpty) return
+
+    // merge targets: nearest KEEP centroid per merge centroid —
+    // O(merges × keeps) on the √n centroid frame, collected O(L)
+    val mtgt: Map[Long, Long] =
+      if (merges.isEmpty) Map.empty
+      else cents.filter(col("cid").isin(merges.toSeq: _*))
+        .select(col("cid").as("mc"), col("ce").as("me"), col("cn").as("mn"))
+        .crossJoin(broadcast(cents.filter(col("cid").isin(keeps.toSeq: _*))))
+        .withColumn("cos", Vectors.cosineFrom(
+          Vectors.dot("me", "ce"), col("mn"), col("cn")))
+        .groupBy("mc")
+        .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("tgt"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // sub-centroids: quantile-seeded members of each split list
+    val splitSeq = splits.toSeq.sorted
+    val subcents: Option[DataFrame] =
+      if (splits.isEmpty) None
+      else {
+        val ranks = splitSeq.flatMap { p =>
+          val n = counts(p)
+          val s = math.max(2L, math.min((n * nl + total - 1) / total, n))
+          (0L until s).map(j => (p, ((2 * j + 1) * n) / (2 * s) + 1))
+        }.toDF("list_id", "mr")
+        val ranked = lists.filter(col("list_id").isin(splitSeq: _*))
+          .join(broadcast(cents), col("list_id") === col("cid"))
+          .withColumn("pcos", Vectors.cosineFrom(
+            Vectors.dot("embedding", "ce"), col("nsq"), col("cn")))
+          .withColumn("mr", row_number().over(Window
+            .partitionBy("list_id").orderBy(desc("pcos"), asc("vec_id"))))
+        Some(ranked.join(broadcast(ranks), Seq("list_id", "mr"))
+          .select(col("list_id").as("parent"), col("vec_id").as("subcid"),
+            col("embedding").as("se"), col("nsq").as("sn"))
+          .localCheckpoint(true)) // read by re-assign AND centroids2
+      }
+
+    // staged rows: split members re-assigned among their sub-lists,
+    // merge members moved whole to their target, target originals
+    val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    subcents.foreach { sc =>
+      val sa = lists.filter(col("list_id").isin(splitSeq: _*))
+        .join(broadcast(sc), col("list_id") === col("parent"))
+        .withColumn("scos", Vectors.cosineFrom(
+          Vectors.dot("embedding", "se"), col("nsq"), col("sn")))
+        .groupBy("vec_id")
+        .agg(max_by(col("subcid"), struct(col("scos"), -col("subcid")))
+          .as("new_list"))
+      staged += lists.filter(col("list_id").isin(splitSeq: _*))
+        .join(sa, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("nsq"),
+          col("new_list").as("list_id"))
+    }
+    if (merges.nonEmpty) {
+      val mt = mtgt.toSeq.sorted.toDF("m", "tgt")
+      staged += lists.filter(col("list_id").isin(merges.toSeq: _*))
+        .join(broadcast(mt), col("list_id") === col("m"))
+        .select(col("vec_id"), col("embedding"), col("nsq"),
+          col("tgt").as("list_id"))
+      val targets = mtgt.values.toSet.toSeq.sorted
+      staged += lists.filter(col("list_id").isin(targets: _*))
+        .select("vec_id", "embedding", "nsq", "list_id")
+    }
+    val stagingDir = s"$dir/lists_rebalance_staging"
+    staged.reduce(_.unionByName(_))
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(stagingDir)
+
+    // post-rebalance quantizer, staged before the directory surgery
+    val centsStaging = s"$dir/centroids_rebalance_staging"
+    val newCents = subcents match {
+      case Some(sc) => cents.filter(col("cid").isin(keeps.toSeq: _*))
+        .unionByName(sc.select(col("subcid").as("cid"),
+          col("se").as("ce"), col("sn").as("cn")))
+      case None => cents.filter(col("cid").isin(keeps.toSeq: _*))
+    }
+    newCents.write.mode("overwrite").parquet(centsStaging)
+
+    // directory surgery — per-directory swaps, each atomic: a crash
+    // prefix leaves every list directory whole (old or new)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    def listDir(l: Long) = new org.apache.hadoop.fs.Path(
+      s"$dir/lists/list_id=$l")
+    for (p <- splitSeq) fs.delete(listDir(p), true)
+    for (st <- fs.listStatus(new org.apache.hadoop.fs.Path(stagingDir))
+         if st.getPath.getName.startsWith("list_id=")) {
+      val live = new org.apache.hadoop.fs.Path(
+        s"$dir/lists/${st.getPath.getName}")
+      if (fs.exists(live)) fs.delete(live, true)
+      fs.rename(st.getPath, live)
+    }
+    for (m <- merges.toSeq.sorted) fs.delete(listDir(m), true)
+    val centsLive = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+    val centsOld = new org.apache.hadoop.fs.Path(s"$dir/centroids_rebalance_old")
+    if (fs.exists(centsOld)) fs.delete(centsOld, true)
+    fs.rename(centsLive, centsOld)
+    fs.rename(new org.apache.hadoop.fs.Path(centsStaging), centsLive)
+    fs.delete(centsOld, true)
+    fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
+    ()
+  }
+
+  private val savedRebalCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** A third saved index for the rebalance gate (the G15/G20 indexes
+    * stay whole): save, then rebalance under [[RebalancePolicy
+    * .Tight]]; bench bills this as the `ivf_rebalanced_index` build.
+    */
+  def prebuildSavedRebalanced(spark: SparkSession, dir: String): String =
+    savedRebalCache.synchronized {
+      savedRebalCache.filterInPlace { case ((s, _), _) =>
+        !s.sparkContext.isStopped }
+      savedRebalCache.getOrElseUpdate((spark, dir), {
+        val ixDir = indexDirFor(dir) + "_rebal"
+        saveGiven(graft.sources.Tables.embeddings(spark, dir)
+          .select("vec_id", "embedding"), ixDir)
+        rebalanceGiven(spark, ixDir, RebalancePolicy.Tight)
+        ixDir
+      })
+    }
+
+  /** G23 gate query — serve AFTER a rebalance; the oracle replays the
+    * whole arc in SQL (assignment → actions → quantile-seeded
+    * sub-centroids → sub-assignment → merge targets → post-rebalance
+    * serve over the new quantizer), so the hash gate proves the
+    * executor's index serves exactly the fresh build over the
+    * post-rebalance assignment.
+    */
+  def knnRebalancedQ(spark: SparkSession, dir: String): DataFrame =
+    servedKnnGiven(spark, prebuildSavedRebalanced(spark, dir),
+      col("vec_id") < 5, 3)
+
   override def queries: Map[String, Q] = Map(
     "ivf_rebalance_plan" -> (rebalancePlanQ _),
+    "knn_ivf_rebalanced" -> (knnRebalancedQ _),
     "embedding_drift" -> (embeddingDriftQ _),
     "knn_ivf_served" -> (knnServedQ _),
     "knn_ivf_deleted" -> (knnDeletedQ _),
@@ -587,7 +798,119 @@ object IndexStore extends graft.QueryModule {
   /** The fresh builds' oracles verbatim: a persisted round-trip must
     * serve exactly what the in-session index serves.
     */
+  /** The shared quantized pair-dot reduction (the list form — see
+    * Ivf's join-order note) over aliases `ea`/`eb`.
+    */
+  private def zipDot: String =
+    s"""CAST(CAST(list_sum(list_transform(
+       |           list_zip(ea.embedding[1:${Ivf.Dim}], eb.embedding[1:${Ivf.Dim}]),
+       |           x -> CAST(CAST(CAST(CAST(x[1] AS FLOAT) AS DOUBLE)
+       |             * CAST(CAST(x[2] AS FLOAT) AS DOUBLE)
+       |             AS VARCHAR) AS DECIMAL(24,12)))) AS VARCHAR) AS DOUBLE)""".stripMargin
+
+  /** The G23 oracle: replay the whole rebalance arc in SQL under the
+    * gate band, then the probe-and-re-rank serve over the
+    * post-rebalance quantizer and assignment.
+    */
+  private def rebalancedKnnSql: String = {
+    val p = RebalancePolicy.Tight
+    Ivf.givenAssignSql + s"""
+      |counts AS (SELECT list_id, CAST(count(*) AS BIGINT) AS n_vectors
+      |       FROM lists GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
+      |       CAST(count(*) AS BIGINT) AS n_lists FROM counts),
+      |act AS (SELECT list_id, n_vectors,
+      |    CASE WHEN n_vectors * n_lists * ${p.splitDen} > ${p.splitNum} * total THEN 'split'
+      |         WHEN n_vectors * n_lists * ${p.mergeDen} < ${p.mergeNum} * total THEN 'merge'
+      |         ELSE 'keep' END AS action,
+      |    GREATEST(2, LEAST((n_vectors * n_lists + total - 1) // total,
+      |      n_vectors)) AS s
+      |  FROM counts CROSS JOIN tot),
+      |memrank AS (SELECT l.vec_id, l.list_id,
+      |    row_number() OVER (PARTITION BY l.list_id
+      |      ORDER BY c.dot / (sqrt(nv.nsq) * sqrt(nc.nsq)) DESC,
+      |               l.vec_id ASC) AS mr
+      |  FROM lists l JOIN act a ON l.list_id = a.list_id
+      |    AND a.action = 'split'
+      |    JOIN cdots c ON c.vec_id = l.vec_id AND c.cid = l.list_id
+      |    JOIN norms nv ON l.vec_id = nv.vec_id
+      |    JOIN norms nc ON l.list_id = nc.vec_id),
+      |subranks AS (SELECT a.list_id,
+      |    CAST((2 * u.j + 1) * a.n_vectors // (2 * a.s) + 1 AS BIGINT) AS r
+      |  FROM act a, UNNEST(range(0, a.s)) u(j) WHERE a.action = 'split'),
+      |subc AS (SELECT m.list_id AS parent, m.vec_id AS subcid
+      |  FROM memrank m JOIN subranks sr
+      |    ON m.list_id = sr.list_id AND m.mr = sr.r),
+      |sdots AS (SELECT l.vec_id, sc.subcid,
+      |    $zipDot AS dot
+      |  FROM lists l JOIN act a ON l.list_id = a.list_id
+      |    AND a.action = 'split'
+      |    JOIN subc sc ON sc.parent = l.list_id
+      |    JOIN embeddings ea ON ea.vec_id = l.vec_id
+      |    JOIN embeddings eb ON eb.vec_id = sc.subcid),
+      |sassign AS (SELECT sdots.vec_id, subcid,
+      |    row_number() OVER (PARTITION BY sdots.vec_id
+      |      ORDER BY dot / (sqrt(nv.nsq) * sqrt(ns2.nsq)) DESC,
+      |               subcid ASC) AS rn
+      |  FROM sdots JOIN norms nv ON sdots.vec_id = nv.vec_id
+      |    JOIN norms ns2 ON sdots.subcid = ns2.vec_id),
+      |mtgt AS (SELECT c.vec_id AS mlist, c.cid AS tgt,
+      |    row_number() OVER (PARTITION BY c.vec_id
+      |      ORDER BY c.dot / (sqrt(nm.nsq) * sqrt(nk.nsq)) DESC,
+      |               c.cid ASC) AS rn
+      |  FROM cdots c
+      |    JOIN act am ON am.list_id = c.vec_id AND am.action = 'merge'
+      |    JOIN act ak ON ak.list_id = c.cid AND ak.action = 'keep'
+      |    JOIN norms nm ON c.vec_id = nm.vec_id
+      |    JOIN norms nk ON c.cid = nk.vec_id),
+      |newlists AS (
+      |  SELECT l.vec_id, l.list_id FROM lists l
+      |    JOIN act a ON l.list_id = a.list_id WHERE a.action = 'keep'
+      |  UNION ALL
+      |  SELECT sa.vec_id, sa.subcid AS list_id FROM sassign sa
+      |    WHERE sa.rn = 1
+      |  UNION ALL
+      |  SELECT l.vec_id, m.tgt AS list_id FROM lists l
+      |    JOIN act a ON l.list_id = a.list_id AND a.action = 'merge'
+      |    JOIN mtgt m ON m.mlist = l.list_id AND m.rn = 1),
+      |cents2 AS (SELECT list_id AS cid FROM act WHERE action = 'keep'
+      |  UNION ALL SELECT subcid FROM subc),
+      |qdots AS (SELECT ea.vec_id AS query_id, c2.cid,
+      |    $zipDot AS dot
+      |  FROM embeddings ea CROSS JOIN cents2 c2
+      |    JOIN embeddings eb ON eb.vec_id = c2.cid
+      |  WHERE ea.vec_id < 5),
+      |probes AS (SELECT query_id, cid AS list_id FROM (
+      |    SELECT q.query_id, q.cid,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY q.dot / (sqrt(nq.nsq) * sqrt(nc2.nsq)) DESC,
+      |                 q.cid ASC) AS prnk
+      |    FROM qdots q JOIN norms nq ON q.query_id = nq.vec_id
+      |      JOIN norms nc2 ON q.cid = nc2.vec_id)
+      |  WHERE prnk <= ${Ivf.GivenProbe}),
+      |cand AS (SELECT vec_id AS neighbor_id, list_id FROM newlists
+      |       WHERE vec_id >= 5),
+      |pdots AS (SELECT p.query_id, c.neighbor_id, c.list_id,
+      |    $zipDot AS dot
+      |  FROM probes p JOIN cand c ON p.list_id = c.list_id
+      |    JOIN embeddings ea ON ea.vec_id = p.query_id
+      |    JOIN embeddings eb ON eb.vec_id = c.neighbor_id),
+      |scored AS (SELECT query_id, neighbor_id, list_id,
+      |    dot / (sqrt(nq.nsq) * sqrt(nc.nsq)) AS cosine
+      |  FROM pdots JOIN norms nq ON query_id = nq.vec_id
+      |    JOIN norms nc ON neighbor_id = nc.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, cosine, list_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+      |  cosine, list_id
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "knn_ivf_rebalanced" -> rebalancedKnnSql,
     "knn_ivf_served" -> Ivf.oracles("knn_ivf_given_centroids"),
     "knn_ivf_deleted" -> Ivf.givenKnnSql(candWhere =
       s"vec_id >= 5 AND vec_id NOT BETWEEN $DeletedLo AND ${DeletedHi - 1}"),

@@ -111,6 +111,10 @@ class PlanShapeSpec extends SparkSpec {
       // knn_ivf_deleted is knn_ivf_served over the post-delete index:
       // same broadcast 16-row loaded-centroid probe ranking
       "knn_ivf_deleted",
+      // knn_ivf_rebalanced is knn_ivf_served over the post-rebalance
+      // index: same broadcast O(√n)-row loaded-centroid probe ranking
+      // (round 15)
+      "knn_ivf_rebalanced",
       // bm25_topk_served crosses its broadcast 1-row loaded corpus
       // stats, the same shape as bm25_topk_docs's stats frame; the
       // served hybrid composes both served retrievals' 1-row crosses

@@ -335,4 +335,105 @@ class IndexStoreSpec extends SparkSpec {
       }
     }
   }
+
+  // --- G23: the rebalance EXECUTOR -----------------------------------
+
+  private def listCounts(d: String): Map[Long, Long] =
+    spark.read
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, nsq DOUBLE, list_id BIGINT")
+      .parquet(s"$d/lists")
+      .groupBy("list_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("rebalance executes splits and merges; mass is conserved") {
+    val d = Files.createTempDirectory("graft_ix_rebal").toString
+    IndexStore.saveGiven(emb, d)
+    val pre = listCounts(d)
+    val total = pre.values.sum
+    val nl = pre.size.toLong
+    val p = IndexStore.RebalancePolicy.Tight
+    val splits = pre.filter { case (_, n) =>
+      n * nl * p.splitDen > p.splitNum * total }.keySet
+    val merges = pre.filter { case (_, n) =>
+      n * nl * p.mergeDen < p.mergeNum * total }.keySet
+    assert(splits.nonEmpty && merges.nonEmpty,
+      "fixture must exercise both actions under the tight band")
+    IndexStore.rebalanceGiven(spark, d, p)
+    val post = listCounts(d)
+    // mass conserved across the rewrite
+    assert(post.values.sum == total)
+    // merge source directories dissolved
+    assert(merges.forall(m => !post.contains(m)),
+      "a merge list survived the rebalance")
+    // split parents replaced by smaller sub-lists: every new list id
+    // (a quantile-seeded member) carries fewer rows than its parent
+    val newIds = post.keySet -- pre.keySet
+    assert(newIds.nonEmpty, "splits produced no new sub-lists")
+    assert(newIds.forall(id => post(id) < splits.map(pre).max),
+      "a sub-list did not shrink below the split maximum")
+    // the post-rebalance quantizer is exactly the surviving lists
+    val cids = spark.read.parquet(s"$d/centroids")
+      .select("cid").collect().map(_.getLong(0)).toSet
+    assert(cids == post.keySet,
+      "centroids/ diverged from the landed list directories")
+    // serving still answers every query with a full top-k
+    val served = IndexStore.servedKnnGiven(spark, d, col("vec_id") < 5, 3)
+      .collect()
+    assert(served.length == 15)
+    // no staging residue after a completed commit
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$d/lists_rebalance_staging")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$d/centroids_rebalance_old")))
+  }
+
+  test("rebalance under the standard band is a no-op on a balanced index") {
+    // the gate corpus assigns near-uniformly: every list sits inside
+    // the 2×/¼ band, so the standard-policy pass must not touch disk
+    val d = Files.createTempDirectory("graft_ix_rebal_noop").toString
+    IndexStore.saveGiven(emb, d)
+    val before = IndexStore.servedKnnGiven(spark, d, col("vec_id") < 5, 3)
+      .collect().toSeq
+    val pre = listCounts(d)
+    IndexStore.rebalanceGiven(spark, d, IndexStore.RebalancePolicy.Standard)
+    assert(listCounts(d) == pre)
+    val after = IndexStore.servedKnnGiven(spark, d, col("vec_id") < 5, 3)
+      .collect().toSeq
+    assert(after == before)
+  }
+
+  test("dissolved lists land whole in their cosine-nearest keep list") {
+    val d = Files.createTempDirectory("graft_ix_rebal_tgt").toString
+    IndexStore.saveGiven(emb, d)
+    def membership: Map[Long, Long] = spark.read
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, nsq DOUBLE, list_id BIGINT")
+      .parquet(s"$d/lists")
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val preMembers = membership
+    val pre = listCounts(d)
+    val total = pre.values.sum
+    val nl = pre.size.toLong
+    val p = IndexStore.RebalancePolicy.Tight
+    val merges = pre.filter { case (_, n) =>
+      n * nl * p.mergeDen < p.mergeNum * total }.keySet
+    val splits = pre.filter { case (_, n) =>
+      n * nl * p.splitDen > p.splitNum * total }.keySet
+    val keeps = pre.keySet -- merges -- splits
+    IndexStore.rebalanceGiven(spark, d, p)
+    val postMembers = membership
+    merges.foreach { m =>
+      val members = preMembers.collect { case (v, l) if l == m => v }
+      val landed = members.map(postMembers).toSet
+      assert(landed.size == 1, s"merge list $m scattered: $landed")
+      assert(keeps(landed.head),
+        s"merge list $m landed in a non-keep list ${landed.head}")
+    }
+    // keep members never move
+    preMembers.collect { case (v, l) if keeps(l) => (v, l) }.foreach {
+      case (v, l) => assert(postMembers(v) == l, s"keep member $v moved")
+    }
+  }
 }
