@@ -231,7 +231,11 @@ object Forecast {
     * decimal→double cast + divide + sqrt in the same order both
     * sides. Needs n ≥ 5 so the shortest prefix still has ≥ 2 points.
     */
-  def holtBacktest(obs: DataFrame): DataFrame = {
+  /** The rolling-origin Holt fold frame — per (series, fold):
+    * one-step forecast, actual, err. Shared by [[holtBacktest]] and
+    * the two-model [[backtestModelSelect]].
+    */
+  private[forecast] def holtBacktestFolds(obs: DataFrame): DataFrame = {
     // years ride along because series can have GAPS: the fold's
     // target year is the (n-k+1)-th OBSERVATION's year, not
     // last_year - k + 1
@@ -249,10 +253,14 @@ object Forecast {
       .withColumn("train", expr("slice(vs, 1, n - fold)"))
       .withColumn("actual", expr("element_at(vs, n - fold + 1)"))
       .withColumn("year", expr("element_at(ys, n - fold + 1)"))
-    val fr = fitHolt(folds, "train", Seq("fold", "year", "actual"))
+    fitHolt(folds, "train", Seq("fold", "year", "actual"))
       .withColumn("forecast", col("fit.l") + col("fit.b"))
       .withColumn("err", col("forecast") - col("actual"))
       .drop("fit")
+  }
+
+  def holtBacktest(obs: DataFrame): DataFrame = {
+    val fr = holtBacktestFolds(obs)
     val r = fr.groupBy("geo", "indicator")
       .agg(sum(expr("cast(err * err as decimal(27,6))")).as("sse_d"),
         count(lit(1)).as("n_folds"))
@@ -263,6 +271,50 @@ object Forecast {
       .select("geo", "indicator", "fold", "year", "forecast", "actual",
         "err", "rmse_bt", "n_folds")
   }
+
+  /** E12 — rolling-origin BACKTEST scoring BOTH models (the E11
+    * surface widened to the reference's two-candidate selection,
+    * forecast_utils.py:192-204): per series, the Holt fold RMSE
+    * (refit per fold — [[holtBacktestFolds]], all inside ONE fitHolt
+    * projection) and the GBT fold RMSE (the POOLED rendered ensemble
+    * scoring each fold's supervised feature row — E5b's given-model
+    * discipline, so the whole two-model backtest is relational and
+    * hash-gated), then the winner by the E7 tie rule (ties → gbt).
+    * GBT folds exist only where the fold year has a complete feature
+    * row (the dropna contract); `n_folds_gbt` surfaces the scored
+    * count rather than hiding the asymmetry. Honest-leakage note
+    * (the reference shares it): the pooled model TRAINED on the
+    * train split, and a fold target in that split is in-sample for
+    * the GBT side — rolling-origin refits per fold would cost a tree
+    * induction per fold; this is the standard fixed-model backtest.
+    */
+  def backtestModelSelect(obs: DataFrame): DataFrame =
+    graft.Memo.small("backtestModelSelect", obs) {
+      val fr = holtBacktestFolds(obs)
+      val holtR = fr.groupBy("geo", "indicator")
+        .agg(sum(expr("cast(err * err as decimal(27,6))")).as("sse_h"),
+          count(lit(1)).as("n_folds"))
+        .withColumn("rmse_bt_holt",
+          sqrt(col("sse_h").cast("double") / col("n_folds")))
+        .select("geo", "indicator", "rmse_bt_holt", "n_folds")
+      val gf = Gbt.backtestGiven(obs,
+        fr.select("geo", "indicator", "fold", "year", "actual"))
+      val gbtR = gf.groupBy("geo", "indicator")
+        .agg(sum(expr(
+          "cast((forecast_gbt - actual) * (forecast_gbt - actual) as decimal(27,6))"))
+          .as("sse_g"),
+          count(lit(1)).as("n_folds_gbt"))
+        .withColumn("rmse_bt_gbt",
+          sqrt(col("sse_g").cast("double") / col("n_folds_gbt")))
+        .select("geo", "indicator", "rmse_bt_gbt", "n_folds_gbt")
+      holtR.join(gbtR, Seq("geo", "indicator"), "left")
+        .withColumn("model_used",
+          when(col("rmse_bt_gbt").isNotNull &&
+            col("rmse_bt_gbt") <= col("rmse_bt_holt"), "gbt")
+            .otherwise("holt"))
+        .select("geo", "indicator", "rmse_bt_holt", "n_folds",
+          "rmse_bt_gbt", "n_folds_gbt", "model_used")
+    }
 
   /** E7 — per-series model selection by holdout RMSE: pooled GBT vs
     * fitted Holt (forecast_utils.py:192-204; ties go to the GBT

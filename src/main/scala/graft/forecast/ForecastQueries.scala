@@ -56,6 +56,18 @@ object ForecastQueries extends QueryModule {
   def modelSelect(s: SparkSession, d: String): DataFrame =
     Forecast.modelSelect(obs(s, d)).orderBy("geo", "indicator")
 
+  /** E12 — two-model rolling-origin backtest
+    * ([[Forecast.backtestModelSelect]]); registers its model-derived
+    * oracle on run, like [[gbtForecastGiven]].
+    */
+  def backtestModelSelectQ(s: SparkSession, d: String): DataFrame = {
+    val o = obs(s, d)
+    val df = Forecast.backtestModelSelect(o)
+    Gbt.modelFor(o).foreach(m => dynOracles.put("backtest_model_select",
+      backtestModelSelectSql(Gbt.ensembleSql(m))))
+    df.orderBy("geo", "indicator")
+  }
+
   /** E7b — given-model selection ([[Forecast.modelSelectGiven]]);
     * registers its model-derived oracle on run, like
     * [[gbtForecastGiven]].
@@ -136,6 +148,7 @@ object ForecastQueries extends QueryModule {
     "rmse_eval" -> (rmseEval _),
     "holt_forecast" -> (holtForecast _),
     "forecast_backtest" -> (holtBacktestQ _),
+    "backtest_model_select" -> (backtestModelSelectQ _),
     "gbt_forecast" -> (gbtForecast _),
     "gbt_forecast_given_model" -> (gbtForecastGiven _),
     "model_select_given_model" -> (modelSelectGivenQ _),
@@ -207,7 +220,7 @@ object ForecastQueries extends QueryModule {
     * RMSE replays the DECIMAL(27,6) quantize with both casts routed
     * through VARCHAR (the graft.sim.Vectors tie-rounding discipline).
     */
-  private val holtBacktestSql: String =
+  private val holtBacktestCtes: String =
     cte.replaceFirst("^WITH ", "WITH RECURSIVE ").trim + ",\n" +
       s"""s2 AS (SELECT geo, indicator,
         |    list(value ORDER BY year) AS vs, list(year ORDER BY year) AS ys
@@ -243,7 +256,10 @@ object ForecastQueries extends QueryModule {
         |    (b.l + b.b) - f.vs[f.n - b.k + 1] AS err
         |  FROM best b JOIN folds f ON f.geo = b.geo
         |    AND f.indicator = b.indicator AND f.k = b.k
-        |  WHERE b.rn = 1),
+        |  WHERE b.rn = 1)""".stripMargin
+
+  private val holtBacktestSql: String =
+    holtBacktestCtes + """,
         |r AS (SELECT geo, indicator,
         |    sqrt(CAST(CAST(sum(CAST(CAST(err * err AS VARCHAR)
         |        AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
@@ -254,6 +270,38 @@ object ForecastQueries extends QueryModule {
         |  fr.actual, fr.err, r.rmse_bt, r.n_folds
         |FROM fr JOIN r ON r.geo = fr.geo AND r.indicator = fr.indicator
         |ORDER BY fr.geo, fr.indicator, fr.fold""".stripMargin
+
+  /** E12 oracle — the Holt fold chain (verbatim) + the GBT side as
+    * ensemble predictions over each fold target's supervised feature
+    * row, both RMSEs through the order-free DECIMAL(27,6) quantize,
+    * and the E7 winner CASE (ties → gbt).
+    */
+  private def backtestModelSelectSql(predSql: String): String =
+    holtBacktestCtes + ",\n" + lfSupCtes + s""",
+        |hr AS (SELECT geo, indicator,
+        |    sqrt(CAST(CAST(sum(CAST(CAST(err * err AS VARCHAR)
+        |        AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
+        |      / count(*)) AS rmse_bt_holt,
+        |    CAST(count(*) AS BIGINT) AS n_folds
+        |  FROM fr GROUP BY 1, 2),
+        |gf AS (SELECT geo, indicator, fold, actual,
+        |    ($predSql) AS forecast_gbt
+        |  FROM fr JOIN sup USING (geo, indicator, year)),
+        |gr AS (SELECT geo, indicator,
+        |    sqrt(CAST(CAST(sum(CAST(CAST(
+        |        (forecast_gbt - actual) * (forecast_gbt - actual)
+        |        AS VARCHAR) AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
+        |      / count(*)) AS rmse_bt_gbt,
+        |    CAST(count(*) AS BIGINT) AS n_folds_gbt
+        |  FROM gf GROUP BY 1, 2)
+        |SELECT hr.geo, hr.indicator, hr.rmse_bt_holt, hr.n_folds,
+        |  gr.rmse_bt_gbt, gr.n_folds_gbt,
+        |  CASE WHEN gr.rmse_bt_gbt IS NOT NULL
+        |        AND gr.rmse_bt_gbt <= hr.rmse_bt_holt
+        |       THEN 'gbt' ELSE 'holt' END AS model_used
+        |FROM hr LEFT JOIN gr ON gr.geo = hr.geo
+        |  AND gr.indicator = hr.indicator
+        |ORDER BY hr.geo, hr.indicator""".stripMargin
 
   /** Model-derived oracle entries, registered when their query runs
     * (Verify runs every query before dumping oracle_sql.json, so

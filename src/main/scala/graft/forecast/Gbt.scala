@@ -276,6 +276,30 @@ object Gbt {
       .select("geo", "indicator", "rmse_gbt")
   }
 
+  /** E12's GBT side — score each backtest fold target with the
+    * rendered ensemble over its SUPERVISED feature row (features
+    * derive from actual history: true one-step-ahead scoring of the
+    * pooled model). Folds whose target year has no complete feature
+    * row (the dropna contract) are absent — the caller surfaces the
+    * scored count. Relational end-to-end given the fitted constants,
+    * so it sits inside the hash gate like [[holdoutRmseGiven]].
+    */
+  def backtestGiven(obs: DataFrame, foldTargets: DataFrame): DataFrame =
+    trained(obs) match {
+      case None =>
+        foldTargets.select(col("geo"), col("indicator"), col("fold"),
+          col("year"), col("actual"), lit(0d).as("forecast_gbt")).limit(0)
+      case Some((model, feats)) =>
+        val scoreSql = ensembleSql(model)
+        foldTargets.join(
+          feats.select("geo", "indicator", "year", "lag1", "lag2",
+            "lag3", "roll_mean_3", "roll_std_3"),
+          Seq("geo", "indicator", "year"))
+          .withColumn("forecast_gbt", expr(scoreSql))
+          .select("geo", "indicator", "fold", "year", "actual",
+            "forecast_gbt")
+    }
+
   /** Per-series holdout RMSE of the pooled model on the test split —
     * the GBT candidate score for model selection
     * (forecast_utils.py:79-80). Series where GBT is not a candidate

@@ -360,4 +360,35 @@ class ForecastSpec extends SparkSpec {
         <= 1e-5 * math.max(1.0, rmse), s"series ($g,$i)")
     }
   }
+
+  test("backtest_model_select: Holt folds bit-equal E11, winner by the tie rule") {
+    val o = graft.etl.Observations.panel(spark, sf)
+    val sel = Forecast.backtestModelSelect(o).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(sel.nonEmpty)
+    // fold parity: the Holt side IS E11's rmse_bt, bit-for-bit
+    val e11 = Forecast.holtBacktest(o)
+      .select("geo", "indicator", "rmse_bt", "n_folds").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(sel.keySet == e11.keySet,
+      "backtest_model_select covers a different series set than E11")
+    sel.foreach { case (k, r) =>
+      assert(r.getAs[Double]("rmse_bt_holt") ==
+        e11(k).getAs[Double]("rmse_bt"), s"holt rmse diverged for $k")
+      assert(r.getAs[Long]("n_folds") == Forecast.BacktestFolds.toLong)
+      // winner rule: gbt iff scored and <= holt (ties -> gbt)
+      val expected =
+        if (!r.isNullAt(r.fieldIndex("rmse_bt_gbt")) &&
+          r.getAs[Double]("rmse_bt_gbt") <= r.getAs[Double]("rmse_bt_holt"))
+          "gbt" else "holt"
+      assert(r.getAs[String]("model_used") == expected, s"winner for $k")
+      // a scored GBT side always reports its fold count
+      assert(r.isNullAt(r.fieldIndex("rmse_bt_gbt")) ==
+        r.isNullAt(r.fieldIndex("n_folds_gbt")))
+    }
+    // the GBT side scored at least one series (the fixture has full
+    // feature rows at the last origins)
+    assert(sel.values.exists(!_.isNullAt(
+      sel.values.head.fieldIndex("rmse_bt_gbt"))))
+  }
 }
