@@ -213,6 +213,35 @@ class PlanShapeSpec extends SparkSpec {
       s"unpartitioned Window over unbounded input in: ${offenders.mkString(", ")}")
   }
 
+  test("allowed unpartitioned-window inputs are bounded, mechanically") {
+    // the allowlist above justifies each site in prose (top-k heads,
+    // vocab pages, metadata frames); this executes every allowed
+    // query's global-window CHILD and counts its rows, so the bound
+    // is measured, not asserted. 4096 is far above every structural
+    // bound (RrfK/RrfDepth heads, the 256-entry vocab page, the 100-
+    // row Gumbel head, O(day-partitions) layout frames) and far below
+    // anything corpus-shaped — a site that starts pulling data rows
+    // through an unpartitioned window trips this before it ships.
+    val sites = Seq("dsir_sample", "hybrid_rrf", "hybrid_rrf_served",
+      "token_ids", "zone_map_report", "compaction_plan")
+    for (name <- sites) {
+      val qe = graft.SparkEntry.queries(name)(spark, sf).queryExecution
+      val children = qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w.child
+      }
+      assert(children.nonEmpty,
+        s"$name no longer has an unpartitioned window — drop it from the allowlist")
+      children.foreach { c =>
+        val n = spark.sessionState.executePlan(c).executedPlan
+          .execute().count()
+        assert(n <= 4096L,
+          s"$name feeds $n rows into an unpartitioned window")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("flagship scans push filters down to parquet") {
     val plan = graft.analytics.Dashboard.explorerFilter(spark, sf)
       .queryExecution.executedPlan.toString
