@@ -476,9 +476,64 @@ object Corpus extends QueryModule {
       .orderBy("lang")
   }
 
+  /** L14 — EXECUTE the L13 mixture plan (round 15, the plan→action
+    * discipline): downsample each language's documents toward the
+    * uniform token target by a deterministic per-document coin. The
+    * multiplier is INTEGER ppm — `least(1e6, target_ppm·1e6 div
+    * max(obs_ppm, 1))`, the L13 ratio with no double ever deciding a
+    * row — and a document keeps iff its md5 coin (the L1 'smp'
+    * discipline with a 'mix' tag, mod 1e6) lands under it, so any
+    * worker — or the oracle — re-derives any document's fate
+    * bit-for-bit. Document-level sampling approximates the plan's
+    * token-mass target in expectation (exact token packing would
+    * need per-document knapsack state); the realized per-language
+    * share is REPORTED next to the multiplier, so the approximation
+    * is visible in the output, not hidden. Languages at or under
+    * target keep everything (multiplier 1e6 — downsample-only, the
+    * L13 contract). Per language: total/kept docs, multiplier, kept
+    * tokens, realized share. Plan shape: one token aggregate +
+    * broadcast O(langs) multipliers into the scan's filter + one
+    * map-side-combined aggregate; a language dropped to zero keeps
+    * its row via the left join from the plan frame.
+    */
+  def mixtureApply(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+      .withColumn("coin", expr(
+        """cast(conv(substring(md5(concat('mix|', cast(doc_id as string))),
+          |  1, 8), 16, 10) as bigint) % 1000000""".stripMargin))
+    val g = d.groupBy("lang")
+      .agg(sum("n_tok").as("n_tokens"), count(lit(1)).as("n_docs"))
+    val t = g.agg(sum("n_tokens").cast("bigint").as("tok_total"),
+      count(lit(1)).as("n_langs"))
+    val m = g.crossJoin(broadcast(t))
+      .withColumn("obs_ppm", expr("(n_tokens * 1000000) div tok_total"))
+      .withColumn("target_ppm", expr("1000000 div n_langs"))
+      .withColumn("mult_ppm", expr(
+        "least(1000000, (target_ppm * 1000000) div greatest(obs_ppm, 1))"))
+      .select("lang", "n_docs", "mult_ppm")
+    val kept = d.join(broadcast(m.select("lang", "mult_ppm")), "lang")
+      .filter(col("coin") < col("mult_ppm"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum("n_tok").cast("bigint").as("tokens_kept"))
+    val kt = kept.agg(coalesce(sum("tokens_kept"), lit(0L))
+      .cast("bigint").as("kept_total"))
+    m.join(kept, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_docs_kept", "tokens_kept"))
+      .crossJoin(broadcast(kt))
+      .withColumn("realized_ppm",
+        expr("(tokens_kept * 1000000) div greatest(kept_total, 1)"))
+      .select("lang", "n_docs", "n_docs_kept", "mult_ppm",
+        "tokens_kept", "realized_ppm", "kept_total")
+      .orderBy("lang")
+  }
+
   override def queries: Map[String, Q] = Map(
     "quality_percentile_filter" -> (qualityPercentileFilter _),
     "mixture_reweight" -> (mixtureReweight _),
+    "mixture_apply" -> (mixtureApply _),
     "corpus_sample" -> (corpusSample _),
     "corpus_clean" -> (corpusClean _),
     "corpus_loss_report" -> (corpusLossReport _),
@@ -545,6 +600,38 @@ object Corpus extends QueryModule {
   override def oracles: Map[String, String] = staticOracles ++ dynOracles
 
   private val staticOracles: Map[String, String] = Map(
+    "mixture_apply" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |         AS BIGINT) % 1000000 AS coin
+        |  FROM documents WHERE lang IS NOT NULL),
+        |g AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+        |    CAST(count(*) AS BIGINT) AS n_langs FROM g),
+        |m AS (SELECT lang, n_docs,
+        |    LEAST(1000000, (((1000000 // n_langs) * 1000000)
+        |      // GREATEST((n_tokens * 1000000) // tok_total, 1)))
+        |      AS mult_ppm
+        |  FROM g CROSS JOIN t),
+        |kept AS (SELECT d.lang,
+        |    CAST(count(*) AS BIGINT) AS n_docs_kept,
+        |    CAST(sum(d.n_tok) AS BIGINT) AS tokens_kept
+        |  FROM d JOIN m ON d.lang = m.lang
+        |  WHERE d.coin < m.mult_ppm GROUP BY 1),
+        |kt AS (SELECT CAST(COALESCE(sum(tokens_kept), 0) AS BIGINT)
+        |    AS kept_total FROM kept)
+        |SELECT m.lang, m.n_docs,
+        |  CAST(COALESCE(kept.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+        |  CAST(m.mult_ppm AS BIGINT) AS mult_ppm,
+        |  CAST(COALESCE(kept.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+        |  CAST((COALESCE(kept.tokens_kept, 0) * 1000000)
+        |    // GREATEST(kt.kept_total, 1) AS BIGINT) AS realized_ppm,
+        |  kt.kept_total
+        |FROM m LEFT JOIN kept ON m.lang = kept.lang CROSS JOIN kt
+        |ORDER BY m.lang""".stripMargin,
     "mixture_reweight" ->
       """WITH g AS (SELECT lang,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

@@ -310,4 +310,45 @@ class CorpusSpec extends SparkSpec {
       rows.map(_.getAs[Long]("obs_ppm")).min
     assert(expSpread <= obsSpread)
   }
+
+  test("mixture_apply: the executed sample obeys the plan's multipliers") {
+    val plan = Corpus.mixtureReweight(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val rows = Corpus.mixtureApply(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length == plan.size)
+    val keptTotal = rows.head.getAs[Long]("kept_total")
+    assert(rows.map(_.getAs[Long]("tokens_kept")).sum == keptTotal)
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val p = plan(lang)
+      // downsample-only: never more docs than the corpus has
+      assert(r.getAs[Long]("n_docs_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tokens_kept") <= p.getAs[Long]("n_tokens"))
+      // a lang at or under target keeps every document (mult 1e6 —
+      // every coin < 1e6 by construction)
+      if (p.getAs[Long]("obs_ppm") <= p.getAs[Long]("target_ppm")) {
+        assert(r.getAs[Long]("mult_ppm") == 1000000L)
+        assert(r.getAs[Long]("n_docs_kept") == r.getAs[Long]("n_docs"))
+        assert(r.getAs[Long]("tokens_kept") == p.getAs[Long]("n_tokens"))
+      }
+      // the integer multiplier is the plan's double ratio in ppm
+      // (floor semantics on both)
+      assert(math.abs(r.getAs[Long]("mult_ppm") -
+        math.floor(p.getAs[Double]("mult") * 1e6)) <= 1.0)
+    }
+    // per-document fate is the coin, re-derived independently: replay
+    // one language's kept count from doc ids
+    import org.apache.spark.sql.functions._
+    val l = rows.minBy(_.getAs[Long]("mult_ppm")).getAs[String]("lang")
+    val mult = rows.find(_.getAs[String]("lang") == l).get
+      .getAs[Long]("mult_ppm")
+    val replay = graft.sources.Tables.documents(spark, sf)
+      .filter(col("lang") === l)
+      .withColumn("coin", expr(
+        """cast(conv(substring(md5(concat('mix|', cast(doc_id as string))),
+          |  1, 8), 16, 10) as bigint) % 1000000""".stripMargin))
+      .filter(col("coin") < mult).count()
+    assert(replay ==
+      rows.find(_.getAs[String]("lang") == l).get.getAs[Long]("n_docs_kept"))
+  }
 }

@@ -162,7 +162,11 @@ class PlanShapeSpec extends SparkSpec {
       "zone_map_report", "mixture_reweight",
       // snapshot_diff_summary crosses its broadcast 1-row table-count
       // frame into the O(kinds)-row summary (round 14, same shape)
-      "snapshot_diff_summary")
+      "snapshot_diff_summary",
+      // mixture_apply crosses the same broadcast 1-row corpus-totals
+      // frame as mixture_reweight, plus the 1-row kept-total frame
+      // into the O(langs)-row report (round 15)
+      "mixture_apply")
     // (embedding_pca/_r left the list in round 9: the iteration moved
     // to a driver-side solve over the collected d² summary — the
     // RowMatrix.computePrincipalComponents shape — so their plans no
