@@ -124,7 +124,11 @@ object Bench {
       // the range-bucketed orders export behind range_exported_layout:
       // one bounded sample aggregate + one bucket-hashed shuffle
       "range_export" -> (() =>
-        { relational.RangeExport.prebuild(spark, sfDir); () }))
+        { relational.RangeExport.prebuild(spark, sfDir); () }),
+      // the two-version snapshot chain behind snapshot_store_serve:
+      // v1 full write + the churn-sized apply + two pointer commits
+      "snapshot_store" -> (() =>
+        { relational.SnapshotStore.prebuild(spark, sfDir); () }))
     val queryFns = SparkEntry.queries.toSeq.sortBy(_._1)
     val bTimes = buildFns.map(_._1 -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
     val qTimes = queryFns.map(_._1 -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap

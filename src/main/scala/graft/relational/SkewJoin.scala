@@ -1,0 +1,104 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Fp, QueryModule}
+import graft.sources.Tables
+
+/** K64 — the SALTED JOIN a planner runs once K53's skew report says a
+  * plain hash join would knee (one hot key = one straggler task
+  * holding the whole stage; at 100 TB a single 5% key serializes 5 TB
+  * through one executor). K53 diagnoses; this ACTS — the last
+  * diagnose-without-act face of the operations story.
+  *
+  * Two-path plan (the standard skew-salting transform, here as a
+  * reusable operator instead of a hand-rolled query):
+  *
+  *  - HOT path: facts whose key sits in the bounded hot-head get a
+  *    deterministic salt (the shared 48-bit md5 of their PRIMARY key,
+  *    mod [[SaltFactor]]), and the dim side's hot rows replicate
+  *    across all [[SaltFactor]] salts — so one hot key's probe work
+  *    spreads over S tasks instead of one;
+  *  - COLD path: everything else joins plainly;
+  *  - union, then aggregate.
+  *
+  * The hot set is the top-[[HotK]] keys by exact count ((cnt desc,
+  * key asc) tie-break) — a BOUNDED driver list (the probe-set /
+  * boundary-literals collect pattern); at a deployment the threshold
+  * comes from the K53 report (skew × per-key bytes vs task budget),
+  * and the head-of-distribution choice keeps the fixture exercising
+  * both paths on ANY key distribution, skewed or not.
+  *
+  * Salting is an EXECUTION transform only: the result is
+  * row-identical to the plain join, which is exactly what the gate
+  * proves — the oracle is the PLAIN SQL join, so a hash match means
+  * the two-path plan reconstructed it bit-for-bit (the spec pins the
+  * same against the plain Spark join, plus the plan shape: two joins
+  * and a union, hot dim rows replicated ×S).
+  */
+object SkewJoin extends QueryModule {
+
+  val HotK = 16
+  val SaltFactor = 8
+
+  /** Two-path salted equi-join of `facts` (carrying `factKey` and a
+    * unique `saltBy` column to derive the per-row salt) against
+    * `dim` on `dimKey`. Returns the joined frame, result-identical
+    * to `facts.join(dim, factKey === dimKey)`.
+    */
+  def salted(facts: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, saltBy: String): DataFrame = {
+    val hot = facts.groupBy(factKey).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc(factKey))
+      .limit(HotK)
+      .collect().map(_.getLong(0)).sorted
+    val saltExpr = expr(
+      s"""cast(conv(substring(md5(concat('salt|', cast($saltBy as string))),
+         |  1, 12), 16, 10) as bigint) % $SaltFactor""".stripMargin)
+    val factsHot = facts.filter(col(factKey).isin(hot: _*))
+      .withColumn("salt", saltExpr)
+    val dimHot = dim.filter(col(dimKey).isin(hot: _*))
+      .withColumn("salt",
+        explode(expr(s"sequence(0L, ${SaltFactor - 1}L)")))
+    val hotJoined = factsHot
+      .join(dimHot, col(factKey) === col(dimKey) &&
+        factsHot("salt") === dimHot("salt"))
+      .drop("salt")
+    val coldJoined = facts.filter(!col(factKey).isin(hot: _*))
+      .join(dim.filter(!col(dimKey).isin(hot: _*)),
+        col(factKey) === col(dimKey))
+    hotJoined.unionByName(coldJoined)
+  }
+
+  /** K64 gate query — orders salted-joined to customer, aggregated
+    * per market segment. The oracle is the PLAIN join + group-by:
+    * hash equality proves the salting transform changed the
+    * execution and nothing else.
+    */
+  def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .filter(col("o_custkey").isNotNull)
+    val c = Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment")
+    salted(o, c, "o_custkey", "c_custkey", "o_orderkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        Fp.dsum2(col("o_totalprice")).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  override def queries: Map[String, Q] = Map(
+    "q_skew_join_salted" -> (saltedJoinAgg _))
+
+  override def oracles: Map[String, String] = Map(
+    "q_skew_join_salted" ->
+      s"""SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  ${Fp.sqlSum2("o_totalprice")} AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_custkey IS NOT NULL
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+}

@@ -124,8 +124,10 @@ object SnapshotDiff extends QueryModule {
         "old_price", "new_price", "old_status", "new_status",
         "old_date", "new_date")
 
-  /** The carved wide diff — shared input of the apply/SCD2 faces. */
-  private def carvedDiffWide(spark: SparkSession, dir: String)
+  /** The carved wide diff — shared input of the apply/SCD2 faces and
+    * the versioned store's gate fixture ([[SnapshotStore.prebuild]]).
+    */
+  private[relational] def carvedDiffWide(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val (old, neu) = carved(Tables.orders(spark, dir))
     (old, classifiedWide(asOld(old).join(asNew(neu),

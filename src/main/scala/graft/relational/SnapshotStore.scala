@@ -1,0 +1,188 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryModule
+import graft.sources.Tables
+
+/** K65 — a VERSIONED snapshot store: the K60 apply made durable. The
+  * reference re-publishes whole tables per load (etl/main.py:75-96 +
+  * load_modes full-refresh); a lake deployment keeps the table as a
+  * version chain — each load lands as a new version built from the
+  * prior one plus the churn-sized change feed, old versions stay
+  * readable (time travel), and readers never see a half-applied load.
+  * This is the table-format kernel (Delta/Iceberg's core loop)
+  * reduced to its two invariants:
+  *
+  *  - ATOMIC VISIBILITY — versions live under `v=<n>/`; the only
+  *    mutable state is the tiny `_current` pointer file, committed by
+  *    write-temp + rename (atomic on a POSIX/HDFS namespace). A crash
+  *    mid-apply leaves a dangling `v=<n+1>/` directory that no reader
+  *    can reach — the pointer still names the old version — and the
+  *    next apply overwrites it;
+  *  - CHURN-SIZED WRITES stay the [[SnapshotDiff.applyDiff]] plan
+  *    (anti join + upsert union); only the NEW version's rows are
+  *    written, never a rewrite of history.
+  *
+  * Idempotent ingestion: [[applyDiffOnce]] guards by batch-id marker
+  * (the SketchStore at-least-once discipline) — a re-delivered diff
+  * batch is a no-op, because the bare apply is NOT idempotent (re-
+  * unioning insert images duplicates them).
+  */
+object SnapshotStore extends QueryModule {
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+
+  private def pointer(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/_current")
+
+  private def commitPointer(spark: SparkSession, dir: String,
+      v: Long): Unit = {
+    val fs = fsOf(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_current_tmp")
+    val out = fs.create(tmp, true)
+    out.write(v.toString.getBytes("UTF-8"))
+    out.close()
+    fs.delete(pointer(dir), false)
+    fs.rename(tmp, pointer(dir))
+    ()
+  }
+
+  /** The visible version, 0 if the store is uninitialized. */
+  def currentVersion(spark: SparkSession, dir: String): Long = {
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(pointer(dir))) 0L
+    else {
+      val in = fs.open(pointer(dir))
+      val s = scala.io.Source.fromInputStream(in).mkString.trim
+      in.close()
+      s.toLong
+    }
+  }
+
+  /** Initialize the chain: the full first load lands as v=1. */
+  def init(snapshot: DataFrame, dir: String): Unit = {
+    snapshot.write.mode("overwrite").parquet(s"$dir/v=1")
+    commitPointer(snapshot.sparkSession, dir, 1L)
+  }
+
+  /** Time travel: any committed version reads with an explicit
+    * schema (the snapshot carries the orders-subset columns).
+    */
+  def readAt(spark: SparkSession, dir: String, v: Long): DataFrame =
+    spark.read
+      .schema("o_orderkey BIGINT, o_totalprice DOUBLE, " +
+        "o_orderstatus STRING, o_orderdate TIMESTAMP")
+      .parquet(s"$dir/v=$v")
+
+  def readCurrent(spark: SparkSession, dir: String): DataFrame =
+    readAt(spark, dir, currentVersion(spark, dir))
+
+  /** Apply a wide change feed ([[SnapshotDiff.classifiedWide]]
+    * columns) to the current version, landing v+1 and swinging the
+    * pointer. The write happens BEFORE the pointer commit, so
+    * readers see old-or-new, never a mix.
+    */
+  def applyDiff(spark: SparkSession, dir: String,
+      diffWide: DataFrame): Long = {
+    val v = currentVersion(spark, dir)
+    require(v > 0, s"snapshot store at $dir is uninitialized")
+    val next = v + 1
+    SnapshotDiff.applyDiff(readAt(spark, dir, v), diffWide)
+      .write.mode("overwrite").parquet(s"$dir/v=$next")
+    commitPointer(spark, dir, next)
+    next
+  }
+
+  /** [[applyDiff]] guarded by a batch-id marker — the idempotent
+    * entry point for an at-least-once stream of change feeds (the
+    * streaming face's foreachBatch sink): a re-delivered batch id is
+    * a no-op. Marker lands AFTER the pointer commit; the residual
+    * window (crash between pointer and marker → one replayed apply)
+    * re-applies the SAME diff to the new version, which for a replay
+    * of delete/update images is harmless but duplicates insert
+    * images — the same narrowest-window trade upsertBatchOnce
+    * documents, closable only by a transactional manifest.
+    */
+  def applyDiffOnce(spark: SparkSession, dir: String,
+      diffWide: DataFrame, batchId: Long): Unit = {
+    val fs = fsOf(spark, dir)
+    val m = new org.apache.hadoop.fs.Path(s"$dir/_applied/$batchId")
+    if (fs.exists(m)) return
+    applyDiff(spark, dir, diffWide)
+    fs.mkdirs(m)
+    ()
+  }
+
+  /** VACUUM — drop versions older than `retain` behind the current
+    * one (the storage-reclaim half of the version chain; Delta's
+    * VACUUM, Iceberg's expire_snapshots). Only versions STRICTLY
+    * below current − retain are removed, so the current version and
+    * its `retain` predecessors stay time-travelable; the pointer is
+    * never touched, so visibility is unaffected at any crash point
+    * (a half-finished vacuum just leaves some expired versions on
+    * disk for the next pass).
+    */
+  def vacuum(spark: SparkSession, dir: String, retain: Long = 1L): Unit = {
+    val cur = currentVersion(spark, dir)
+    val fs = fsOf(spark, dir)
+    val keepFrom = cur - retain
+    val status = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+    for (st <- status; name = st.getPath.getName
+         if name.startsWith("v=") && name.drop(2).toLong < keepFrom)
+      fs.delete(st.getPath, true)
+    ()
+  }
+
+  // --- driver-query face ---------------------------------------------
+
+  private[relational] def storeDirFor(sfDir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_snapstore_$h"
+  }
+
+  private val savedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private[graft] def clearCacheForBench(): Unit = savedCache.clear()
+
+  /** Build the two-version chain for the gate: v1 = the carved OLD
+    * snapshot, v2 = v1 + the carved diff (bench bills this as the
+    * `snapshot_store` build).
+    */
+  def prebuild(spark: SparkSession, dir: String): String =
+    savedCache.synchronized {
+      savedCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+      savedCache.getOrElseUpdate((spark, dir), {
+        val p = storeDirFor(dir)
+        // a bench re-run must rebuild the chain from scratch: drop
+        // any prior chain so v numbers stay deterministic
+        val fs = fsOf(spark, p)
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+        val (old, diff) = SnapshotDiff.carvedDiffWide(spark, dir)
+        init(old, p)
+        applyDiffOnce(spark, p, diff, 1L)
+        p
+      })
+    }
+
+  /** K65 gate query — read the CURRENT version back from the landed
+    * chain. The oracle is the K60 apply oracle VERBATIM (the
+    * persisted-lifecycle discipline: a stored round-trip must serve
+    * exactly what the in-session apply produces), so the hash gate
+    * proves init → apply → pointer swing → read reconstructs the new
+    * snapshot from durable state.
+    */
+  def storeServeQ(spark: SparkSession, dir: String): DataFrame =
+    readCurrent(spark, prebuild(spark, dir)).orderBy("o_orderkey")
+
+  override def queries: Map[String, Q] = Map(
+    "snapshot_store_serve" -> (storeServeQ _))
+
+  override def oracles: Map[String, String] = Map(
+    "snapshot_store_serve" -> SnapshotDiff.oracles("snapshot_apply"))
+}

@@ -451,4 +451,30 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.relational.SketchStore.upsertBatchOnce(batch, path, batchId)
       }
+
+  /** J17 — the CDC CONSUMER face closing the streaming arc J16
+    * opened: the change feed classified against the static old
+    * snapshot (the J16 algebra, WIDE — it must carry the full new
+    * images to reconstruct rows) lands idempotently in a versioned
+    * [[graft.relational.SnapshotStore]] via foreachBatch, each
+    * micro-batch becoming one store version (the at-least-once
+    * replay guard is the store's batch-id marker). Same honest
+    * contract as J16: a row-by-row stream never observes deletes, so
+    * the store converges to old ∘ (inserts ∪ updates) — spec-pinned
+    * bit-equal to the batch apply over the delete-free diff.
+    */
+  def snapshotDiffStreamWide(newRows: DataFrame, old: DataFrame): DataFrame =
+    graft.relational.SnapshotDiff.classifiedWide(
+      graft.relational.SnapshotDiff.asNew(newRows).join(
+        graft.relational.SnapshotDiff.asOld(old),
+        col("k_new") === col("k_old"), "left"))
+
+  def snapshotApplyStream(diffWide: DataFrame, storeDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    diffWide.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.relational.SnapshotStore.applyDiffOnce(
+          batch.sparkSession, storeDir, batch, batchId)
+      }
 }

@@ -1,0 +1,82 @@
+package graft.relational
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Pins the versioned-store invariants the snapshot_store_serve hash
+  * gate can't see: time travel, atomic pointer visibility, and
+  * batch-id idempotence.
+  */
+class SnapshotStoreSpec extends SparkSpec {
+
+  private def fixture(): (String,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val d = Files.createTempDirectory("graft_snapstore_spec").toString + "/st"
+    val (old, diff) = SnapshotDiff.carvedDiffWide(spark, sf)
+    SnapshotStore.init(old, d)
+    (d, old, diff)
+  }
+
+  test("init lands v1; apply lands v2; v1 stays readable (time travel)") {
+    val (d, old, diff) = fixture()
+    assert(SnapshotStore.currentVersion(spark, d) == 1L)
+    val v2 = SnapshotStore.applyDiff(spark, d, diff)
+    assert(v2 == 2L && SnapshotStore.currentVersion(spark, d) == 2L)
+    // time travel: the old version is untouched by the apply
+    val v1 = SnapshotStore.readAt(spark, d, 1L)
+    assert(v1.count() == old.count())
+    assert(v1.exceptAll(old).isEmpty && old.exceptAll(v1).isEmpty)
+    // current == the in-session apply, bit-for-bit
+    val expect = SnapshotDiff.applyDiff(old, diff)
+    val cur = SnapshotStore.readCurrent(spark, d)
+    assert(cur.count() == expect.count())
+    assert(cur.exceptAll(expect).isEmpty && expect.exceptAll(cur).isEmpty)
+  }
+
+  test("a dangling version directory is invisible until the pointer commits") {
+    val (d, old, _) = fixture()
+    // simulate a crash mid-apply: v=2 written, pointer never swung
+    old.limit(10).write.parquet(s"$d/v=2")
+    assert(SnapshotStore.currentVersion(spark, d) == 1L)
+    val cur = SnapshotStore.readCurrent(spark, d)
+    assert(cur.count() == old.count(), "reader saw the uncommitted version")
+  }
+
+  test("applyDiffOnce: a re-delivered batch id is a no-op") {
+    val (d, _, diff) = fixture()
+    SnapshotStore.applyDiffOnce(spark, d, diff, 7L)
+    assert(SnapshotStore.currentVersion(spark, d) == 2L)
+    val snap = SnapshotStore.readCurrent(spark, d).collect().toSet
+    // the bare apply is NOT idempotent (re-unioned insert images
+    // would duplicate) — the marker must make the replay a no-op
+    SnapshotStore.applyDiffOnce(spark, d, diff, 7L)
+    assert(SnapshotStore.currentVersion(spark, d) == 2L)
+    assert(SnapshotStore.readCurrent(spark, d).collect().toSet == snap)
+    // a NEW batch id applies (and version advances)
+    SnapshotStore.applyDiffOnce(spark, d,
+      diff.filter(org.apache.spark.sql.functions.col("kind") === "update"),
+      8L)
+    assert(SnapshotStore.currentVersion(spark, d) == 3L)
+  }
+
+  test("vacuum expires only versions behind the retention window") {
+    val (d, _, diff) = fixture()
+    SnapshotStore.applyDiffOnce(spark, d, diff, 1L) // v2
+    SnapshotStore.applyDiffOnce(spark, d,
+      diff.filter(org.apache.spark.sql.functions.col("kind") === "update"),
+      2L) // v3
+    val cur = SnapshotStore.readCurrent(spark, d).collect().toSet
+    SnapshotStore.vacuum(spark, d, retain = 1L)
+    // v1 expired; v2 (the one retained predecessor) and v3 survive
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$d/v=1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$d/v=2")))
+    assert(SnapshotStore.currentVersion(spark, d) == 3L)
+    assert(SnapshotStore.readCurrent(spark, d).collect().toSet == cur,
+      "vacuum changed what readers see")
+    assert(SnapshotStore.readAt(spark, d, 2L).count() > 0)
+  }
+}

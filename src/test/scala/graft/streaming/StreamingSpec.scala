@@ -633,4 +633,49 @@ class StreamingSpec extends SparkSpec {
       .filter(col("kind") === "delete").count() ==
       oldRows.length - feed.count(t => oldRows.exists(_.getLong(0) == t._1)))
   }
+
+  test("J17 snapshot apply stream: the store converges to old ∘ (inserts ∪ updates)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (old0, neu) = graft.relational.SnapshotDiff.carved(
+      graft.sources.Tables.orders(spark, sf))
+    val old = old0.localCheckpoint(true)
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_snapstore_stream").toString + "/st"
+    graft.relational.SnapshotStore.init(old, storeDir)
+    val feed = neu.collect().map(r => (r.getLong(0), r.getDouble(1),
+      r.getString(2), r.getAs[java.time.LocalDateTime](3)))
+    val mem = MemoryStream[(Long, Double, String, java.time.LocalDateTime)]
+    val q = Streaming.snapshotApplyStream(
+      Streaming.snapshotDiffStreamWide(
+        mem.toDF().toDF("o_orderkey", "o_totalprice", "o_orderstatus",
+          "o_orderdate"),
+        old),
+      storeDir).start()
+    mem.addData(feed.take(feed.length / 2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(feed.drop(feed.length / 2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // each micro-batch landed as one version: init + 2 applies
+    assert(graft.relational.SnapshotStore
+      .currentVersion(spark, storeDir) == 3L)
+    // the store converges to the batch apply over the DELETE-FREE
+    // diff (the J16 honest contract: absence never arrives)
+    val wideDiff = graft.relational.SnapshotDiff.classifiedWide(
+      graft.relational.SnapshotDiff.asOld(old).join(
+        graft.relational.SnapshotDiff.asNew(neu),
+        col("k_old") === col("k_new"), "full_outer"))
+      .filter(col("kind") =!= "delete")
+    val expect = graft.relational.SnapshotDiff.applyDiff(old, wideDiff)
+    val got = graft.relational.SnapshotStore.readCurrent(spark, storeDir)
+    assert(got.count() == expect.count())
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    // an at-least-once replay of an already-applied micro-batch id
+    // is a no-op (the store's marker guard)
+    graft.relational.SnapshotStore.applyDiffOnce(spark, storeDir,
+      wideDiff, 1L)
+    assert(graft.relational.SnapshotStore
+      .currentVersion(spark, storeDir) == 3L)
+  }
 }
