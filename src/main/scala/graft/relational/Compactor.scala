@@ -60,6 +60,26 @@ object Compactor extends QueryModule {
     ()
   }
 
+  /** K54's write-path executor — the nightly LOAD that obeys the
+    * layout plan: day-partitioned (the [[graft.etl.Clean
+    * .loadPartitioned]] pruning layout) with `maxRecordsPerFile` set
+    * to [[Sketches.WriteTargetRows]], so each day directory lands
+    * exactly the `n_files = ceil(rows/target)` files the K54 plan
+    * prescribes (spec-pinned per day) instead of one file per
+    * writing task. This is the PREVENTIVE half of the small-file
+    * story — [[execute]] is the corrective half for layouts that
+    * fragmented anyway.
+    */
+  def writePlanned(events: DataFrame, dstPath: String): Unit = {
+    events.filter(col("ts").isNotNull)
+      .withColumn("day", to_date(col("ts")))
+      .repartition(col("day"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", Sketches.WriteTargetRows)
+      .partitionBy("day").parquet(dstPath)
+    ()
+  }
+
   /** The compacted layout, read with an EXPLICIT schema (partition
     * inference would type the `grp=` directories INT where the cut
     * algebra carries LONG — the IndexStore.loadLists lesson).

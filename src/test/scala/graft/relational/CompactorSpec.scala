@@ -75,6 +75,44 @@ class CompactorSpec extends SparkSpec {
       "compacted layout still has small partitions")
   }
 
+  test("writePlanned lands exactly the K54 plan's n_files per day") {
+    val d = Files.createTempDirectory("graft_write_planned").toString + "/ev"
+    Compactor.writePlanned(Tables.events(spark, sf), d)
+    val plan = Sketches.partitionLayoutPlan(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("n_files")).toMap
+    val root = new java.io.File(d)
+    val dirs = root.listFiles().filter(_.getName.startsWith("day="))
+    assert(dirs.length == plan.size)
+    dirs.foreach { dd =>
+      val day = dd.getName.drop("day=".length)
+      val parts = dd.listFiles().count(_.getName.startsWith("part-"))
+      assert(parts.toLong == plan(day),
+        s"day $day landed $parts files, plan says ${plan(day)}")
+    }
+    // and the written rows round-trip
+    val src = Tables.events(spark, sf).filter(col("ts").isNotNull)
+    assert(spark.read.parquet(d).count() == src.count())
+    // multi-file case: amplify the corpus past the per-file target so
+    // ceil(rows/target) > 1, and the file count still obeys the plan
+    val big = (1 to 40).map(_ => src).reduce(_.unionByName(_))
+    val d2 = Files.createTempDirectory("graft_write_planned2").toString + "/ev"
+    Compactor.writePlanned(big, d2)
+    val plan2 = Sketches.layoutOf(
+      big.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_rows")), "day").collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("n_files")).toMap
+    assert(plan2.values.exists(_ > 1L), "fixture must need multiple files")
+    new java.io.File(d2).listFiles().filter(_.getName.startsWith("day="))
+      .foreach { dd =>
+        val day = dd.getName.drop("day=".length)
+        val parts = dd.listFiles().count(_.getName.startsWith("part-"))
+        assert(parts.toLong == plan2(day),
+          s"day $day landed $parts files, plan says ${plan2(day)}")
+      }
+  }
+
   test("staged-swap commit: a crash prefix leaves old or new, never a mix") {
     val d = Files.createTempDirectory("graft_compact_crash").toString + "/ev"
     Compactor.execute(Tables.events(spark, sf), d)
