@@ -1,0 +1,314 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Fp, QueryModule}
+import graft.sources.Tables
+
+/** K66 — Bloom-filter SEMI-JOIN REDUCTION: the runtime-filter pattern
+  * (Spark's own InjectRuntimeFilter, Delta's dynamic file pruning)
+  * surfaced as an explicit, deterministic operator. The deployment
+  * story completes the join-acceleration trio the skew report opened:
+  * K53 diagnoses a join's key distribution, K64 salts the hot head,
+  * and this cuts the SHUFFLE VOLUME when the dim side is selective —
+  * at 100 TB, shuffling 80 TB of fact rows that a 32 KB filter could
+  * have dropped at the scan is the single largest avoidable cost in a
+  * selective star join.
+  *
+  * The filter is a classic (m, k) Bloom bitset, built DISTRIBUTED and
+  * DETERMINISTIC (unlike `DataFrameStatFunctions.bloomFilter`, whose
+  * driver-side sketch is seed-stable but opaque to an oracle):
+  *
+  *  - k = [[BloomK]] positions per key from the shared 48-bit md5
+  *    family (tags `bf0|`,`bf1|`), pos = h48 mod [[BloomBits]];
+  *  - the bitset builds as ONE map-side-combined aggregate — positions
+  *    group to 64-bit words by `bit_or` (idempotent, so duplicate dim
+  *    keys cost nothing), then ONE row assembles the dense
+  *    [[BloomWords]]-long word array (never a driver collect — the
+  *    array materializes inside the executors and broadcasts whole);
+  *  - the fact-side membership test is a codegen'd projection
+  *    (element_at + mask per hash), applied BEFORE the join shuffle.
+  *
+  * False positives are dropped by the real join that follows, so the
+  * transform is semantics-free — which is exactly what the
+  * `q_bloom_join` gate proves: its oracle is the PLAIN SQL join. The
+  * `bloom_join_stats` gate goes further and replays the BLOOM ITSELF
+  * cross-engine (positions → words → membership → fp/fn counts), so
+  * the bit algebra — not just the end result — is oracle-checked; its
+  * `n_fn` column is the no-false-negatives invariant as data.
+  *
+  * Scale shape: filter size is CONSTANT (32 KB at the default m) —
+  * independent of either side's row count; the build reads the dim
+  * side once map-side; the probe adds k md5s per fact row and removes
+  * (1 − selectivity − fp) of the shuffle. Reference has no join
+  * planner at all (pandas merges in memory, app/main.py); this is the
+  * operator its workload needs the day one table stops fitting.
+  */
+object BloomJoin extends QueryModule {
+
+  /** Filter bits: 2^18 = 32 KB of words — broadcast-trivial, and at
+    * n = 30k dim keys (sf0.1 fixture) the (m, k=2) false-positive
+    * rate lands ≈ 4%.
+    */
+  val BloomBits = 262144
+  val BloomWords: Int = BloomBits / 64
+  val BloomK = 2
+
+  private def posExpr(i: Int, key: String): String =
+    s"(${Sketches.h48(s"bf$i", key)} % $BloomBits)"
+
+  private def sqlPos(i: Int, key: String): String =
+    s"(${Sketches.sqlH48(s"bf$i", key)} % $BloomBits)"
+
+  /** The dense word array as a ONE-ROW frame (column `bf`), built
+    * fully inside the executors: explode k positions per dim key,
+    * bit_or into words (map-side combined), assemble the dense array
+    * from the sparse word map. An empty dim yields the all-zero
+    * array (which rejects every probe — the correct degenerate).
+    */
+  private[relational] def bloomOf(dim: DataFrame, dimKey: String): DataFrame = {
+    val positions = (0 until BloomK).map(i => expr(posExpr(i, dimKey)))
+    dim
+      .select(explode(array(positions: _*)).as("pos"))
+      .groupBy(expr("pos div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("bits"))
+      .agg(map_from_arrays(collect_list("w"), collect_list("bits")).as("m"))
+      .select(expr(
+        s"transform(sequence(0, ${BloomWords - 1}), " +
+          "i -> coalesce(m[cast(i as bigint)], 0L))").as("bf"))
+  }
+
+  /** Membership of `key` in the word-array column `bfCol`. */
+  private def memberCond(bfCol: String, key: String): Column =
+    (0 until BloomK).map { i =>
+      val p = posExpr(i, key)
+      expr(s"(element_at($bfCol, cast($p div 64 as int) + 1) & " +
+        s"shiftleft(1L, cast($p % 64 as int))) != 0")
+    }.reduce(_ && _)
+
+  /** `facts` filtered to rows whose `factKey` MIGHT appear in
+    * `dim.dimKey` — no false negatives, bounded false positives. The
+    * broadcast of the one-row filter frame happens before the fact
+    * shuffle, so the reduction lands where it pays.
+    */
+  def bloomFiltered(facts: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String): DataFrame =
+    facts.crossJoin(broadcast(bloomOf(dim, dimKey)))
+      .filter(memberCond("bf", factKey))
+      .drop("bf")
+
+  // --- gate fixture ----------------------------------------------------
+
+  private def dimOf(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+
+  private def factsOf(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_returnflag")
+
+  /** K66 gate — lineitem bloom-pre-filtered against the ~20%-selective
+    * urgent-orders dim, then plainly joined and aggregated. Oracle =
+    * the PLAIN join: hash equality proves the bloom pre-filter changed
+    * the execution and nothing else.
+    */
+  def bloomJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val dim = dimOf(spark, dir)
+    bloomFiltered(factsOf(spark, dir), "l_orderkey", dim, "o_orderkey")
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        Fp.dsum2(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** K66b gate — the filter's own effectiveness report, one row:
+    * facts seen / true matches / bloom passes / false positives /
+    * false negatives (the invariant: always 0) / fp rate among
+    * non-matching facts in ppm. The oracle REPLAYS the bloom bit
+    * algebra in SQL, so both engines agree on every bit of the
+    * filter, not merely on the joined result.
+    */
+  def bloomJoinStats(spark: SparkSession, dir: String): DataFrame = {
+    val dim = dimOf(spark, dir)
+    factsOf(spark, dir)
+      .crossJoin(broadcast(bloomOf(dim, "o_orderkey")))
+      .withColumn("pass", memberCond("bf", "l_orderkey"))
+      .join(dim, col("l_orderkey") === col("o_orderkey"), "left_outer")
+      .withColumn("is_match", col("o_orderkey").isNotNull)
+      .agg(count(lit(1)).as("n_facts"),
+        sum(when(col("is_match"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("pass") && !col("is_match"), 1L).otherwise(0L))
+          .as("n_fp"),
+        sum(when(!col("pass") && col("is_match"), 1L).otherwise(0L))
+          .as("n_fn"))
+      .withColumn("fp_ppm",
+        expr("(n_fp * 1000000) div nullif(n_facts - n_match, 0)"))
+      .select("n_facts", "n_match", "n_pass", "n_fp", "n_fn", "fp_ppm")
+  }
+
+  // --- K69: per-partition bloom index ----------------------------------
+
+  /** Per-PARTITION filter bits — sized like a parquet footer bloom:
+    * 2^15 bits = 512 words per day; at the sf0.1 fixture (~2-3k
+    * distinct users/day) the fp rate lands ~1-2%.
+    */
+  val BixBits = 32768
+  val BixWords: Int = BixBits / 64
+
+  private def bixPos(i: Int, key: String): String =
+    s"(${Sketches.h48(s"bi$i", key)} % $BixBits)"
+
+  private def sqlBixPos(i: Int, key: String): String =
+    s"(${Sketches.sqlH48(s"bi$i", key)} % $BixBits)"
+
+  /** K69 gate — the per-partition BLOOM INDEX report: what POINT-probe
+    * pruning the day layout buys a reader (the complement of K56's
+    * zone maps, which answer RANGE pruning on the sort column — a
+    * point lookup on a non-layout column like user_id prunes only
+    * through per-partition blooms, which is exactly what parquet
+    * footer bloom filters and Delta's bloom index are). Per day
+    * partition: rows, exact distinct users, the bloom's set-bit count
+    * and fill ppm, whether a deterministic probe user (the global min
+    * user_id) is actually present, and whether the bloom lets the
+    * reader SKIP the partition. A `present ∧ can_skip` row would be a
+    * false negative — the invariant the spec pins and the gate hashes
+    * (the fp case, `¬present ∧ ¬can_skip`, is visible as data).
+    *
+    * Scale shape: the per-day word grid builds in ONE explode +
+    * map-side-combined groupBy (O(days × words) state); the stats
+    * branch is one more pass; everything downstream runs on the
+    * O(days)-row metadata frame. The probe user is a broadcast 1-row
+    * aggregate, never a collect.
+    */
+  def bloomIndexReport(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val probe = ev.agg(min("user_id").as("probe_user"))
+    val positions = (0 until BloomK).map(i => expr(bixPos(i, "user_id")))
+    val words = ev
+      .select(col("day"), explode(array(positions: _*)).as("pos"))
+      .groupBy(col("day"), expr("pos div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("bits"))
+    val perDayBloom = words
+      .crossJoin(broadcast(probe))
+      .groupBy("day")
+      .agg(sum(expr("bit_count(bits)")).as("n_bits_set"),
+        // boolean-ize BEFORE max: a bit-63 mask makes `bits & mask`
+        // negative in two's-complement longs, and max() would prefer
+        // the 0 of a non-probe word over the set bit
+        max(expr(s"""case when w = ${bixPos(0, "probe_user")} div 64
+          | and (bits & shiftleft(1L,
+          |   cast(${bixPos(0, "probe_user")} % 64 as int))) != 0
+          | then 1L else 0L end""".stripMargin)).as("m0"),
+        max(expr(s"""case when w = ${bixPos(1, "probe_user")} div 64
+          | and (bits & shiftleft(1L,
+          |   cast(${bixPos(1, "probe_user")} % 64 as int))) != 0
+          | then 1L else 0L end""".stripMargin)).as("m1"))
+      .withColumn("can_skip", !(col("m0") === 1L && col("m1") === 1L))
+      .drop("m0", "m1")
+    val perDayStats = ev
+      .crossJoin(broadcast(probe))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct("user_id").as("n_users"),
+        max(when(col("user_id") === col("probe_user"), 1L).otherwise(0L))
+          .as("present_i"),
+        max("probe_user").as("probe_user"))
+      .withColumn("present", col("present_i") === 1L)
+      .drop("present_i")
+    perDayStats.join(perDayBloom, "day")
+      .withColumn("fill_ppm",
+        expr(s"(n_bits_set * 1000000) div $BixBits"))
+      .select("day", "n_rows", "n_users", "n_bits_set", "fill_ppm",
+        "probe_user", "present", "can_skip")
+      .orderBy("day")
+  }
+
+  override def queries: Map[String, Q] = Map(
+    "q_bloom_join" -> (bloomJoinAgg _),
+    "bloom_join_stats" -> (bloomJoinStats _),
+    "bloom_index_report" -> (bloomIndexReport _))
+
+  override def oracles: Map[String, String] = Map(
+    "q_bloom_join" ->
+      s"""SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  ${Fp.sqlSum2("l_extendedprice")} AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "bloom_join_stats" ->
+      s"""WITH dimk AS (SELECT o_orderkey AS k FROM orders
+        |    WHERE o_orderpriority = '1-URGENT'),
+        |pos AS (SELECT ${sqlPos(0, "k")} AS pos FROM dimk
+        |  UNION ALL SELECT ${sqlPos(1, "k")} FROM dimk),
+        |-- HUGEINT: DuckDB range-checks BIGINT << 63; int128 carries the
+        |-- same low-64 bit pattern Spark's wrapping long shift produces
+        |words AS (SELECT pos // 64 AS w,
+        |    bit_or((1::HUGEINT) << CAST(pos % 64 AS INT)) AS bits
+        |  FROM pos GROUP BY 1),
+        |f AS (SELECT l_orderkey AS k,
+        |    ${sqlPos(0, "l_orderkey")} AS p0,
+        |    ${sqlPos(1, "l_orderkey")} AS p1
+        |  FROM lineitem),
+        |chk AS (SELECT f.k,
+        |    (COALESCE(w0.bits, 0) & ((1::HUGEINT) << CAST(f.p0 % 64 AS INT)))
+        |      <> 0
+        |    AND
+        |    (COALESCE(w1.bits, 0) & ((1::HUGEINT) << CAST(f.p1 % 64 AS INT)))
+        |      <> 0 AS pass,
+        |    dimk.k IS NOT NULL AS is_match
+        |  FROM f
+        |  LEFT JOIN words w0 ON w0.w = f.p0 // 64
+        |  LEFT JOIN words w1 ON w1.w = f.p1 // 64
+        |  LEFT JOIN dimk ON dimk.k = f.k)
+        |SELECT CAST(count(*) AS BIGINT) AS n_facts,
+        |  CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_match,
+        |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(sum(CASE WHEN pass AND NOT is_match THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_fp,
+        |  CAST(sum(CASE WHEN NOT pass AND is_match THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_fn,
+        |  CAST((sum(CASE WHEN pass AND NOT is_match THEN 1 ELSE 0 END)
+        |      * 1000000)
+        |    // nullif(count(*) - sum(CASE WHEN is_match THEN 1 ELSE 0 END),
+        |        0) AS BIGINT) AS fp_ppm
+        |FROM chk""".stripMargin,
+    "bloom_index_report" ->
+      s"""WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |probe AS (SELECT min(user_id) AS probe_user FROM ev),
+        |pos AS (SELECT day, ${sqlBixPos(0, "user_id")} AS pos FROM ev
+        |  UNION ALL SELECT day, ${sqlBixPos(1, "user_id")} FROM ev),
+        |words AS (SELECT day, pos // 64 AS w,
+        |    bit_or((1::HUGEINT) << CAST(pos % 64 AS INT)) AS bits
+        |  FROM pos GROUP BY 1, 2),
+        |pdb AS (SELECT day,
+        |    CAST(sum(bit_count(bits)) AS BIGINT) AS n_bits_set,
+        |    max(CASE WHEN w = ${sqlBixPos(0, "probe_user")} // 64
+        |      AND (bits & ((1::HUGEINT)
+        |        << CAST(${sqlBixPos(0, "probe_user")} % 64 AS INT))) <> 0
+        |      THEN 1 ELSE 0 END) AS m0,
+        |    max(CASE WHEN w = ${sqlBixPos(1, "probe_user")} // 64
+        |      AND (bits & ((1::HUGEINT)
+        |        << CAST(${sqlBixPos(1, "probe_user")} % 64 AS INT))) <> 0
+        |      THEN 1 ELSE 0 END) AS m1
+        |  FROM words CROSS JOIN probe GROUP BY day),
+        |pds AS (SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    max(CASE WHEN user_id = probe_user THEN 1 ELSE 0 END) = 1
+        |      AS present,
+        |    max(probe_user) AS probe_user
+        |  FROM ev CROSS JOIN probe GROUP BY day)
+        |SELECT s.day, s.n_rows, s.n_users, b.n_bits_set,
+        |  CAST((b.n_bits_set * 1000000) // $BixBits AS BIGINT) AS fill_ppm,
+        |  s.probe_user, s.present,
+        |  NOT (b.m0 = 1 AND b.m1 = 1) AS can_skip
+        |FROM pds s JOIN pdb b USING (day)
+        |ORDER BY day""".stripMargin)
+}

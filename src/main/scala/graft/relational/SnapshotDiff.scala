@@ -249,9 +249,10 @@ object SnapshotDiff extends QueryModule {
     "snapshot_scd2" -> (snapshotScd2 _))
 
   /** The diff CTE chain (through the churn-filtered, mask-carrying
-    * `dd`) shared by the K58 row-level oracle and the K59 summary.
+    * `dd`) shared by the K58 row-level oracle, the K59 summary, and
+    * the store faces ([[SnapshotStore]] time travel / table_changes).
     */
-  private def diffCtes: String =
+  private[relational] def diffCtes: String =
     s"""WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus,
       |    o_orderdate, $sqlCoin AS c FROM orders),
       |old AS (SELECT o_orderkey AS k_old, o_totalprice AS old_price,

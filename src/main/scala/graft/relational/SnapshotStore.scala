@@ -180,9 +180,44 @@ object SnapshotStore extends QueryModule {
   def storeServeQ(spark: SparkSession, dir: String): DataFrame =
     readCurrent(spark, prebuild(spark, dir)).orderBy("o_orderkey")
 
+  /** K67 gate query — TIME TRAVEL: read version 1 back from the
+    * landed chain AFTER the apply landed v2 and swung the pointer.
+    * The oracle is the carved OLD snapshot, so the hash gate proves
+    * history stayed bit-intact under a later write (the invariant
+    * vacuum's retention window exists to protect).
+    */
+  def storeTravelQ(spark: SparkSession, dir: String): DataFrame =
+    readAt(spark, prebuild(spark, dir), 1L)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate")
+      .orderBy("o_orderkey")
+
+  /** K68 gate query — TABLE_CHANGES between two LANDED versions (the
+    * Delta `table_changes` / Iceberg changelog read): the K58 diff
+    * algebra replayed over v1 and v2 as read from disk. The oracle is
+    * the in-session K58 diff oracle VERBATIM — the persisted-lifecycle
+    * discipline: a change feed served from durable state must equal
+    * the diff of the snapshots it was built from.
+    */
+  def storeChangesQ(spark: SparkSession, dir: String): DataFrame = {
+    val p = prebuild(spark, dir)
+    SnapshotDiff.classified(
+      SnapshotDiff.asOld(readAt(spark, p, 1L))
+        .join(SnapshotDiff.asNew(readAt(spark, p, 2L)),
+          col("k_old") === col("k_new"), "full_outer"))
+      .orderBy("o_orderkey")
+  }
+
   override def queries: Map[String, Q] = Map(
-    "snapshot_store_serve" -> (storeServeQ _))
+    "snapshot_store_serve" -> (storeServeQ _),
+    "snapshot_store_travel" -> (storeTravelQ _),
+    "snapshot_store_changes" -> (storeChangesQ _))
 
   override def oracles: Map[String, String] = Map(
-    "snapshot_store_serve" -> SnapshotDiff.oracles("snapshot_apply"))
+    "snapshot_store_serve" -> SnapshotDiff.oracles("snapshot_apply"),
+    "snapshot_store_travel" -> (SnapshotDiff.diffCtes + """
+      |SELECT k_old AS o_orderkey, old_price AS o_totalprice,
+      |  old_status AS o_orderstatus, old_date AS o_orderdate
+      |FROM old
+      |ORDER BY o_orderkey""".stripMargin),
+    "snapshot_store_changes" -> SnapshotDiff.oracles("snapshot_diff"))
 }

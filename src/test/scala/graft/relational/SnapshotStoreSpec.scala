@@ -79,4 +79,25 @@ class SnapshotStoreSpec extends SparkSpec {
       "vacuum changed what readers see")
     assert(SnapshotStore.readAt(spark, d, 2L).count() > 0)
   }
+
+  test("table_changes from the landed chain equals the in-session diff") {
+    import org.apache.spark.sql.functions.col
+    val (d, old, diff) = fixture()
+    SnapshotStore.applyDiff(spark, d, diff)
+    val fromStore = SnapshotDiff.classified(
+      SnapshotDiff.asOld(SnapshotStore.readAt(spark, d, 1L))
+        .join(SnapshotDiff.asNew(SnapshotStore.readAt(spark, d, 2L)),
+          col("k_old") === col("k_new"), "full_outer"))
+    val (_, neu) = {
+      val o = Tables.orders(spark, sf)
+      SnapshotDiff.carved(o)
+    }
+    val inSession = SnapshotDiff.classified(
+      SnapshotDiff.asOld(old).join(SnapshotDiff.asNew(neu),
+        col("k_old") === col("k_new"), "full_outer"))
+    assert(fromStore.count() == inSession.count())
+    assert(fromStore.exceptAll(inSession).isEmpty &&
+      inSession.exceptAll(fromStore).isEmpty,
+      "changes served from durable versions diverge from the batch diff")
+  }
 }
