@@ -184,15 +184,27 @@ object BloomJoin extends QueryModule {
     * O(days)-row metadata frame. The probe user is a broadcast 1-row
     * aggregate, never a collect.
     */
+  /** The per-(day, word) bit grid from a (ts, user_id) event frame —
+    * the shared body of the batch report and the streaming face
+    * ([[graft.streaming.Streaming.bloomIndexStream]]): a plain
+    * groupBy-bit_or, so it runs in UPDATE mode on a stream with
+    * O(days × words) state; bit_or is idempotent AND monotone, so a
+    * re-delivered row is a no-op (the J12 register contract).
+    */
+  private[graft] def bloomIndexWords(events: DataFrame): DataFrame = {
+    val positions = (0 until BloomK).map(i => expr(bixPos(i, "user_id")))
+    events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .select(col("day"), explode(array(positions: _*)).as("pos"))
+      .groupBy(col("day"), expr("pos div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("bits"))
+  }
+
   def bloomIndexReport(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("user_id"))
     val probe = ev.agg(min("user_id").as("probe_user"))
-    val positions = (0 until BloomK).map(i => expr(bixPos(i, "user_id")))
-    val words = ev
-      .select(col("day"), explode(array(positions: _*)).as("pos"))
-      .groupBy(col("day"), expr("pos div 64").as("w"))
-      .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("bits"))
+    val words = bloomIndexWords(Tables.events(spark, dir))
     val perDayBloom = words
       .crossJoin(broadcast(probe))
       .groupBy("day")

@@ -1,0 +1,155 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryModule
+import graft.sources.Tables
+
+/** K70 — the JOIN STRATEGY ADVISOR: the decision table a cost-based
+  * planner derives from the diagnostics this engine already gates,
+  * closing the ANALYZE→plan arc as one queryable operator. Every
+  * input is an operator that exists on its own (K53's key-skew form,
+  * K52's cardinalities, the K38/K66 bloom economics, K64's salt
+  * trigger); this composes them into the action a deployment actually
+  * takes per join:
+  *
+  *  - `broadcast` when the dim side is small ([[BroadcastRows]]) —
+  *    no shuffle at all;
+  *  - else `bloom` when the dim is SELECTIVE against the fact keys
+  *    ([[BloomSelPpm]]): a constant-size filter drops most fact rows
+  *    before they shuffle (K66's executor);
+  *  - else `salt` when the fact key is skewed ([[SaltSkewX100]], the
+  *    K53 skew form — max key's multiple of a uniform share): spread
+  *    the hot head (K64's executor). Bloom outranks salt because the
+  *    semi-join reduction is the cheaper transform and shrinks the
+  *    stage the salt would otherwise have to widen;
+  *  - else `shuffle`: the plain co-partitioned hash join is already
+  *    right.
+  *
+  * Thresholds here are REALISTIC (1000-row broadcast cap, ≤50%
+  * survivor selectivity, ≥3× uniform skew), and all four arms fire on
+  * the real gate corpus — no synthetic band needed: supplier/nation
+  * broadcast, the urgent-orders dim blooms, lineitem⋈orders salts
+  * (13-line max orders vs ~4 uniform = 3.19×), customer/part shuffle.
+  *
+  * Scale shape per candidate: ONE map-side-combined count-groupBy on
+  * the fact key (the K53 shape — survives the skew it measures), then
+  * everything else joins/aggregates on the O(ndv) key frame and the
+  * O(1) totals — never a fact×dim row join. At 100 TB the key frame
+  * is the expensive-but-linear pass a nightly ANALYZE amortizes; the
+  * sketch family (K35/K52) is the documented cheaper estimator when
+  * exact ndv passes are too dear.
+  */
+object JoinPlanner extends QueryModule {
+
+  val BroadcastRows = 1000L
+  val BloomSelPpm = 500000L
+  val SaltSkewX100 = 300L
+
+  /** (name, fact table, fact key, dim SQL producing one column `k`). */
+  private val candidates: Seq[(String, String, String, String)] = Seq(
+    ("cust_nation", "customer", "c_nationkey",
+      "SELECT n_nationkey AS k FROM nation"),
+    ("li_orders", "lineitem", "l_orderkey",
+      "SELECT o_orderkey AS k FROM orders"),
+    ("li_orders_urgent", "lineitem", "l_orderkey",
+      "SELECT o_orderkey AS k FROM orders " +
+        "WHERE o_orderpriority = '1-URGENT'"),
+    ("li_part", "lineitem", "l_partkey",
+      "SELECT p_partkey AS k FROM part"),
+    ("li_supplier", "lineitem", "l_suppkey",
+      "SELECT s_suppkey AS k FROM supplier"),
+    ("ord_customer", "orders", "o_custkey",
+      "SELECT c_custkey AS k FROM customer"))
+
+  /** The one-row decision frame for a (facts, dim) candidate. `dim`
+    * must be a unique-key frame (all candidates are key tables).
+    */
+  private[relational] def strategyOf(facts: DataFrame, factKey: String,
+      dim: DataFrame, name: String): DataFrame = {
+    val kc = facts.filter(col(factKey).isNotNull)
+      .groupBy(col(factKey).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val dk = dim.select(col("k")).withColumn("m", lit(1L))
+    val nd = dk.agg(count(lit(1)).as("n_dim"))
+    kc.join(dk, Seq("k"), "left_outer")
+      .agg(sum("cnt").as("n_fact"),
+        count(lit(1)).as("n_keys"),
+        max("cnt").as("max_key_cnt"),
+        sum(when(col("m").isNotNull, col("cnt")).otherwise(0L))
+          .as("n_match"))
+      .crossJoin(broadcast(nd))
+      .withColumn("skew_x100",
+        expr("(max_key_cnt * n_keys * 100) div n_fact"))
+      .withColumn("sel_ppm", expr("(n_match * 1000000) div n_fact"))
+      .withColumn("strategy",
+        when(col("n_dim") <= BroadcastRows, "broadcast")
+          .when(col("sel_ppm") <= BloomSelPpm, "bloom")
+          .when(col("skew_x100") >= SaltSkewX100, "salt")
+          .otherwise("shuffle"))
+      .withColumn("join_name", lit(name))
+      .select("join_name", "n_fact", "n_dim", "n_keys", "max_key_cnt",
+        "skew_x100", "sel_ppm", "strategy")
+  }
+
+  /** The Spark-side dim frames, same shapes as the oracle's dim SQL
+    * snippets (one column `k`, unique keys).
+    */
+  private def dimOf(spark: SparkSession, dir: String,
+      name: String): DataFrame = name match {
+    case "cust_nation" =>
+      Tables.table(spark, dir, "nation").select(col("n_nationkey").as("k"))
+    case "li_orders" =>
+      Tables.orders(spark, dir).select(col("o_orderkey").as("k"))
+    case "li_orders_urgent" =>
+      Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("k"))
+    case "li_part" =>
+      Tables.table(spark, dir, "part").select(col("p_partkey").as("k"))
+    case "li_supplier" =>
+      Tables.table(spark, dir, "supplier").select(col("s_suppkey").as("k"))
+    case "ord_customer" =>
+      Tables.customer(spark, dir).select(col("c_custkey").as("k"))
+  }
+
+  def joinStrategyPlan(spark: SparkSession, dir: String): DataFrame =
+    candidates.map { case (name, ft, fk, _) =>
+      strategyOf(Tables.table(spark, dir, ft), fk,
+        dimOf(spark, dir, name), name)
+    }.reduce(_.unionByName(_)).orderBy("join_name")
+
+  override def queries: Map[String, Q] = Map(
+    "join_strategy_plan" -> (joinStrategyPlan _))
+
+  private def sqlCand(name: String, ft: String, fk: String,
+      dimSql: String): String =
+    s"""SELECT '$name' AS join_name,
+      |  CAST(n_fact AS BIGINT) AS n_fact, CAST(n_dim AS BIGINT) AS n_dim,
+      |  CAST(n_keys AS BIGINT) AS n_keys,
+      |  CAST(max_key_cnt AS BIGINT) AS max_key_cnt,
+      |  CAST((max_key_cnt * n_keys * 100) // n_fact AS BIGINT)
+      |    AS skew_x100,
+      |  CAST((n_match * 1000000) // n_fact AS BIGINT) AS sel_ppm,
+      |  CASE WHEN n_dim <= $BroadcastRows THEN 'broadcast'
+      |       WHEN (n_match * 1000000) // n_fact <= $BloomSelPpm
+      |         THEN 'bloom'
+      |       WHEN (max_key_cnt * n_keys * 100) // n_fact >= $SaltSkewX100
+      |         THEN 'salt'
+      |       ELSE 'shuffle' END AS strategy
+      |FROM (SELECT sum(cnt) AS n_fact, count(*) AS n_keys,
+      |    max(cnt) AS max_key_cnt,
+      |    sum(CASE WHEN m THEN cnt ELSE 0 END) AS n_match
+      |  FROM (SELECT kc.cnt, dk.k IS NOT NULL AS m
+      |    FROM (SELECT $fk AS k, count(*) AS cnt FROM $ft
+      |          WHERE $fk IS NOT NULL GROUP BY 1) kc
+      |    LEFT JOIN ($dimSql) dk ON kc.k = dk.k))
+      |CROSS JOIN (SELECT count(*) AS n_dim FROM ($dimSql))""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "join_strategy_plan" ->
+      (candidates.map { case (name, ft, fk, dimSql) =>
+        sqlCand(name, ft, fk, dimSql)
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY join_name")))
+}

@@ -406,6 +406,22 @@ object Streaming {
   def cmsCounterStream(events: DataFrame): DataFrame =
     graft.relational.Sketches.cmsCounters(events)
 
+  /** J18 — streaming maintenance of the K69 per-partition BLOOM INDEX:
+    * the (day, word, bits) grid kept continuously in UPDATE mode, so
+    * point-probe pruning metadata is current the moment a row lands
+    * instead of waiting for the nightly footer rebuild. Same bounded
+    * state as J12 (O(days × [[graft.relational.BloomJoin.BixWords]])
+    * words at any volume) and the same delivery contract: bit_or is
+    * idempotent AND monotone, so at-least-once re-delivery is exactly
+    * a no-op and no watermark is needed. Words are bit-equal to the
+    * batch [[graft.relational.BloomJoin.bloomIndexWords]] because it
+    * IS the same body (spec-pinned); the report assembly (probe
+    * membership, fill, skippability) reads the grid on its own
+    * cadence — the J7/J12 lambda split.
+    */
+  def bloomIndexStream(events: DataFrame): DataFrame =
+    graft.relational.BloomJoin.bloomIndexWords(events)
+
   /** J14 — streaming face of K35/K40's KMV bottom-k state,
     * completing the streaming sketch trio's delivery-contract
     * spectrum: HLL registers merge by max (J12, idempotent), CMS

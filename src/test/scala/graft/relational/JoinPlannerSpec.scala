@@ -1,0 +1,60 @@
+package graft.relational
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the K70 decision algebra beyond the gate's hash: every arm
+  * reachable deterministically on synthetic frames, the documented
+  * bloom-over-salt precedence, and the skew lower bound.
+  */
+class JoinPlannerSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def facts(keys: Seq[Long]) = keys.toDF("fk")
+  private def dim(keys: Seq[Long]) = keys.toDF("k")
+
+  private def strat(factKeys: Seq[Long], dimKeys: Seq[Long]): String =
+    JoinPlanner.strategyOf(facts(factKeys), "fk", dim(dimKeys), "t")
+      .collect()(0).getAs[String]("strategy")
+
+  test("each arm fires on its synthetic fixture") {
+    // broadcast: tiny dim
+    assert(strat((1L to 50L), (1L to 10L)) == "broadcast")
+    // bloom: large dim, selective (10% of fact keys match)
+    val bigDim = (1L to JoinPlanner.BroadcastRows + 500L)
+    val factsSel = (1L to 1000L) ++ (100001L to 109000L)
+    assert(strat(factsSel, bigDim) == "bloom")
+    // salt: large dim, full containment, one hot key >= 3x uniform
+    val hot = Seq.fill(300)(7L)
+    val cold = (1L to 1200L)
+    assert(strat(cold ++ hot, bigDim) == "salt")
+    // shuffle: large dim, full containment, uniform key
+    assert(strat((1L to 1500L), bigDim) == "shuffle")
+  }
+
+  test("bloom outranks salt when a candidate is selective AND skewed") {
+    val bigDim = (1L to JoinPlanner.BroadcastRows + 500L)
+    // hot key 7 matches the dim, but 90% of fact ROWS miss the dim
+    val hot = Seq.fill(600)(7L)
+    val misses = (100001L to 105400L)
+    assert(strat(hot ++ misses, bigDim) == "bloom")
+  }
+
+  test("gate corpus exercises all four arms; skew is bounded below") {
+    // the arms are scale-dependent (sf0.001's dims all fall under the
+    // broadcast cap) — the all-four-arms fixture claim lives at the
+    // driver's gate SF
+    val rows = JoinPlanner.joinStrategyPlan(spark,
+      "/root/testdata/sf0.01").collect()
+    val strategies = rows.map(_.getAs[String]("strategy")).toSet
+    assert(strategies == Set("broadcast", "bloom", "salt", "shuffle"),
+      s"expected all four arms on the gate corpus, saw $strategies")
+    for (r <- rows) {
+      assert(r.getAs[Long]("skew_x100") >= 100L,
+        "max*ndv >= n_fact, so skew_x100 floors at 100")
+      assert(r.getAs[Long]("sel_ppm") <= 1000000L)
+    }
+  }
+}

@@ -487,6 +487,39 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && batch.keySet.map(_._1) == Set("view", "click"))
   }
 
+  test("J18 bloom index stream: update-mode words converge to batch, re-delivery is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.bloomIndexStream(mem.toDF())
+      .writeStream.format("memory").queryName("bix_words")
+      .outputMode("update").start()
+    val d1 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val d2 = Timestamp.valueOf("2024-01-02 10:00:00")
+    val evs = (1L to 40L).map(i => Event(i, if (i % 2 == 0) d1 else d2,
+      i % 13, "view", 1.0))
+    mem.addData(evs.take(20): _*)
+    q.processAllAvailable()
+    // re-deliver a prefix alongside the tail: bit_or is idempotent,
+    // so duplicate arrivals must not set any new bit
+    mem.addData(evs.drop(20) ++ evs.take(10): _*)
+    q.processAllAvailable()
+    q.stop()
+    // update-mode memory sink appends revisions; word values are
+    // monotone under OR (never under signed max — a new bit 63 turns
+    // the long negative), so fold revisions with bit_or
+    def wordsOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("day", "w").agg(expr("bit_or(bits)").as("bits"))
+        .collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2))
+        .toMap
+    val streamed = wordsOf(spark.table("bix_words"))
+    val batch = wordsOf(
+      graft.relational.BloomJoin.bloomIndexWords(evs.toDF()))
+    assert(streamed == batch && batch.nonEmpty)
+    assert(batch.keySet.map(_._1) == Set("2024-01-01", "2024-01-02"))
+  }
+
   test("J13 cms counter stream: exact under exactly-once, over-counts (never under) on re-delivery") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
