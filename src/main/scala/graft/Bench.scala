@@ -128,7 +128,12 @@ object Bench {
       // the two-version snapshot chain behind snapshot_store_serve:
       // v1 full write + the churn-sized apply + two pointer commits
       "snapshot_store" -> (() =>
-        { relational.SnapshotStore.prebuild(spark, sfDir); () }))
+        { relational.SnapshotStore.prebuild(spark, sfDir); () }),
+      // a SECOND chain + the per-version history rewrite behind
+      // snapshot_store_purged (the GDPR purge), billed here so the
+      // gate query times the serve, not the rewrite
+      "snapshot_store_purged" -> (() =>
+        { relational.SnapshotStore.prebuildPurged(spark, sfDir); () }))
     val queryFns = SparkEntry.queries.toSeq.sortBy(_._1)
     val bTimes = buildFns.map(_._1 -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
     val qTimes = queryFns.map(_._1 -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap

@@ -287,6 +287,20 @@ object SnapshotDiff extends QueryModule {
       |    old_price, new_price, old_status, new_status
       |  FROM d WHERE kind <> 'unchanged')""".stripMargin
 
+  /** [[diffCtes]] extended with the apply algebra (kept ∪ upserts) —
+    * shared by the K60 apply oracle, the K65 store serve, and the K71
+    * purged serve.
+    */
+  private[relational] def applyCtes: String = diffCtes + """,
+    |chg AS (SELECT o_orderkey FROM d WHERE kind IN ('delete','update')),
+    |kept AS (SELECT o.k_old AS o_orderkey, o.old_price AS o_totalprice,
+    |    o.old_status AS o_orderstatus, o.old_date AS o_orderdate
+    |  FROM old o LEFT JOIN chg ON o.k_old = chg.o_orderkey
+    |  WHERE chg.o_orderkey IS NULL),
+    |ups AS (SELECT o_orderkey, new_price AS o_totalprice,
+    |    new_status AS o_orderstatus, new_date AS o_orderdate
+    |  FROM d WHERE kind IN ('insert','update'))""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "snapshot_diff" -> (diffCtes + """
       |SELECT o_orderkey, kind, chg_mask,
@@ -307,15 +321,7 @@ object SnapshotDiff extends QueryModule {
     // the apply oracle REPLAYS the merge algebra (kept ∪ upserts)
     // from the diff CTE chain — never a bare SELECT FROM neu — so the
     // hash gate proves old ∘ diff reconstructs new
-    "snapshot_apply" -> (diffCtes + """,
-      |chg AS (SELECT o_orderkey FROM d WHERE kind IN ('delete','update')),
-      |kept AS (SELECT o.k_old AS o_orderkey, o.old_price AS o_totalprice,
-      |    o.old_status AS o_orderstatus, o.old_date AS o_orderdate
-      |  FROM old o LEFT JOIN chg ON o.k_old = chg.o_orderkey
-      |  WHERE chg.o_orderkey IS NULL),
-      |ups AS (SELECT o_orderkey, new_price AS o_totalprice,
-      |    new_status AS o_orderstatus, new_date AS o_orderdate
-      |  FROM d WHERE kind IN ('insert','update'))
+    "snapshot_apply" -> (applyCtes + """
       |SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderdate
       |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ups)
       |ORDER BY o_orderkey""".stripMargin),

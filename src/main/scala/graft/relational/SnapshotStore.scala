@@ -137,6 +137,58 @@ object SnapshotStore extends QueryModule {
     ()
   }
 
+  /** K71 — GDPR / right-to-be-forgotten PURGE: remove a key set from
+    * EVERY retained version of the chain. Time travel is a liability
+    * once the subject asks to be forgotten — vacuum only expires old
+    * versions, and the K60 apply only changes the NEWEST one; this is
+    * the one operation that must rewrite history (Delta/Iceberg pair
+    * DELETE with VACUUM for the same reason). Per retained version:
+    * one churn-agnostic LEFT ANTI join against the key set (broadcast
+    * when the request batch is small, which it is by nature), written
+    * to a staging dir and committed by the per-directory swap
+    * discipline (live→old, staging→live, drop old) — a crash prefix
+    * leaves every version either wholly old or wholly new, and the
+    * recovery guard at the top of each step rolls a half-swapped
+    * version back before rewriting it. The `_current` pointer is
+    * NEVER touched: purge changes content, not visibility.
+    *
+    * NOT idempotent-by-marker like [[applyDiffOnce]] — it is
+    * idempotent by ALGEBRA (anti join of an already-purged version
+    * removes nothing), so re-running a purge request is always safe
+    * (spec-pinned).
+    */
+  def purgeKeys(spark: SparkSession, dir: String, keys: DataFrame): Unit = {
+    val fs = fsOf(spark, dir)
+    // crash recovery FIRST — a half-swapped version is not in the
+    // live listing (its v=<n> dir was renamed away before the crash):
+    // roll every orphan _purge_old back, then list versions fresh
+    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName)
+    for (name <- entries if name.endsWith("_purge_old")) {
+      val live = new org.apache.hadoop.fs.Path(
+        s"$dir/${name.stripSuffix("_purge_old")}")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      if (!fs.exists(live)) fs.rename(old, live)
+      else fs.delete(old, true)
+    }
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.drop(2))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong).sorted
+    for (v <- versions) {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/v=$v")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/v=${v}_purge_old")
+      val staged = s"$dir/v=${v}_purge_staging"
+      readAt(spark, dir, v)
+        .join(broadcast(keys.select("o_orderkey")),
+          Seq("o_orderkey"), "left_anti")
+        .write.mode("overwrite").parquet(staged)
+      fs.rename(live, old)
+      fs.rename(new org.apache.hadoop.fs.Path(staged), live)
+      fs.delete(old, true)
+    }
+  }
+
   // --- driver-query face ---------------------------------------------
 
   private[relational] def storeDirFor(sfDir: String): String = {
@@ -147,8 +199,13 @@ object SnapshotStore extends QueryModule {
 
   private val savedCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
+  private val purgedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
 
-  private[graft] def clearCacheForBench(): Unit = savedCache.clear()
+  private[graft] def clearCacheForBench(): Unit = {
+    savedCache.clear()
+    purgedCache.clear()
+  }
 
   /** Build the two-version chain for the gate: v1 = the carved OLD
     * snapshot, v2 = v1 + the carved diff (bench bills this as the
@@ -180,6 +237,47 @@ object SnapshotStore extends QueryModule {
   def storeServeQ(spark: SparkSession, dir: String): DataFrame =
     readCurrent(spark, prebuild(spark, dir)).orderBy("o_orderkey")
 
+  /** The deterministic purge request: ~5% of order keys by the shared
+    * md5 coin (tag `prg`) — carved over the whole orders table, since
+    * purge requests arrive independently of which snapshot versions
+    * happen to contain the subject.
+    */
+  private val PurgeMod = 20L
+
+  private[relational] def purgeSet(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(expr(s"${Sketches.h48("prg", "o_orderkey")} % $PurgeMod = 0"))
+      .select("o_orderkey")
+
+  /** Build the two-version chain, then purge the carved key set from
+    * both versions (bench bills this as `builds.snapshot_store_purged`
+    * — its own chain, so the serve/travel/changes gates keep their
+    * unpurged fixture).
+    */
+  def prebuildPurged(spark: SparkSession, dir: String): String =
+    purgedCache.synchronized {
+      purgedCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+      purgedCache.getOrElseUpdate((spark, dir), {
+        val p = storeDirFor(dir) + "_prg"
+        val fs = fsOf(spark, p)
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+        val (old, diff) = SnapshotDiff.carvedDiffWide(spark, dir)
+        init(old, p)
+        applyDiffOnce(spark, p, diff, 1L)
+        purgeKeys(spark, p, purgeSet(spark, dir))
+        p
+      })
+    }
+
+  /** K71 gate query — the CURRENT version after the purge rewrote
+    * history. The oracle is the K60 apply algebra minus the carved
+    * purge set, so the hash gate proves the rewrite removed exactly
+    * the requested keys and nothing else.
+    */
+  def storePurgedQ(spark: SparkSession, dir: String): DataFrame =
+    readCurrent(spark, prebuildPurged(spark, dir)).orderBy("o_orderkey")
+
   /** K67 gate query — TIME TRAVEL: read version 1 back from the
     * landed chain AFTER the apply landed v2 and swung the pointer.
     * The oracle is the carved OLD snapshot, so the hash gate proves
@@ -210,7 +308,8 @@ object SnapshotStore extends QueryModule {
   override def queries: Map[String, Q] = Map(
     "snapshot_store_serve" -> (storeServeQ _),
     "snapshot_store_travel" -> (storeTravelQ _),
-    "snapshot_store_changes" -> (storeChangesQ _))
+    "snapshot_store_changes" -> (storeChangesQ _),
+    "snapshot_store_purged" -> (storePurgedQ _))
 
   override def oracles: Map[String, String] = Map(
     "snapshot_store_serve" -> SnapshotDiff.oracles("snapshot_apply"),
@@ -219,5 +318,13 @@ object SnapshotStore extends QueryModule {
       |  old_status AS o_orderstatus, old_date AS o_orderdate
       |FROM old
       |ORDER BY o_orderkey""".stripMargin),
-    "snapshot_store_changes" -> SnapshotDiff.oracles("snapshot_diff"))
+    "snapshot_store_changes" -> SnapshotDiff.oracles("snapshot_diff"),
+    "snapshot_store_purged" -> (SnapshotDiff.applyCtes + s""",
+      |prg AS (SELECT o_orderkey FROM orders
+      |  WHERE ${Sketches.sqlH48("prg", "o_orderkey")} % $PurgeMod = 0)
+      |SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderdate
+      |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ups) u
+      |WHERE NOT EXISTS (SELECT 1 FROM prg
+      |                  WHERE prg.o_orderkey = u.o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin))
 }

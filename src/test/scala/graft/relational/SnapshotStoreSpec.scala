@@ -80,6 +80,53 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.readAt(spark, d, 2L).count() > 0)
   }
 
+  test("purge forgets the keys in EVERY version, touches nothing else") {
+    import org.apache.spark.sql.functions.col
+    val (d, old, diff) = fixture()
+    SnapshotStore.applyDiff(spark, d, diff)
+    val keys = SnapshotStore.purgeSet(spark, sf)
+    val expectV1 = old.join(keys, Seq("o_orderkey"), "left_anti")
+    val expectV2 = SnapshotDiff.applyDiff(old, diff)
+      .join(keys, Seq("o_orderkey"), "left_anti")
+    SnapshotStore.purgeKeys(spark, d, keys)
+    // pointer untouched: purge changes content, not visibility
+    assert(SnapshotStore.currentVersion(spark, d) == 2L)
+    val v1 = SnapshotStore.readAt(spark, d, 1L)
+    val v2 = SnapshotStore.readAt(spark, d, 2L)
+    for ((got, want, name) <- Seq((v1, expectV1, "v1"), (v2, expectV2, "v2"))) {
+      assert(got.join(keys, Seq("o_orderkey"), "left_semi").isEmpty,
+        s"$name still contains purged keys")
+      assert(got.count() == want.count() &&
+        got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"$name lost or changed non-purged rows")
+    }
+    // idempotent by algebra: a re-run removes nothing further
+    SnapshotStore.purgeKeys(spark, d, keys)
+    val v2Again = SnapshotStore.readAt(spark, d, 2L)
+    assert(v2Again.count() == expectV2.count() &&
+      v2Again.exceptAll(expectV2).isEmpty)
+  }
+
+  test("purge recovers a version half-swapped by a prior crash") {
+    import org.apache.spark.sql.functions.col
+    val (d, old, diff) = fixture()
+    SnapshotStore.applyDiff(spark, d, diff)
+    val keys = SnapshotStore.purgeSet(spark, sf)
+    // simulate the crash window: live renamed away, staging never
+    // promoted — v=1 is missing, v=1_purge_old holds the content
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$d/v=1"),
+      new org.apache.hadoop.fs.Path(s"$d/v=1_purge_old"))
+    SnapshotStore.purgeKeys(spark, d, keys)
+    val v1 = SnapshotStore.readAt(spark, d, 1L)
+    val expectV1 = old.join(keys, Seq("o_orderkey"), "left_anti")
+    assert(v1.count() == expectV1.count() &&
+      v1.exceptAll(expectV1).isEmpty && expectV1.exceptAll(v1).isEmpty,
+      "crash recovery lost the half-swapped version")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$d/v=1_purge_old")))
+  }
+
   test("table_changes from the landed chain equals the in-session diff") {
     import org.apache.spark.sql.functions.col
     val (d, old, diff) = fixture()
