@@ -125,6 +125,10 @@ object Bench {
       // one bounded sample aggregate + one bucket-hashed shuffle
       "range_export" -> (() =>
         { relational.RangeExport.prebuild(spark, sfDir); () }),
+      // the z-bucketed orders export behind zorder_exported_layout:
+      // codegen'd Morton keys + one bucket-hashed shuffle
+      "zorder_export" -> (() =>
+        { relational.ZOrderExport.prebuild(spark, sfDir); () }),
       // the two-version snapshot chain behind snapshot_store_serve:
       // v1 full write + the churn-sized apply + two pointer commits
       "snapshot_store" -> (() =>

@@ -24,6 +24,7 @@ object Caches {
     relational.SketchStore.clearCacheForBench()
     relational.Compactor.clearCacheForBench()
     relational.RangeExport.clearCacheForBench()
+    relational.ZOrderExport.clearCacheForBench()
     relational.SnapshotStore.clearCacheForBench()
     sim.Pca.clearCacheForBench()
   }

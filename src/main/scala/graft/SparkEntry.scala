@@ -6,7 +6,7 @@ import graft.analytics.{Dashboard, EventOps, Insights}
 import graft.dedup.{Clusters, DedupQueries, Graph}
 import graft.etl.EtlQueries
 import graft.pipeline.Corpus
-import graft.relational.{AsOf, BloomJoin, Compactor, JoinPlanner, RangeExport, Relational, Sketches, SketchStore, SkewJoin, SnapshotDiff, SnapshotStore, SqlApi}
+import graft.relational.{AsOf, BloomJoin, Compactor, JoinPlanner, RangeExport, Relational, Sketches, SketchStore, SkewJoin, SnapshotDiff, SnapshotStore, SqlApi, ZOrderExport}
 import graft.forecast.ForecastQueries
 import graft.sim.{IndexStore, Ivf, Pca, Pq, SimQueries}
 import graft.streaming.StreamQueries
@@ -23,8 +23,8 @@ object SparkEntry {
     Relational, EtlQueries, Dashboard, Insights, EventOps,
     TextQueries, DedupQueries, SimQueries, RagQueries, ForecastQueries,
     StreamQueries, SqlApi, AsOf, Sketches, SketchStore, SnapshotDiff,
-    SnapshotStore, Compactor, RangeExport, SkewJoin, BloomJoin,
-    JoinPlanner, Ivf, IndexStore,
+    SnapshotStore, Compactor, RangeExport, ZOrderExport, SkewJoin,
+    BloomJoin, JoinPlanner, Ivf, IndexStore,
     Pq, Pca, Clusters, Graph, Corpus)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -187,8 +187,11 @@ object SqlApi extends QueryModule {
   def qZorder(spark: SparkSession, dir: String): DataFrame =
     zorderKeys(Tables.orders(spark, dir))
 
-  /** The z-key body over any orders-shaped frame. */
-  def zorderKeys(orders: DataFrame): DataFrame = {
+  /** The z-key body over any orders-shaped frame, keeping the input
+    * columns — shared by the K31 key query and the K72 layout
+    * executor ([[ZOrderExport]]).
+    */
+  private[relational] def zorderFrame(orders: DataFrame): DataFrame = {
     val bounds = broadcast(orders.agg(
       min("o_custkey").as("ck_min"), max("o_custkey").as("ck_max"),
       min(expr("unix_date(cast(o_orderdate as date))")).as("d_min"),
@@ -205,9 +208,13 @@ object SqlApi extends QueryModule {
         expr("(o_custkey - ck_min) * 256 div (ck_max - ck_min + 1)"))
       .withColumn("yb", expr("(d - d_min) * 256 div (d_max - d_min + 1)"))
       .withColumn("zval", expr(interleave))
+      .drop("ck_min", "ck_max", "d_min", "d_max")
+  }
+
+  def zorderKeys(orders: DataFrame): DataFrame =
+    zorderFrame(orders)
       .select("o_orderkey", "xb", "yb", "zval")
       .orderBy("o_orderkey")
-  }
 
   override def queries: Map[String, Q] = Map(
     "q_zorder" -> (qZorder _),
@@ -226,21 +233,27 @@ object SqlApi extends QueryModule {
       s"(((yb // ${1L << i}) % 2) * ${1L << (2 * i + 1)})"
   }.mkString(" + ")
 
+  /** The z-key CTE chain (bounds → buckets → interleaved zval) shared
+    * by the K31 oracle and the K72 exported-layout oracle.
+    */
+  private[relational] val zorderSqlCtes: String =
+    s"""WITH b AS (SELECT min(o_custkey) AS ck_min,
+      |    max(o_custkey) AS ck_max,
+      |    min(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d_min,
+      |    max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d_max
+      |  FROM orders),
+      |k AS (SELECT o_orderkey,
+      |    (o_custkey - ck_min) * 256 // (ck_max - ck_min + 1) AS xb,
+      |    ((CAST(o_orderdate AS DATE) - DATE '1970-01-01') - d_min)
+      |      * 256 // (d_max - d_min + 1) AS yb
+      |  FROM orders, b),
+      |z AS (SELECT o_orderkey, xb, yb,
+      |    CAST($duckInterleave AS BIGINT) AS zval FROM k)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
-    "q_zorder" ->
-      s"""WITH b AS (SELECT min(o_custkey) AS ck_min,
-        |    max(o_custkey) AS ck_max,
-        |    min(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d_min,
-        |    max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d_max
-        |  FROM orders),
-        |k AS (SELECT o_orderkey,
-        |    (o_custkey - ck_min) * 256 // (ck_max - ck_min + 1) AS xb,
-        |    ((CAST(o_orderdate AS DATE) - DATE '1970-01-01') - d_min)
-        |      * 256 // (d_max - d_min + 1) AS yb
-        |  FROM orders, b)
-        |SELECT o_orderkey, xb, yb,
-        |  CAST($duckInterleave AS BIGINT) AS zval
-        |FROM k ORDER BY o_orderkey""".stripMargin,
+    "q_zorder" -> (zorderSqlCtes + """
+      |SELECT o_orderkey, xb, yb, zval
+      |FROM z ORDER BY o_orderkey""".stripMargin),
     "q_recursive" ->
       """WITH RECURSIVE anc(start_key, cur, depth) AS (
         |  SELECT c_custkey, c_custkey, 0 FROM customer

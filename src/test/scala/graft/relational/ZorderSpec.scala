@@ -55,4 +55,37 @@ class ZorderSpec extends SparkSpec {
     assert(filesTouched(zDir, ckPred) <= 9)
     assert(filesTouched(zDir, dPred) <= 9)
   }
+
+  test("K72 executor: committed layout is bit-exact, one file per " +
+      "bucket, both axes quadrant-bounded") {
+    val dst = Files.createTempDirectory("graft_zx").toString + "/zx"
+    ZOrderExport.execute(spark, sf, dst)
+    val landed = ZOrderExport.loadExported(spark, dst)
+    // round-trip: exactly the keyed frame, nothing lost or mutated
+    val expect = SqlApi.zorderFrame(graft.sources.Tables.orders(spark, sf))
+      .withColumn("bucket", expr(s"zval div ${65536 / ZOrderExport.ZBuckets}"))
+      .select("o_orderkey", "o_custkey", "d", "xb", "yb", "zval", "bucket")
+    assert(landed.count() == expect.count())
+    assert(landed.exceptAll(expect).isEmpty &&
+      expect.exceptAll(landed).isEmpty)
+    // one part file per bucket directory
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dst), spark.sparkContext.hadoopConfiguration)
+    for (st <- fs.listStatus(new org.apache.hadoop.fs.Path(dst))
+         if st.getPath.getName.startsWith("bucket=")) {
+      val parts = fs.listStatus(st.getPath)
+        .count(_.getPath.getName.startsWith("part-"))
+      assert(parts == 1, s"${st.getPath.getName} has $parts part files")
+    }
+    // the multi-dim claim: every bucket confines BOTH dimension cells
+    // to a quarter-domain band (top 2 bits of each axis fixed)
+    val spans = landed.groupBy("bucket")
+      .agg((max("xb") - min("xb")).as("xs"), (max("yb") - min("yb")).as("ys"))
+      .collect()
+    assert(spans.nonEmpty)
+    for (r <- spans) {
+      assert(r.getAs[Long]("xs") <= 63 && r.getAs[Long]("ys") <= 63,
+        s"bucket ${r.get(0)} exceeds its quadrant band")
+    }
+  }
 }
