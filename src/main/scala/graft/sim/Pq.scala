@@ -191,7 +191,18 @@ object Pq extends QueryModule {
     * candidate is scored by M equi-join lookups + one quantized sum —
     * zero vector arithmetic per candidate.
     */
-  def knn(emb: DataFrame): DataFrame = {
+  def knn(emb: DataFrame): DataFrame =
+    graft.plans.AggExpressions
+      .topKPerKey(adcScores(emb), "query_id", "sim", "neighbor_id",
+        Seq("adist"), K)
+      .select("query_id", "rank", "neighbor_id", "adist")
+      .orderBy("query_id", "rank")
+
+  /** The per-(query, candidate) ADC score frame — the shared stage-1
+    * body of [[knn]] (top-k directly) and [[knnRerank]] (top-R
+    * shortlist, then exact rescoring).
+    */
+  private[sim] def adcScores(emb: DataFrame): DataFrame = {
     val e = emb.select("vec_id", "embedding")
     val lut = e.filter(col("vec_id") < QueryIds)
       .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
@@ -203,17 +214,54 @@ object Pq extends QueryModule {
           .map(m => s"$m, d$m").mkString(", ")}) as (m, dsq)")
     val cand = codes(emb).filter(col("vec_id") >= QueryIds)
       .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
-    val adist = cand
+    cand
       .join(broadcast(lut),
         cand("m") === lut("m") && cand("code") === lut("cid"))
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("dsq").cast("decimal(24,12)")).cast("double")
         .as("adist"))
       .withColumn("sim", -col("adist"))
+  }
+
+  /** Shortlist size of the rerank's first stage (R > k; the
+    * compressed index proposes R, the exact metric disposes k).
+    */
+  val RerankR = 10
+
+  /** G24 — `knn_pq_rerank`: TWO-STAGE retrieval, the standard serving
+    * pattern a compressed index runs in production (FAISS's
+    * refine/rerank stage): the ADC stage proposes a top-[[RerankR]]
+    * shortlist per query with zero per-candidate vector arithmetic,
+    * then ONLY those queries×R rows fetch raw embeddings and re-score
+    * with the exact quantized squared-L2 — so the expensive exact
+    * metric touches R candidates per query instead of the corpus, and
+    * ADC's quantization error can no longer reorder the final top-k
+    * WITHIN the shortlist (recall(rerank@k) ≥ recall(adc@k),
+    * spec-pinned against the brute-force ground truth).
+    *
+    * Scale shape: stage 1 is [[knn]]'s bounded ADC plan; stage 2
+    * broadcasts the queries×R shortlist (with the 5 query vectors)
+    * into the corpus scan — one broadcast hash join, no shuffle of
+    * the data side, exact arithmetic on R×queries rows only.
+    */
+  def knnRerank(emb: DataFrame): DataFrame = {
+    val e = emb.select("vec_id", "embedding")
+    val shortlist = graft.plans.AggExpressions
+      .topKPerKey(adcScores(emb), "query_id", "sim", "neighbor_id",
+        Seq("adist"), RerankR)
+      .select("query_id", "neighbor_id", "adist")
+    val q = e.filter(col("vec_id") < QueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val withQ = shortlist.join(broadcast(q), "query_id")
+    val scored = e.filter(col("vec_id") >= QueryIds)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("en"))
+      .join(broadcast(withQ), "neighbor_id")
+      .withColumn("dist", fullDistSq("eq", "en"))
+      .withColumn("sim", -col("dist"))
     graft.plans.AggExpressions
-      .topKPerKey(adist, "query_id", "sim", "neighbor_id",
-        Seq("adist"), K)
-      .select("query_id", "rank", "neighbor_id", "adist")
+      .topKPerKey(scored, "query_id", "sim", "neighbor_id",
+        Seq("dist", "adist"), K)
+      .select("query_id", "rank", "neighbor_id", "dist", "adist")
       .orderBy("query_id", "rank")
   }
 
@@ -366,9 +414,13 @@ object Pq extends QueryModule {
   def recallQ(spark: SparkSession, dir: String): DataFrame =
     recall(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
 
+  def knnRerankQ(spark: SparkSession, dir: String): DataFrame =
+    knnRerank(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+
   override def queries: Map[String, Q] = Map(
     "pq_encode" -> (encodeQ _),
     "knn_pq" -> (knnQ _),
+    "knn_pq_rerank" -> (knnRerankQ _),
     "knn_ivfpq" -> (knnIvfPqQ _),
     "pq_recall" -> (recallQ _))
 
@@ -394,6 +446,24 @@ object Pq extends QueryModule {
       |             FROM dists)
       |       WHERE rn = 1)""".stripMargin
 
+  /** [[encodeCtes]] extended with the ADC ranking (LUTs → candidate
+    * scores → per-query rank) — shared by the G11 oracle and the G24
+    * rerank oracle's stage 1.
+    */
+  private val adcCtes = encodeCtes + s""",
+    |luts AS (SELECT vec_id AS query_id, m, cid, dsq FROM dists
+    |       WHERE vec_id < $QueryIds),
+    |cand AS (SELECT vec_id AS neighbor_id, m, code FROM codes
+    |       WHERE vec_id >= $QueryIds),
+    |adist AS (SELECT l.query_id, c.neighbor_id,
+    |         CAST(CAST(sum(CAST(CAST(l.dsq AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS adist
+    |       FROM cand c JOIN luts l ON l.m = c.m AND l.cid = c.code
+    |       GROUP BY 1, 2),
+    |ranked AS (SELECT query_id, neighbor_id, adist,
+    |         row_number() OVER (PARTITION BY query_id
+    |           ORDER BY adist ASC, neighbor_id ASC) AS rank
+    |       FROM adist)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "pq_encode" -> (encodeCtes + s"""
       |SELECT vec_id,
@@ -401,21 +471,29 @@ object Pq extends QueryModule {
           s"  max(CASE WHEN m = $m THEN code END) AS code_$m")
           .mkString(",\n")}
       |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin),
-    "knn_pq" -> (encodeCtes + s""",
-      |luts AS (SELECT vec_id AS query_id, m, cid, dsq FROM dists
-      |       WHERE vec_id < $QueryIds),
-      |cand AS (SELECT vec_id AS neighbor_id, m, code FROM codes
-      |       WHERE vec_id >= $QueryIds),
-      |adist AS (SELECT l.query_id, c.neighbor_id,
-      |         CAST(CAST(sum(CAST(CAST(l.dsq AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS adist
-      |       FROM cand c JOIN luts l ON l.m = c.m AND l.cid = c.code
-      |       GROUP BY 1, 2),
-      |ranked AS (SELECT query_id, neighbor_id, adist,
-      |         row_number() OVER (PARTITION BY query_id
-      |           ORDER BY adist ASC, neighbor_id ASC) AS rank
-      |       FROM adist)
+    "knn_pq" -> (adcCtes + s"""
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adist
       |FROM ranked WHERE rank <= $K
+      |ORDER BY query_id, rank""".stripMargin),
+    // two-stage: ADC shortlist (rank <= R) -> exact quantized L2 over
+    // ONLY those rows -> re-rank; the relational mirror of [[knnRerank]]
+    "knn_pq_rerank" -> (adcCtes + s""",
+      |short AS (SELECT query_id, neighbor_id, adist FROM ranked
+      |       WHERE rank <= $RerankR),
+      |ex AS (SELECT s.query_id, s.neighbor_id, s.adist,
+      |         CAST(CAST(sum(CAST(CAST((a.v - b.v) * (a.v - b.v) AS VARCHAR)
+      |              AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dist
+      |       FROM short s
+      |       JOIN comp a ON a.vec_id = s.query_id
+      |       JOIN comp b ON b.vec_id = s.neighbor_id AND b.i = a.i
+      |       GROUP BY 1, 2, 3),
+      |rr AS (SELECT query_id, neighbor_id, dist, adist,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY dist ASC, neighbor_id ASC) AS rank
+      |       FROM ex)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+      |  dist, adist
+      |FROM rr WHERE rank <= $K
       |ORDER BY query_id, rank""".stripMargin),
     // IVFPQ: the G2c assignment/probe chain (cosine routing) composed
     // with residual-PQ codes and per-(query, list) ADC tables — the

@@ -172,4 +172,50 @@ class PqSpec extends SparkSpec {
         s"query ${r.getAs[Long]("query_id")}")
     }
   }
+
+  test("knn_pq_rerank: shortlist-bounded, exact-ordered, recall >= ADC") {
+    val rerank = Pq.knnRerank(emb).collect()
+    assert(rerank.length == Pq.QueryIds * Pq.K)
+    // exact dist non-decreasing in rank per query
+    rerank.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("dist"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+    // every emitted neighbor came from the ADC top-R shortlist (stage
+    // 2 reorders WITHIN stage 1's proposals, never beyond them)
+    val shortSet = graft.plans.AggExpressions
+      .topKPerKey(Pq.adcScores(emb), "query_id", "sim", "neighbor_id",
+        Nil, Pq.RerankR)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rerank.forall(r => shortSet(
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))))
+    val adcAll = Pq.knn(emb)
+    // recall vs exact ground truth: rerank can only improve on ADC
+    val q = emb.filter(col("vec_id") < Pq.QueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val c = emb.filter(col("vec_id") >= Pq.QueryIds)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"))
+    val exact = graft.plans.AggExpressions.topKPerKey(
+      c.crossJoin(broadcast(q))
+        .withColumn("dsq", expr(
+          """cast(aggregate(zip_with(eq, ec, (xv, yv) ->
+            |  cast((cast(xv as double) - cast(yv as double))
+            |    * (cast(xv as double) - cast(yv as double))
+            |    as decimal(24,12))),
+            |  cast(0 as decimal(24,12)),
+            |  (acc, v) -> cast(acc + v as decimal(24,12))) as double)"""
+            .stripMargin))
+        .withColumn("sim", -col("dsq")),
+      "query_id", "sim", "neighbor_id", Nil, Pq.K)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcHits = adcAll.select("query_id", "neighbor_id").collect()
+      .count(r => exact((r.getLong(0), r.getLong(1))))
+    val rerankHits = rerank
+      .count(r => exact((r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))))
+    assert(rerankHits >= adcHits,
+      s"rerank recall ($rerankHits) fell below ADC ($adcHits)")
+  }
 }
