@@ -316,10 +316,68 @@ case class SimHashVote(child: Expression)
     copy(child = newChild)
 }
 
+/** Bloom-filter membership against a CONSTANT word array: the k
+  * probe positions are disjoint `sliceShift`-bit fields of the single
+  * 48-bit hash child (Kirsch-Mitzenmacher double hashing), so the
+  * expensive hash evaluates ONCE per row — composing the probes from
+  * SQL expressions re-evaluates the md5 per textual occurrence
+  * (Catalyst does no subexpression elimination inside filter
+  * conditions), and Spark's higher-order functions that could bind
+  * it fall back to interpreted eval. Measured at sf0.1: 4 md5s/row
+  * interpreted ≈ 2.5 s vs one codegen'd md5 ≈ 0.7 s.
+  *
+  * All-integer arithmetic identical to the DuckDB oracle replay
+  * (nonneg hash: `>>>` ≡ div, `& 63` ≡ mod 64).
+  */
+case class BloomMember(child: Expression, words: Array[Long],
+    bits: Long, k: Int, sliceShift: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def nullSafeEval(in: Any): Any = {
+    val h = in.asInstanceOf[Long]
+    var i = 0
+    var m = true
+    while (m && i < k) {
+      val p = (h >>> (sliceShift * i)) % bits
+      m = ((words((p >>> 6).toInt) >>> (p & 63L).toInt) & 1L) == 1L
+      i += 1
+    }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("bloomWords", words, "long[]")
+    nullSafeCodeGen(ctx, ev, h => {
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      s"""
+         |boolean $m = true;
+         |for (int $i = 0; $m && $i < $k; $i++) {
+         |  long $p = ($h >>> ($sliceShift * $i)) % ${bits}L;
+         |  $m = (($w[(int) ($p >>> 6)] >>> (int) ($p & 63L)) & 1L) == 1L;
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMember =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API for the codegen'd dot product. */
   def dotF32(x: Column, y: Column): Column =
     Bridge.column(DotF32(Bridge.expression(x), Bridge.expression(y)))
+
+  /** Column API for the codegen'd constant-bloom membership test. */
+  def bloomMember(h: Column, words: Array[Long], bits: Long, k: Int,
+      sliceShift: Int): Column =
+    Bridge.column(BloomMember(Bridge.expression(h), words, bits, k,
+      sliceShift))
 
   def simHashVote(hs: Column): Column =
     Bridge.column(SimHashVote(Bridge.expression(hs)))

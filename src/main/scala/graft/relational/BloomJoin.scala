@@ -24,11 +24,14 @@ import graft.sources.Tables
   *    family (tags `bf0|`,`bf1|`), pos = h48 mod [[BloomBits]];
   *  - the bitset builds as ONE map-side-combined aggregate — positions
   *    group to 64-bit words by `bit_or` (idempotent, so duplicate dim
-  *    keys cost nothing), then ONE row assembles the dense
-  *    [[BloomWords]]-long word array (never a driver collect — the
-  *    array materializes inside the executors and broadcasts whole);
-  *  - the fact-side membership test is a codegen'd projection
-  *    (element_at + mask per hash), applied BEFORE the join shuffle.
+  *    keys cost nothing), ONE row assembles the dense
+  *    [[BloomWords]]-long word array inside the executors, and the
+  *    constant 32 KB result lands in the plan as a LITERAL (the
+  *    boundary-literals bounded collect — see [[bloomWordsOf]] for
+  *    why a literal beats a broadcast join here);
+  *  - the fact-side membership test is a whole-stage-codegen'd filter
+  *    directly above the scan (element_at + mask per hash, one shared
+  *    md5), applied BEFORE the join shuffle.
   *
   * False positives are dropped by the real join that follows, so the
   * transform is semantics-free — which is exactly what the
@@ -55,48 +58,67 @@ object BloomJoin extends QueryModule {
   val BloomWords: Int = BloomBits / 64
   val BloomK = 2
 
+  // both positions slice ONE 48-bit md5 (Kirsch-Mitzenmacher double
+  // hashing: two disjoint 18-bit fields of the same hash) — the
+  // membership probe costs one md5 per fact row, not k
   private def posExpr(i: Int, key: String): String =
-    s"(${Sketches.h48(s"bf$i", key)} % $BloomBits)"
+    s"((${Sketches.h48("bf", key)} div ${1L << (18 * i)}) % $BloomBits)"
 
   private def sqlPos(i: Int, key: String): String =
-    s"(${Sketches.sqlH48(s"bf$i", key)} % $BloomBits)"
+    s"((${Sketches.sqlH48("bf", key)} // ${1L << (18 * i)}) % $BloomBits)"
 
-  /** The dense word array as a ONE-ROW frame (column `bf`), built
-    * fully inside the executors: explode k positions per dim key,
-    * bit_or into words (map-side combined), assemble the dense array
-    * from the sparse word map. An empty dim yields the all-zero
-    * array (which rejects every probe — the correct degenerate).
+  /** Membership of `key` in the constant word array — the codegen'd
+    * [[graft.plans.BloomMember]] expression, which evaluates the md5
+    * child exactly once per row (see its Scaladoc for why SQL-level
+    * composition costs 4×).
     */
-  private[relational] def bloomOf(dim: DataFrame, dimKey: String): DataFrame = {
+  private def memberCond(words: Array[Long], key: String): Column =
+    graft.plans.VectorExpressions.bloomMember(
+      expr(Sketches.h48("bf", key)), words, BloomBits.toLong, BloomK, 18)
+
+  /** The word array collected to a CONSTANT — [[BloomWords]] longs,
+    * 32 KB regardless of either side's row count (the
+    * boundary-literals bounded-collect pattern; Spark's own
+    * InjectRuntimeFilter ships its bloom to the scan the same way).
+    * The build is ONE map-side-combined bit_or aggregate over the dim
+    * keys' exploded positions (bit_or idempotent → duplicate keys
+    * free; one md5 per key — positions are slices of it, and the
+    * Generate input is a projection, where Catalyst DOES eliminate
+    * the common subexpression). Collecting a constant rather than
+    * cross-joining a 1-row frame matters for the PROBE plan: as a
+    * constant inside [[graft.plans.BloomMember]], the membership test
+    * is a whole-stage-codegen'd Filter directly above the fact scan;
+    * as a broadcast-join condition it is evaluated per-row outside
+    * codegen with the md5 re-evaluated per textual slice (measured
+    * 3.5× slower end-to-end at sf0.1). An empty dim yields the
+    * all-zero array, which rejects every probe — the correct
+    * degenerate.
+    */
+  private[graft] def bloomWordsOf(dim: DataFrame,
+      dimKey: String): Array[Long] = {
+    // collect SPARSE (word, bits) rows (≤ BloomWords, same bound) and
+    // densify in plain Scala — the 1-row dense-frame route pays an
+    // O(words²) linear-scan map lookup inside `transform(sequence…)`
+    // (ArrayBasedMapData has no hash index; measured ~1.5 s of the
+    // build at sf0.1, vs ~0.3 s sparse)
     val positions = (0 until BloomK).map(i => expr(posExpr(i, dimKey)))
-    dim
+    val sparse = dim
       .select(explode(array(positions: _*)).as("pos"))
       .groupBy(expr("pos div 64").as("w"))
       .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("bits"))
-      .agg(map_from_arrays(collect_list("w"), collect_list("bits")).as("m"))
-      .select(expr(
-        s"transform(sequence(0, ${BloomWords - 1}), " +
-          "i -> coalesce(m[cast(i as bigint)], 0L))").as("bf"))
+      .collect()
+    val words = new Array[Long](BloomWords)
+    sparse.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
   }
 
-  /** Membership of `key` in the word-array column `bfCol`. */
-  private def memberCond(bfCol: String, key: String): Column =
-    (0 until BloomK).map { i =>
-      val p = posExpr(i, key)
-      expr(s"(element_at($bfCol, cast($p div 64 as int) + 1) & " +
-        s"shiftleft(1L, cast($p % 64 as int))) != 0")
-    }.reduce(_ && _)
-
   /** `facts` filtered to rows whose `factKey` MIGHT appear in
-    * `dim.dimKey` — no false negatives, bounded false positives. The
-    * broadcast of the one-row filter frame happens before the fact
-    * shuffle, so the reduction lands where it pays.
+    * `dim.dimKey` — no false negatives, bounded false positives; the
+    * reduction lands before the fact shuffle, where it pays.
     */
   def bloomFiltered(facts: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String): DataFrame =
-    facts.crossJoin(broadcast(bloomOf(dim, dimKey)))
-      .filter(memberCond("bf", factKey))
-      .drop("bf")
+    facts.filter(memberCond(bloomWordsOf(dim, dimKey), factKey))
 
   // --- gate fixture ----------------------------------------------------
 
@@ -134,8 +156,8 @@ object BloomJoin extends QueryModule {
   def bloomJoinStats(spark: SparkSession, dir: String): DataFrame = {
     val dim = dimOf(spark, dir)
     factsOf(spark, dir)
-      .crossJoin(broadcast(bloomOf(dim, "o_orderkey")))
-      .withColumn("pass", memberCond("bf", "l_orderkey"))
+      .withColumn("pass",
+        memberCond(bloomWordsOf(dim, "o_orderkey"), "l_orderkey"))
       .join(dim, col("l_orderkey") === col("o_orderkey"), "left_outer")
       .withColumn("is_match", col("o_orderkey").isNotNull)
       .agg(count(lit(1)).as("n_facts"),
@@ -159,11 +181,13 @@ object BloomJoin extends QueryModule {
   val BixBits = 32768
   val BixWords: Int = BixBits / 64
 
+  // same one-md5 double hashing as the join filter: two disjoint
+  // 15-bit slices of a single 48-bit hash
   private def bixPos(i: Int, key: String): String =
-    s"(${Sketches.h48(s"bi$i", key)} % $BixBits)"
+    s"((${Sketches.h48("bi", key)} div ${1L << (15 * i)}) % $BixBits)"
 
   private def sqlBixPos(i: Int, key: String): String =
-    s"(${Sketches.sqlH48(s"bi$i", key)} % $BixBits)"
+    s"((${Sketches.sqlH48("bi", key)} // ${1L << (15 * i)}) % $BixBits)"
 
   /** K69 gate — the per-partition BLOOM INDEX report: what POINT-probe
     * pruning the day layout buys a reader (the complement of K56's

@@ -166,7 +166,21 @@ class PlanShapeSpec extends SparkSpec {
       // mixture_apply crosses the same broadcast 1-row corpus-totals
       // frame as mixture_reweight, plus the 1-row kept-total frame
       // into the O(langs)-row report (round 15)
-      "mixture_apply")
+      "mixture_apply",
+      // round 15 session 2: bloom_index_report crosses the broadcast
+      // 1-row probe-user aggregate into the O(days×words) grid and
+      // the O(days) stats frames (q_bloom_join/bloom_join_stats have
+      // no BNLJ at all — their word array enters the plan as a
+      // constant inside the codegen'd BloomMember filter)
+      "bloom_index_report",
+      // join_strategy_plan crosses each candidate's O(ndv) key frame
+      // with its broadcast 1-row dim-count aggregate (the
+      // key_skew_report shape, six candidates unioned)
+      "join_strategy_plan",
+      // knn_pq_rerank inherits knn_pq's broadcast 16-row codebook
+      // cross for the ADC stage; stage 2's shortlist join is a hash
+      // equi-join on neighbor_id
+      "knn_pq_rerank")
     // (embedding_pca/_r left the list in round 9: the iteration moved
     // to a driver-side solve over the collected d² summary — the
     // RowMatrix.computePrincipalComponents shape — so their plans no

@@ -50,19 +50,17 @@ class BloomJoinSpec extends SparkSpec {
   }
 
   test("filter size is the constant word array, data-independent") {
-    val bfFull = BloomJoin.bloomOf(dim, "o_orderkey")
-      .select(size(col("bf"))).collect()(0).getInt(0)
-    val bfOne = BloomJoin.bloomOf(dim.limit(1), "o_orderkey")
-      .select(size(col("bf"))).collect()(0).getInt(0)
-    assert(bfFull == BloomJoin.BloomWords && bfOne == BloomJoin.BloomWords)
+    val bfFull = BloomJoin.bloomWordsOf(dim, "o_orderkey")
+    val bfOne = BloomJoin.bloomWordsOf(dim.limit(1), "o_orderkey")
+    assert(bfFull.length == BloomJoin.BloomWords &&
+      bfOne.length == BloomJoin.BloomWords)
+    assert(bfOne.count(_ != 0L) <= BloomJoin.BloomK,
+      "one key sets at most k words")
   }
 
   test("empty dim yields the all-zero filter that rejects every probe") {
-    val bf = BloomJoin.bloomOf(dim.limit(0), "o_orderkey")
-      .select(expr("aggregate(bf, 0L, (a, x) -> a + abs(x))").as("s"),
-        size(col("bf")).as("n"))
-      .collect()(0)
-    assert(bf.getLong(0) == 0L && bf.getInt(1) == BloomJoin.BloomWords)
+    val bf = BloomJoin.bloomWordsOf(dim.limit(0), "o_orderkey")
+    assert(bf.length == BloomJoin.BloomWords && bf.forall(_ == 0L))
     val kept = BloomJoin
       .bloomFiltered(facts, "l_orderkey", dim.limit(0), "o_orderkey")
     assert(kept.isEmpty)
