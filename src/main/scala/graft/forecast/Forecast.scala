@@ -253,7 +253,10 @@ object Forecast {
       .withColumn("train", expr("slice(vs, 1, n - fold)"))
       .withColumn("actual", expr("element_at(vs, n - fold + 1)"))
       .withColumn("year", expr("element_at(ys, n - fold + 1)"))
-    fitHolt(folds, "train", Seq("fold", "year", "actual"))
+      // the seasonal/last-value NAIVE candidate: the train prefix's
+      // last observation — the denominator of the E13 MASE
+      .withColumn("naive", expr("element_at(vs, n - fold)"))
+    fitHolt(folds, "train", Seq("fold", "year", "actual", "naive"))
       .withColumn("forecast", col("fit.l") + col("fit.b"))
       .withColumn("err", col("forecast") - col("actual"))
       .drop("fit")
@@ -271,6 +274,32 @@ object Forecast {
       .select("geo", "indicator", "fold", "year", "forecast", "actual",
         "err", "rmse_bt", "n_folds")
   }
+
+  /** E13 — MASE against the NAIVE baseline (Hyndman & Koehler 2006,
+    * the standard scale-free forecast-eval honesty metric): per
+    * series, the Holt fold MAE over the E11 rolling-origin folds
+    * divided by the last-value naive forecast's MAE over the SAME
+    * folds. MASE < 1 = the model beats the no-model baseline; a
+    * forecast eval that never checks this can "win" with a model
+    * worse than copying yesterday. Shares [[holtBacktestFolds]]
+    * verbatim (spec pins fold parity), so the whole metric costs one
+    * aggregate over the existing fold frame. MAEs sum |err| through
+    * the DECIMAL(27,6) quantize (order-free), one double division
+    * each, and the MASE ratio is one more double division —
+    * null (not ∞) for a constant-tail series whose naive MAE is 0.
+    */
+  def backtestMase(obs: DataFrame): DataFrame =
+    holtBacktestFolds(obs)
+      .groupBy("geo", "indicator")
+      .agg(count(lit(1)).as("n_folds"),
+        sum(expr("cast(abs(err) as decimal(27,6))")).as("sae_h"),
+        sum(expr("cast(abs(naive - actual) as decimal(27,6))")).as("sae_n"))
+      .withColumn("mae_holt", col("sae_h").cast("double") / col("n_folds"))
+      .withColumn("mae_naive", col("sae_n").cast("double") / col("n_folds"))
+      .withColumn("mase", expr("mae_holt / nullif(mae_naive, 0.0d)"))
+      .select("geo", "indicator", "n_folds", "mae_holt", "mae_naive",
+        "mase")
+      .orderBy("geo", "indicator")
 
   /** E12 — rolling-origin BACKTEST scoring BOTH models (the E11
     * surface widened to the reference's two-candidate selection,

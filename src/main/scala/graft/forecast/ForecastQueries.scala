@@ -36,6 +36,9 @@ object ForecastQueries extends QueryModule {
   def holtBacktestQ(s: SparkSession, d: String): DataFrame =
     Forecast.holtBacktest(obs(s, d)).orderBy("geo", "indicator", "fold")
 
+  def backtestMaseQ(s: SparkSession, d: String): DataFrame =
+    Forecast.backtestMase(obs(s, d))
+
   def gbtForecast(s: SparkSession, d: String): DataFrame =
     Gbt.forecast(obs(s, d)).orderBy("geo", "indicator", "year")
 
@@ -148,6 +151,7 @@ object ForecastQueries extends QueryModule {
     "rmse_eval" -> (rmseEval _),
     "holt_forecast" -> (holtForecast _),
     "forecast_backtest" -> (holtBacktestQ _),
+    "backtest_mase" -> (backtestMaseQ _),
     "backtest_model_select" -> (backtestModelSelectQ _),
     "gbt_forecast" -> (gbtForecast _),
     "gbt_forecast_given_model" -> (gbtForecastGiven _),
@@ -572,6 +576,26 @@ object ForecastQueries extends QueryModule {
         |ORDER BY geo, indicator, year""".stripMargin),
     "holt_forecast" -> holtForecastSql,
     "forecast_backtest" -> holtBacktestSql,
+    // E13: the fold chain + the naive candidate (the train prefix's
+    // last value, vs[n - fold]) folded into per-series MAEs and the
+    // MASE ratio
+    "backtest_mase" -> (holtBacktestCtes + """,
+        |frn AS (SELECT fr.*, f.vs[f.n - fr.fold] AS naive
+        |  FROM fr JOIN folds f ON f.geo = fr.geo
+        |    AND f.indicator = fr.indicator AND f.k = fr.fold),
+        |m AS (SELECT geo, indicator,
+        |    CAST(count(*) AS BIGINT) AS n_folds,
+        |    CAST(CAST(sum(CAST(CAST(abs(err) AS VARCHAR)
+        |        AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) / count(*)
+        |      AS mae_holt,
+        |    CAST(CAST(sum(CAST(CAST(abs(naive - actual) AS VARCHAR)
+        |        AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) / count(*)
+        |      AS mae_naive
+        |  FROM frn GROUP BY 1, 2)
+        |SELECT geo, indicator, n_folds, mae_holt, mae_naive,
+        |  mae_holt / nullif(mae_naive, 0) AS mase
+        |FROM m
+        |ORDER BY geo, indicator""".stripMargin),
     "ols_trend" -> (cte +
       """, pre AS (SELECT geo, indicator,
         |    CAST(year - 1998 AS BIGINT) AS x,

@@ -361,6 +361,39 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("backtest_mase: fold parity with E11, ratio algebra, naive anchor") {
+    val o = graft.etl.Observations.panel(spark, sf)
+      .select("geo", "indicator", "year", "value")
+    val mase = Forecast.backtestMase(o).collect()
+    assert(mase.nonEmpty)
+    // mae_holt recomputed from the E11 fold rows must match per series
+    val e11 = Forecast.holtBacktest(o).collect()
+      .groupBy(r => (r.getAs[String]("geo"), r.getAs[String]("indicator")))
+    mase.foreach { m =>
+      val key = (m.getAs[String]("geo"), m.getAs[String]("indicator"))
+      val fs = e11(key)
+      val maeH = fs.map(f => math.abs(f.getAs[Double]("err"))).sum / fs.length
+      assert(math.abs(m.getAs[Double]("mae_holt") - maeH)
+        <= 1e-5 * math.max(1.0, maeH), s"series $key")
+      // the ratio is exactly mae_holt / mae_naive when naive MAE > 0
+      val (mh, mn) = (m.getAs[Double]("mae_holt"),
+        m.getAs[Double]("mae_naive"))
+      if (mn > 0.0) assert(m.getAs[Double]("mase") == mh / mn)
+      else assert(m.isNullAt(m.fieldIndex("mase")),
+        "constant-tail series must yield null MASE, not infinity")
+    }
+    // the metric discriminates on the fixture: both sides of 1 appear
+    val ratios = mase.filter(!_.isNullAt(5)).map(_.getAs[Double]("mase"))
+    assert(ratios.exists(_ < 1.0), "no series where Holt beats naive")
+    // a constant synthetic series anchors the null arm exactly
+    import spark.implicits._
+    val const = (2000 to 2009).map(y => ("ZZ", "const", y, 5.0))
+      .toDF("geo", "indicator", "year", "value")
+    val cm = Forecast.backtestMase(const).collect()(0)
+    assert(cm.getAs[Double]("mae_naive") == 0.0 &&
+      cm.isNullAt(cm.fieldIndex("mase")))
+  }
+
   test("backtest_model_select: Holt folds bit-equal E11, winner by the tie rule") {
     val o = graft.etl.Observations.panel(spark, sf)
     val sel = Forecast.backtestModelSelect(o).collect()
