@@ -330,7 +330,47 @@ object Pq extends QueryModule {
     * bound and the PQ scoring bound composed, which is the layout
     * actually serving 10⁹-vector search.
     */
-  def knnIvfPq(emb: DataFrame): DataFrame = {
+  def knnIvfPq(emb: DataFrame): DataFrame =
+    graft.plans.AggExpressions
+      .topKPerKey(ivfPqScores(emb), "query_id", "sim", "neighbor_id",
+        Seq("adist", "list_id"), K)
+      .select("query_id", "rank", "neighbor_id", "adist", "list_id")
+      .orderBy("query_id", "rank")
+
+  /** G25 — `knn_ivfpq_rerank`: the refine stage over the COMPOSED
+    * index (the G24 two-stage pattern applied to the production
+    * IVFPQ shape — coarse routing + residual ADC proposes, exact
+    * re-scores): top-[[RerankR]] ADC candidates per query fetch raw
+    * embeddings via a broadcast of the shortlist into the corpus
+    * scan and re-rank by exact quantized squared-L2. The IVF probe
+    * bound and the PQ scoring bound still govern stage 1; stage 2
+    * touches queries×R rows at any corpus size.
+    */
+  def knnIvfPqRerank(emb: DataFrame): DataFrame = {
+    val e = emb.select("vec_id", "embedding")
+    val shortlist = graft.plans.AggExpressions
+      .topKPerKey(ivfPqScores(emb), "query_id", "sim", "neighbor_id",
+        Seq("adist", "list_id"), RerankR)
+      .select("query_id", "neighbor_id", "adist")
+    val q = e.filter(col("vec_id") < QueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val withQ = shortlist.join(broadcast(q), "query_id")
+    val scored = e.filter(col("vec_id") >= QueryIds)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("en"))
+      .join(broadcast(withQ), "neighbor_id")
+      .withColumn("dist", fullDistSq("eq", "en"))
+      .withColumn("sim", -col("dist"))
+    graft.plans.AggExpressions
+      .topKPerKey(scored, "query_id", "sim", "neighbor_id",
+        Seq("dist", "adist"), K)
+      .select("query_id", "rank", "neighbor_id", "dist", "adist")
+      .orderBy("query_id", "rank")
+  }
+
+  /** The per-(query, candidate) residual-ADC score frame — the shared
+    * stage-1 body of [[knnIvfPq]] and [[knnIvfPqRerank]].
+    */
+  private[sim] def ivfPqScores(emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (cents, assigned) = Ivf.givenListed(emb)
     val queries = assigned.filter(col("vec_id") < QueryIds)
@@ -366,11 +406,7 @@ object Pq extends QueryModule {
       .agg(sum(col("dsq").cast("decimal(24,12)")).cast("double")
         .as("adist"))
       .withColumn("sim", -col("adist"))
-    graft.plans.AggExpressions
-      .topKPerKey(adist, "query_id", "sim", "neighbor_id",
-        Seq("adist", "list_id"), K)
-      .select("query_id", "rank", "neighbor_id", "adist", "list_id")
-      .orderBy("query_id", "rank")
+    adist
   }
 
   /** G13 — `pq_recall`: recall@k of the ADC search ([[knn]]) against
@@ -417,11 +453,16 @@ object Pq extends QueryModule {
   def knnRerankQ(spark: SparkSession, dir: String): DataFrame =
     knnRerank(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
 
+  def knnIvfPqRerankQ(spark: SparkSession, dir: String): DataFrame =
+    knnIvfPqRerank(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+
   override def queries: Map[String, Q] = Map(
     "pq_encode" -> (encodeQ _),
     "knn_pq" -> (knnQ _),
     "knn_pq_rerank" -> (knnRerankQ _),
     "knn_ivfpq" -> (knnIvfPqQ _),
+    "knn_ivfpq_rerank" -> (knnIvfPqRerankQ _),
     "pq_recall" -> (recallQ _))
 
   /** Shared encode CTE chain: per-dimension rows with the subspace
@@ -464,41 +505,10 @@ object Pq extends QueryModule {
     |           ORDER BY adist ASC, neighbor_id ASC) AS rank
     |       FROM adist)""".stripMargin
 
-  override def oracles: Map[String, String] = Map(
-    "pq_encode" -> (encodeCtes + s"""
-      |SELECT vec_id,
-      |${(0 until NumSub).map(m =>
-          s"  max(CASE WHEN m = $m THEN code END) AS code_$m")
-          .mkString(",\n")}
-      |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin),
-    "knn_pq" -> (adcCtes + s"""
-      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adist
-      |FROM ranked WHERE rank <= $K
-      |ORDER BY query_id, rank""".stripMargin),
-    // two-stage: ADC shortlist (rank <= R) -> exact quantized L2 over
-    // ONLY those rows -> re-rank; the relational mirror of [[knnRerank]]
-    "knn_pq_rerank" -> (adcCtes + s""",
-      |short AS (SELECT query_id, neighbor_id, adist FROM ranked
-      |       WHERE rank <= $RerankR),
-      |ex AS (SELECT s.query_id, s.neighbor_id, s.adist,
-      |         CAST(CAST(sum(CAST(CAST((a.v - b.v) * (a.v - b.v) AS VARCHAR)
-      |              AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dist
-      |       FROM short s
-      |       JOIN comp a ON a.vec_id = s.query_id
-      |       JOIN comp b ON b.vec_id = s.neighbor_id AND b.i = a.i
-      |       GROUP BY 1, 2, 3),
-      |rr AS (SELECT query_id, neighbor_id, dist, adist,
-      |         row_number() OVER (PARTITION BY query_id
-      |           ORDER BY dist ASC, neighbor_id ASC) AS rank
-      |       FROM ex)
-      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
-      |  dist, adist
-      |FROM rr WHERE rank <= $K
-      |ORDER BY query_id, rank""".stripMargin),
-    // IVFPQ: the G2c assignment/probe chain (cosine routing) composed
-    // with residual-PQ codes and per-(query, list) ADC tables — the
-    // relational mirror of [[knnIvfPq]], replayed step for step.
-    "knn_ivfpq" -> s"""WITH comp AS (SELECT vec_id, CAST(i AS INT) AS i,
+  /** The full IVFPQ CTE chain through the per-query ADC ranking —
+    * shared by the G12 oracle and the G25 rerank oracle.
+    */
+  private val ivfPqCtes = s"""WITH comp AS (SELECT vec_id, CAST(i AS INT) AS i,
       |         CAST((CAST(i AS INT) - 1) // $SubDim AS INT) AS m,
       |         CAST(CAST(embedding[CAST(i AS INT)] AS FLOAT) AS DOUBLE) AS v
       |       FROM embeddings, UNNEST(range(1, ${Dim + 1})) u(i)),
@@ -553,11 +563,68 @@ object Pq extends QueryModule {
       |ranked AS (SELECT query_id, neighbor_id, adist, list_id,
       |         row_number() OVER (PARTITION BY query_id
       |           ORDER BY adist ASC, neighbor_id ASC) AS rank
-      |       FROM adist)
+      |       FROM adist)""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "pq_encode" -> (encodeCtes + s"""
+      |SELECT vec_id,
+      |${(0 until NumSub).map(m =>
+          s"  max(CASE WHEN m = $m THEN code END) AS code_$m")
+          .mkString(",\n")}
+      |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+    "knn_pq" -> (adcCtes + s"""
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adist
+      |FROM ranked WHERE rank <= $K
+      |ORDER BY query_id, rank""".stripMargin),
+    // two-stage: ADC shortlist (rank <= R) -> exact quantized L2 over
+    // ONLY those rows -> re-rank; the relational mirror of [[knnRerank]]
+    "knn_pq_rerank" -> (adcCtes + s""",
+      |short AS (SELECT query_id, neighbor_id, adist FROM ranked
+      |       WHERE rank <= $RerankR),
+      |ex AS (SELECT s.query_id, s.neighbor_id, s.adist,
+      |         CAST(CAST(sum(CAST(CAST((a.v - b.v) * (a.v - b.v) AS VARCHAR)
+      |              AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dist
+      |       FROM short s
+      |       JOIN comp a ON a.vec_id = s.query_id
+      |       JOIN comp b ON b.vec_id = s.neighbor_id AND b.i = a.i
+      |       GROUP BY 1, 2, 3),
+      |rr AS (SELECT query_id, neighbor_id, dist, adist,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY dist ASC, neighbor_id ASC) AS rank
+      |       FROM ex)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+      |  dist, adist
+      |FROM rr WHERE rank <= $K
+      |ORDER BY query_id, rank""".stripMargin),
+    // IVFPQ: the G2c assignment/probe chain (cosine routing) composed
+    // with residual-PQ codes and per-(query, list) ADC tables — the
+    // relational mirror of [[knnIvfPq]], replayed step for step.
+    "knn_ivfpq" -> (ivfPqCtes + s"""
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
       |  adist, list_id
       |FROM ranked WHERE rank <= $K
-      |ORDER BY query_id, rank""".stripMargin,
+      |ORDER BY query_id, rank""".stripMargin),
+    // G25: residual-ADC shortlist (rank <= R) -> exact full-vector
+    // quantized L2 -> re-rank; the relational mirror of
+    // [[knnIvfPqRerank]]
+    "knn_ivfpq_rerank" -> (ivfPqCtes + s""",
+      |short AS (SELECT query_id, neighbor_id, adist FROM ranked
+      |       WHERE rank <= $RerankR),
+      |ex AS (SELECT s.query_id, s.neighbor_id, s.adist,
+      |         CAST(CAST(sum(CAST(CAST((a.v - b.v) * (a.v - b.v) AS VARCHAR)
+      |              AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dist
+      |       FROM short s
+      |       JOIN comp a ON a.vec_id = s.query_id
+      |       JOIN comp b ON b.vec_id = s.neighbor_id AND b.i = a.i
+      |       GROUP BY 1, 2, 3),
+      |rr AS (SELECT query_id, neighbor_id, dist, adist,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY dist ASC, neighbor_id ASC) AS rank
+      |       FROM ex)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+      |  dist, adist
+      |FROM rr WHERE rank <= $K
+      |ORDER BY query_id, rank""".stripMargin),
     // recall@k: the knn_pq ADC chain next to exact squared-L2 ground
     // truth from the same component rows; hits via an IN-join.
     "pq_recall" -> (encodeCtes + s""",

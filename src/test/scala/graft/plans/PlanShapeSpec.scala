@@ -178,9 +178,10 @@ class PlanShapeSpec extends SparkSpec {
       // key_skew_report shape, six candidates unioned)
       "join_strategy_plan",
       // knn_pq_rerank inherits knn_pq's broadcast 16-row codebook
-      // cross for the ADC stage; stage 2's shortlist join is a hash
-      // equi-join on neighbor_id
-      "knn_pq_rerank")
+      // cross for the ADC stage; knn_ivfpq_rerank inherits
+      // knn_ivfpq's centroid + codebook crosses the same way; both
+      // stage-2 shortlist joins are hash equi-joins on neighbor_id
+      "knn_pq_rerank", "knn_ivfpq_rerank")
     // (embedding_pca/_r left the list in round 9: the iteration moved
     // to a driver-side solve over the collected d² summary — the
     // RowMatrix.computePrincipalComponents shape — so their plans no

@@ -218,4 +218,22 @@ class PqSpec extends SparkSpec {
     assert(rerankHits >= adcHits,
       s"rerank recall ($rerankHits) fell below ADC ($adcHits)")
   }
+
+  test("knn_ivfpq_rerank: shortlist-bounded and exact-ordered") {
+    val rerank = Pq.knnIvfPqRerank(emb).collect()
+    assert(rerank.nonEmpty && rerank.length <= Pq.QueryIds * Pq.K)
+    rerank.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Double]("dist"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+    val shortSet = graft.plans.AggExpressions
+      .topKPerKey(Pq.ivfPqScores(emb), "query_id", "sim", "neighbor_id",
+        Nil, Pq.RerankR)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rerank.forall(r => shortSet(
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))),
+      "stage 2 emitted a neighbor outside the residual-ADC shortlist")
+  }
 }
