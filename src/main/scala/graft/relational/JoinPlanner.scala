@@ -120,8 +120,65 @@ object JoinPlanner extends QueryModule {
         dimOf(spark, dir, name), name)
     }.reduce(_.unionByName(_)).orderBy("join_name")
 
+  /** K73 — the advisor's EXECUTOR: measure the candidate with
+    * [[strategyOf]], then DISPATCH the join through the chosen arm's
+    * operator — `broadcast` hint, K66 bloom pre-filter, K64 salted
+    * two-path, or the plain shuffle join. Every arm is result-
+    * identical to the plain join (each operator's own gate proves its
+    * transform is semantics-free), so auto-routing is safe by
+    * construction; the decision row is ONE bounded driver collect
+    * (the hot-keys / boundary-literals pattern — at a deployment this
+    * is the planner consulting last night's ANALYZE output).
+    * Returns (chosen strategy, joined frame).
+    */
+  def autoJoined(facts: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String, saltBy: String)
+      : (String, DataFrame) = {
+    val strategy = strategyOf(facts, factKey,
+      dim.select(col(dimKey).as("k")), "auto")
+      .collect()(0).getAs[String]("strategy")
+    val joined = strategy match {
+      case "broadcast" =>
+        facts.join(broadcast(dim), col(factKey) === col(dimKey))
+      case "bloom" =>
+        BloomJoin.bloomFiltered(facts, factKey, dim, dimKey)
+          .join(dim, col(factKey) === col(dimKey))
+      case "salt" =>
+        SkewJoin.salted(facts, dim, factKey, dimKey, saltBy)
+      case _ =>
+        facts.join(dim, col(factKey) === col(dimKey))
+    }
+    (strategy, joined)
+  }
+
+  /** K73 gate — lineitem auto-joined to orders (at the gate SF the
+    * measured skew is 3.19× ≥ the salt threshold, so the SALT arm
+    * dispatches; at other scales another arm may win — the OUTPUT is
+    * arm-independent by the identity each arm gates). The emitted
+    * `strategy` column is the driver-collected decision, and the
+    * oracle REPLAYS the decision CASE from the same stats — so the
+    * hash checks the routing itself cross-engine, not only the join.
+    */
+  def autoJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .withColumn("li_pk", expr("l_orderkey * 10 + l_linenumber"))
+    val dim = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority")
+    val (strategy, joined) =
+      autoJoined(facts, "l_orderkey", dim, "o_orderkey", "li_pk")
+    joined
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        graft.Fp.dsum2(col("l_extendedprice")).as("sum_price"))
+      .withColumn("strategy", lit(strategy))
+      .select("o_orderpriority", "n_items", "sum_price", "strategy")
+      .orderBy("o_orderpriority")
+  }
+
   override def queries: Map[String, Q] = Map(
-    "join_strategy_plan" -> (joinStrategyPlan _))
+    "join_strategy_plan" -> (joinStrategyPlan _),
+    "q_auto_join" -> (autoJoinAgg _))
 
   private def sqlCand(name: String, ft: String, fk: String,
       dimSql: String): String =
@@ -151,5 +208,35 @@ object JoinPlanner extends QueryModule {
     "join_strategy_plan" ->
       (candidates.map { case (name, ft, fk, dimSql) =>
         sqlCand(name, ft, fk, dimSql)
-      }.mkString("", "\nUNION ALL\n", "\nORDER BY join_name")))
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY join_name")),
+    // the decision CTE replays the K70 stats + CASE for the gate's
+    // candidate; the join side is the PLAIN join (every arm is
+    // identity-gated by its own operator), so a hash match proves
+    // BOTH the routing and the result
+    "q_auto_join" ->
+      s"""WITH s AS (SELECT sum(cnt) AS n_fact, count(*) AS n_keys,
+        |    max(cnt) AS max_key_cnt,
+        |    sum(CASE WHEN m THEN cnt ELSE 0 END) AS n_match
+        |  FROM (SELECT kc.cnt, dk.k IS NOT NULL AS m
+        |    FROM (SELECT l_orderkey AS k, count(*) AS cnt FROM lineitem
+        |          WHERE l_orderkey IS NOT NULL GROUP BY 1) kc
+        |    LEFT JOIN (SELECT o_orderkey AS k FROM orders) dk
+        |      ON kc.k = dk.k)),
+        |nd AS (SELECT count(*) AS n_dim FROM orders),
+        |strat AS (SELECT
+        |    CASE WHEN n_dim <= $BroadcastRows THEN 'broadcast'
+        |         WHEN (n_match * 1000000) // n_fact <= $BloomSelPpm
+        |           THEN 'bloom'
+        |         WHEN (max_key_cnt * n_keys * 100) // n_fact
+        |             >= $SaltSkewX100 THEN 'salt'
+        |         ELSE 'shuffle' END AS strategy
+        |  FROM s CROSS JOIN nd)
+        |SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  ${graft.Fp.sqlSum2("l_extendedprice")} AS sum_price,
+        |  strat.strategy
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |CROSS JOIN strat
+        |GROUP BY o_orderpriority, strat.strategy
+        |ORDER BY o_orderpriority""".stripMargin)
 }

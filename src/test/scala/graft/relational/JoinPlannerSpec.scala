@@ -42,6 +42,28 @@ class JoinPlannerSpec extends SparkSpec {
     assert(strat(hot ++ misses, bigDim) == "bloom")
   }
 
+  test("autoJoined dispatches each arm and every arm equals the plain join") {
+    val bigDim = (1L to JoinPlanner.BroadcastRows + 500L)
+    val fixtures = Seq(
+      ("broadcast", (1L to 50L), (1L to 10L)),
+      ("bloom", (1L to 1000L) ++ (100001L to 109000L), bigDim),
+      ("salt", (1L to 1200L) ++ Seq.fill(300)(7L), bigDim),
+      ("shuffle", (1L to 1500L), bigDim))
+    for ((want, factKeys, dimKeys) <- fixtures) {
+      val f = factKeys.zipWithIndex
+        .map { case (k, i) => (k, i.toLong) }.toDF("fk", "pk")
+      val d = dimKeys.toDF("k")
+      val (got, joined) =
+        JoinPlanner.autoJoined(f, "fk", d, "k", "pk")
+      assert(got == want, s"fixture $want dispatched $got")
+      val plain = f.join(d, col("fk") === col("k"))
+      val j2 = joined.select(plain.columns.map(col): _*)
+      assert(j2.count() == plain.count() &&
+        j2.exceptAll(plain).isEmpty && plain.exceptAll(j2).isEmpty,
+        s"arm $want diverged from the plain join")
+    }
+  }
+
   test("gate corpus exercises all four arms; skew is bounded below") {
     // the arms are scale-dependent (sf0.001's dims all fall under the
     // broadcast cap) — the all-four-arms fixture claim lives at the
