@@ -129,6 +129,10 @@ object Bench {
       // codegen'd Morton keys + one bucket-hashed shuffle
       "zorder_export" -> (() =>
         { relational.ZOrderExport.prebuild(spark, sfDir); () }),
+      // after compacted_events: the per-batch bloom sidecar behind
+      // bloom_pruned_lookup (one aggregate over the landed layout)
+      "bloom_index" -> (() =>
+        { relational.BloomJoin.prebuildIndexed(spark, sfDir); () }),
       // the two-version snapshot chain behind snapshot_store_serve:
       // v1 full write + the churn-sized apply + two pointer commits
       "snapshot_store" -> (() =>

@@ -25,6 +25,7 @@ object Caches {
     relational.Compactor.clearCacheForBench()
     relational.RangeExport.clearCacheForBench()
     relational.ZOrderExport.clearCacheForBench()
+    relational.BloomJoin.clearCacheForBench()
     relational.SnapshotStore.clearCacheForBench()
     sim.Pca.clearCacheForBench()
   }

@@ -264,10 +264,118 @@ object BloomJoin extends QueryModule {
       .orderBy("day")
   }
 
+  // --- K74: the persisted bloom sidecar + pruned point lookup ---------
+
+  /** JVM mirror of the shared 48-bit md5 family — bit-identical to
+    * [[Sketches.h48]] (md5 of `tag|value`, first 12 hex chars as a
+    * long), for computing a probe's positions driver-side.
+    */
+  private[graft] def h48Jvm(tag: String, v: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$tag|$v".getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(6).map("%02x".format(_)).mkString, 16)
+  }
+
+  /** Build and persist the per-BATCH bloom sidecar for a compacted
+    * layout ([[Compactor.loadCompacted]] shape): (grp, w, bits) rows,
+    * one (m=[[BixBits]], k=2) bloom over `user_id` per batch
+    * directory — the parquet-footer-bloom / Delta bloom-index
+    * artifact as an explicit table. ONE map-side-combined aggregate
+    * over the layout; O(batches × [[BixWords]]) output; staged-swap
+    * commit.
+    */
+  def saveBatchBlooms(layout: DataFrame, indexPath: String): Unit = {
+    val spark = layout.sparkSession
+    val positions = (0 until BloomK).map(i => expr(bixPos(i, "user_id")))
+    val staged = s"${indexPath}_staging"
+    layout
+      .select(col("grp"), explode(array(positions: _*)).as("pos"))
+      .groupBy(col("grp"), expr("pos div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("bits"))
+      .write.mode("overwrite").parquet(staged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(staged), spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(indexPath)
+    val old = new org.apache.hadoop.fs.Path(s"${indexPath}_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(live)) fs.rename(live, old)
+    fs.rename(new org.apache.hadoop.fs.Path(staged), live)
+    fs.delete(old, true)
+    ()
+  }
+
+  /** K74 — the POINT LOOKUP that ACTS on the bloom sidecar: for a
+    * probe user, consult the index for the batches that MIGHT contain
+    * it (no false negatives — identity with the unpruned filter is
+    * guaranteed and gated) and read ONLY those `grp=` directories
+    * (partition-pruned scan), then apply the exact predicate. The
+    * batch list is one bounded driver collect (≤ #batches — the
+    * probe-set pattern); the index read touches at most 2k word rows
+    * per batch via the probe's position filter.
+    */
+  def prunedLookup(spark: SparkSession, layoutPath: String,
+      indexPath: String, probeUser: Long): DataFrame = {
+    val ps = (0 until BloomK).map(i =>
+      (h48Jvm("bi", probeUser.toString) >>> (15 * i)) % BixBits)
+    val wordIdx = ps.map(_ / 64L)
+    val words = spark.read
+      .schema("grp BIGINT, w BIGINT, bits BIGINT").parquet(indexPath)
+      .filter(col("w").isin(wordIdx: _*))
+    val memberCols = ps.zipWithIndex.map { case (p, i) =>
+      // boolean-ized before max (the K69 two's-complement lesson)
+      max(when(col("w") === (p / 64L) &&
+        expr(s"(bits & shiftleft(1L, ${(p % 64).toInt})) != 0"), 1L)
+        .otherwise(0L)).as(s"m$i")
+    }
+    val keep = words.groupBy("grp")
+      .agg(memberCols.head, memberCols.tail: _*)
+      .filter((0 until BloomK).map(i => col(s"m$i") === 1L).reduce(_ && _))
+      .select("grp").collect().map(_.getLong(0))
+    Compactor.loadCompacted(spark, layoutPath)
+      .filter(col("grp").isin(keep: _*) && col("user_id") === probeUser)
+  }
+
+  private val lookupCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String)]
+
+  private[graft] def clearCacheForBench(): Unit = lookupCache.clear()
+
+  /** Compacted layout + bloom sidecar for the gate (bench bills the
+    * sidecar build as `builds.bloom_index`; the layout itself is the
+    * already-billed `compacted_events`).
+    */
+  def prebuildIndexed(spark: SparkSession, dir: String): (String, String) =
+    lookupCache.synchronized {
+      lookupCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+      lookupCache.getOrElseUpdate((spark, dir), {
+        val layout = Compactor.prebuild(spark, dir)
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bloomidx_$h"
+        saveBatchBlooms(Compactor.loadCompacted(spark, layout), idx)
+        (layout, idx)
+      })
+    }
+
+  /** K74 gate — the probe user's events served through the pruned
+    * read. Oracle = the PLAIN filter over raw events: hash equality
+    * proves the index skipped only batches that truly lack the user
+    * (a false skip would drop rows and break the hash).
+    */
+  def bloomPrunedLookupQ(spark: SparkSession, dir: String): DataFrame = {
+    val (layout, idx) = prebuildIndexed(spark, dir)
+    val probe = Tables.events(spark, dir)
+      .agg(min("user_id")).collect()(0).getLong(0)
+    prunedLookup(spark, layout, idx, probe)
+      .select("event_id", "user_id", "event_type", "value", "day")
+      .orderBy("event_id")
+  }
+
   override def queries: Map[String, Q] = Map(
     "q_bloom_join" -> (bloomJoinAgg _),
     "bloom_join_stats" -> (bloomJoinStats _),
-    "bloom_index_report" -> (bloomIndexReport _))
+    "bloom_index_report" -> (bloomIndexReport _),
+    "bloom_pruned_lookup" -> (bloomPrunedLookupQ _))
 
   override def oracles: Map[String, String] = Map(
     "q_bloom_join" ->
@@ -346,5 +454,13 @@ object BloomJoin extends QueryModule {
         |  s.probe_user, s.present,
         |  NOT (b.m0 = 1 AND b.m1 = 1) AS can_skip
         |FROM pds s JOIN pdb b USING (day)
-        |ORDER BY day""".stripMargin)
+        |ORDER BY day""".stripMargin,
+    // the oracle is the PLAIN point filter over raw events: a false
+    // skip would drop that batch's rows and break the hash
+    "bloom_pruned_lookup" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  CAST(ts AS DATE) AS day
+        |FROM events
+        |WHERE user_id = (SELECT min(user_id) FROM events)
+        |ORDER BY event_id""".stripMargin)
 }

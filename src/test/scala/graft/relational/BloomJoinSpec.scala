@@ -82,4 +82,44 @@ class BloomJoinSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Boolean]("can_skip")),
       "fixture should have at least one skippable partition")
   }
+
+  test("bloom-pruned lookup: identity with the plain filter, and a " +
+      "batch-disjoint probe reads exactly one batch directory") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // 4 days x CompactTargetRows rows -> 4 one-day batches, with
+    // DISJOINT user ranges per day so the probe user lives in exactly
+    // one batch
+    val perDay = Sketches.CompactTargetRows.toInt
+    val evs = for {
+      d <- 0 until 4
+      i <- 0 until perDay
+    } yield (d.toLong * perDay + i,
+      Timestamp.valueOf(f"2024-01-${d + 1}%02d 10:00:00"),
+      d * 1000L + (i % 100), "view", 1.0, "{}")
+    val df = evs.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props").withColumn("ts_ns", expr("0L"))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bloomlookup").toString
+    val layout = s"$base/layout"
+    Compactor.execute(df, layout)
+    val idx = s"$base/idx"
+    BloomJoin.saveBatchBlooms(
+      Compactor.loadCompacted(spark, layout), idx)
+    val probe = 2013L // day-2 range only
+    val got = BloomJoin.prunedLookup(spark, layout, idx, probe)
+    val expect = Compactor.loadCompacted(spark, layout)
+      .filter(col("user_id") === probe)
+    assert(got.count() == expect.count() && got.count() > 0)
+    assert(got.select("event_id").exceptAll(expect.select("event_id"))
+      .isEmpty &&
+      expect.select("event_id").exceptAll(got.select("event_id"))
+        .isEmpty, "pruned read lost or invented rows")
+    // the pruned scan touched exactly the one batch that can contain
+    // the probe (no false skips is already proven by the identity;
+    // this pins that the index actually PRUNES)
+    val touched = got.select(col("_metadata.file_path"))
+      .distinct().count()
+    assert(touched == 1L, s"expected 1 batch file touched, saw $touched")
+  }
 }
