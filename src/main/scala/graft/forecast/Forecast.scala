@@ -178,6 +178,31 @@ object Forecast {
           (col("fit.l") + col("step") * col("fit.b")).as("forecast"))
     }
 
+  /** E14 — the E2 forecast with PREDICTION INTERVALS: the honest form
+    * of a plotted forecast line. σ = the winning grid point's
+    * in-sample residual std (√(SSE/(n−2)) — the SSE the fit already
+    * minimizes, so the band is free), widened √h per step (the
+    * standard naive widening for a linear-trend point forecast), z =
+    * 1.96. Series too short to estimate a residual variance (n = 2)
+    * emit null bands rather than a fake certainty.
+    */
+  def forecastIntervals(obs: DataFrame): DataFrame =
+    fitHolt(seriesArrays(obs), "vs", Seq("last_year"))
+      // fit.n counts FOLD STEPS (series length − 1, HoltGridFit's
+      // contract), so n_series − 2 degrees of freedom = fit.n − 1
+      .withColumn("sigma",
+        expr("case when fit.n > 1 then sqrt(fit.sse / (fit.n - 1)) end"))
+      .select(col("geo"), col("indicator"), col("last_year"),
+        col("fit"), col("sigma"),
+        explode(expr(s"sequence(1, $Horizon)")).as("step"))
+      .select(col("geo"), col("indicator"),
+        (col("last_year") + col("step")).as("year"),
+        (col("fit.l") + col("step") * col("fit.b")).as("forecast"),
+        (col("fit.l") + col("step") * col("fit.b")
+          - lit(1.96) * col("sigma") * sqrt(col("step"))).as("lo"),
+        (col("fit.l") + col("step") * col("fit.b")
+          + lit(1.96) * col("sigma") * sqrt(col("step"))).as("hi"))
+
   /** Per-series fitted (α, β) — exposed for inspection/specs. */
   def holtParams(obs: DataFrame): DataFrame =
     fitHolt(seriesArrays(obs), "vs", Seq("last_year"))

@@ -39,6 +39,10 @@ object ForecastQueries extends QueryModule {
   def backtestMaseQ(s: SparkSession, d: String): DataFrame =
     Forecast.backtestMase(obs(s, d))
 
+  def forecastIntervalsQ(s: SparkSession, d: String): DataFrame =
+    Forecast.forecastIntervals(obs(s, d))
+      .orderBy("geo", "indicator", "year")
+
   def gbtForecast(s: SparkSession, d: String): DataFrame =
     Gbt.forecast(obs(s, d)).orderBy("geo", "indicator", "year")
 
@@ -152,6 +156,7 @@ object ForecastQueries extends QueryModule {
     "holt_forecast" -> (holtForecast _),
     "forecast_backtest" -> (holtBacktestQ _),
     "backtest_mase" -> (backtestMaseQ _),
+    "forecast_intervals" -> (forecastIntervalsQ _),
     "backtest_model_select" -> (backtestModelSelectQ _),
     "gbt_forecast" -> (gbtForecast _),
     "gbt_forecast_given_model" -> (gbtForecastGiven _),
@@ -183,7 +188,11 @@ object ForecastQueries extends QueryModule {
     * at sf0.01: trivial for the oracle engine, while the Spark side
     * stays one codegen projection per series.
     */
-  private val holtForecastSql: String =
+  /** The Holt fit CTE chain through the per-series argmin (carrying
+    * the winning SSE and the series length) — shared by the E2
+    * oracle and the E14 interval oracle.
+    */
+  private val holtFitCtes: String =
     cte.replaceFirst("^WITH ", "WITH RECURSIVE ").trim + ",\n" +
       s"""s2 AS (SELECT geo, indicator,
         |    list(value ORDER BY year) AS vs, max(year) AS last_year
@@ -203,14 +212,38 @@ object ForecastQueries extends QueryModule {
         |    st.sse + (s2.vs[st.i] - (st.l + st.b)) * (s2.vs[st.i] - (st.l + st.b))
         |  FROM steps st JOIN s2 ON s2.geo = st.geo AND s2.indicator = st.indicator
         |  WHERE st.i <= len(s2.vs)),
-        |best AS (SELECT st.geo, st.indicator, st.l, st.b,
+        |best AS (SELECT st.geo, st.indicator, st.l, st.b, st.sse,
         |    row_number() OVER (PARTITION BY st.geo, st.indicator
         |                       ORDER BY st.sse, st.a, st.be) AS rn
         |  FROM steps st JOIN s2 ON s2.geo = st.geo AND s2.indicator = st.indicator
-        |  WHERE st.i = len(s2.vs) + 1)
+        |  WHERE st.i = len(s2.vs) + 1)""".stripMargin
+
+  private val holtForecastSql: String =
+    holtFitCtes + s"""
         |SELECT b.geo, b.indicator,
         |  CAST(s2.last_year + u.h AS INTEGER) AS year,
         |  b.l + u.h * b.b AS forecast
+        |FROM best b
+        |JOIN s2 ON s2.geo = b.geo AND s2.indicator = b.indicator,
+        |  UNNEST(range(1, ${Forecast.Horizon + 1})) u(h)
+        |WHERE b.rn = 1
+        |ORDER BY b.geo, b.indicator, year""".stripMargin
+
+  /** E14 oracle: the fit chain + the naive-widening normal band
+    * (σ·√h at z = 1.96; the '1.96' literal crosses engines as a
+    * VARCHAR→DOUBLE cast — the gridSql lesson).
+    */
+  private val forecastIntervalsSql: String =
+    holtFitCtes + s"""
+        |SELECT b.geo, b.indicator,
+        |  CAST(s2.last_year + u.h AS INTEGER) AS year,
+        |  b.l + u.h * b.b AS forecast,
+        |  CASE WHEN len(s2.vs) > 2 THEN
+        |    b.l + u.h * b.b - CAST('1.96' AS DOUBLE)
+        |      * sqrt(b.sse / (len(s2.vs) - 2)) * sqrt(u.h) END AS lo,
+        |  CASE WHEN len(s2.vs) > 2 THEN
+        |    b.l + u.h * b.b + CAST('1.96' AS DOUBLE)
+        |      * sqrt(b.sse / (len(s2.vs) - 2)) * sqrt(u.h) END AS hi
         |FROM best b
         |JOIN s2 ON s2.geo = b.geo AND s2.indicator = b.indicator,
         |  UNNEST(range(1, ${Forecast.Horizon + 1})) u(h)
@@ -575,6 +608,7 @@ object ForecastQueries extends QueryModule {
         |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |ORDER BY geo, indicator, year""".stripMargin),
     "holt_forecast" -> holtForecastSql,
+    "forecast_intervals" -> forecastIntervalsSql,
     "forecast_backtest" -> holtBacktestSql,
     // E13: the fold chain + the naive candidate (the train prefix's
     // last value, vs[n - fold]) folded into per-series MAEs and the

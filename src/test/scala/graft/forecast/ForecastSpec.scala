@@ -361,6 +361,44 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("forecast_intervals: symmetric bands that widen with horizon") {
+    val o = graft.etl.Observations.panel(spark, sf)
+      .select("geo", "indicator", "year", "value")
+    val rows = Forecast.forecastIntervals(o).collect()
+    assert(rows.nonEmpty)
+    val bySeries = rows.groupBy(r =>
+      (r.getAs[String]("geo"), r.getAs[String]("indicator")))
+    bySeries.foreach { case (key, fs) =>
+      val byYear = fs.sortBy(_.getAs[Int]("year"))
+      val widths = byYear.flatMap { r =>
+        if (r.isNullAt(r.fieldIndex("lo"))) None
+        else {
+          val (f, lo, hi) = (r.getAs[Double]("forecast"),
+            r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+          // symmetric around the point forecast (same double algebra
+          // both sides of the ±)
+          assert(lo <= f && f <= hi, s"band excludes forecast in $key")
+          assert(math.abs((hi - f) - (f - lo))
+            <= 1e-9 * math.max(1.0, hi - lo), s"asymmetric band in $key")
+          Some(hi - lo)
+        }
+      }
+      // naive √h widening: nondecreasing width over horizon (a 2-point
+      // series emits no bands at all — widths empty is legal)
+      if (widths.nonEmpty)
+        assert(widths.zip(widths.tail).forall { case (a, b) => b >= a },
+          s"band narrowed with horizon in $key")
+    }
+    // a 2-point series fits (E2 contract) but cannot estimate a
+    // residual variance: null band, not fake certainty
+    import spark.implicits._
+    val two = Seq(("ZZ", "two", 2000, 1.0), ("ZZ", "two", 2001, 2.0))
+      .toDF("geo", "indicator", "year", "value")
+    val t = Forecast.forecastIntervals(two).collect()
+    assert(t.nonEmpty && t.forall(r => r.isNullAt(r.fieldIndex("lo"))
+      && r.isNullAt(r.fieldIndex("hi"))))
+  }
+
   test("backtest_mase: fold parity with E11, ratio algebra, naive anchor") {
     val o = graft.etl.Observations.panel(spark, sf)
       .select("geo", "indicator", "year", "value")
