@@ -364,9 +364,15 @@ object BloomJoin extends QueryModule {
     */
   def bloomPrunedLookupQ(spark: SparkSession, dir: String): DataFrame = {
     val (layout, idx) = prebuildIndexed(spark, dir)
-    val probe = Tables.events(spark, dir)
-      .agg(min("user_id")).collect()(0).getLong(0)
-    prunedLookup(spark, layout, idx, probe)
+    val probeRow = Tables.events(spark, dir)
+      .agg(min("user_id")).collect()(0)
+    // an empty corpus has no probe user: degrade to the empty frame
+    // (schema-stable), never a null unboxing
+    val base =
+      if (probeRow.isNullAt(0))
+        Compactor.loadCompacted(spark, layout).filter(lit(false))
+      else prunedLookup(spark, layout, idx, probeRow.getLong(0))
+    base
       .select("event_id", "user_id", "event_type", "value", "day")
       .orderBy("event_id")
   }
