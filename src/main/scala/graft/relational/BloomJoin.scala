@@ -59,10 +59,19 @@ object BloomJoin extends QueryModule {
   val BloomK = 2
 
   // both positions slice ONE 48-bit md5 (Kirsch-Mitzenmacher double
-  // hashing: two disjoint 18-bit fields of the same hash) — the
-  // membership probe costs one md5 per fact row, not k
+  // hashing: two disjoint log2(m)-bit fields of the same hash) — the
+  // membership probe costs one md5 per fact row, not k. The gate
+  // fixture uses the fixed [[BloomBits]]; a deployment sizes m to the
+  // dim ndv (the K38 bloomMExpr discipline — StressJoin exercises
+  // that path at ×12/×24 amplification).
+  private def shiftOf(bits: Long): Int =
+    java.lang.Long.numberOfTrailingZeros(bits)
+
+  private def posExprM(i: Int, key: String, bits: Long): String =
+    s"((${Sketches.h48("bf", key)} div ${1L << (shiftOf(bits) * i)}) % $bits)"
+
   private def posExpr(i: Int, key: String): String =
-    s"((${Sketches.h48("bf", key)} div ${1L << (18 * i)}) % $BloomBits)"
+    posExprM(i, key, BloomBits.toLong)
 
   private def sqlPos(i: Int, key: String): String =
     s"((${Sketches.sqlH48("bf", key)} // ${1L << (18 * i)}) % $BloomBits)"
@@ -72,9 +81,13 @@ object BloomJoin extends QueryModule {
     * child exactly once per row (see its Scaladoc for why SQL-level
     * composition costs 4×).
     */
-  private def memberCond(words: Array[Long], key: String): Column =
+  private def memberCondM(words: Array[Long], key: String,
+      bits: Long): Column =
     graft.plans.VectorExpressions.bloomMember(
-      expr(Sketches.h48("bf", key)), words, BloomBits.toLong, BloomK, 18)
+      expr(Sketches.h48("bf", key)), words, bits, BloomK, shiftOf(bits))
+
+  private def memberCond(words: Array[Long], key: String): Column =
+    memberCondM(words, key, BloomBits.toLong)
 
   /** The word array collected to a CONSTANT — [[BloomWords]] longs,
     * 32 KB regardless of either side's row count (the
@@ -94,23 +107,40 @@ object BloomJoin extends QueryModule {
     * all-zero array, which rejects every probe — the correct
     * degenerate.
     */
-  private[graft] def bloomWordsOf(dim: DataFrame,
-      dimKey: String): Array[Long] = {
-    // collect SPARSE (word, bits) rows (≤ BloomWords, same bound) and
-    // densify in plain Scala — the 1-row dense-frame route pays an
-    // O(words²) linear-scan map lookup inside `transform(sequence…)`
-    // (ArrayBasedMapData has no hash index; measured ~1.5 s of the
-    // build at sf0.1, vs ~0.3 s sparse)
-    val positions = (0 until BloomK).map(i => expr(posExpr(i, dimKey)))
+  // collect SPARSE (word, bits) rows (≤ bits/64, same bound) and
+  // densify in plain Scala — the 1-row dense-frame route pays an
+  // O(words²) linear-scan map lookup inside `transform(sequence…)`
+  // (ArrayBasedMapData has no hash index; measured ~1.5 s of the
+  // build at sf0.1, vs ~0.3 s sparse)
+  private[graft] def bloomWordsOfM(dim: DataFrame, dimKey: String,
+      bits: Long): Array[Long] = {
+    val positions = (0 until BloomK).map(i =>
+      expr(posExprM(i, dimKey, bits)))
     val sparse = dim
       .select(explode(array(positions: _*)).as("pos"))
       .groupBy(expr("pos div 64").as("w"))
       .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("bits"))
       .collect()
-    val words = new Array[Long](BloomWords)
+    val words = new Array[Long]((bits / 64).toInt)
     sparse.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
     words
   }
+
+  /** [[bloomFiltered]] with an explicit filter size (m must be a
+    * power of two with 2·log2(m) ≤ 48) — the deployment path that
+    * sizes m to the dim ndv; the gate keeps the fixed default.
+    */
+  def bloomFilteredM(facts: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String, bits: Long): DataFrame = {
+    require(java.lang.Long.bitCount(bits) == 1 &&
+      2 * shiftOf(bits) <= 48, s"m=$bits not a valid slice geometry")
+    facts.filter(memberCondM(bloomWordsOfM(dim, dimKey, bits),
+      factKey, bits))
+  }
+
+  private[graft] def bloomWordsOf(dim: DataFrame,
+      dimKey: String): Array[Long] =
+    bloomWordsOfM(dim, dimKey, BloomBits.toLong)
 
   /** `facts` filtered to rows whose `factKey` MIGHT appear in
     * `dim.dimKey` — no false negatives, bounded false positives; the

@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev tool: scaling check for the round-15 join-acceleration trio —
+  * plain vs bloom-prefiltered (K66) vs salted (K64) joins on an
+  * amplified corpus (each replica offsets the keys, so ndv scales
+  * with volume like a real corpus). The bloom sizes m to the dim ndv
+  * (the K38 bloomMExpr discipline, next power of two ≥ 16·n) —
+  * exactly what a deployment does; the gate's fixed 32 KB m would
+  * saturate past ~30k keys and is reported alongside for honesty.
+  * Usage: runMain graft.tools.StressJoin [sfDir] [mult1,mult2,...]
+  */
+object StressJoin {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mults = args.lift(1).getOrElse("12,24").split(",").map(_.toInt)
+    val spark = graft.Engine.session("graft-stress-join")
+    spark.sparkContext.setLogLevel("WARN")
+
+    def amp(t: String, key: String, mult: Int): DataFrame =
+      (0 until mult).map { i =>
+        graft.sources.Tables.table(spark, sfDir, t)
+          .withColumn(key, col(key) + lit(i.toLong * 1000000000L))
+      }.reduce(_ unionByName _)
+
+    def timed(f: => Long): (Double, Long) = {
+      var best = Double.MaxValue; var n = 0L
+      for (_ <- 1 to 2) {
+        val t0 = System.nanoTime()
+        n = f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      (best, n)
+    }
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (mult <- mults) {
+      val facts = amp("lineitem", "l_orderkey", mult)
+        .select("l_orderkey", "l_extendedprice", "l_returnflag")
+        .localCheckpoint(true)
+      val urgent = amp("orders", "o_orderkey", mult)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+        .localCheckpoint(true)
+      val nFact = facts.count()
+      val nDim = urgent.count()
+      // m sized to ndv: next pow2 >= 16 * nDim (the K38 discipline)
+      val mBits = java.lang.Long.highestOneBit(
+        math.max(16L * nDim, 2L) * 2 - 1)
+      val (tPlain, nPlain) = timed {
+        facts.join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag").agg(count(lit(1))).count()
+      }
+      val (tBloom, _) = timed {
+        graft.relational.BloomJoin
+          .bloomFilteredM(facts, "l_orderkey", urgent, "o_orderkey", mBits)
+          .join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag").agg(count(lit(1))).count()
+      }
+      val (tSurv, nSurv) = timed {
+        graft.relational.BloomJoin
+          .bloomFilteredM(facts, "l_orderkey", urgent, "o_orderkey", mBits)
+          .count()
+      }
+      val nMatch = facts
+        .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .count()
+      val fpPpm =
+        if (nFact == nMatch) 0L
+        else (nSurv - nMatch) * 1000000L / (nFact - nMatch)
+      // salted vs plain on the full (3.19x-skew) orders join
+      val fullDim = amp("orders", "o_orderkey", mult)
+        .select("o_orderkey", "o_orderpriority").localCheckpoint(true)
+      val factsPk = facts.withColumn("li_pk",
+        expr("l_orderkey * 10 + monotonically_increasing_id() % 10"))
+      val (tPlainFull, _) = timed {
+        factsPk.join(fullDim, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority").agg(count(lit(1))).count()
+      }
+      val (tSalt, _) = timed {
+        graft.relational.SkewJoin
+          .salted(factsPk, fullDim, "l_orderkey", "o_orderkey", "li_pk")
+          .groupBy("o_orderpriority").agg(count(lit(1))).count()
+      }
+      val line =
+        s"""{"mult":$mult,"n_fact":$nFact,"n_dim":$nDim,"m_bits":$mBits,
+           |"sec_plain_sel":$tPlain,"sec_bloom_sel":$tBloom,
+           |"sec_bloom_filter":$tSurv,"survivors":$nSurv,
+           |"n_match":$nMatch,"fp_ppm":$fpPpm,
+           |"sec_plain_full":$tPlainFull,"sec_salted_full":$tSalt}"""
+          .stripMargin.replaceAll("\n", "")
+      println("STRESSJOIN " + line)
+      out += line
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of("STRESSJOIN_r15.json"),
+      out.mkString("[", ",\n", "]\n"))
+    spark.stop()
+  }
+}
