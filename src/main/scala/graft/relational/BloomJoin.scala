@@ -73,8 +73,10 @@ object BloomJoin extends QueryModule {
   private def posExpr(i: Int, key: String): String =
     posExprM(i, key, BloomBits.toLong)
 
+  // the slice offset derives from BloomBits exactly like posExprM's —
+  // retuning BloomBits cannot desynchronize the oracle replay
   private def sqlPos(i: Int, key: String): String =
-    s"((${Sketches.sqlH48("bf", key)} // ${1L << (18 * i)}) % $BloomBits)"
+    s"((${Sketches.sqlH48("bf", key)} // ${1L << (shiftOf(BloomBits.toLong) * i)}) % $BloomBits)"
 
   /** Membership of `key` in the constant word array — the codegen'd
     * [[graft.plans.BloomMember]] expression, which evaluates the md5
@@ -116,7 +118,11 @@ object BloomJoin extends QueryModule {
       bits: Long): Array[Long] = {
     val positions = (0 until BloomK).map(i =>
       expr(posExprM(i, dimKey, bits)))
-    val sparse = dim
+    // null dim keys never match an equi-join, and a null key's null
+    // position would collect as a (w=null, bits=null) row whose
+    // getLong-unboxed 0 ZEROES word 0 — dropping real keys' bits and
+    // breaking the no-false-negatives invariant
+    val sparse = dim.filter(col(dimKey).isNotNull)
       .select(explode(array(positions: _*)).as("pos"))
       .groupBy(expr("pos div 64").as("w"))
       .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("bits"))
@@ -132,8 +138,10 @@ object BloomJoin extends QueryModule {
     */
   def bloomFilteredM(facts: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String, bits: Long): DataFrame = {
-    require(java.lang.Long.bitCount(bits) == 1 &&
-      2 * shiftOf(bits) <= 48, s"m=$bits not a valid slice geometry")
+    require(java.lang.Long.bitCount(bits) == 1 && bits >= 64 &&
+      2 * shiftOf(bits) <= 48,
+      s"m=$bits not a valid slice geometry (need a power of two in " +
+        "[64, 2^24] so the word array is non-empty)")
     facts.filter(memberCondM(bloomWordsOfM(dim, dimKey, bits),
       factKey, bits))
   }

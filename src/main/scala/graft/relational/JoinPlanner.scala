@@ -80,9 +80,16 @@ object JoinPlanner extends QueryModule {
         sum(when(col("m").isNotNull, col("cnt")).otherwise(0L))
           .as("n_match"))
       .crossJoin(broadcast(nd))
+      // ratios in decimal(38,0): max_key_cnt * n_keys * 100 overflows
+      // Long around 10^8 hot-key count × 10^9 ndv (the 100 TB shape),
+      // and a wrapped negative would silently misroute the join;
+      // decimal floor-div is exact, so gate values are unchanged
       .withColumn("skew_x100",
-        expr("(max_key_cnt * n_keys * 100) div n_fact"))
-      .withColumn("sel_ppm", expr("(n_match * 1000000) div n_fact"))
+        expr("cast((cast(max_key_cnt as decimal(38,0)) * n_keys * 100)" +
+          " div n_fact as bigint)"))
+      .withColumn("sel_ppm",
+        expr("cast((cast(n_match as decimal(38,0)) * 1000000)" +
+          " div n_fact as bigint)"))
       .withColumn("strategy",
         when(col("n_dim") <= BroadcastRows, "broadcast")
           .when(col("sel_ppm") <= BloomSelPpm, "bloom")
@@ -134,8 +141,12 @@ object JoinPlanner extends QueryModule {
   def autoJoined(facts: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String, saltBy: String)
       : (String, DataFrame) = {
+    // distinct() enforces strategyOf's unique-dim-key precondition on
+    // this public path — duplicate dim keys would inflate n_fact /
+    // n_match through the stats left join and skew the decision (the
+    // JOIN below is unaffected; only the measure is deduped)
     val strategy = strategyOf(facts, factKey,
-      dim.select(col(dimKey).as("k")), "auto")
+      dim.select(col(dimKey).as("k")).distinct(), "auto")
       .collect()(0).getAs[String]("strategy")
     val joined = strategy match {
       case "broadcast" =>
@@ -186,14 +197,15 @@ object JoinPlanner extends QueryModule {
       |  CAST(n_fact AS BIGINT) AS n_fact, CAST(n_dim AS BIGINT) AS n_dim,
       |  CAST(n_keys AS BIGINT) AS n_keys,
       |  CAST(max_key_cnt AS BIGINT) AS max_key_cnt,
-      |  CAST((max_key_cnt * n_keys * 100) // n_fact AS BIGINT)
-      |    AS skew_x100,
-      |  CAST((n_match * 1000000) // n_fact AS BIGINT) AS sel_ppm,
+      |  CAST((CAST(max_key_cnt AS HUGEINT) * n_keys * 100) // n_fact
+      |    AS BIGINT) AS skew_x100,
+      |  CAST((CAST(n_match AS HUGEINT) * 1000000) // n_fact AS BIGINT)
+      |    AS sel_ppm,
       |  CASE WHEN n_dim <= $BroadcastRows THEN 'broadcast'
-      |       WHEN (n_match * 1000000) // n_fact <= $BloomSelPpm
-      |         THEN 'bloom'
-      |       WHEN (max_key_cnt * n_keys * 100) // n_fact >= $SaltSkewX100
-      |         THEN 'salt'
+      |       WHEN (CAST(n_match AS HUGEINT) * 1000000) // n_fact
+      |           <= $BloomSelPpm THEN 'bloom'
+      |       WHEN (CAST(max_key_cnt AS HUGEINT) * n_keys * 100) // n_fact
+      |           >= $SaltSkewX100 THEN 'salt'
       |       ELSE 'shuffle' END AS strategy
       |FROM (SELECT sum(cnt) AS n_fact, count(*) AS n_keys,
       |    max(cnt) AS max_key_cnt,
@@ -225,10 +237,10 @@ object JoinPlanner extends QueryModule {
         |nd AS (SELECT count(*) AS n_dim FROM orders),
         |strat AS (SELECT
         |    CASE WHEN n_dim <= $BroadcastRows THEN 'broadcast'
-        |         WHEN (n_match * 1000000) // n_fact <= $BloomSelPpm
-        |           THEN 'bloom'
-        |         WHEN (max_key_cnt * n_keys * 100) // n_fact
-        |             >= $SaltSkewX100 THEN 'salt'
+        |         WHEN (CAST(n_match AS HUGEINT) * 1000000) // n_fact
+        |           <= $BloomSelPpm THEN 'bloom'
+        |         WHEN (CAST(max_key_cnt AS HUGEINT) * n_keys * 100)
+        |             // n_fact >= $SaltSkewX100 THEN 'salt'
         |         ELSE 'shuffle' END AS strategy
         |  FROM s CROSS JOIN nd)
         |SELECT o_orderpriority,

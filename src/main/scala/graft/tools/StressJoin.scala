@@ -46,9 +46,11 @@ object StressJoin {
         .localCheckpoint(true)
       val nFact = facts.count()
       val nDim = urgent.count()
-      // m sized to ndv: next pow2 >= 16 * nDim (the K38 discipline)
+      // m sized to ndv: next pow2 >= 16 * nDim (the K38 discipline),
+      // floored at 64 so the word-array geometry stays valid on a
+      // near-empty dim
       val mBits = java.lang.Long.highestOneBit(
-        math.max(16L * nDim, 2L) * 2 - 1)
+        math.max(16L * nDim, 64L) * 2 - 1)
       val (tPlain, nPlain) = timed {
         facts.join(urgent, col("l_orderkey") === col("o_orderkey"))
           .groupBy("l_returnflag").agg(count(lit(1))).count()

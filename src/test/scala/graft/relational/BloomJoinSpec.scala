@@ -122,4 +122,34 @@ class BloomJoinSpec extends SparkSpec {
       .distinct().count()
     assert(touched == 1L, s"expected 1 batch file touched, saw $touched")
   }
+
+  test("null dim keys are ignored — they cannot zero word 0 and drop " +
+      "real matches") {
+    import spark.implicits._
+    val dimWithNulls = dim.select(col("o_orderkey"))
+      .unionByName(Seq.empty[Long].toDF("o_orderkey")
+        .select(lit(null).cast("long").as("o_orderkey")))
+      .unionByName(Seq(Option.empty[Long], Option.empty[Long])
+        .toDF("o_orderkey"))
+    val clean = BloomJoin.bloomWordsOf(dim, "o_orderkey")
+    val dirty = BloomJoin.bloomWordsOf(dimWithNulls, "o_orderkey")
+    assert(clean.sameElements(dirty),
+      "null keys altered the filter bits")
+    // the end-to-end invariant: every real dim key still passes
+    val keysAsFacts = dim.select(col("o_orderkey").as("k"))
+    val kept = BloomJoin
+      .bloomFiltered(keysAsFacts, "k", dimWithNulls, "o_orderkey")
+    assert(kept.count() == keysAsFacts.count(),
+      "a null dim key introduced a false negative")
+  }
+
+  test("m below one word is rejected — the geometry require") {
+    intercept[IllegalArgumentException] {
+      BloomJoin.bloomFilteredM(facts, "l_orderkey", dim, "o_orderkey", 32L)
+    }
+    // 64 is the smallest legal m and must not throw on build or probe
+    val kept = BloomJoin
+      .bloomFilteredM(facts.limit(10), "l_orderkey", dim, "o_orderkey", 64L)
+    kept.count()
+  }
 }
