@@ -17,10 +17,15 @@ import graft.sources.Tables
   *
   *  - ATOMIC VISIBILITY — versions live under `v=<n>/`; the only
   *    mutable state is the tiny `_current` pointer file, committed by
-  *    write-temp + rename (atomic on a POSIX/HDFS namespace). A crash
-  *    mid-apply leaves a dangling `v=<n+1>/` directory that no reader
-  *    can reach — the pointer still names the old version — and the
-  *    next apply overwrites it;
+  *    write-temp + OVERWRITE-rename (`FileContext.rename(OVERWRITE)`,
+  *    atomic on a POSIX/HDFS namespace — a plain FileSystem.rename
+  *    cannot overwrite, and delete-then-rename would open a window in
+  *    which a crash or concurrent reader sees NO pointer and the
+  *    whole committed store reads as uninitialized). A crash at ANY
+  *    point of an apply leaves the pointer readable at its old value:
+  *    before the rename readers see the old version, after it the
+  *    new one; a dangling `v=<n+1>/` directory that no reader can
+  *    reach is overwritten by the next apply;
   *  - CHURN-SIZED WRITES stay the [[SnapshotDiff.applyDiff]] plan
   *    (anti join + upsert union); only the NEW version's rows are
   *    written, never a rewrite of history.
@@ -29,6 +34,18 @@ import graft.sources.Tables
   * (the SketchStore at-least-once discipline) — a re-delivered diff
   * batch is a no-op, because the bare apply is NOT idempotent (re-
   * unioning insert images duplicates them).
+  *
+  * WRITER MODEL — optimistic single-winner: each apply first claims
+  * its target version by CREATE-EXCLUSIVE of `_claims/v<n>` (the
+  * put-if-absent arbiter, Delta's commit-file protocol reduced to a
+  * mutex); of two concurrent appliers exactly one wins and the loser
+  * fails with [[java.util.ConcurrentModificationException]] BEFORE
+  * touching data, store intact. A writer that crashes AFTER claiming
+  * but before committing leaves a dangling claim that blocks the next
+  * apply — deliberate (the blocked writer cannot distinguish a crash
+  * from a slow in-flight commit); recovery is the operator removing
+  * claims above `currentVersion` once no writer is live, exactly the
+  * lost-writer posture of lake formats on non-transactional stores.
   */
 object SnapshotStore extends QueryModule {
 
@@ -46,9 +63,33 @@ object SnapshotStore extends QueryModule {
     val out = fs.create(tmp, true)
     out.write(v.toString.getBytes("UTF-8"))
     out.close()
-    fs.delete(pointer(dir), false)
-    fs.rename(tmp, pointer(dir))
+    // ONE atomic overwrite-rename — never delete-then-rename, whose
+    // between-steps window makes every committed version unreachable
+    // to a crash or concurrent reader (currentVersion would read 0)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(pointer(dir)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     ()
+  }
+
+  /** Put-if-absent claim of version `v` — the optimistic-concurrency
+    * arbiter (see writer model above). Throws
+    * ConcurrentModificationException if another writer holds it.
+    */
+  private def claimVersion(spark: SparkSession, dir: String,
+      v: Long): Unit = {
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_claims"))
+    val claim = new org.apache.hadoop.fs.Path(s"$dir/_claims/v$v")
+    try fs.create(claim, false).close()
+    catch {
+      case _: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot store $dir: version $v already claimed by a " +
+            "concurrent writer; this apply lost the race and wrote " +
+            "nothing")
+    }
   }
 
   /** The visible version, 0 if the store is uninitialized. */
@@ -63,8 +104,11 @@ object SnapshotStore extends QueryModule {
     }
   }
 
-  /** Initialize the chain: the full first load lands as v=1. */
+  /** Initialize the chain: the full first load lands as v=1 (claimed
+    * first, so two concurrent inits resolve to one winner).
+    */
   def init(snapshot: DataFrame, dir: String): Unit = {
+    claimVersion(snapshot.sparkSession, dir, 1L)
     snapshot.write.mode("overwrite").parquet(s"$dir/v=1")
     commitPointer(snapshot.sparkSession, dir, 1L)
   }
@@ -91,6 +135,7 @@ object SnapshotStore extends QueryModule {
     val v = currentVersion(spark, dir)
     require(v > 0, s"snapshot store at $dir is uninitialized")
     val next = v + 1
+    claimVersion(spark, dir, next)
     SnapshotDiff.applyDiff(readAt(spark, dir, v), diffWide)
       .write.mode("overwrite").parquet(s"$dir/v=$next")
     commitPointer(spark, dir, next)
@@ -134,6 +179,14 @@ object SnapshotStore extends QueryModule {
     for (st <- status; name = st.getPath.getName
          if name.startsWith("v=") && name.drop(2).toLong < keepFrom)
       fs.delete(st.getPath, true)
+    // expired versions' writer claims go with them (a claim at or
+    // above keepFrom stays — it is still the commit record arbiter)
+    val claims = new org.apache.hadoop.fs.Path(s"$dir/_claims")
+    if (fs.exists(claims))
+      for (st <- fs.listStatus(claims);
+           name = st.getPath.getName
+           if name.startsWith("v") && name.drop(1).toLong < keepFrom)
+        fs.delete(st.getPath, false)
     ()
   }
 

@@ -44,6 +44,51 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(cur.count() == old.count(), "reader saw the uncommitted version")
   }
 
+  test("pointer commit is one overwrite-rename: a committed store " +
+      "never reads as uninitialized, even with a stray commit temp") {
+    val (d, _, diff) = fixture()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
+    // simulate a crash BEFORE the rename: the temp exists, the live
+    // pointer is untouched — readers must still see v1, never 0
+    val tmp = new org.apache.hadoop.fs.Path(s"$d/_current_tmp")
+    val out = fs.create(tmp, true)
+    out.write("99".getBytes("UTF-8")); out.close()
+    assert(SnapshotStore.currentVersion(spark, d) == 1L,
+      "a stray commit temp changed visibility")
+    // the next commit overwrites the EXISTING pointer in one rename
+    // (the old delete-then-rename window is structurally gone): the
+    // pointer file exists before, during intent, and after
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$d/_current")))
+    SnapshotStore.applyDiff(spark, d, diff)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$d/_current")))
+    assert(SnapshotStore.currentVersion(spark, d) == 2L)
+  }
+
+  test("two-writer race: exactly one apply wins, the loser errors " +
+      "cleanly with the store intact") {
+    val (d, _, diff) = fixture()
+    SnapshotStore.applyDiff(spark, d, diff) // v2 committed
+    val before = SnapshotStore.readCurrent(spark, d).collect().toSet
+    // writer A has claimed v3 (in flight, not yet committed)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$d/_claims"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$d/_claims/v3"), false)
+      .close()
+    // writer B loses the put-if-absent race BEFORE touching data
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotStore.applyDiff(spark, d, diff)
+    }
+    assert(SnapshotStore.currentVersion(spark, d) == 2L)
+    assert(SnapshotStore.readCurrent(spark, d).collect().toSet == before,
+      "the losing writer changed visible content")
+    // operator recovery (documented): drop the dead claim, retry wins
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/_claims/v3"), false)
+    assert(SnapshotStore.applyDiff(spark, d, diff) == 3L)
+    assert(SnapshotStore.currentVersion(spark, d) == 3L)
+  }
+
   test("applyDiffOnce: a re-delivered batch id is a no-op") {
     val (d, _, diff) = fixture()
     SnapshotStore.applyDiffOnce(spark, d, diff, 7L)
