@@ -113,6 +113,10 @@ object Bench {
       // after given_centroid_lists: residual codes quantize against
       // the (already-billed) given-quantizer assignment
       "pq_residual_codes" -> (() => sim.Pq.prebuildResidual(spark, sfDir)),
+      // G26/G27: persist the composed IVFPQ index (centroids +
+      // residual codes by list + refine sidecar) once per sweep
+      "ivfpq_saved_index" -> (() =>
+        { sim.IndexStore.prebuildSavedIvfPq(spark, sfDir); () }),
       // the one corpus-sized pass behind the three sketch_rollup_*
       // queries: per-day KMV/HLL/CMS states written day-partitioned
       "sketch_daily" -> (() =>

@@ -273,7 +273,7 @@ object IndexStore extends graft.QueryModule {
   private[graft] def clearCacheForBench(): Unit = {
     savedCache.clear(); savedTfidfCache.clear(); savedPqCache.clear()
     savedDeletedCache.clear(); savedBm25Cache.clear()
-    savedRebalCache.clear()
+    savedRebalCache.clear(); savedIvfPqCache.clear()
   }
 
   /** Ensure the saved index exists for the driver corpus (bench bills
@@ -436,6 +436,46 @@ object IndexStore extends graft.QueryModule {
     Pq.servedKnn(spark, prebuildSavedPq(spark, dir), queries,
       col("vec_id") >= Pq.QueryIds)
   }
+
+  // --- the composed IVFPQ twin (SURVEY §2 G26/G27) -------------------
+
+  private val savedIvfPqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Ensure the saved composed IVFPQ artifact exists (bench:
+    * `ivfpq_saved_index`).
+    */
+  def prebuildSavedIvfPq(spark: SparkSession, dir: String): String =
+    savedIvfPqCache.synchronized {
+      savedIvfPqCache.filterInPlace { case ((s, _), _) =>
+        !s.sparkContext.isStopped }
+      savedIvfPqCache.getOrElseUpdate((spark, dir), {
+        val ixDir = indexDirFor(dir) + "_ivfpq"
+        Pq.saveIvfPq(graft.sources.Tables.embeddings(spark, dir)
+          .select("vec_id", "embedding"), ixDir)
+        ixDir
+      })
+    }
+
+  private def ivfPqQueriesOf(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < Pq.QueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+
+  /** G26 gate query — residual-ADC search over the persisted composed
+    * index (coarse routing + partition-pruned compressed lists),
+    * gated by knn_ivfpq's oracle verbatim.
+    */
+  def knnIvfPqServedQ(spark: SparkSession, dir: String): DataFrame =
+    Pq.servedIvfPqKnn(spark, prebuildSavedIvfPq(spark, dir),
+      ivfPqQueriesOf(spark, dir), col("vec_id") >= Pq.QueryIds)
+
+  /** G27 gate query — the refine stage over the persisted composed
+    * index, gated by knn_ivfpq_rerank's oracle verbatim.
+    */
+  def knnIvfPqRerankServedQ(spark: SparkSession, dir: String): DataFrame =
+    Pq.servedIvfPqRerank(spark, prebuildSavedIvfPq(spark, dir),
+      ivfPqQueriesOf(spark, dir), col("vec_id") >= Pq.QueryIds)
 
   // --- index health (SURVEY §2 G17) ----------------------------------
 
@@ -793,6 +833,8 @@ object IndexStore extends graft.QueryModule {
     "bm25_topk_served" -> (bm25TopkServedQ _),
     "hybrid_rrf_served" -> (hybridRrfServedQ _),
     "knn_pq_served" -> (knnPqServedQ _),
+    "knn_ivfpq_served" -> (knnIvfPqServedQ _),
+    "knn_ivfpq_rerank_served" -> (knnIvfPqRerankServedQ _),
     "ivf_list_stats" -> (listStatsQ _))
 
   /** The fresh builds' oracles verbatim: a persisted round-trip must
@@ -918,6 +960,8 @@ object IndexStore extends graft.QueryModule {
     "bm25_topk_served" -> graft.text.RagQueries.oracles("bm25_topk_docs"),
     "hybrid_rrf_served" -> graft.text.RagQueries.oracles("hybrid_rrf"),
     "knn_pq_served" -> Pq.oracles("knn_pq"),
+    "knn_ivfpq_served" -> Pq.oracles("knn_ivfpq"),
+    "knn_ivfpq_rerank_served" -> Pq.oracles("knn_ivfpq_rerank"),
     "embedding_drift" -> (Ivf.givenAssignSql + """
       |halves AS (SELECT count(*) // 2 AS half FROM lists),
       |cells AS (SELECT list_id,

@@ -409,6 +409,157 @@ object Pq extends QueryModule {
     adist
   }
 
+  // --- persisted IVFPQ (SURVEY §2 G26/G27) ---------------------------
+
+  /** Persist the COMPOSED IVFPQ index — the production billion-vector
+    * layout (FAISS IVFPQ + IndexRefineFlat), which until round 16
+    * existed only in-session:
+    *
+    *  - `centroids/` — the coarse quantizer (cid, ce, cn): tiny,
+    *    broadcast at serve time;
+    *  - `codebook/`  — the PQ codeword table: tiny, broadcast into
+    *    the per-(query, list) LUT build;
+    *  - `codes/`     — RESIDUAL codes packed one row per vector
+    *    (M one-byte codes in M columns), PARTITIONED BY list_id with
+    *    one file per list directory (the IndexStore layout: an
+    *    inverted list is read whole or not at all, and the probe set
+    *    becomes a partition IN-filter so an unprobed list costs
+    *    nothing — not even a scan-and-discard);
+    *  - `refine/`    — raw vectors partitioned by list_id, read ONLY
+    *    by the rerank face's shortlist fetch (FAISS keeps the refine
+    *    layer's raw vectors beside the compressed index the same
+    *    way; the ADC serve path never touches it).
+    */
+  def saveIvfPq(emb: DataFrame, dir: String): Unit = {
+    val (cents, assigned) = Ivf.givenListed(emb)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    codebook(emb).write.mode("overwrite").parquet(s"$dir/codebook")
+    val codeCols = (0 until NumSub).map(m =>
+      max(when(col("m") === m, col("code"))).as(s"code_$m"))
+    residualCodes(emb.select("vec_id", "embedding"))
+      .groupBy("vec_id", "list_id")
+      .agg(codeCols.head, codeCols.tail: _*)
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$dir/codes")
+    assigned.select("vec_id", "embedding", "list_id")
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$dir/refine")
+  }
+
+  // explicit schemas (the r9 empty-corpus discipline, and partition
+  // directories must type list_id BIGINT like the fresh path)
+  private def loadIvfPqCodes(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .schema("vec_id BIGINT, " +
+        (0 until NumSub).map(m => s"code_$m BIGINT").mkString(", ") +
+        ", list_id BIGINT")
+      .parquet(s"$dir/codes")
+
+  private def loadIvfPqRefine(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, list_id BIGINT")
+      .parquet(s"$dir/refine")
+
+  /** The served stage-1 residual-ADC score frame — [[ivfPqScores]]
+    * replayed from the loaded artifact: probe routing against the
+    * loaded centroids, per-(query, list) LUT against the loaded
+    * codebook, and the candidate scan bounded by PARTITION PRUNING on
+    * the driver-collected probe set (O(#queries × nProbe) ids — the
+    * serving-size quantity, never the corpus). Bit-identical scores:
+    * parquet round-trips floats/doubles losslessly and every
+    * reduction is the same decimal-quantized sum.
+    */
+  private def servedIvfPqScores(spark: SparkSession, dir: String,
+      queries: DataFrame, candPred: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val q = queries.withColumn("nq", Vectors.normSq("eq"))
+    val probeRank = Window.partitionBy("query_id")
+      .orderBy(desc("c_cos"), asc("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("c_cos", Vectors.cosineFrom(
+        Vectors.dot("eq", "ce"), col("nq"), col("cn")))
+      .withColumn("prnk", row_number().over(probeRank))
+      .filter(col("prnk") <= Ivf.GivenProbe)
+      .select(col("query_id"), col("eq"), col("cid").as("list_id"),
+        col("ce"))
+    val lut = probes
+      .withColumn("qres", expr(
+        "zip_with(eq, ce, (x, c) -> cast(x as double) - cast(c as double))"))
+      .select("query_id", "list_id", "qres")
+      .crossJoin(broadcast(cb))
+      .select(col("query_id") :: col("list_id").as("l_list") :: col("cid") ::
+        (0 until NumSub).map(m =>
+          subDistSqD("qres", "ce", m).as(s"d$m")).toList: _*)
+      .selectExpr("query_id", "l_list", "cid",
+        s"stack($NumSub, ${(0 until NumSub)
+          .map(m => s"$m, d$m").mkString(", ")}) as (m, dsq)")
+    val probedIds = probes.select("list_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cand = loadIvfPqCodes(spark, dir)
+      .filter(candPred && col("list_id").isin(probedIds: _*))
+      .selectExpr("vec_id AS neighbor_id", "list_id",
+        s"stack($NumSub, ${(0 until NumSub)
+          .map(m => s"$m, code_$m").mkString(", ")}) as (c_m, code)")
+    cand.join(broadcast(lut),
+        cand("list_id") === lut("l_list") && cand("c_m") === lut("m") &&
+          cand("code") === lut("cid"))
+      .groupBy("query_id", "neighbor_id", "list_id")
+      .agg(sum(col("dsq").cast("decimal(24,12)")).cast("double")
+        .as("adist"))
+      .withColumn("sim", -col("adist"))
+  }
+
+  /** G26 — IVFPQ top-k served from the SAVED composed index: queries
+    * arrive raw (the serve-time contract), every stored byte the ADC
+    * stage touches is compressed, and unprobed lists are partition-
+    * pruned out of the scan. Bit-identical to [[knnIvfPq]] on the
+    * same corpus — the gate runs it against knn_ivfpq's oracle
+    * VERBATIM (the G15/G16 persisted-lifecycle discipline).
+    */
+  def servedIvfPqKnn(spark: SparkSession, dir: String,
+      queries: DataFrame, candPred: Column): DataFrame =
+    graft.plans.AggExpressions
+      .topKPerKey(servedIvfPqScores(spark, dir, queries, candPred),
+        "query_id", "sim", "neighbor_id", Seq("adist", "list_id"), K)
+      .select("query_id", "rank", "neighbor_id", "adist", "list_id")
+      .orderBy("query_id", "rank")
+
+  /** G27 — the refine stage over the SAVED index ([[knnIvfPqRerank]]
+    * served): the ADC shortlist proposes top-[[RerankR]], then ONLY
+    * those queries×R candidates fetch raw vectors from the `refine/`
+    * sidecar — partition-pruned to the shortlist's own lists — and
+    * re-rank by exact quantized squared-L2. Gated by
+    * knn_ivfpq_rerank's oracle verbatim.
+    */
+  def servedIvfPqRerank(spark: SparkSession, dir: String,
+      queries: DataFrame, candPred: Column): DataFrame = {
+    val shortlist = graft.plans.AggExpressions
+      .topKPerKey(servedIvfPqScores(spark, dir, queries, candPred),
+        "query_id", "sim", "neighbor_id", Seq("adist", "list_id"),
+        RerankR)
+      .select("query_id", "neighbor_id", "adist", "list_id")
+      .localCheckpoint(true) // read twice: list ids + the join below
+    val shortIds = shortlist.select("list_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val withQ = shortlist.select("query_id", "neighbor_id", "adist")
+      .join(broadcast(queries), "query_id")
+    val scored = loadIvfPqRefine(spark, dir)
+      .filter(candPred && col("list_id").isin(shortIds: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("en"))
+      .join(broadcast(withQ), "neighbor_id")
+      .withColumn("dist", fullDistSq("eq", "en"))
+      .withColumn("sim", -col("dist"))
+    graft.plans.AggExpressions
+      .topKPerKey(scored, "query_id", "sim", "neighbor_id",
+        Seq("dist", "adist"), K)
+      .select("query_id", "rank", "neighbor_id", "dist", "adist")
+      .orderBy("query_id", "rank")
+  }
+
   /** G13 — `pq_recall`: recall@k of the ADC search ([[knn]]) against
     * exact squared-L2 ground truth — the G6 measurement loop applied
     * to the PQ index (the number a serving team actually watches when

@@ -74,6 +74,57 @@ class IndexStoreSpec extends SparkSpec {
     assert(served.collect().toSeq == fresh.collect().toSeq)
   }
 
+  test("ivfpq served from the saved composed index is bit-identical " +
+      "to the fresh build, rerank face included") {
+    val queries = emb.filter(col("vec_id") < Pq.QueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val d = IndexStore.prebuildSavedIvfPq(spark, sf)
+    val served = Pq.servedIvfPqKnn(spark, d, queries,
+      col("vec_id") >= Pq.QueryIds)
+    val fresh = Pq.knnIvfPq(emb.select("vec_id", "embedding"))
+    assert(served.schema == fresh.schema)
+    assert(served.collect().toSeq == fresh.collect().toSeq)
+    val servedRr = Pq.servedIvfPqRerank(spark, d, queries,
+      col("vec_id") >= Pq.QueryIds)
+    val freshRr = Pq.knnIvfPqRerank(emb.select("vec_id", "embedding"))
+    assert(servedRr.schema == freshRr.schema)
+    assert(servedRr.collect().toSeq == freshRr.collect().toSeq)
+  }
+
+  test("ivfpq serve-time scans are partition-pruned: codes to the " +
+      "probed lists, refine to the shortlist's lists") {
+    val queries = emb.filter(col("vec_id") < Pq.QueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val d = IndexStore.prebuildSavedIvfPq(spark, sf)
+    val pruned = "PartitionFilters: \\[[^\\]]*list_id[^\\]]*IN".r
+    val plan = Pq.servedIvfPqKnn(spark, d, queries,
+        col("vec_id") >= Pq.QueryIds)
+      .queryExecution.executedPlan.toString
+    assert(pruned.findFirstIn(plan).isDefined,
+      s"no partition IN-filter on the codes scan in:\n$plan")
+    // the refine sidecar is touched ONLY by the rerank face, and only
+    // through a partition IN-filter on the shortlist's lists
+    // the shortlist stage is checkpoint-materialized, so the rerank's
+    // final plan shows exactly one file scan — the refine sidecar —
+    // and it must carry the shortlist's lists as partition filters
+    val planRr = Pq.servedIvfPqRerank(spark, d, queries,
+        col("vec_id") >= Pq.QueryIds)
+      .queryExecution.executedPlan.toString
+    assert(pruned.findFirstIn(planRr).isDefined &&
+      planRr.contains("refine"),
+      s"refine scan absent or not partition-pruned in:\n$planRr")
+    assert(!plan.contains("refine"),
+      "the ADC serve path read the raw-vector sidecar")
+  }
+
+  test("ivfpq served: an empty query batch is empty, not a crash") {
+    val queries = emb.filter(col("vec_id") < 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val d = IndexStore.prebuildSavedIvfPq(spark, sf)
+    assert(Pq.servedIvfPqKnn(spark, d, queries, lit(true)).count() == 0)
+    assert(Pq.servedIvfPqRerank(spark, d, queries, lit(true)).count() == 0)
+  }
+
   test("incremental append equals a full rebuild over the union corpus") {
     val n = emb.count()
     val cut = n / 2 // well above the 16 centroid ids
