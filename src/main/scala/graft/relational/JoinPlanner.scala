@@ -20,18 +20,36 @@ import graft.sources.Tables
   *    ([[BloomSelPpm]]): a constant-size filter drops most fact rows
   *    before they shuffle (K66's executor);
   *  - else `salt` when the fact key is skewed ([[SaltSkewX100]], the
-  *    K53 skew form — max key's multiple of a uniform share): spread
-  *    the hot head (K64's executor). Bloom outranks salt because the
-  *    semi-join reduction is the cheaper transform and shrinks the
-  *    stage the salt would otherwise have to widen;
+  *    K53 skew form — max key's multiple of a uniform share) AND the
+  *    hot key's ABSOLUTE row volume exceeds the per-task budget
+  *    (`saltHotRows`): what actually OOMs or straggles a reducer is
+  *    the hot key's VOLUME through one task, not its ratio to a
+  *    uniform share — a 3× skew over 7-row keys is harmless, and
+  *    StressJoin's r15 artifact showed the salted plan LOSING on
+  *    exactly that shape (overhead of the extra fact-side passes with
+  *    no straggler to fix). Spread the hot head (K64's executor) only
+  *    when both hold. Bloom outranks salt because the semi-join
+  *    reduction is the cheaper transform and shrinks the stage the
+  *    salt would otherwise have to widen. Note Spark's own AQE skew
+  *    split (`spark.sql.adaptive.skewJoin`) mitigates sort-merge /
+  *    shuffled-hash skew at runtime; the static salt arm is the
+  *    deterministic insurance for shapes AQE cannot split (measured
+  *    in STRESSJOIN's hot-key fixture with the runtime mitigation
+  *    disabled);
   *  - else `shuffle`: the plain co-partitioned hash join is already
   *    right.
   *
   * Thresholds here are REALISTIC (1000-row broadcast cap, ≤50%
-  * survivor selectivity, ≥3× uniform skew), and all four arms fire on
-  * the real gate corpus — no synthetic band needed: supplier/nation
+  * survivor selectivity, ≥3× uniform skew, and a hot-key task budget
+  * of [[SaltHotRowsDefault]] rows ≈ 128 MB of 32-byte fact rows — the
+  * default `spark.sql.files.maxPartitionBytes` worth of work). The
+  * GATE queries pass [[GateSaltHotRows]] instead — the budget scaled
+  * to the sf0.01 corpus the same way the bloom gate scales m to the
+  * dim ndv — so all four arms keep firing on the real gate corpus and
+  * the routing CASE stays fully inside the hash gate: supplier/nation
   * broadcast, the urgent-orders dim blooms, lineitem⋈orders salts
-  * (13-line max orders vs ~4 uniform = 3.19×), customer/part shuffle.
+  * (13-line max orders vs ~4 uniform = 3.19×, 7 ≥ the gate budget),
+  * customer/part shuffle.
   *
   * Scale shape per candidate: ONE map-side-combined count-groupBy on
   * the fact key (the K53 shape — survives the skew it measures), then
@@ -46,6 +64,19 @@ object JoinPlanner extends QueryModule {
   val BroadcastRows = 1000L
   val BloomSelPpm = 500000L
   val SaltSkewX100 = 300L
+
+  /** Deployment default for the salt arm's hot-key task budget: rows
+    * of ONE key a single reducer can hold before it straggles ≈
+    * 128 MB (`spark.sql.files.maxPartitionBytes`) of ~32-byte joined
+    * fact rows. Deployments size this to their executors, exactly as
+    * they size the bloom's m to the dim ndv.
+    */
+  val SaltHotRowsDefault = 4000000L
+
+  /** The gate-scale task budget (sf0.01 has ≤7-line orders): keeps
+    * every arm of the decision tree firing inside the hash gate.
+    */
+  val GateSaltHotRows = 4L
 
   /** (name, fact table, fact key, dim SQL producing one column `k`). */
   private val candidates: Seq[(String, String, String, String)] = Seq(
@@ -67,7 +98,8 @@ object JoinPlanner extends QueryModule {
     * must be a unique-key frame (all candidates are key tables).
     */
   private[relational] def strategyOf(facts: DataFrame, factKey: String,
-      dim: DataFrame, name: String): DataFrame = {
+      dim: DataFrame, name: String,
+      saltHotRows: Long = SaltHotRowsDefault): DataFrame = {
     val kc = facts.filter(col(factKey).isNotNull)
       .groupBy(col(factKey).as("k"))
       .agg(count(lit(1)).as("cnt"))
@@ -93,7 +125,8 @@ object JoinPlanner extends QueryModule {
       .withColumn("strategy",
         when(col("n_dim") <= BroadcastRows, "broadcast")
           .when(col("sel_ppm") <= BloomSelPpm, "bloom")
-          .when(col("skew_x100") >= SaltSkewX100, "salt")
+          .when(col("skew_x100") >= SaltSkewX100 &&
+            col("max_key_cnt") >= saltHotRows, "salt")
           .otherwise("shuffle"))
       .withColumn("join_name", lit(name))
       .select("join_name", "n_fact", "n_dim", "n_keys", "max_key_cnt",
@@ -124,7 +157,7 @@ object JoinPlanner extends QueryModule {
   def joinStrategyPlan(spark: SparkSession, dir: String): DataFrame =
     candidates.map { case (name, ft, fk, _) =>
       strategyOf(Tables.table(spark, dir, ft), fk,
-        dimOf(spark, dir, name), name)
+        dimOf(spark, dir, name), name, GateSaltHotRows)
     }.reduce(_.unionByName(_)).orderBy("join_name")
 
   /** K73 — the advisor's EXECUTOR: measure the candidate with
@@ -139,14 +172,15 @@ object JoinPlanner extends QueryModule {
     * Returns (chosen strategy, joined frame).
     */
   def autoJoined(facts: DataFrame, factKey: String,
-      dim: DataFrame, dimKey: String, saltBy: String)
+      dim: DataFrame, dimKey: String, saltBy: String,
+      saltHotRows: Long = SaltHotRowsDefault)
       : (String, DataFrame) = {
     // distinct() enforces strategyOf's unique-dim-key precondition on
     // this public path — duplicate dim keys would inflate n_fact /
     // n_match through the stats left join and skew the decision (the
     // JOIN below is unaffected; only the measure is deduped)
     val strategy = strategyOf(facts, factKey,
-      dim.select(col(dimKey).as("k")).distinct(), "auto")
+      dim.select(col(dimKey).as("k")).distinct(), "auto", saltHotRows)
       .collect()(0).getAs[String]("strategy")
     val joined = strategy match {
       case "broadcast" =>
@@ -176,8 +210,8 @@ object JoinPlanner extends QueryModule {
       .withColumn("li_pk", expr("l_orderkey * 10 + l_linenumber"))
     val dim = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderpriority")
-    val (strategy, joined) =
-      autoJoined(facts, "l_orderkey", dim, "o_orderkey", "li_pk")
+    val (strategy, joined) = autoJoined(facts, "l_orderkey", dim,
+      "o_orderkey", "li_pk", GateSaltHotRows)
     joined
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
@@ -205,7 +239,8 @@ object JoinPlanner extends QueryModule {
       |       WHEN (CAST(n_match AS HUGEINT) * 1000000) // n_fact
       |           <= $BloomSelPpm THEN 'bloom'
       |       WHEN (CAST(max_key_cnt AS HUGEINT) * n_keys * 100) // n_fact
-      |           >= $SaltSkewX100 THEN 'salt'
+      |           >= $SaltSkewX100 AND max_key_cnt >= $GateSaltHotRows
+      |         THEN 'salt'
       |       ELSE 'shuffle' END AS strategy
       |FROM (SELECT sum(cnt) AS n_fact, count(*) AS n_keys,
       |    max(cnt) AS max_key_cnt,
@@ -240,7 +275,8 @@ object JoinPlanner extends QueryModule {
         |         WHEN (CAST(n_match AS HUGEINT) * 1000000) // n_fact
         |           <= $BloomSelPpm THEN 'bloom'
         |         WHEN (CAST(max_key_cnt AS HUGEINT) * n_keys * 100)
-        |             // n_fact >= $SaltSkewX100 THEN 'salt'
+        |             // n_fact >= $SaltSkewX100
+        |           AND max_key_cnt >= $GateSaltHotRows THEN 'salt'
         |         ELSE 'shuffle' END AS strategy
         |  FROM s CROSS JOIN nd)
         |SELECT o_orderpriority,

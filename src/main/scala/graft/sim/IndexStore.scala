@@ -671,14 +671,14 @@ object IndexStore extends graft.QueryModule {
     * rewritten.
     */
   def rebalanceGiven(spark: SparkSession, dir: String,
-      policy: RebalancePolicy = RebalancePolicy.Standard): Unit = {
+      policy: RebalancePolicy = RebalancePolicy.Standard): Boolean = {
     import spark.implicits._
     val lists = loadLists(spark, dir)
     val cents = spark.read.parquet(s"$dir/centroids")
     val counts = lists.groupBy("list_id")
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    if (counts.isEmpty) return
+    if (counts.isEmpty) return false
     val total = counts.values.sum
     val nl = counts.size.toLong
     val splits = counts.collect { case (l, n)
@@ -689,7 +689,7 @@ object IndexStore extends graft.QueryModule {
     // nothing to dissolve into ⇒ under-full lists stay (documented
     // guard; a corpus with no keep list is one the band mis-fits)
     val merges = if (keeps.isEmpty) Set.empty[Long] else mergesRaw
-    if (splits.isEmpty && merges.isEmpty) return
+    if (splits.isEmpty && merges.isEmpty) return false
 
     // merge targets: nearest KEEP centroid per merge centroid —
     // O(merges × keeps) on the √n centroid frame, collected O(L)
@@ -703,6 +703,12 @@ object IndexStore extends graft.QueryModule {
         .groupBy("mc")
         .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("tgt"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every merge list MUST resolve a target before its directory is
+    // deleted — a centroids/lists divergence here would dissolve
+    // members into nothing; fail loudly instead of losing data
+    require(mtgt.keySet == merges,
+      s"rebalance at $dir: merge lists ${merges -- mtgt.keySet} have " +
+        "no centroid row — centroids/ diverged from lists/")
 
     // sub-centroids: quantile-seeded members of each split list
     val splitSeq = splits.toSeq.sorted
@@ -757,13 +763,21 @@ object IndexStore extends graft.QueryModule {
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(stagingDir)
 
-    // post-rebalance quantizer, staged before the directory surgery
+    // post-rebalance quantizer, staged before the directory surgery.
+    // SURVIVORS, not keeps: when the no-keep guard cancels the
+    // merges, the under-full lists STAY on disk and must keep their
+    // centroids — filtering to `keeps` alone orphaned those
+    // directories (unreachable by any probe, and the next pass's
+    // merge-target lookup found no centroid rows and silently
+    // dissolved their members into nothing — the mass-loss bug the
+    // round-16 convergence spec caught at pass 6)
+    val survivors = counts.keySet -- splits -- merges
     val centsStaging = s"$dir/centroids_rebalance_staging"
     val newCents = subcents match {
-      case Some(sc) => cents.filter(col("cid").isin(keeps.toSeq: _*))
+      case Some(sc) => cents.filter(col("cid").isin(survivors.toSeq: _*))
         .unionByName(sc.select(col("subcid").as("cid"),
           col("se").as("ce"), col("sn").as("cn")))
-      case None => cents.filter(col("cid").isin(keeps.toSeq: _*))
+      case None => cents.filter(col("cid").isin(survivors.toSeq: _*))
     }
     newCents.write.mode("overwrite").parquet(centsStaging)
 
@@ -789,7 +803,33 @@ object IndexStore extends graft.QueryModule {
     fs.rename(new org.apache.hadoop.fs.Path(centsStaging), centsLive)
     fs.delete(centsOld, true)
     fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
-    ()
+    true
+  }
+
+  /** Iterate [[rebalanceGiven]] to CONVERGENCE: one pass is not
+    * guaranteed to land inside the band (dissolution concentrates —
+    * a keep list absorbing several dissolved lists can cross the
+    * split threshold, and a split can leave sub-lists under-full), so
+    * a deployment loops plan→act until the plan is all-keep or a
+    * pass cap hits. Each pass COMMITS eagerly through the
+    * per-directory swap discipline — a crash between passes leaves a
+    * whole, serveable, strictly-more-balanced index, and the next
+    * call resumes where it left off. Returns the number of acting
+    * passes (0 = already in band).
+    *
+    * Termination: each pass acts only when some list is outside the
+    * band, and the cap bounds pathological oscillation (a band the
+    * corpus cannot satisfy, e.g. fewer vectors than the band needs
+    * lists); hitting the cap is reported by the return value equaling
+    * `maxPasses`, the operator's signal to widen the band.
+    */
+  def rebalanceUntilBand(spark: SparkSession, dir: String,
+      policy: RebalancePolicy = RebalancePolicy.Standard,
+      maxPasses: Int = 8): Int = {
+    var passes = 0
+    while (passes < maxPasses && rebalanceGiven(spark, dir, policy))
+      passes += 1
+    passes
   }
 
   private val savedRebalCache = scala.collection.concurrent.TrieMap

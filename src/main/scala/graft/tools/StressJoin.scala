@@ -86,18 +86,61 @@ object StressJoin {
           .salted(factsPk, fullDim, "l_orderkey", "o_orderkey", "li_pk")
           .groupBy("o_orderpriority").agg(count(lit(1))).count()
       }
+      // HOT-KEY fixtures (round 16): a fraction of fact ROWS remapped
+      // onto ONE existing dim key — the straggler/OOM shape the salt
+      // arm exists for (the r15 fixture's 3.19× ratio over 7-row keys
+      // had no straggler to fix, and salting lost). Two fractions:
+      // 20% (a noticeable hot head) and 80% (one key owning the
+      // corpus — the shape that serializes a stage through one task).
+      // Each measured three ways: plain with Spark's AQE runtime skew
+      // split ON (the built-in mitigation), plain with it OFF (the
+      // shape AQE cannot split — e.g. a non-splittable downstream
+      // requirement), and the K64 salted two-path (mitigation off, so
+      // the win is the salt's own).
+      val hotKey = fullDim.agg(min("o_orderkey")).collect()(0).getLong(0)
+      def skewRuns(hotMod: Int): (Long, Double, Double, Double, Long) = {
+        val factsSkew = factsPk.withColumn("l_orderkey",
+            expr(s"CASE WHEN l_orderkey % 5 < $hotMod THEN ${hotKey}L " +
+              "ELSE l_orderkey END"))
+          .localCheckpoint(true)
+        val hotCnt = factsSkew.filter(col("l_orderkey") === hotKey).count()
+        val (tAqe, _) = timed {
+          factsSkew.join(fullDim, col("l_orderkey") === col("o_orderkey"))
+            .groupBy("o_orderpriority").agg(count(lit(1))).count()
+        }
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        val (tNoAqe, _) = timed {
+          factsSkew.join(fullDim, col("l_orderkey") === col("o_orderkey"))
+            .groupBy("o_orderpriority").agg(count(lit(1))).count()
+        }
+        val (tSaltS, nGroups) = timed {
+          graft.relational.SkewJoin
+            .salted(factsSkew, fullDim, "l_orderkey", "o_orderkey", "li_pk")
+            .groupBy("o_orderpriority").agg(count(lit(1))).count()
+        }
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        factsSkew.unpersist()
+        (hotCnt, tAqe, tNoAqe, tSaltS, nGroups)
+      }
+      val (hot20, t20Aqe, t20NoAqe, t20Salt, _) = skewRuns(1)
+      val (hot80, t80Aqe, t80NoAqe, t80Salt, nG) = skewRuns(4)
       val line =
         s"""{"mult":$mult,"n_fact":$nFact,"n_dim":$nDim,"m_bits":$mBits,
            |"sec_plain_sel":$tPlain,"sec_bloom_sel":$tBloom,
            |"sec_bloom_filter":$tSurv,"survivors":$nSurv,
            |"n_match":$nMatch,"fp_ppm":$fpPpm,
-           |"sec_plain_full":$tPlainFull,"sec_salted_full":$tSalt}"""
+           |"sec_plain_full":$tPlainFull,"sec_salted_full":$tSalt,
+           |"hot20_cnt":$hot20,"sec_plain_hot20_aqe":$t20Aqe,
+           |"sec_plain_hot20_noaqe":$t20NoAqe,"sec_salted_hot20":$t20Salt,
+           |"hot80_cnt":$hot80,"sec_plain_hot80_aqe":$t80Aqe,
+           |"sec_plain_hot80_noaqe":$t80NoAqe,"sec_salted_hot80":$t80Salt,
+           |"n_groups_salted":$nG}"""
           .stripMargin.replaceAll("\n", "")
       println("STRESSJOIN " + line)
       out += line
     }
     java.nio.file.Files.writeString(
-      java.nio.file.Path.of("STRESSJOIN_r15.json"),
+      java.nio.file.Path.of("STRESSJOIN_r16.json"),
       out.mkString("[", ",\n", "]\n"))
     spark.stop()
   }

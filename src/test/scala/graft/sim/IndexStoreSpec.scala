@@ -455,6 +455,92 @@ class IndexStoreSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("rebalanceUntilBand converges under the standard band on a " +
+      "skewed layout: terminates all-keep, corpus whole every pass") {
+    val d = Files.createTempDirectory("graft_ix_rebal_conv").toString
+    IndexStore.saveGiven(emb, d)
+    val schema =
+      "vec_id BIGINT, embedding ARRAY<FLOAT>, nsq DOUBLE, list_id BIGINT"
+    // synthetic SKEWED occupancy: one fat list (half the corpus), two
+    // starving lists, the rest untouched — the executor never assumes
+    // argmax-consistent membership, so relabeling is a legal fixture
+    val relabeled = spark.read.schema(schema).parquet(s"$d/lists")
+      .withColumn("list_id",
+        when(col("list_id") < 8, 0L)
+          .when(col("list_id") === 9,
+            when(col("vec_id") % 2 === 0, 9L).otherwise(10L))
+          .otherwise(col("list_id")))
+      .localCheckpoint(true)
+    val survivors = relabeled.select("list_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    relabeled.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$d/lists_skewed")
+    val cents = spark.read.parquet(s"$d/centroids")
+      .filter(col("cid").isin(survivors: _*)).localCheckpoint(true)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/lists"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$d/lists_skewed"),
+      new org.apache.hadoop.fs.Path(s"$d/lists"))
+    cents.write.mode("overwrite").parquet(s"$d/centroids")
+
+    def corpus: Set[Long] = spark.read.schema(schema)
+      .parquet(s"$d/lists")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val fullCorpus = corpus
+    val p = IndexStore.RebalancePolicy.Standard
+    def outOfBand(counts: Map[Long, Long]): Set[Long] = {
+      val total = counts.values.sum
+      val nl = counts.size.toLong
+      counts.filter { case (_, n) =>
+        n * nl * p.splitDen > p.splitNum * total ||
+          n * nl * p.mergeDen < p.mergeNum * total }.keySet
+    }
+    val pre = listCounts(d)
+    assert(outOfBand(pre).nonEmpty,
+      "fixture must start outside the standard band")
+    // drive pass by pass (each commits eagerly), checking the corpus
+    // is whole after EVERY committed pass — the crash-between-passes
+    // contract (this loop caught the orphaned-merge-centroid mass
+    // loss pre-fix)
+    var passes = 0
+    var acted = true
+    while (acted && passes < 8) {
+      acted = IndexStore.rebalanceGiven(spark, d, p)
+      if (acted) {
+        passes += 1
+        assert(corpus == fullCorpus,
+          s"pass $passes lost or invented vectors")
+      }
+    }
+    assert(passes < 8, "rebalance did not converge within the cap")
+    assert(passes >= 1, "fixture should need at least one pass")
+    assert(outOfBand(listCounts(d)).isEmpty,
+      s"final layout not all-keep: ${outOfBand(listCounts(d))}")
+    // the public loop reports 0 further passes on a converged index
+    assert(IndexStore.rebalanceUntilBand(spark, d, p) == 0)
+    // serving still answers every query with a full top-k
+    assert(IndexStore.servedKnnGiven(spark, d, col("vec_id") < 5, 3)
+      .collect().length == 15)
+  }
+
+  test("rebalanceUntilBand reports the cap on an unsatisfiable band " +
+      "instead of looping forever") {
+    // the tight ±10% band on 500 near-uniform vectors oscillates
+    // (dissolution concentrates past the split threshold, splits
+    // overshoot) — the cap return value is the operator's widen-the-
+    // band signal, and mass stays conserved throughout
+    val d = Files.createTempDirectory("graft_ix_rebal_cap").toString
+    IndexStore.saveGiven(emb, d)
+    val total = listCounts(d).values.sum
+    val passes = IndexStore.rebalanceUntilBand(spark, d,
+      IndexStore.RebalancePolicy.Tight, maxPasses = 3)
+    assert(passes == 3, "tight band unexpectedly converged (fixture drift?)")
+    assert(listCounts(d).values.sum == total,
+      "capped iteration lost vectors")
+  }
+
   test("dissolved lists land whole in their cosine-nearest keep list") {
     val d = Files.createTempDirectory("graft_ix_rebal_tgt").toString
     IndexStore.saveGiven(emb, d)
