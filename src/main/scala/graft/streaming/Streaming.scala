@@ -493,4 +493,29 @@ object Streaming {
         graft.relational.SnapshotStore.applyDiffOnce(
           batch.sparkSession, storeDir, batch, batchId)
       }
+
+  /** J19 — the GDPR PURGE face completing the compliance arc the way
+    * J17 completed ingestion: a stream of right-to-be-forgotten
+    * requests (rows carrying `o_orderkey`) consumed via foreachBatch
+    * into [[graft.relational.SnapshotStore.purgeKeys]], which
+    * rewrites EVERY retained version through the per-directory swap
+    * discipline. No batch-id marker is needed here — the purge is
+    * idempotent by ALGEBRA (the anti join of an already-purged
+    * version removes nothing), so at-least-once re-delivery of a
+    * request micro-batch is exactly a no-op (spec-pinned), and a
+    * LATER batch's purge composes (anti joins commute). The
+    * `_current` pointer is never touched: requests change content,
+    * not visibility.
+    */
+  def snapshotPurgeStream(requests: DataFrame, storeDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    requests.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // an empty micro-batch purges nothing but would still rewrite
+        // every version; skip the no-op rewrite
+        if (!batch.isEmpty)
+          graft.relational.SnapshotStore.purgeKeys(
+            batch.sparkSession, storeDir, batch)
+      }
 }

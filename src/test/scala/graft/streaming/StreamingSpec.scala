@@ -711,4 +711,63 @@ class StreamingSpec extends SparkSpec {
     assert(graft.relational.SnapshotStore
       .currentVersion(spark, storeDir) == 3L)
   }
+
+  test("J19 purge stream: every retained version forgets the keys; " +
+      "re-delivery is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (old0, neu) = graft.relational.SnapshotDiff.carved(
+      graft.sources.Tables.orders(spark, sf))
+    val old = old0.localCheckpoint(true)
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_snappurge_stream").toString + "/st"
+    graft.relational.SnapshotStore.init(old, storeDir)
+    val wideDiff = graft.relational.SnapshotDiff.classifiedWide(
+      graft.relational.SnapshotDiff.asOld(old).join(
+        graft.relational.SnapshotDiff.asNew(neu),
+        col("k_old") === col("k_new"), "full_outer"))
+      .localCheckpoint(true)
+    graft.relational.SnapshotStore.applyDiffOnce(
+      spark, storeDir, wideDiff, 1L) // v2
+    // two request micro-batches: disjoint halves of a deterministic
+    // ~5% subject set drawn from the old snapshot
+    val keys: Array[Long] = old.select("o_orderkey")
+      .collect().map(_.getLong(0)).sorted
+      .zipWithIndex.collect { case (k, i) if i % 20 == 0 => k }
+    assert(keys.length >= 2)
+    val (half1, half2) = keys.splitAt(keys.length / 2)
+    val mem = MemoryStream[Long]
+    val q = Streaming.snapshotPurgeStream(
+      mem.toDF().toDF("o_orderkey"), storeDir).start()
+    mem.addData(half1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(half2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // pointer untouched — purge changes content, not visibility
+    assert(graft.relational.SnapshotStore
+      .currentVersion(spark, storeDir) == 2L)
+    // EVERY retained version forgot the union of both batches, and
+    // kept everything else (the batch purge expectation)
+    val keyDf = keys.toSeq.toDF("o_orderkey")
+    val expectV1 = old.join(keyDf, Seq("o_orderkey"), "left_anti")
+    val expectV2 = graft.relational.SnapshotDiff.applyDiff(old, wideDiff)
+      .join(keyDf, Seq("o_orderkey"), "left_anti")
+    for ((v, want) <- Seq(1L -> expectV1, 2L -> expectV2)) {
+      val got = graft.relational.SnapshotStore.readAt(spark, storeDir, v)
+      assert(got.join(keyDf, Seq("o_orderkey"), "left_semi").isEmpty,
+        s"v$v still contains purged keys")
+      assert(got.count() == want.count() &&
+        got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"v$v lost or changed non-purged rows")
+    }
+    // at-least-once: re-delivering a whole request batch is a no-op
+    // (idempotence by algebra — no marker needed)
+    val snap = graft.relational.SnapshotStore
+      .readCurrent(spark, storeDir).collect().toSet
+    graft.relational.SnapshotStore.purgeKeys(spark, storeDir,
+      half1.toSeq.toDF("o_orderkey"))
+    assert(graft.relational.SnapshotStore
+      .readCurrent(spark, storeDir).collect().toSet == snap)
+  }
 }
