@@ -12,16 +12,26 @@ import graft.sources.Tables
   * through one executor). K53 diagnoses; this ACTS — the last
   * diagnose-without-act face of the operations story.
   *
-  * Two-path plan (the standard skew-salting transform, here as a
-  * reusable operator instead of a hand-rolled query):
+  * ONE-JOIN plan (the standard skew-salting transform, here as a
+  * reusable operator instead of a hand-rolled query): every fact row
+  * gets a salt column — hot keys a deterministic spread (the shared
+  * 48-bit md5 of their PRIMARY key, mod [[SaltFactor]]), cold keys a
+  * constant 0 — and every dim row replicates across all
+  * [[SaltFactor]] salts when hot, or carries the single 0 salt when
+  * cold; the join runs ONCE on (key, salt), so one hot key's probe
+  * work spreads over S tasks instead of one. (Round 16 rewrite: the
+  * original two-path hot/cold plan scanned the fact side twice more
+  * than necessary — hot-filter scan + cold-filter scan + union — and
+  * StressJoin measured it LOSING to the plain join even at an
+  * 80%-hot fixture; folding both paths into one salt projection
+  * removes a full fact scan and the union, leaving the hot-head
+  * count as the only overhead vs plain.)
   *
-  *  - HOT path: facts whose key sits in the bounded hot-head get a
-  *    deterministic salt (the shared 48-bit md5 of their PRIMARY key,
-  *    mod [[SaltFactor]]), and the dim side's hot rows replicate
-  *    across all [[SaltFactor]] salts — so one hot key's probe work
-  *    spreads over S tasks instead of one;
-  *  - COLD path: everything else joins plainly;
-  *  - union, then aggregate.
+  * Spark's own AQE skew split (`spark.sql.adaptive.skewJoin`) is the
+  * runtime answer for splittable sort-merge/shuffled-hash skew; this
+  * static operator is the deterministic insurance for shapes AQE
+  * cannot split, and the K70 advisor only routes here when the hot
+  * key's absolute volume exceeds the task budget.
   *
   * The hot set is the top-[[HotK]] keys by exact count ((cnt desc,
   * key asc) tie-break) — a BOUNDED driver list (the probe-set /
@@ -56,19 +66,18 @@ object SkewJoin extends QueryModule {
     val saltExpr = expr(
       s"""cast(conv(substring(md5(concat('salt|', cast($saltBy as string))),
          |  1, 12), 16, 10) as bigint) % $SaltFactor""".stripMargin)
-    val factsHot = facts.filter(col(factKey).isin(hot: _*))
-      .withColumn("salt", saltExpr)
-    val dimHot = dim.filter(col(dimKey).isin(hot: _*))
-      .withColumn("salt",
-        explode(expr(s"sequence(0L, ${SaltFactor - 1}L)")))
-    val hotJoined = factsHot
-      .join(dimHot, col(factKey) === col(dimKey) &&
-        factsHot("salt") === dimHot("salt"))
+    // hot facts spread over S salts, cold facts pinned to salt 0; hot
+    // dim rows replicate xS (cold keys never meet hot replicas — the
+    // equi-join on the key separates them), so each fact row matches
+    // its dim partner under exactly ONE salt
+    val f = facts.withColumn("salt",
+      when(col(factKey).isin(hot: _*), saltExpr).otherwise(lit(0L)))
+    val d = dim.withColumn("salt", explode(
+      when(col(dimKey).isin(hot: _*),
+        expr(s"sequence(0L, ${SaltFactor - 1}L)"))
+        .otherwise(expr("array(0L)"))))
+    f.join(d, col(factKey) === col(dimKey) && f("salt") === d("salt"))
       .drop("salt")
-    val coldJoined = facts.filter(!col(factKey).isin(hot: _*))
-      .join(dim.filter(!col(dimKey).isin(hot: _*)),
-        col(factKey) === col(dimKey))
-    hotJoined.unionByName(coldJoined)
   }
 
   /** K64 gate query — orders salted-joined to customer, aggregated

@@ -46,13 +46,18 @@ class SkewJoinSpec extends SparkSpec {
       == nHotFacts)
   }
 
-  test("the physical plan is two joins under a union") {
+  test("the physical plan is ONE join on (key, salt) — no second " +
+      "fact scan, no union") {
     val plan = SkewJoin.salted(o, c, "o_custkey", "c_custkey",
       "o_orderkey").queryExecution.executedPlan.toString
-    assert(plan.contains("Union"), "two-path union missing")
+    assert(!plan.contains("Union"),
+      "the one-join rewrite must not re-introduce the two-path union")
     val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
       .findAllIn(plan).length
-    assert(joins == 2, s"expected exactly 2 joins, saw $joins")
+    assert(joins == 1, s"expected exactly 1 join, saw $joins")
+    // the salt participates in the join keys, so a hot key's rows
+    // hash to SaltFactor distinct partitions
+    assert(plan.contains("salt"), "salt column missing from the plan")
   }
 
   test("empty facts side yields an empty join, not an isin crash") {
