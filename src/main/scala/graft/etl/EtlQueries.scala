@@ -79,6 +79,45 @@ object EtlQueries extends QueryModule {
       .agg(count(lit(1)).as("n_rows"), graft.Fp.dsum2(col("c_acctbal")).as("sum_bal"))
   }
 
+  /** A12 — the JDBC faces inside the HASH GATE (round 16; the Derby
+    * specs proved them since round 6, but the gate's A6 row exercised
+    * only the parquet sink): the customer frame drives all three
+    * load modes against embedded Derby — full-refresh, append (rows
+    * double), truncate (back to one copy), append (double again) —
+    * and the PARTITIONED [[graft.sources.Tables.fromJdbc]] scan reads
+    * the result back across 8 key strides. The oracle aggregates the
+    * doubled frame directly, so a hash match proves the mode
+    * semantics (exactly two copies survived the mode sequence) AND
+    * the stride read's completeness — a lost or duplicated stride
+    * breaks the count. Double columns round-trip Derby bit-exactly
+    * (IEEE DOUBLE both sides); the [[graft.Fp]] decimal sums are
+    * order-free, so the partition-parallel read cannot reorder a
+    * result.
+    */
+  def jdbcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val url = s"jdbc:derby:memory:graftgate${math.abs(dir.hashCode)}" +
+      ";create=true"
+    val props = new java.util.Properties
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val c = Tables.customer(spark, dir)
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+    Clean.loadJdbc(c, url, "obs", "full-refresh", props)
+    Clean.loadJdbc(c, url, "obs", "append", props)
+    Clean.loadJdbc(c, url, "obs", "truncate", props)
+    Clean.loadJdbc(c, url, "obs", "append", props)
+    // stride bounds: ONE bounded 2-value collect (the key range a
+    // deployment reads from the warehouse catalog)
+    val bounds = c.agg(min("c_custkey"), max("c_custkey")).collect()(0)
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 1L)
+      else (bounds.getLong(0), bounds.getLong(1) + 1)
+    Tables.fromJdbc(spark, url, "obs", "c_custkey", lo, hi, 8, props)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.Fp.dsum2(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** A9 — SCD type-2 effective date for the staged update batch. */
   val Scd2EffectiveDate = "1996-06-01"
 
@@ -202,6 +241,7 @@ object EtlQueries extends QueryModule {
     "etl_dropna" -> (etlDropna _),
     "etl_time_parse" -> (etlTimeParse _),
     "etl_load_modes" -> (etlLoadModes _),
+    "jdbc_round_trip" -> (jdbcRoundTrip _),
     "etl_scd2" -> (etlScd2 _),
     "etl_validate" -> (etlValidate _),
     "etl_incremental_agg" -> (etlIncrementalAgg _),
@@ -295,6 +335,14 @@ object EtlQueries extends QueryModule {
       s"""SELECT count(*) * 2 AS n_rows,
         |  ${graft.Fp.sqlSum2("c_acctbal * 2")} AS sum_bal
         |FROM customer""".stripMargin,
+    // the doubled frame IS the expected table state after
+    // full-refresh -> append -> truncate -> append
+    "jdbc_round_trip" ->
+      s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  ${graft.Fp.sqlSum2("c_acctbal")} AS sum_bal
+        |FROM (SELECT * FROM customer UNION ALL SELECT * FROM customer)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "etl_observations" -> (Observations.sqlCte +
       """SELECT dataset_code, region, geo, indicator, indicator_label,
         |  year, value, n_obs
