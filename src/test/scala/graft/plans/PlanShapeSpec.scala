@@ -181,7 +181,12 @@ class PlanShapeSpec extends SparkSpec {
       // cross for the ADC stage; knn_ivfpq_rerank inherits
       // knn_ivfpq's centroid + codebook crosses the same way; both
       // stage-2 shortlist joins are hash equi-joins on neighbor_id
-      "knn_pq_rerank", "knn_ivfpq_rerank")
+      "knn_pq_rerank", "knn_ivfpq_rerank",
+      // round 16: the SERVED composed-index faces replay the same
+      // probe-ranking and LUT crosses against the LOADED 16-row
+      // centroid/codebook frames (tiny by construction); the
+      // candidate scan is a partition-pruned hash equi-join
+      "knn_ivfpq_served", "knn_ivfpq_rerank_served")
     // (embedding_pca/_r left the list in round 9: the iteration moved
     // to a driver-side solve over the collected d² summary — the
     // RowMatrix.computePrincipalComponents shape — so their plans no
