@@ -462,6 +462,85 @@ object Pq extends QueryModule {
       .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, list_id BIGINT")
       .parquet(s"$dir/refine")
 
+  /** G28 — incremental maintenance of the composed index (the
+    * [[graft.sim.IndexStore.appendGiven]] arrival path applied to
+    * IVFPQ): assign ONLY the new vectors against the SAVED coarse
+    * quantizer (one broadcast-argmax pass), residual-encode them
+    * against the SAVED codebook (one broadcast join + combinable
+    * argmin), and append packed codes + raw refine rows into the
+    * partitioned layouts — existing lists are never read or
+    * rewritten. For a fixed quantizer and codebook the result is
+    * IDENTICAL to a full rebuild over the union corpus (assignment
+    * and encoding are per-vector; spec-pinned), which is exactly why
+    * production indexes pin both and retrain offline.
+    */
+  def appendIvfPq(newEmb: DataFrame, dir: String): Unit = {
+    val spark = newEmb.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val e = newEmb.select(col("vec_id"), col("embedding"),
+      Vectors.normSq("embedding").as("nsq"))
+    val assignNarrow = e.crossJoin(broadcast(cents))
+      .withColumn("c_cos", Vectors.cosineFrom(
+        Vectors.dot("embedding", "ce"), col("nsq"), col("cn")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("c_cos"), -col("cid")))
+        .as("list_id"))
+    val assigned = e.join(assignNarrow, "vec_id")
+    val resid = assigned
+      .join(broadcast(cents.select(col("cid").as("list_id"), col("ce"))),
+        "list_id")
+      .withColumn("resid", expr(
+        "zip_with(embedding, ce, (x, c) -> cast(x as double) - cast(c as double))"))
+      .select("vec_id", "list_id", "resid")
+    val codesLong = resid.crossJoin(broadcast(cb))
+      .select(col("vec_id") :: col("list_id") :: col("cid") ::
+        (0 until NumSub).map(m =>
+          subDistSqD("resid", "ce", m).as(s"d$m")).toList: _*)
+      .selectExpr("vec_id", "list_id", "cid",
+        s"stack($NumSub, ${(0 until NumSub)
+          .map(m => s"$m, d$m").mkString(", ")}) as (m, dsq)")
+      .groupBy("vec_id", "list_id", "m")
+      .agg(min_by(col("cid"), struct(col("dsq"), col("cid"))).as("code"))
+    val codeCols = (0 until NumSub).map(m =>
+      max(when(col("m") === m, col("code"))).as(s"code_$m"))
+    codesLong.groupBy("vec_id", "list_id")
+      .agg(codeCols.head, codeCols.tail: _*)
+      .repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$dir/codes")
+    assigned.select("vec_id", "embedding", "list_id")
+      .repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$dir/refine")
+  }
+
+  /** G29 — compaction for the composed index: each [[appendIvfPq]]
+    * lays one file per touched list in BOTH layouts, so a long-lived
+    * index accumulates small files (listing + per-file open dominate
+    * a probe's read). Rewrites codes/ and refine/ to one file per
+    * list directory via the staging + swap discipline — a crash
+    * leaves either layout whole, never half. Serving is unchanged
+    * (spec-pinned); the rewrite touches each layout once, bounded by
+    * index size, never the raw corpus.
+    */
+  def compactIvfPq(spark: SparkSession, dir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    for ((sub, df) <- Seq(
+        "codes" -> loadIvfPqCodes(spark, dir),
+        "refine" -> loadIvfPqRefine(spark, dir))) {
+      val staged = s"$dir/${sub}_compact_staging"
+      df.repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(staged)
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/${sub}_compact_old")
+      fs.rename(live, old)
+      fs.rename(new org.apache.hadoop.fs.Path(staged), live)
+      fs.delete(old, true)
+    }
+  }
+
   /** The served stage-1 residual-ADC score frame — [[ivfPqScores]]
     * replayed from the loaded artifact: probe routing against the
     * loaded centroids, per-(query, list) LUT against the loaded

@@ -125,6 +125,57 @@ class IndexStoreSpec extends SparkSpec {
     assert(Pq.servedIvfPqRerank(spark, d, queries, lit(true)).count() == 0)
   }
 
+  test("ivfpq incremental append equals a full rebuild over the " +
+      "union corpus, both served faces") {
+    val n = emb.count()
+    val cut = n / 2 // well above the 16 codebook/centroid ids
+    val d = Files.createTempDirectory("graft_ivfpq_append").toString
+    Pq.saveIvfPq(emb.filter(col("vec_id") < cut)
+      .select("vec_id", "embedding"), d)
+    Pq.appendIvfPq(emb.filter(col("vec_id") >= cut)
+      .select("vec_id", "embedding"), d)
+    val queries = emb.filter(col("vec_id") < Pq.QueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val served = Pq.servedIvfPqKnn(spark, d, queries,
+      col("vec_id") >= Pq.QueryIds)
+    val fresh = Pq.knnIvfPq(emb.select("vec_id", "embedding"))
+    assert(served.collect().toSeq == fresh.collect().toSeq)
+    val servedRr = Pq.servedIvfPqRerank(spark, d, queries,
+      col("vec_id") >= Pq.QueryIds)
+    val freshRr = Pq.knnIvfPqRerank(emb.select("vec_id", "embedding"))
+    assert(servedRr.collect().toSeq == freshRr.collect().toSeq)
+  }
+
+  test("ivfpq compaction: one file per list in both layouts, serving " +
+      "unchanged") {
+    val n = emb.count()
+    val cut = n / 2
+    val d = Files.createTempDirectory("graft_ivfpq_compact").toString
+    Pq.saveIvfPq(emb.filter(col("vec_id") < cut)
+      .select("vec_id", "embedding"), d)
+    Pq.appendIvfPq(emb.filter(col("vec_id") >= cut)
+      .select("vec_id", "embedding"), d)
+    val queries = emb.filter(col("vec_id") < Pq.QueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    def serve() = Pq.servedIvfPqRerank(spark, d, queries,
+      col("vec_id") >= Pq.QueryIds).collect().toSeq
+    val before = serve()
+    def partFiles(sub: String): Map[String, Int] = {
+      val root = new java.io.File(s"$d/$sub")
+      root.listFiles().filter(_.getName.startsWith("list_id=")).map { p =>
+        p.getName -> p.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    }
+    assert(partFiles("codes").values.exists(_ > 1) ||
+      partFiles("refine").values.exists(_ > 1),
+      "fixture should have multi-file lists before compaction")
+    Pq.compactIvfPq(spark, d)
+    assert(partFiles("codes").values.forall(_ == 1) &&
+      partFiles("refine").values.forall(_ == 1),
+      "layouts not compacted to one file per list")
+    assert(serve() == before)
+  }
+
   test("incremental append equals a full rebuild over the union corpus") {
     val n = emb.count()
     val cut = n / 2 // well above the 16 centroid ids
