@@ -541,6 +541,42 @@ object Pq extends QueryModule {
     }
   }
 
+  /** G30 — deletion from the composed index, completing its CRUD
+    * lifecycle (save / serve / append / compact / DELETE — the
+    * [[graft.sim.IndexStore.deleteGiven]] discipline applied to both
+    * IVFPQ layouts): the delete set joins the codes once to find the
+    * TOUCHED lists (O(nLists) driver rows, the probe-set bound), only
+    * those list directories rewrite in codes/ AND refine/ via
+    * staging + per-directory swap (an emptied list's directory
+    * drops), untouched lists never read.
+    */
+  def deleteIvfPq(spark: SparkSession, dir: String,
+      ids: DataFrame): Unit = {
+    val del = ids.select(col("vec_id")).distinct()
+    val touched = loadIvfPqCodes(spark, dir).join(del, "vec_id")
+      .select("list_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (touched.isEmpty) return
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    for ((sub, df) <- Seq(
+        "codes" -> loadIvfPqCodes(spark, dir),
+        "refine" -> loadIvfPqRefine(spark, dir))) {
+      val staged = s"$dir/${sub}_delete_staging"
+      df.filter(col("list_id").isin(touched: _*))
+        .join(del, Seq("vec_id"), "left_anti")
+        .repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(staged)
+      for (lid <- touched) {
+        val live = new org.apache.hadoop.fs.Path(s"$dir/$sub/list_id=$lid")
+        val next = new org.apache.hadoop.fs.Path(s"$staged/list_id=$lid")
+        fs.delete(live, true)
+        if (fs.exists(next)) fs.rename(next, live) // absent ⇒ emptied
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+    }
+  }
+
   /** The served stage-1 residual-ADC score frame — [[ivfPqScores]]
     * replayed from the loaded artifact: probe routing against the
     * loaded centroids, per-(query, list) LUT against the loaded

@@ -176,6 +176,49 @@ class IndexStoreSpec extends SparkSpec {
     assert(serve() == before)
   }
 
+  test("ivfpq delete removes exactly the requested ids, rewrites only " +
+      "touched lists, serves the remaining corpus") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_ivfpq_del").toString
+    Pq.saveIvfPq(emb.select("vec_id", "embedding"), d)
+    val n = emb.count()
+    val delIds = Seq(n / 2, n / 2 + 1, n / 2 + 2).map(_.toLong)
+    // untouched lists keep their files byte-identical (mtime check)
+    def fileStamps(sub: String): Map[String, Long] = {
+      val root = new java.io.File(s"$d/$sub")
+      root.listFiles().filter(_.getName.startsWith("list_id="))
+        .map(p => p.getName -> p.lastModified()).toMap
+    }
+    val schemaCodes = "vec_id BIGINT, " +
+      (0 until Pq.NumSub).map(m => s"code_$m BIGINT").mkString(", ") +
+      ", list_id BIGINT"
+    val touched = spark.read.schema(schemaCodes).parquet(s"$d/codes")
+      .filter(col("vec_id").isin(delIds: _*))
+      .select("list_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(touched.nonEmpty)
+    val stampsBefore = fileStamps("codes")
+    Pq.deleteIvfPq(spark, d, delIds.toDF("vec_id"))
+    val stampsAfter = fileStamps("codes")
+    for ((dirName, t0) <- stampsBefore
+         if !touched.contains(dirName.stripPrefix("list_id=").toLong))
+      assert(stampsAfter(dirName) == t0,
+        s"untouched list $dirName was rewritten")
+    // the deleted ids are gone from both layouts
+    for (sub <- Seq("codes", "refine")) {
+      val remaining = spark.read.parquet(s"$d/$sub")
+        .filter(col("vec_id").isin(delIds: _*)).count()
+      assert(remaining == 0, s"$sub still holds deleted ids")
+    }
+    // serving equals the fresh build over the corpus minus deleted
+    val queries = emb.filter(col("vec_id") < Pq.QueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val served = Pq.servedIvfPqKnn(spark, d, queries,
+      col("vec_id") >= Pq.QueryIds)
+    val fresh = Pq.knnIvfPq(emb.filter(!col("vec_id").isin(delIds: _*))
+      .select("vec_id", "embedding"))
+    assert(served.collect().toSeq == fresh.collect().toSeq)
+  }
+
   test("incremental append equals a full rebuild over the union corpus") {
     val n = emb.count()
     val cut = n / 2 // well above the 16 centroid ids
