@@ -577,6 +577,86 @@ object Pq extends QueryModule {
     }
   }
 
+  /** J20 — a STREAM of query vectors answered from the SAVED composed
+    * IVFPQ index (the online half of G26's serving story, under the
+    * same Structured-Streaming constraints as the IVF serve stream):
+    *
+    *  - probe selection is STATELESS — the loaded centroids pack into
+    *    ONE broadcast row and each query scores/sorts/slices them
+    *    inside a projection (windows are disallowed on streams);
+    *  - the residual-ADC distance computes INLINE per candidate from
+    *    the packed codebook row (codeword looked up by code id inside
+    *    the projection) instead of materializing the per-(query,
+    *    list) LUT — arithmetic is the same decimal-quantized per-
+    *    subspace sums in the same order, so scores are BIT-equal to
+    *    the batch serve (spec-pinned);
+    *  - candidates come from a stream-static equi-join on list_id
+    *    against the loaded codes;
+    *  - per-query top-k is the collectTopK aggregate in UPDATE mode.
+    */
+  def ivfPqServeStream(queries: DataFrame, indexDir: String,
+      candPred: Column): DataFrame = {
+    val spark = queries.sparkSession
+    val packedCents = spark.read.parquet(s"$indexDir/centroids")
+      .agg(sort_array(collect_list(struct(col("cid"), col("ce"),
+        col("cn")))).as("cents"))
+      .withColumn("j", lit(1))
+    val packedCb = spark.read.parquet(s"$indexDir/codebook")
+      .agg(sort_array(collect_list(struct(col("cid"), col("ce"))))
+        .as("cbk"))
+      .withColumn("j", lit(1))
+    // (negcos, cid) struct sort = the batch probe ranking (cos desc,
+    // cid asc); ce rides along for the residual
+    val scoredArr =
+      s"""transform(cents, c -> named_struct(
+         |  'negcos', -(cast(aggregate(
+         |      zip_with(eq, c.ce, (xv, yv) ->
+         |        cast(cast(xv as double) * cast(yv as double)
+         |             as decimal(24,12))),
+         |      cast(0 as decimal(24,12)),
+         |      (acc, v) -> cast(acc + v as decimal(24,12))) as double)
+         |    / (sqrt(nq) * sqrt(c.cn))),
+         |  'cid', c.cid, 'ce', c.ce))""".stripMargin
+    val probes = queries
+      .select(col("query_id"), col("eq"), Vectors.normSq("eq").as("nq"),
+        lit(1).as("j"))
+      .join(broadcast(packedCents), "j")
+      .select(col("query_id"), col("j"),
+        explode(expr(
+          s"slice(array_sort($scoredArr), 1, ${Ivf.GivenProbe})"))
+          .as("p"),
+        col("eq"))
+      .select(col("query_id"), col("j"), col("p.cid").as("list_id"),
+        expr("zip_with(eq, p.ce, " +
+          "(x, c) -> cast(x as double) - cast(c as double))").as("qres"))
+      .join(broadcast(packedCb), "j")
+    val cand = loadIvfPqCodes(spark, indexDir).filter(candPred)
+      .select(col("vec_id").as("neighbor_id") +: col("list_id") +:
+        (0 until NumSub).map(m => col(s"code_$m")): _*)
+    // per-subspace quantized distance against the code's codeword,
+    // looked up in the packed codebook row — subDistSqD inlined
+    def dm(m: Int): String =
+      s"""cast(aggregate(
+         |  zip_with(slice(qres, ${m * SubDim + 1}, $SubDim),
+         |    slice(filter(cbk, c -> c.cid = code_$m)[0].ce,
+         |      ${m * SubDim + 1}, $SubDim),
+         |    (xv, yv) -> cast((xv - cast(yv as double))
+         |      * (xv - cast(yv as double)) as decimal(24,12))),
+         |  cast(0 as decimal(24,12)),
+         |  (acc, v) -> cast(acc + v as decimal(24,12))) as double)"""
+        .stripMargin
+    val scored = probes.join(cand, "list_id")
+      .withColumn("adist", expr(
+        s"cast(${(0 until NumSub)
+          .map(m => s"cast(${dm(m)} as decimal(24,12))")
+          .mkString(" + ")} as double)"))
+      .withColumn("sim", -col("adist"))
+    graft.plans.AggExpressions
+      .topKPerKey(scored, "query_id", "sim", "neighbor_id",
+        Seq("adist", "list_id"), K)
+      .select("query_id", "rank", "neighbor_id", "adist", "list_id")
+  }
+
   /** The served stage-1 residual-ADC score frame — [[ivfPqScores]]
     * replayed from the loaded artifact: probe routing against the
     * loaded centroids, per-(query, list) LUT against the loaded

@@ -275,6 +275,33 @@ class IndexStoreSpec extends SparkSpec {
     assert(got.map(_.toSeq) == want.map(_.toSeq))
   }
 
+  test("the query-vector stream over the SAVED IVFPQ index serves the " +
+      "batch residual-ADC top-k bit-equal") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = IndexStore.prebuildSavedIvfPq(spark, sf)
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val out = Pq.ivfPqServeStream(
+      src.toDF().toDF("query_id", "eq"), d,
+      col("vec_id") >= Pq.QueryIds)
+    val q = out.writeStream.format("memory")
+      .queryName("ivfpq_serve_stream").outputMode("update").start()
+    try {
+      src.addData(emb.filter(col("vec_id") < Pq.QueryIds)
+        .select("vec_id", "embedding")
+        .as[(Long, Array[Float])].collect().toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ivfpq_serve_stream").collect().toSeq
+      .sortBy(r => (r.getLong(0), r.getInt(1)))
+    val queries = emb.filter(col("vec_id") < Pq.QueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val want = Pq.servedIvfPqKnn(spark, d, queries,
+      col("vec_id") >= Pq.QueryIds).collect().toSeq
+    assert(got.map(_.toSeq) == want.map(_.toSeq))
+  }
+
   test("ivf_list_stats conserves the corpus and centers balance at 1") {
     import spark.implicits._
     val stats = IndexStore.listStatsQ(spark, sf).collect()
