@@ -145,7 +145,10 @@ object Bench {
       // snapshot_store_purged (the GDPR purge), billed here so the
       // gate query times the serve, not the rewrite
       "snapshot_store_purged" -> (() =>
-        { relational.SnapshotStore.prebuildPurged(spark, sfDir); () }))
+        { relational.SnapshotStore.prebuildPurged(spark, sfDir); () }),
+      // K75: the three-version chain for the change-range gate
+      "snapshot_store_range" -> (() =>
+        { relational.SnapshotStore.prebuildRange(spark, sfDir); () }))
     val queryFns = SparkEntry.queries.toSeq.sortBy(_._1)
     val bTimes = buildFns.map(_._1 -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
     val qTimes = queryFns.map(_._1 -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap

@@ -162,6 +162,29 @@ object SnapshotStore extends QueryModule {
     ()
   }
 
+  /** K75 — TABLE_CHANGES over a version RANGE (Delta's
+    * `table_changes(from, to)`, Iceberg's incremental changelog): the
+    * K58 diff algebra replayed per adjacent version pair, each change
+    * row tagged with the `_commit_version` that introduced it. A
+    * consumer that fell behind reads every landed change in order
+    * from durable state — the catch-up path the single-pair K68 face
+    * can't express. Work is churn-sized per pair (each diff is one
+    * full-outer join of adjacent versions); the frame unions
+    * toV − fromV such diffs and never rewrites anything.
+    */
+  def tableChangesRange(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV >= 1 && toV > fromV,
+      s"invalid change range [$fromV, $toV]")
+    (fromV until toV).map { v =>
+      SnapshotDiff.classified(
+        SnapshotDiff.asOld(readAt(spark, dir, v))
+          .join(SnapshotDiff.asNew(readAt(spark, dir, v + 1)),
+            col("k_old") === col("k_new"), "full_outer"))
+        .withColumn("_commit_version", lit(v + 1))
+    }.reduce(_.unionByName(_))
+  }
+
   /** VACUUM — drop versions older than `retain` behind the current
     * one (the storage-reclaim half of the version chain; Delta's
     * VACUUM, Iceberg's expire_snapshots). Only versions STRICTLY
@@ -258,6 +281,7 @@ object SnapshotStore extends QueryModule {
   private[graft] def clearCacheForBench(): Unit = {
     savedCache.clear()
     purgedCache.clear()
+    rangeCache.clear()
   }
 
   /** Build the two-version chain for the gate: v1 = the carved OLD
@@ -323,6 +347,43 @@ object SnapshotStore extends QueryModule {
       })
     }
 
+  private val rangeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Build a THREE-version chain for the K75 range gate (its own
+    * store — the serve/travel/changes gates keep their two-version
+    * fixture): v1 = carved old, v2 = v1 + the carved diff, v3 = v2
+    * with the updated keys' prices bumped again (a REAL second
+    * commit — re-applying the same update images would be a content
+    * no-op and the second pair diff would be empty).
+    */
+  def prebuildRange(spark: SparkSession, dir: String): String =
+    rangeCache.synchronized {
+      rangeCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+      rangeCache.getOrElseUpdate((spark, dir), {
+        val p = storeDirFor(dir) + "_rng"
+        val fs = fsOf(spark, p)
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+        val (old, diff) = SnapshotDiff.carvedDiffWide(spark, dir)
+        init(old, p)
+        applyDiffOnce(spark, p, diff, 1L)
+        applyDiffOnce(spark, p,
+          diff.filter(col("kind") === "update")
+            .withColumn("new_price", col("new_price") + lit(1.0)), 2L)
+        p
+      })
+    }
+
+  /** K75 gate query — the change feed over the WHOLE chain [v1, v3].
+    * The oracle replays commit 2 as the K58 diff verbatim and commit
+    * 3 as the price-bump algebra over the update set, so the hash
+    * proves per-pair diff content AND commit attribution from
+    * durable state.
+    */
+  def storeChangesRangeQ(spark: SparkSession, dir: String): DataFrame =
+    tableChangesRange(spark, prebuildRange(spark, dir), 1L, 3L)
+      .orderBy("_commit_version", "o_orderkey")
+
   /** K71 gate query — the CURRENT version after the purge rewrote
     * history. The oracle is the K60 apply algebra minus the carved
     * purge set, so the hash gate proves the rewrite removed exactly
@@ -360,12 +421,28 @@ object SnapshotStore extends QueryModule {
 
   override def queries: Map[String, Q] = Map(
     "snapshot_store_serve" -> (storeServeQ _),
+    "snapshot_store_changes_range" -> (storeChangesRangeQ _),
     "snapshot_store_travel" -> (storeTravelQ _),
     "snapshot_store_changes" -> (storeChangesQ _),
     "snapshot_store_purged" -> (storePurgedQ _))
 
   override def oracles: Map[String, String] = Map(
     "snapshot_store_serve" -> SnapshotDiff.oracles("snapshot_apply"),
+    // commit 2 = the K58 diff verbatim; commit 3 = the price-bump
+    // algebra over the update set (old image = commit 2's new image)
+    "snapshot_store_changes_range" -> (SnapshotDiff.diffCtes + """
+      |SELECT * FROM (
+      |  SELECT o_orderkey, kind, chg_mask,
+      |    old_price, new_price, old_status, new_status,
+      |    CAST(2 AS BIGINT) AS _commit_version
+      |  FROM dd
+      |  UNION ALL
+      |  SELECT o_orderkey, 'update' AS kind, CAST(1 AS BIGINT) AS chg_mask,
+      |    new_price AS old_price, new_price + 1.0 AS new_price,
+      |    new_status AS old_status, new_status,
+      |    CAST(3 AS BIGINT) AS _commit_version
+      |  FROM dd WHERE kind = 'update')
+      |ORDER BY _commit_version, o_orderkey""".stripMargin),
     "snapshot_store_travel" -> (SnapshotDiff.diffCtes + """
       |SELECT k_old AS o_orderkey, old_price AS o_totalprice,
       |  old_status AS o_orderstatus, old_date AS o_orderdate

@@ -106,6 +106,38 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.currentVersion(spark, d) == 3L)
   }
 
+  test("tableChangesRange: per-pair diffs with commit versions, " +
+      "catch-up across the whole chain") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (d, _, diff) = fixture()
+    SnapshotStore.applyDiffOnce(spark, d, diff, 1L) // v2
+    // batch 2 must CHANGE v2 (re-applying the same update images is a
+    // content no-op): bump the updated keys' prices again
+    SnapshotStore.applyDiffOnce(spark, d,
+      diff.filter(col("kind") === "update")
+        .withColumn("new_price", col("new_price") + lit(1.0)), 2L) // v3
+    def pair(v: Long) = SnapshotDiff.classified(
+      SnapshotDiff.asOld(SnapshotStore.readAt(spark, d, v))
+        .join(SnapshotDiff.asNew(SnapshotStore.readAt(spark, d, v + 1)),
+          col("k_old") === col("k_new"), "full_outer"))
+      .withColumn("_commit_version", lit(v + 1))
+    val got = SnapshotStore.tableChangesRange(spark, d, 1L, 3L)
+    val want = pair(1L).unionByName(pair(2L))
+    assert(pair(1L).count() > 0 && pair(2L).count() > 0,
+      "both commits must carry real changes")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // filtering the range to one commit equals the single-pair face
+    val one = got.filter(col("_commit_version") === 3L)
+      .drop("_commit_version")
+    val single = pair(2L).drop("_commit_version")
+    assert(one.exceptAll(single).isEmpty && single.exceptAll(one).isEmpty)
+    // degenerate ranges refuse loudly
+    intercept[IllegalArgumentException] {
+      SnapshotStore.tableChangesRange(spark, d, 2L, 2L)
+    }
+  }
+
   test("vacuum expires only versions behind the retention window") {
     val (d, _, diff) = fixture()
     SnapshotStore.applyDiffOnce(spark, d, diff, 1L) // v2
