@@ -15,8 +15,13 @@ class JoinPlannerSpec extends SparkSpec {
   private def facts(keys: Seq[Long]) = keys.toDF("fk")
   private def dim(keys: Seq[Long]) = keys.toDF("k")
 
-  private def strat(factKeys: Seq[Long], dimKeys: Seq[Long]): String =
-    JoinPlanner.strategyOf(facts(factKeys), "fk", dim(dimKeys), "t")
+  // synthetic fixtures are row-count-scaled, so they pass a 1-row
+  // task budget where the salt arm should be reachable; the
+  // deployment default (4M rows) is exercised by its own test below
+  private def strat(factKeys: Seq[Long], dimKeys: Seq[Long],
+      saltHotRows: Long = 1L): String =
+    JoinPlanner.strategyOf(facts(factKeys), "fk", dim(dimKeys), "t",
+        saltHotRows)
       .collect()(0).getAs[String]("strategy")
 
   test("each arm fires on its synthetic fixture") {
@@ -32,6 +37,38 @@ class JoinPlannerSpec extends SparkSpec {
     assert(strat(cold ++ hot, bigDim) == "salt")
     // shuffle: large dim, full containment, uniform key
     assert(strat((1L to 1500L), bigDim) == "shuffle")
+  }
+
+  test("the salt arm needs hot-key VOLUME, not just ratio: under the " +
+      "deployment budget a skewed-but-small key routes shuffle") {
+    val bigDim = (1L to JoinPlanner.BroadcastRows + 500L)
+    val hot = Seq.fill(300)(7L)
+    val cold = (1L to 1200L)
+    // same 3x-ratio fixture: salt when the 300-row hot key exceeds
+    // the budget, shuffle when the budget is the deployment default
+    // (300 rows through one task straggles nothing)
+    assert(strat(cold ++ hot, bigDim, saltHotRows = 300L) == "salt")
+    assert(strat(cold ++ hot, bigDim,
+      saltHotRows = JoinPlanner.SaltHotRowsDefault) == "shuffle")
+  }
+
+  test("autoJoined's stat pass dedupes duplicate dim keys — the " +
+      "decision cannot be skewed by an inflated match count") {
+    // duplicated dim keys would inflate n_fact/n_match through the
+    // stats left join; the join OUTPUT keeps the duplicates (plain
+    // join semantics), only the measure is deduped
+    val f = (1L to 1000L).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("fk", "pk")
+    val dupDim = ((1L to 1500L) ++ (1L to 1500L)).toDF("k")
+    val (got, joined) = JoinPlanner.autoJoined(f, "fk", dupDim, "k", "pk")
+    val (gotClean, _) = JoinPlanner.autoJoined(f, "fk",
+      (1L to 1500L).toDF("k"), "k", "pk")
+    assert(got == gotClean,
+      s"duplicate dim keys changed the routing: $got vs $gotClean")
+    val plain = f.join(dupDim, col("fk") === col("k"))
+    val j2 = joined.select(plain.columns.map(col): _*)
+    assert(j2.count() == plain.count() &&
+      j2.exceptAll(plain).isEmpty && plain.exceptAll(j2).isEmpty)
   }
 
   test("bloom outranks salt when a candidate is selective AND skewed") {
@@ -54,7 +91,7 @@ class JoinPlannerSpec extends SparkSpec {
         .map { case (k, i) => (k, i.toLong) }.toDF("fk", "pk")
       val d = dimKeys.toDF("k")
       val (got, joined) =
-        JoinPlanner.autoJoined(f, "fk", d, "k", "pk")
+        JoinPlanner.autoJoined(f, "fk", d, "k", "pk", saltHotRows = 1L)
       assert(got == want, s"fixture $want dispatched $got")
       val plain = f.join(d, col("fk") === col("k"))
       val j2 = joined.select(plain.columns.map(col): _*)
