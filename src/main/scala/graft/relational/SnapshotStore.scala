@@ -82,13 +82,20 @@ object SnapshotStore extends QueryModule {
     val fs = fsOf(spark, dir)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_claims"))
     val claim = new org.apache.hadoop.fs.Path(s"$dir/_claims/v$v")
+    // only the exists-collision maps to "lost the race" — any other
+    // IO failure (permissions, disk) must propagate as itself
     try fs.create(claim, false).close()
     catch {
-      case _: java.io.IOException =>
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
           s"snapshot store $dir: version $v already claimed by a " +
             "concurrent writer; this apply lost the race and wrote " +
             "nothing")
+      case e: java.io.IOException if fs.exists(claim) =>
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot store $dir: version $v already claimed by a " +
+            s"concurrent writer ($e); this apply lost the race and " +
+            "wrote nothing")
     }
   }
 

@@ -486,7 +486,9 @@ object Pq extends QueryModule {
       .groupBy("vec_id")
       .agg(max_by(col("cid"), struct(col("c_cos"), -col("cid")))
         .as("list_id"))
-    val assigned = e.join(assignNarrow, "vec_id")
+    // consumed twice (codes + refine writes): checkpoint so the
+    // broadcast-argmax assignment runs once per batch
+    val assigned = e.join(assignNarrow, "vec_id").localCheckpoint(true)
     val resid = assigned
       .join(broadcast(cents.select(col("cid").as("list_id"), col("ce"))),
         "list_id")
