@@ -117,6 +117,10 @@ object Bench {
       // residual codes by list + refine sidecar) once per sweep
       "ivfpq_saved_index" -> (() =>
         { sim.IndexStore.prebuildSavedIvfPq(spark, sfDir); () }),
+      // G28/G29: the maintained composed index (save half, append
+      // half, compact) behind the knn_ivfpq_appended gate
+      "ivfpq_appended_index" -> (() =>
+        { sim.IndexStore.prebuildSavedIvfPqAppended(spark, sfDir); () }),
       // the one corpus-sized pass behind the three sketch_rollup_*
       // queries: per-day KMV/HLL/CMS states written day-partitioned
       "sketch_daily" -> (() =>

@@ -274,6 +274,7 @@ object IndexStore extends graft.QueryModule {
     savedCache.clear(); savedTfidfCache.clear(); savedPqCache.clear()
     savedDeletedCache.clear(); savedBm25Cache.clear()
     savedRebalCache.clear(); savedIvfPqCache.clear()
+    appendedIvfPqCache.clear()
   }
 
   /** Ensure the saved index exists for the driver corpus (bench bills
@@ -456,6 +457,42 @@ object IndexStore extends graft.QueryModule {
         ixDir
       })
     }
+
+  private val appendedIvfPqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** A second composed index built through the MAINTENANCE arc —
+    * save half the corpus, APPEND the other half against the pinned
+    * quantizer/codebook, COMPACT both layouts — so the G28/G29 faces
+    * sit inside the hash gate, not only the spec (bench:
+    * `ivfpq_appended_index`).
+    */
+  def prebuildSavedIvfPqAppended(spark: SparkSession,
+      dir: String): String =
+    appendedIvfPqCache.synchronized {
+      appendedIvfPqCache.filterInPlace { case ((s, _), _) =>
+        !s.sparkContext.isStopped }
+      appendedIvfPqCache.getOrElseUpdate((spark, dir), {
+        val ixDir = indexDirFor(dir) + "_ivfpq_app"
+        val emb = graft.sources.Tables.embeddings(spark, dir)
+          .select("vec_id", "embedding")
+        val cut = math.max(emb.count() / 2, Ivf.GivenCentroids.toLong)
+        Pq.saveIvfPq(emb.filter(col("vec_id") < cut), ixDir)
+        Pq.appendIvfPq(emb.filter(col("vec_id") >= cut), ixDir)
+        Pq.compactIvfPq(spark, ixDir)
+        ixDir
+      })
+    }
+
+  /** G28/G29 gate query — serve AFTER append + compaction; for a
+    * pinned quantizer and codebook the maintained index is identical
+    * to a fresh build over the union corpus, so the oracle is
+    * knn_ivfpq's SQL VERBATIM: the hash proves the whole maintenance
+    * arc lands bit-exact durable state.
+    */
+  def knnIvfPqAppendedQ(spark: SparkSession, dir: String): DataFrame =
+    Pq.servedIvfPqKnn(spark, prebuildSavedIvfPqAppended(spark, dir),
+      ivfPqQueriesOf(spark, dir), col("vec_id") >= Pq.QueryIds)
 
   private def ivfPqQueriesOf(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.embeddings(spark, dir)
@@ -875,6 +912,7 @@ object IndexStore extends graft.QueryModule {
     "knn_pq_served" -> (knnPqServedQ _),
     "knn_ivfpq_served" -> (knnIvfPqServedQ _),
     "knn_ivfpq_rerank_served" -> (knnIvfPqRerankServedQ _),
+    "knn_ivfpq_appended" -> (knnIvfPqAppendedQ _),
     "ivf_list_stats" -> (listStatsQ _))
 
   /** The fresh builds' oracles verbatim: a persisted round-trip must
@@ -1002,6 +1040,7 @@ object IndexStore extends graft.QueryModule {
     "knn_pq_served" -> Pq.oracles("knn_pq"),
     "knn_ivfpq_served" -> Pq.oracles("knn_ivfpq"),
     "knn_ivfpq_rerank_served" -> Pq.oracles("knn_ivfpq_rerank"),
+    "knn_ivfpq_appended" -> Pq.oracles("knn_ivfpq"),
     "embedding_drift" -> (Ivf.givenAssignSql + """
       |halves AS (SELECT count(*) // 2 AS half FROM lists),
       |cells AS (SELECT list_id,
