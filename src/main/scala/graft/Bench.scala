@@ -121,6 +121,10 @@ object Bench {
       // half, compact) behind the knn_ivfpq_appended gate
       "ivfpq_appended_index" -> (() =>
         { sim.IndexStore.prebuildSavedIvfPqAppended(spark, sfDir); () }),
+      // G30: a third composed index with the deleted band rewritten
+      // out, behind the knn_ivfpq_deleted gate
+      "ivfpq_deleted_index" -> (() =>
+        { sim.IndexStore.prebuildSavedIvfPqDeleted(spark, sfDir); () }),
       // the one corpus-sized pass behind the three sketch_rollup_*
       // queries: per-day KMV/HLL/CMS states written day-partitioned
       "sketch_daily" -> (() =>

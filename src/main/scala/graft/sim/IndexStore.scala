@@ -274,7 +274,7 @@ object IndexStore extends graft.QueryModule {
     savedCache.clear(); savedTfidfCache.clear(); savedPqCache.clear()
     savedDeletedCache.clear(); savedBm25Cache.clear()
     savedRebalCache.clear(); savedIvfPqCache.clear()
-    appendedIvfPqCache.clear()
+    appendedIvfPqCache.clear(); deletedIvfPqCache.clear()
   }
 
   /** Ensure the saved index exists for the driver corpus (bench bills
@@ -492,6 +492,37 @@ object IndexStore extends graft.QueryModule {
     */
   def knnIvfPqAppendedQ(spark: SparkSession, dir: String): DataFrame =
     Pq.servedIvfPqKnn(spark, prebuildSavedIvfPqAppended(spark, dir),
+      ivfPqQueriesOf(spark, dir), col("vec_id") >= Pq.QueryIds)
+
+  private val deletedIvfPqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** A third composed index with [DeletedLo, DeletedHi) deleted — the
+    * G30 face's gate fixture (bench: `ivfpq_deleted_index`).
+    */
+  def prebuildSavedIvfPqDeleted(spark: SparkSession,
+      dir: String): String =
+    deletedIvfPqCache.synchronized {
+      deletedIvfPqCache.filterInPlace { case ((s, _), _) =>
+        !s.sparkContext.isStopped }
+      deletedIvfPqCache.getOrElseUpdate((spark, dir), {
+        val ixDir = indexDirFor(dir) + "_ivfpq_del"
+        Pq.saveIvfPq(graft.sources.Tables.embeddings(spark, dir)
+          .select("vec_id", "embedding"), ixDir)
+        Pq.deleteIvfPq(spark, ixDir,
+          spark.range(DeletedLo, DeletedHi).withColumnRenamed("id", "vec_id"))
+        ixDir
+      })
+    }
+
+  /** G30 gate query — residual-ADC search AFTER the delete rewrote
+    * the touched lists; the oracle is the G12 search with the deleted
+    * band excluded from the candidates (the knn_ivf_deleted
+    * discipline), so the hash proves the rewrite removed exactly the
+    * requested ids from the served compressed state.
+    */
+  def knnIvfPqDeletedQ(spark: SparkSession, dir: String): DataFrame =
+    Pq.servedIvfPqKnn(spark, prebuildSavedIvfPqDeleted(spark, dir),
       ivfPqQueriesOf(spark, dir), col("vec_id") >= Pq.QueryIds)
 
   private def ivfPqQueriesOf(spark: SparkSession, dir: String): DataFrame =
@@ -913,6 +944,7 @@ object IndexStore extends graft.QueryModule {
     "knn_ivfpq_served" -> (knnIvfPqServedQ _),
     "knn_ivfpq_rerank_served" -> (knnIvfPqRerankServedQ _),
     "knn_ivfpq_appended" -> (knnIvfPqAppendedQ _),
+    "knn_ivfpq_deleted" -> (knnIvfPqDeletedQ _),
     "ivf_list_stats" -> (listStatsQ _))
 
   /** The fresh builds' oracles verbatim: a persisted round-trip must
@@ -1041,6 +1073,9 @@ object IndexStore extends graft.QueryModule {
     "knn_ivfpq_served" -> Pq.oracles("knn_ivfpq"),
     "knn_ivfpq_rerank_served" -> Pq.oracles("knn_ivfpq_rerank"),
     "knn_ivfpq_appended" -> Pq.oracles("knn_ivfpq"),
+    "knn_ivfpq_deleted" -> Pq.ivfPqKnnSql(
+      s"vec_id >= ${Pq.QueryIds} AND " +
+        s"vec_id NOT BETWEEN $DeletedLo AND ${DeletedHi - 1}"),
     "embedding_drift" -> (Ivf.givenAssignSql + """
       |halves AS (SELECT count(*) // 2 AS half FROM lists),
       |cells AS (SELECT list_id,

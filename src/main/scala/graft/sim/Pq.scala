@@ -856,7 +856,9 @@ object Pq extends QueryModule {
   /** The full IVFPQ CTE chain through the per-query ADC ranking —
     * shared by the G12 oracle and the G25 rerank oracle.
     */
-  private val ivfPqCtes = s"""WITH comp AS (SELECT vec_id, CAST(i AS INT) AS i,
+  private def ivfPqCtes(
+      candWhere: String = s"vec_id >= $QueryIds"): String =
+    s"""WITH comp AS (SELECT vec_id, CAST(i AS INT) AS i,
       |         CAST((CAST(i AS INT) - 1) // $SubDim AS INT) AS m,
       |         CAST(CAST(embedding[CAST(i AS INT)] AS FLOAT) AS DOUBLE) AS v
       |       FROM embeddings, UNNEST(range(1, ${Dim + 1})) u(i)),
@@ -902,7 +904,7 @@ object Pq extends QueryModule {
       |         ON cb.i = q.i AND cb.vec_id < $CodebookIds
       |       GROUP BY 1, 2, 3, 4),
       |cand AS (SELECT vec_id AS neighbor_id, list_id, m, code FROM rcodes
-      |       WHERE vec_id >= $QueryIds),
+      |       WHERE $candWhere),
       |adist AS (SELECT l.query_id, c.neighbor_id, c.list_id,
       |         CAST(CAST(sum(CAST(CAST(l.dsq AS VARCHAR) AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS adist
       |       FROM cand c JOIN luts l
@@ -912,6 +914,18 @@ object Pq extends QueryModule {
       |         row_number() OVER (PARTITION BY query_id
       |           ORDER BY adist ASC, neighbor_id ASC) AS rank
       |       FROM adist)""".stripMargin
+
+  /** The G12 search oracle with a parameterized candidate filter —
+    * the knn_ivf_deleted discipline applied to the composed index
+    * (serving after a delete must equal the fresh search over the
+    * surviving candidates).
+    */
+  private[sim] def ivfPqKnnSql(candWhere: String): String =
+    ivfPqCtes(candWhere) + s"""
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+      |  adist, list_id
+      |FROM ranked WHERE rank <= $K
+      |ORDER BY query_id, rank""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "pq_encode" -> (encodeCtes + s"""
@@ -947,7 +961,7 @@ object Pq extends QueryModule {
     // IVFPQ: the G2c assignment/probe chain (cosine routing) composed
     // with residual-PQ codes and per-(query, list) ADC tables — the
     // relational mirror of [[knnIvfPq]], replayed step for step.
-    "knn_ivfpq" -> (ivfPqCtes + s"""
+    "knn_ivfpq" -> (ivfPqCtes() + s"""
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
       |  adist, list_id
       |FROM ranked WHERE rank <= $K
@@ -955,7 +969,7 @@ object Pq extends QueryModule {
     // G25: residual-ADC shortlist (rank <= R) -> exact full-vector
     // quantized L2 -> re-rank; the relational mirror of
     // [[knnIvfPqRerank]]
-    "knn_ivfpq_rerank" -> (ivfPqCtes + s""",
+    "knn_ivfpq_rerank" -> (ivfPqCtes() + s""",
       |short AS (SELECT query_id, neighbor_id, adist FROM ranked
       |       WHERE rank <= $RerankR),
       |ex AS (SELECT s.query_id, s.neighbor_id, s.adist,
