@@ -56,7 +56,7 @@ object Pq extends QueryModule {
   /** [[subDistSq]] where x is already a double array (a residual) and
     * y is a float-array codeword — the residual-encoding distance.
     */
-  private def subDistSqD(x: String, y: String, m: Int): Column =
+  private[sim] def subDistSqD(x: String, y: String, m: Int): Column =
     expr(s"""cast(aggregate(
       |  zip_with(slice($x, ${m * SubDim + 1}, $SubDim),
       |           slice($y, ${m * SubDim + 1}, $SubDim),
@@ -577,6 +577,188 @@ object Pq extends QueryModule {
       }
       fs.delete(new org.apache.hadoop.fs.Path(staged), true)
     }
+  }
+
+  /** G31 — occupancy REBALANCE for the composed index (the G23
+    * split/merge arc applied to IVFPQ): what makes this a distinct
+    * operator from the flat-IVF rebalance is that moving a vector to
+    * a NEW list changes its RESIDUAL — codes quantize x − centroid,
+    * so every moved (and split-reassigned) vector must RE-ENCODE
+    * against its new centroid. The refine sidecar is what makes that
+    * possible without the original corpus: raw vectors read from the
+    * touched lists only, re-encoded against the loaded codebook, and
+    * both layouts rewrite through per-directory staged swaps.
+    *
+    * Decision algebra is [[graft.sim.IndexStore.rebalanceGiven]]'s
+    * (same policy bands, quantile seeding, keep-only merge targets,
+    * survivors-not-keeps quantizer filter — the round-16 mass-loss
+    * lesson baked in from the start); target lists' own members keep
+    * their centroid, so their re-encode is a bit-identical no-op and
+    * staging them costs only their directory rewrite. Returns whether
+    * the pass acted; iterate with a cap for convergence exactly like
+    * `rebalanceUntilBand`.
+    */
+  def rebalanceIvfPq(spark: SparkSession, dir: String,
+      policy: IndexStore.RebalancePolicy =
+        IndexStore.RebalancePolicy.Standard): Boolean = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val counts = loadIvfPqCodes(spark, dir).groupBy("list_id")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return false
+    val total = counts.values.sum
+    val nl = counts.size.toLong
+    val splits = counts.collect { case (l, n)
+      if n * nl * policy.splitDen > policy.splitNum * total => l }.toSet
+    val mergesRaw = counts.collect { case (l, n)
+      if n * nl * policy.mergeDen < policy.mergeNum * total => l }.toSet
+    val keeps = counts.keySet -- splits -- mergesRaw
+    val merges = if (keeps.isEmpty) Set.empty[Long] else mergesRaw
+    if (splits.isEmpty && merges.isEmpty) return false
+    val survivors = counts.keySet -- splits -- merges
+
+    val mtgt: Map[Long, Long] =
+      if (merges.isEmpty) Map.empty
+      else cents.filter(col("cid").isin(merges.toSeq: _*))
+        .select(col("cid").as("mc"), col("ce").as("me"), col("cn").as("mn"))
+        .crossJoin(broadcast(cents.filter(col("cid").isin(keeps.toSeq: _*))))
+        .withColumn("cos", Vectors.cosineFrom(
+          Vectors.dot("me", "ce"), col("mn"), col("cn")))
+        .groupBy("mc")
+        .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("tgt"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(mtgt.keySet == merges,
+      s"ivfpq rebalance at $dir: merge lists ${merges -- mtgt.keySet} " +
+        "have no centroid row — centroids/ diverged from codes/")
+
+    val refine = loadIvfPqRefine(spark, dir)
+      .withColumn("nsq", Vectors.normSq("embedding"))
+    val splitSeq = splits.toSeq.sorted
+    val subcents: Option[DataFrame] =
+      if (splits.isEmpty) None
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val ranks = splitSeq.flatMap { p =>
+          val n = counts(p)
+          val s = math.max(2L, math.min((n * nl + total - 1) / total, n))
+          (0L until s).map(j => (p, ((2 * j + 1) * n) / (2 * s) + 1))
+        }.toDF("list_id", "mr")
+        val ranked = refine.filter(col("list_id").isin(splitSeq: _*))
+          .join(broadcast(cents), col("list_id") === col("cid"))
+          .withColumn("pcos", Vectors.cosineFrom(
+            Vectors.dot("embedding", "ce"), col("nsq"), col("cn")))
+          .withColumn("mr", row_number().over(Window
+            .partitionBy("list_id").orderBy(desc("pcos"), asc("vec_id"))))
+        Some(ranked.join(broadcast(ranks), Seq("list_id", "mr"))
+          .select(col("list_id").as("parent"), col("vec_id").as("subcid"),
+            col("embedding").as("se"), col("nsq").as("sn"))
+          .localCheckpoint(true))
+      }
+
+    // staged raw rows, each under its NEW list id
+    val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    subcents.foreach { sc =>
+      val sa = refine.filter(col("list_id").isin(splitSeq: _*))
+        .join(broadcast(sc), col("list_id") === col("parent"))
+        .withColumn("scos", Vectors.cosineFrom(
+          Vectors.dot("embedding", "se"), col("nsq"), col("sn")))
+        .groupBy("vec_id")
+        .agg(max_by(col("subcid"), struct(col("scos"), -col("subcid")))
+          .as("new_list"))
+      staged += refine.filter(col("list_id").isin(splitSeq: _*))
+        .join(sa, "vec_id")
+        .select(col("vec_id"), col("embedding"),
+          col("new_list").as("list_id"))
+    }
+    if (merges.nonEmpty) {
+      val mt = mtgt.toSeq.sorted.toDF("m", "tgt")
+      staged += refine.filter(col("list_id").isin(merges.toSeq: _*))
+        .join(broadcast(mt), col("list_id") === col("m"))
+        .select(col("vec_id"), col("embedding"), col("tgt").as("list_id"))
+      val targets = mtgt.values.toSet.toSeq.sorted
+      staged += refine.filter(col("list_id").isin(targets: _*))
+        .select("vec_id", "embedding", "list_id")
+    }
+    val stagedRaw = staged.reduce(_.unionByName(_)).localCheckpoint(true)
+
+    // the post-rebalance quantizer (survivors + sub-centroids)
+    val newCents = subcents match {
+      case Some(sc) => cents.filter(col("cid").isin(survivors.toSeq: _*))
+        .unionByName(sc.select(col("subcid").as("cid"),
+          col("se").as("ce"), col("sn").as("cn")))
+      case None => cents.filter(col("cid").isin(survivors.toSeq: _*))
+    }
+
+    // RE-ENCODE staged rows against their NEW centroid — the step
+    // that distinguishes this from the flat-IVF rebalance
+    val stagedResid = stagedRaw
+      .join(broadcast(newCents.select(col("cid").as("list_id"),
+        col("ce"))), "list_id")
+      .withColumn("resid", expr(
+        "zip_with(embedding, ce, (x, c) -> cast(x as double) - cast(c as double))"))
+      .select("vec_id", "list_id", "resid")
+    val codeCols = (0 until NumSub).map(m =>
+      max(when(col("m") === m, col("code"))).as(s"code_$m"))
+    val stagedCodes = stagedResid.crossJoin(broadcast(cb))
+      .select(col("vec_id") :: col("list_id") :: col("cid") ::
+        (0 until NumSub).map(m =>
+          subDistSqD("resid", "ce", m).as(s"d$m")).toList: _*)
+      .selectExpr("vec_id", "list_id", "cid",
+        s"stack($NumSub, ${(0 until NumSub)
+          .map(m => s"$m, d$m").mkString(", ")}) as (m, dsq)")
+      .groupBy("vec_id", "list_id", "m")
+      .agg(min_by(col("cid"), struct(col("dsq"), col("cid"))).as("code"))
+      .groupBy("vec_id", "list_id")
+      .agg(codeCols.head, codeCols.tail: _*)
+
+    // commit: staged layouts + centroids, then per-directory swaps
+    // in BOTH layouts (split parents out, staged in, merges out)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val centsStaging = s"$dir/centroids_rebalance_staging"
+    newCents.write.mode("overwrite").parquet(centsStaging)
+    for ((sub, df) <- Seq("codes" -> stagedCodes,
+        "refine" -> stagedRaw.select("vec_id", "embedding", "list_id"))) {
+      val stagingDir = s"$dir/${sub}_rebalance_staging"
+      df.repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(stagingDir)
+      def listDir(l: Long) = new org.apache.hadoop.fs.Path(
+        s"$dir/$sub/list_id=$l")
+      for (p <- splitSeq) fs.delete(listDir(p), true)
+      for (st <- fs.listStatus(new org.apache.hadoop.fs.Path(stagingDir))
+           if st.getPath.getName.startsWith("list_id=")) {
+        val live = new org.apache.hadoop.fs.Path(
+          s"$dir/$sub/${st.getPath.getName}")
+        if (fs.exists(live)) fs.delete(live, true)
+        fs.rename(st.getPath, live)
+      }
+      for (m <- merges.toSeq.sorted) fs.delete(listDir(m), true)
+      fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
+    }
+    val centsLive = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+    val centsOld = new org.apache.hadoop.fs.Path(
+      s"$dir/centroids_rebalance_old")
+    if (fs.exists(centsOld)) fs.delete(centsOld, true)
+    fs.rename(centsLive, centsOld)
+    fs.rename(new org.apache.hadoop.fs.Path(centsStaging), centsLive)
+    fs.delete(centsOld, true)
+    true
+  }
+
+  /** [[rebalanceIvfPq]] iterated to convergence — same contract as
+    * `IndexStore.rebalanceUntilBand` (eager per-pass commits; a
+    * return equal to `maxPasses` signals an unsatisfiable band).
+    */
+  def rebalanceIvfPqUntilBand(spark: SparkSession, dir: String,
+      policy: IndexStore.RebalancePolicy =
+        IndexStore.RebalancePolicy.Standard,
+      maxPasses: Int = 8): Int = {
+    var passes = 0
+    while (passes < maxPasses && rebalanceIvfPq(spark, dir, policy))
+      passes += 1
+    passes
   }
 
   /** J20 — a STREAM of query vectors answered from the SAVED composed

@@ -302,6 +302,94 @@ class IndexStoreSpec extends SparkSpec {
     assert(got.map(_.toSeq) == want.map(_.toSeq))
   }
 
+  test("ivfpq rebalance: mass conserved in both layouts, membership " +
+      "rules hold, and moved vectors RE-ENCODE against new centroids") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_ivfpq_rebal").toString
+    Pq.saveIvfPq(emb.select("vec_id", "embedding"), d)
+    val schemaCodes = "vec_id BIGINT, " +
+      (0 until Pq.NumSub).map(m => s"code_$m BIGINT").mkString(", ") +
+      ", list_id BIGINT"
+    def codes = spark.read.schema(schemaCodes).parquet(s"$d/codes")
+    def refine = spark.read
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, list_id BIGINT")
+      .parquet(s"$d/refine")
+    def membership: Map[Long, Long] = codes.select("vec_id", "list_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pre = membership
+    val preCounts = pre.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = pre.size.toLong
+    val nl = preCounts.size.toLong
+    val p = IndexStore.RebalancePolicy.Tight
+    val splits = preCounts.filter { case (_, n) =>
+      n * nl * p.splitDen > p.splitNum * total }.keySet
+    val merges = preCounts.filter { case (_, n) =>
+      n * nl * p.mergeDen < p.mergeNum * total }.keySet
+    val keeps = preCounts.keySet -- splits -- merges
+    assert(splits.nonEmpty && merges.nonEmpty,
+      "fixture must exercise both actions under the tight band")
+    assert(Pq.rebalanceIvfPq(spark, d, p))
+    val post = membership
+    // mass conserved, both layouts aligned, merge dirs dissolved
+    assert(post.size == pre.size)
+    assert(refine.count() == pre.size)
+    assert(codes.select("list_id").distinct().collect().map(_.getLong(0))
+      .toSet == refine.select("list_id").distinct().collect()
+      .map(_.getLong(0)).toSet)
+    val cids = spark.read.parquet(s"$d/centroids")
+      .select("cid").collect().map(_.getLong(0)).toSet
+    assert(cids == post.values.toSet,
+      "centroids/ diverged from the landed list directories")
+    assert(merges.forall(m => !post.values.toSet.contains(m)))
+    // membership rules: keeps unmoved; merge members whole to a keep
+    pre.foreach { case (v, l) =>
+      if (keeps(l)) assert(post(v) == l, s"keep member $v moved")
+    }
+    merges.foreach { m =>
+      val landed = pre.collect { case (v, l) if l == m => post(v) }.toSet
+      assert(landed.size == 1 && keeps(landed.head),
+        s"merge list $m scattered or landed outside keeps: $landed")
+    }
+    // RE-ENCODE correctness, recomputed independently from the DISK
+    // artifacts: every stored code is the argmin codeword of the
+    // vector's residual against its (possibly new) centroid
+    val cents = spark.read.parquet(s"$d/centroids")
+      .select(col("cid").as("list_id"), col("ce"))
+    val cb = spark.read.parquet(s"$d/codebook")
+      .select(col("cid").as("cb_cid"), col("ce").as("cbe"))
+    val resid = refine.join(broadcast(cents), "list_id")
+      .withColumn("resid", expr(
+        "zip_with(embedding, ce, (x, c) -> cast(x as double) - cast(c as double))"))
+      .select("vec_id", "list_id", "resid")
+    val expectCols = (0 until Pq.NumSub).map(m =>
+      max(when(col("m") === m, col("code"))).as(s"code_$m"))
+    val expected = resid.crossJoin(broadcast(cb))
+      .select(col("vec_id") :: col("list_id") :: col("cb_cid") ::
+        (0 until Pq.NumSub).map(m =>
+          Pq.subDistSqD("resid", "cbe", m).as(s"d$m")).toList: _*)
+      .selectExpr("vec_id", "list_id", "cb_cid",
+        s"stack(${Pq.NumSub}, ${(0 until Pq.NumSub)
+          .map(m => s"$m, d$m").mkString(", ")}) as (m, dsq)")
+      .groupBy("vec_id", "list_id", "m")
+      .agg(min_by(col("cb_cid"), struct(col("dsq"), col("cb_cid")))
+        .as("code"))
+      .groupBy("vec_id", "list_id")
+      .agg(expectCols.head, expectCols.tail: _*)
+    // exceptAll resolves positionally — align column order first
+    val cols = codes.columns.map(col)
+    val expAligned = expected.select(cols: _*)
+    val codesAligned = codes.select(cols: _*)
+    assert(codesAligned.exceptAll(expAligned).isEmpty &&
+      expAligned.exceptAll(codesAligned).isEmpty,
+      "stored codes diverge from an independent re-encode of the " +
+        "landed refine vectors against the landed centroids")
+    // serving still answers every query with a full top-k
+    val queries = emb.filter(col("vec_id") < Pq.QueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    assert(Pq.servedIvfPqKnn(spark, d, queries,
+      col("vec_id") >= Pq.QueryIds).collect().length == 15)
+  }
+
   test("ivf_list_stats conserves the corpus and centers balance at 1") {
     import spark.implicits._
     val stats = IndexStore.listStatsQ(spark, sf).collect()
