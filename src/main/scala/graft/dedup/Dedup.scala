@@ -330,27 +330,41 @@ object Dedup {
     // per branch while the cache is still filling.
     val grams = trigramRows(docs, idCol, textCol).localCheckpoint(true)
     val gdf = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    val rare = grams.join(gdf.filter(col("df") <= MaxGramDf).select("g"), "g")
-    val hot = grams.join(gdf.filter(col("df") > MaxGramDf).select("g"), "g")
+    // materialize the df-annotated gram frame ONCE: rare/hot are each
+    // consumed by three downstream joins, and deriving them as
+    // gram⋈gdf joins re-ran the df aggregate + shuffle per consumer
+    // (a 60-exchange DAG at sf0.1 — scheduler pressure at scale);
+    // as filters over one checkpointed frame each reuse is a scan
+    val gramsDf = grams.join(gdf, "g").localCheckpoint(true)
+    val rare = gramsDf.filter(col("df") <= MaxGramDf).select("doc_id", "g")
+    val hot = gramsDf.filter(col("df") > MaxGramDf).select("doc_id", "g")
+    // candidate pairs are consumed by the hot-gram correction AND the
+    // final Jaccard chain — materialize so the rare self-join runs once
     val interRare = rare.select(col("doc_id").as("doc_a"), col("g"))
       .join(rare.select(col("doc_id").as("doc_b"), col("g")), "g")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ir"))
+      .localCheckpoint(true)
     val interHot = interRare.select("doc_a", "doc_b")
       .join(hot.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
       .join(hot.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ih"))
+    // one per-doc aggregate serves BOTH the Jaccard denominators and
+    // the all-hot membership test (a doc is all-hot iff its least-
+    // frequent gram is still above the df cap)
+    val docStats = gramsDf.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), min("df").as("mindf"))
+      .localCheckpoint(true)
+    val sizes = docStats.select("doc_id", "n")
     // all-hot fallback: docs with NO rare gram are invisible to the
     // rare self-join — band them by trigram-set MinHash instead
-    val allHot = grams.select("doc_id").distinct()
-      .join(rare.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    val allHot = docStats.filter(col("mindf") > MaxGramDf).select("doc_id")
     val hotSh = hot.join(allHot, "doc_id").select("doc_id", "g")
     val interAllHot = bucketPairs(minhashBuckets(
         hotSh.groupBy("doc_id").agg(collect_set("g").as("gs"))))
       .join(hotSh.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
       .join(hotSh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     interRare
       .join(interHot, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"),

@@ -103,8 +103,14 @@ object JoinPlanner extends QueryModule {
     val kc = facts.filter(col(factKey).isNotNull)
       .groupBy(col(factKey).as("k"))
       .agg(count(lit(1)).as("cnt"))
-    val dk = dim.select(col("k")).withColumn("m", lit(1L))
-    val nd = dk.agg(count(lit(1)).as("n_dim"))
+    // group (not a marker column) so a duplicate dim key cannot fan
+    // out the stats left join — uniqueness enforcement lives INSIDE
+    // the one-pass aggregate instead of a caller-side distinct()
+    // shuffle; m carries the multiplicity so n_dim stays the true
+    // dim ROW count (what a broadcast would actually ship)
+    val dk = dim.select(col("k")).groupBy("k")
+      .agg(count(lit(1)).as("m"))
+    val nd = dk.agg(coalesce(sum("m"), lit(0L)).as("n_dim"))
     kc.join(dk, Seq("k"), "left_outer")
       .agg(sum("cnt").as("n_fact"),
         count(lit(1)).as("n_keys"),
@@ -175,12 +181,11 @@ object JoinPlanner extends QueryModule {
       dim: DataFrame, dimKey: String, saltBy: String,
       saltHotRows: Long = SaltHotRowsDefault)
       : (String, DataFrame) = {
-    // distinct() enforces strategyOf's unique-dim-key precondition on
-    // this public path — duplicate dim keys would inflate n_fact /
-    // n_match through the stats left join and skew the decision (the
-    // JOIN below is unaffected; only the measure is deduped)
+    // duplicate dim keys cannot skew the measure: strategyOf groups
+    // the dim side inside its one-pass stats aggregate (no standalone
+    // distinct() shuffle on this path)
     val strategy = strategyOf(facts, factKey,
-      dim.select(col(dimKey).as("k")).distinct(), "auto", saltHotRows)
+      dim.select(col(dimKey).as("k")), "auto", saltHotRows)
       .collect()(0).getAs[String]("strategy")
     val joined = strategy match {
       case "broadcast" =>
