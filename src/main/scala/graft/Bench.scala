@@ -85,6 +85,10 @@ object Bench {
       "gbt_model" -> (() =>
         forecast.Gbt.prebuild(etl.Observations.panel(spark, sfDir))),
       "ivf_index" -> (() => sim.Ivf.prebuild(spark, sfDir)),
+      // after ivf_index: the TRAINED IVFPQ build reuses that
+      // (already-billed) quantizer — this bills the M subspace
+      // codebook fits + the corpus residual encode
+      "ivfpq_trained_index" -> (() => sim.PqTrained.prebuild(spark, sfDir)),
       "given_centroid_lists" -> (() => sim.Ivf.prebuildGiven(spark, sfDir)),
       // after given_centroid_lists: the saved index persists that
       // (already-billed) assignment to parquet — this bills the write

@@ -19,6 +19,7 @@ object Caches {
     forecast.Gbt.clearCacheForBench()
     pipeline.QualityModel.clearCacheForBench()
     sim.Pq.clearCacheForBench()
+    sim.PqTrained.clearCacheForBench()
     sim.Ivf.clearCacheForBench()
     sim.IndexStore.clearCacheForBench()
     relational.SketchStore.clearCacheForBench()

@@ -8,7 +8,7 @@ import graft.etl.EtlQueries
 import graft.pipeline.Corpus
 import graft.relational.{AsOf, BloomJoin, Compactor, JoinPlanner, RangeExport, Relational, Sketches, SketchStore, SkewJoin, SnapshotDiff, SnapshotStore, SqlApi, ZOrderExport}
 import graft.forecast.ForecastQueries
-import graft.sim.{IndexStore, Ivf, Pca, Pq, SimQueries}
+import graft.sim.{IndexStore, Ivf, Pca, Pq, PqTrained, SimQueries}
 import graft.streaming.StreamQueries
 import graft.text.{RagQueries, TextQueries}
 
@@ -25,7 +25,7 @@ object SparkEntry {
     StreamQueries, SqlApi, AsOf, Sketches, SketchStore, SnapshotDiff,
     SnapshotStore, Compactor, RangeExport, ZOrderExport, SkewJoin,
     BloomJoin, JoinPlanner, Ivf, IndexStore,
-    Pq, Pca, Clusters, Graph, Corpus)
+    Pq, PqTrained, Pca, Clusters, Graph, Corpus)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1070,9 +1070,9 @@ object IndexStore extends graft.QueryModule {
     "bm25_topk_served" -> graft.text.RagQueries.oracles("bm25_topk_docs"),
     "hybrid_rrf_served" -> graft.text.RagQueries.oracles("hybrid_rrf"),
     "knn_pq_served" -> Pq.oracles("knn_pq"),
-    "knn_ivfpq_served" -> Pq.oracles("knn_ivfpq"),
+    "knn_ivfpq_served" -> Pq.oracles("knn_ivfpq_given"),
     "knn_ivfpq_rerank_served" -> Pq.oracles("knn_ivfpq_rerank"),
-    "knn_ivfpq_appended" -> Pq.oracles("knn_ivfpq"),
+    "knn_ivfpq_appended" -> Pq.oracles("knn_ivfpq_given"),
     "knn_ivfpq_deleted" -> Pq.ivfPqKnnSql(
       s"vec_id >= ${Pq.QueryIds} AND " +
         s"vec_id NOT BETWEEN $DeletedLo AND ${DeletedHi - 1}"),

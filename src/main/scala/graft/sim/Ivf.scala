@@ -77,7 +77,7 @@ object Ivf extends QueryModule {
     * census: knn_ivf and semdedup were the only 2 of 134 queries to
     * throw).
     */
-  private def index(emb: DataFrame): Option[(Array[Array[Double]], DataFrame)] = {
+  private[sim] def index(emb: DataFrame): Option[(Array[Array[Double]], DataFrame)] = {
     val spark = emb.sparkSession
     val key = (spark, graft.Memo.planKey(emb))
     indexCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }

@@ -987,13 +987,47 @@ object Pq extends QueryModule {
     knnIvfPqRerank(
       Tables.embeddings(spark, dir).select("vec_id", "embedding"))
 
+  /** `ivfpq_recall` — the G13/G6 measurement loop applied to the
+    * COMPOSED index: recall@[[K]] of the given-quantizer IVFPQ search
+    * against exact squared-L2 ground truth over the full corpus (the
+    * number a serving team trades probes/bytes/latency against).
+    * Fully hash-gated: both stages are the already-gated relational
+    * chains. Misses from unprobed lists are exactly what this
+    * measures; queries the index misses entirely surface with
+    * recall 0 via the left join.
+    */
+  def ivfPqRecall(emb: DataFrame): DataFrame = {
+    val e = graft.Par.spread(emb.select("vec_id", "embedding"))
+    val q = e.filter(col("vec_id") < QueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val c = e.filter(col("vec_id") >= QueryIds)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("dsq", fullDistSq("eq", "ec"))
+      .withColumn("sim", -col("dsq"))
+    val exact = graft.plans.AggExpressions
+      .topKPerKey(scored, "query_id", "sim", "neighbor_id", Nil, K)
+      .select("query_id", "neighbor_id")
+    val adc = knnIvfPq(emb).select("query_id", "neighbor_id")
+    val hits = adc.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    q.select("query_id").join(hits, Seq("query_id"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("recall", col("hits").cast("double") / K)
+      .orderBy("query_id")
+  }
+
+  def ivfPqRecallQ(spark: SparkSession, dir: String): DataFrame =
+    ivfPqRecall(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+
   override def queries: Map[String, Q] = Map(
     "pq_encode" -> (encodeQ _),
     "knn_pq" -> (knnQ _),
     "knn_pq_rerank" -> (knnRerankQ _),
-    "knn_ivfpq" -> (knnIvfPqQ _),
+    "knn_ivfpq_given" -> (knnIvfPqQ _),
     "knn_ivfpq_rerank" -> (knnIvfPqRerankQ _),
-    "pq_recall" -> (recallQ _))
+    "pq_recall" -> (recallQ _),
+    "ivfpq_recall" -> (ivfPqRecallQ _))
 
   /** Shared encode CTE chain: per-dimension rows with the subspace
     * index, quantized subspace distances vector × codeword, argmin
@@ -1140,14 +1174,46 @@ object Pq extends QueryModule {
       |  dist, adist
       |FROM rr WHERE rank <= $K
       |ORDER BY query_id, rank""".stripMargin),
-    // IVFPQ: the G2c assignment/probe chain (cosine routing) composed
-    // with residual-PQ codes and per-(query, list) ADC tables — the
-    // relational mirror of [[knnIvfPq]], replayed step for step.
-    "knn_ivfpq" -> (ivfPqCtes() + s"""
+    // IVFPQ given-quantizer twin: the G2c assignment/probe chain
+    // (cosine routing) composed with residual-PQ codes and per-(query,
+    // list) ADC tables — the relational mirror of [[knnIvfPq]],
+    // replayed step for step. (The TRAINED production path is
+    // `knn_ivfpq` in [[PqTrained]] — rows-only by design, like
+    // knn_ivf.)
+    "knn_ivfpq_given" -> (ivfPqCtes() + s"""
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
       |  adist, list_id
       |FROM ranked WHERE rank <= $K
       |ORDER BY query_id, rank""".stripMargin),
+    // recall@k of the composed given-quantizer index vs exact
+    // squared-L2 ground truth — the pq_recall tail over ivfPqCtes's
+    // probe-bounded ranking
+    "ivfpq_recall" -> (ivfPqCtes() + s""",
+      |adck AS (SELECT query_id, neighbor_id FROM ranked
+      |       WHERE rank <= $K),
+      |edists AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |         CAST(CAST(sum(CAST(CAST((a.v - b.v) * (a.v - b.v) AS VARCHAR)
+      |              AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dsq
+      |       FROM comp a JOIN comp b
+      |         ON a.i = b.i AND a.vec_id < $QueryIds
+      |           AND b.vec_id >= $QueryIds
+      |       GROUP BY 1, 2),
+      |exk AS (SELECT query_id, neighbor_id
+      |       FROM (SELECT query_id, neighbor_id,
+      |               row_number() OVER (PARTITION BY query_id
+      |                 ORDER BY dsq ASC, neighbor_id ASC) AS rank
+      |             FROM edists)
+      |       WHERE rank <= $K),
+      |hits AS (SELECT a.query_id, count(*) AS hits
+      |       FROM adck a JOIN exk e
+      |         ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      |       GROUP BY 1)
+      |SELECT q.query_id, COALESCE(h.hits, 0) AS hits,
+      |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / $K AS recall
+      |FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
+      |      WHERE vec_id < $QueryIds) q
+      |LEFT JOIN hits h ON q.query_id = h.query_id
+      |ORDER BY q.query_id""".stripMargin),
     // G25: residual-ADC shortlist (rank <= R) -> exact full-vector
     // quantized L2 -> re-rank; the relational mirror of
     // [[knnIvfPqRerank]]

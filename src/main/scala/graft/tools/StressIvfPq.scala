@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * served residual-ADC top-k and the rerank face against the honest
   * competitor (brute-force exact top-k over the full corpus), and
   * count the list directories the serve actually read vs the total —
-  * the partition-pruning bound that makes the index sublinear. The
-  * fixed 16-list given quantizer probes 4/16 of the corpus at any
-  * rung (a deployment sizes nLists ≈ √n; the RATIO is the honest
-  * measurement here, not the absolute).
+  * the partition-pruning bound that makes the index sublinear. Two
+  * indexes per rung: the pinned 16-list GIVEN twin (probes a constant
+  * 4/16 fraction — linear by construction, kept for the hash gate)
+  * and the TRAINED √n-list index with capped probes (PqTrained — the
+  * production geometry, whose serve should scale ~√n: 4× corpus ≈ 2×
+  * serve), plus a recall@k-vs-nProbe sweep of the trained index
+  * against exact ground truth.
   * Usage: runMain graft.tools.StressIvfPq [sfDir] [mult1,mult2,...]
   */
 object StressIvfPq {
@@ -73,6 +76,48 @@ object StressIvfPq {
         graft.sim.Pq.servedIvfPqRerank(spark, d, queries,
           col("vec_id") >= graft.sim.Pq.QueryIds).count()
       }
+      // TRAINED index (√n lists, capped probes — the production
+      // geometry): build+save once, then time the served ADC and
+      // sweep recall@k over nProbe against exact ground truth
+      val dT = java.nio.file.Files
+        .createTempDirectory(s"graft_stress_ivfpq_trained_x$mult").toString
+      val tT0 = System.nanoTime()
+      graft.sim.PqTrained.save(embAmp, dT)
+      val tBuildTrained = (System.nanoTime() - tT0) / 1e9
+      val nListsTrained = graft.sim.Ivf.numLists(n)
+      val (tServeTrained, _) = timed {
+        graft.sim.PqTrained.servedKnn(spark, dT, queries,
+          col("vec_id") >= graft.sim.Pq.QueryIds).count()
+      }
+      // exact ground truth once; recall per probe count in the driver
+      val exactTop = {
+        val q = queries
+        val c = embAmp.filter(col("vec_id") >= graft.sim.Pq.QueryIds)
+          .select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("ec"))
+        val scored = c.crossJoin(broadcast(q))
+          .withColumn("dsq", expr(
+            """aggregate(zip_with(eq, ec, (x, y) ->
+              |  (cast(x as double) - cast(y as double)) *
+              |  (cast(x as double) - cast(y as double))),
+              |  cast(0 as double), (a, v) -> a + v)""".stripMargin))
+          .withColumn("sim", -col("dsq"))
+        graft.plans.AggExpressions
+          .topKPerKey(scored, "query_id", "sim", "neighbor_id", Nil, 3)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val recallSweep = Seq(4, 8, 16, 32).map { p =>
+        def rec(df: org.apache.spark.sql.DataFrame): Double = {
+          val got = df.select("query_id", "neighbor_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          got.count(exactTop.contains).toDouble /
+            math.max(1, exactTop.size)
+        }
+        val adc = rec(graft.sim.PqTrained.knn(embAmp, Some(p)))
+        val rr = rec(graft.sim.PqTrained.knnRerank(embAmp, Some(p)))
+        s""""$p":{"adc":${f"$adc%.4f"},"rerank":${f"$rr%.4f"}}"""
+      }.mkString("{", ",", "}")
       // the honest competitor: exact cosine-free squared-L2 top-k by
       // full scan (the knn_brute shape) over the same corpus
       val (tBrute, _) = timed {
@@ -102,7 +147,12 @@ object StressIvfPq {
            |"sec_served_adc":$tServe,"sec_served_rerank":$tRerank,
            |"sec_brute_exact":$tBrute,
            |"lists_total":$totalLists,"lists_in_topk":$probed,
-           |"probe_bound":"${graft.sim.Ivf.GivenProbe}/$totalLists"}"""
+           |"probe_bound":"${graft.sim.Ivf.GivenProbe}/$totalLists",
+           |"sec_build_trained":$tBuildTrained,
+           |"sec_served_adc_trained":$tServeTrained,
+           |"lists_trained":$nListsTrained,
+           |"probe_trained":${graft.sim.PqTrained.probeCount(nListsTrained)},
+           |"recall_at_probes_trained":$recallSweep}"""
           .stripMargin.replaceAll("\n", "")
       println("STRESSIVFPQ " + line)
       out += line
@@ -110,7 +160,7 @@ object StressIvfPq {
       spark.catalog.clearCache()
     }
     java.nio.file.Files.writeString(
-      java.nio.file.Path.of("STRESSIVFPQ_r16.json"),
+      java.nio.file.Path.of("STRESSIVFPQ_r17.json"),
       out.mkString("[", ",\n", "]\n"))
     spark.stop()
   }
