@@ -48,6 +48,60 @@ class BlobSpec extends SparkSpec {
     }
   }
 
+  /** A deterministic w×h PNG: left half solid dark (16,16,16), right
+    * half solid bright (200,200,200) — real bytes through the real
+    * encoder, with pinnable pixel statistics.
+    */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if (x < w / 2) 16 else 200
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("image decode is REAL: javax.imageio reads true dimensions " +
+      "and pinned pixel statistics from a real PNG") {
+    import spark.implicits._
+    val bytes = pngBytes(8, 6)
+    val blobs = Seq(
+      Blob.BlobRow(1L, "image/png", 8, 6, 0L, bytes),
+      // a corrupt payload under an image mime falls back to the stub
+      Blob.BlobRow(2L, "image/png", 8, 6, 0L, Array[Byte](1, 2, 3)))
+      .toDS()
+    val feats = Blob.decode(blobs).collect().map(f => f.id -> f).toMap
+    val real = feats(1L)
+    assert(real.n_bytes == bytes.length)
+    assert(real.thumb_w == 4 && real.thumb_h == 3)
+    // half the pixels at 16, half at 200 -> mean channel value 108
+    assert(math.abs(real.mean_byte - 108.0) < 1e-9)
+    // the stub arm derives from bytes, not pixels
+    val stub = feats(2L)
+    assert(stub.n_bytes == 3)
+    assert(math.abs(stub.mean_byte - 2.0) < 1e-9)
+  }
+
+  test("image resize is REAL: aspect-preserving bilinear rescale, " +
+      "re-encoded payload decodes to the scaled dimensions") {
+    import spark.implicits._
+    val blobs = Seq(
+      Blob.BlobRow(1L, "image/png", 8, 6, 0L, pngBytes(8, 6)))
+      .toDS()
+    val r = Blob.resize(blobs, maxDim = 4).collect()(0)
+    assert(r.width == 4 && r.height == 3)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    assert(img.getWidth == 4 && img.getHeight == 3)
+    // far-left column stays in the dark half, far-right in the bright
+    // half at any interpolation (pixel centers map inside each half)
+    assert((img.getRGB(0, 0) & 0xff) < 64)
+    assert((img.getRGB(3, 0) & 0xff) > 150)
+  }
+
   test("frame sampling fans out one row per sampled timestamp") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf).limit(10)
