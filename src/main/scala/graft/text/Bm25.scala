@@ -76,13 +76,14 @@ object Bm25 {
   }
 
   /** Persist the BM25 index (SURVEY §2 D10) — the Lucene-shaped
-    * artifact: `postings` (id, term, tf) CLUSTERED BY term so a
-    * serve-time term IN-filter prunes row groups (the [[Tfidf.save]]
-    * discipline), `dl` per-doc lengths, `bidf` the decimal-quantized
-    * per-term idf (vocab-sized, term-clustered too), and `stats` the
-    * 1-row corpus totals the saturation denominator needs. Everything
-    * the scorer reads at serve time, nothing else — the raw corpus
-    * stays behind.
+    * artifact, and every table is ADDITIVE: `postings` (id, term, tf)
+    * CLUSTERED BY term so a serve-time term IN-filter prunes row
+    * groups (the [[Tfidf.save]] discipline), `dl` per-doc lengths,
+    * and `stats` the 1-row corpus totals. Per-term idf is NOT stored:
+    * it derives exactly at serve time from the term-pruned scan's own
+    * df count plus `stats` — which is what makes [[appendSaved]]
+    * O(batch) (every global BM25 input is a sum), the property that
+    * lets Lucene score BM25 across merging segments.
     */
   def save(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, dir: String): Unit = {
@@ -91,19 +92,57 @@ object Bm25 {
     val dl = p.groupBy("id").agg(sum("tf").as("dl"))
     val stats = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(dl.agg(sum("dl").as("tot_dl")))
-    val bidf = ix.idf.select(col("term"), col("df"))
-      .crossJoin(broadcast(stats.select("n_docs")))
-      .withColumn("bidf", expr(
-        """cast(cast(ln((cast(n_docs - df as double) + 0.5d)
-          |             / (cast(df as double) + 0.5d) + 1.0d)
-          |     as decimal(18,9)) as double)""".stripMargin))
-      .select("term", "bidf")
     p.repartition(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$dir/postings")
     dl.write.mode("overwrite").parquet(s"$dir/dl")
-    bidf.repartition(col("term")).sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$dir/bidf")
     stats.write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** D10 maintenance — append NEW documents (ids not already indexed;
+    * the G18 arrival contract) to a saved index in O(batch): tokenize
+    * only the batch, append its postings and doc lengths, and bump
+    * the 1-row totals through a staged swap. No stored value ever
+    * needs rewriting — df, n_docs, and total length are sums, and the
+    * serve derives idf/avgdl from them — so served-after-append
+    * equals a fresh index over the union corpus exactly
+    * (spec-pinned).
+    */
+  def appendSaved(newDocs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val pB = Tfidf.postings(newDocs, idCol, textCol)
+      .localCheckpoint(true) // consumed by its own write AND dl
+    pB.repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("append").parquet(s"$dir/postings")
+    val dlB = pB.groupBy("id").agg(sum("tf").as("dl"))
+      .localCheckpoint(true)
+    dlB.write.mode("append").parquet(s"$dir/dl")
+    val old = spark.read.schema("n_docs BIGINT, tot_dl BIGINT")
+      .parquet(s"$dir/stats")
+    val add = newDocs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dlB.agg(coalesce(sum("dl"), lit(0L)).as("tot_dl")))
+    old.unionByName(add)
+      .agg(sum("n_docs").as("n_docs"), sum("tot_dl").as("tot_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats_staged")
+    graft.FsOps.swapDir(graft.FsOps.fs(spark, dir),
+      s"$dir/stats_staged", s"$dir/stats")
+  }
+
+  /** D10 maintenance — compact the per-append file sets: rewrite
+    * `postings` term-clustered and `dl` via staged swaps; serving is
+    * unchanged.
+    */
+  def compactSaved(spark: SparkSession, dir: String): Unit = {
+    val fs = graft.FsOps.fs(spark, dir)
+    spark.read.schema("id BIGINT, term STRING, tf BIGINT")
+      .parquet(s"$dir/postings")
+      .repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$dir/postings_staged")
+    graft.FsOps.swapDir(fs, s"$dir/postings_staged", s"$dir/postings")
+    spark.read.schema("id BIGINT, dl BIGINT").parquet(s"$dir/dl")
+      .repartition(col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(s"$dir/dl_staged")
+    graft.FsOps.swapDir(fs, s"$dir/dl_staged", s"$dir/dl")
   }
 
   /** BM25 top-k served from a SAVED index — the same score algebra as
@@ -121,17 +160,29 @@ object Bm25 {
       .parquet(s"$dir/postings")
     val dl = spark.read.schema("id BIGINT, dl BIGINT")
       .parquet(s"$dir/dl")
-    val bidf = spark.read.schema("term STRING, bidf DOUBLE")
-      .parquet(s"$dir/bidf")
     val stats = broadcast(
       spark.read.schema("n_docs BIGINT, tot_dl BIGINT")
         .parquet(s"$dir/stats"))
     val qTerms = Tfidf.postings(
         Seq((0L, queryText)).toDF("id", "text"), "id", "text")
       .select("term").distinct().as[String].collect().toSeq
-    p.filter(col("term").isin(qTerms: _*))
+    // per-term idf DERIVED from the pruned scan itself: postings are
+    // keyed (id, term), so a plain count per term IS the document
+    // frequency, and the same decimal-quantized ln as the fresh path
+    // over (df, n_docs) is bit-identical to a stored idf — this is
+    // what keeps every stored table additive under appendSaved
+    val pq = p.filter(col("term").isin(qTerms: _*))
+      .localCheckpoint(true) // consumed by df count + the score chain
+    val bidf = pq.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(stats.select("n_docs"))
+      .withColumn("bidf", expr(
+        """cast(cast(ln((cast(n_docs - df as double) + 0.5d)
+          |             / (cast(df as double) + 0.5d) + 1.0d)
+          |     as decimal(18,9)) as double)""".stripMargin))
+      .select("term", "bidf")
+    pq
       .join(dl, "id")
-      .join(broadcast(bidf.filter(col("term").isin(qTerms: _*))), "term")
+      .join(broadcast(bidf), "term")
       .crossJoin(stats)
       .withColumn("avgdl",
         col("tot_dl").cast("double") / nullif(col("n_docs"), lit(0L)))

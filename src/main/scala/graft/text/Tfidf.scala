@@ -151,12 +151,98 @@ object Tfidf {
     * the weights table is CLUSTERED BY term (repartition + sort) so a
     * serve-time query's term IN-filter prunes row groups — the scan
     * reads ~|query terms| / |vocab| of the index, not all of it.
+    *
+    * Two layers on disk:
+    *  - ADDITIVE BASE: `postings` (id, term, tf — term-clustered) and
+    *    `stats` (n_docs). These are what an append merges exactly.
+    *  - DERIVED: `idf`, `weights`, `norms` — pure arithmetic over the
+    *    base. tf-idf's GLOBAL idf couples every document's weights
+    *    and norm to the corpus df/n_docs, so an append rewrites these
+    *    three from the merged base ([[rederiveSaved]]) — arithmetic
+    *    only, never re-tokenizing the old corpus. (Contrast BM25,
+    *    whose doc-side stats are append-local — the reason Lucene
+    *    serves BM25; see [[Bm25.appendSaved]].)
     */
   def save(ix: TfidfIndex, dir: String): Unit = {
+    ix.postings.repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    ix.docs.agg(count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
     ix.idf.write.mode("overwrite").parquet(s"$dir/idf")
     ix.weights.repartition(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$dir/weights")
     ix.norms.write.mode("overwrite").parquet(s"$dir/norms")
+  }
+
+  private def loadPostings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema("id BIGINT, term STRING, tf BIGINT")
+      .parquet(s"$dir/postings")
+
+  private def loadNDocs(spark: SparkSession, dir: String): Long =
+    spark.read.schema("n_docs BIGINT").parquet(s"$dir/stats")
+      .collect()(0).getLong(0)
+
+  /** D9 maintenance — append NEW documents (ids not already indexed;
+    * the G18 arrival contract) to a saved index: tokenize ONLY the
+    * batch, append its postings to the additive base, bump `stats`,
+    * then [[rederiveSaved]] the idf-coupled layers. Serving after
+    * this equals a fresh index over the union corpus exactly
+    * (spec-pinned): postings are per-document facts and every derived
+    * value is a pure function of (merged postings, n_docs).
+    */
+  def appendSaved(newDocs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    postings(newDocs, idCol, textCol)
+      .repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("append").parquet(s"$dir/postings")
+    val n = loadNDocs(spark, dir) + newDocs.count()
+    val fs = graft.FsOps.fs(spark, dir)
+    Seq(n).toDF("n_docs").write.mode("overwrite")
+      .parquet(s"$dir/stats_staged")
+    graft.FsOps.swapDir(fs, s"$dir/stats_staged", s"$dir/stats")
+    rederiveSaved(spark, dir)
+  }
+
+  /** Rebuild the DERIVED layers (`idf`, `weights`, `norms`) from the
+    * additive base — one linear arithmetic pass over the stored
+    * postings, no tokenization. Idempotent: safe to re-run as crash
+    * recovery if an append died between layer swaps.
+    */
+  def rederiveSaved(spark: SparkSession, dir: String): Unit = {
+    val p = loadPostings(spark, dir)
+    val n = loadNDocs(spark, dir)
+    // the same decimal-quantized expression as [[idf]], with the
+    // corpus size from stats instead of a docs aggregate
+    val i = p.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("n_docs", lit(n))
+      .withColumn("idf", expr(
+        "cast(cast(ln((1.0 + n_docs) / (1.0 + df)) + 1.0 as decimal(18,9)) as double)"))
+      .select("term", "df", "idf")
+      .localCheckpoint(true) // consumed by its own write AND weights
+    val w = weights(p, i).localCheckpoint(true)
+    val fs = graft.FsOps.fs(spark, dir)
+    i.write.mode("overwrite").parquet(s"$dir/idf_staged")
+    graft.FsOps.swapDir(fs, s"$dir/idf_staged", s"$dir/idf")
+    w.repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$dir/weights_staged")
+    graft.FsOps.swapDir(fs, s"$dir/weights_staged", s"$dir/weights")
+    norms(w).write.mode("overwrite").parquet(s"$dir/norms_staged")
+    graft.FsOps.swapDir(fs, s"$dir/norms_staged", s"$dir/norms")
+  }
+
+  /** D9 maintenance — compact the additive base: each append lays one
+    * file set into `postings`, so a long-lived index accumulates
+    * small files; rewrite term-clustered via a staged swap. Serving
+    * is unchanged (the derived layers are already whole).
+    */
+  def compactSaved(spark: SparkSession, dir: String): Unit = {
+    val p = loadPostings(spark, dir)
+    p.repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$dir/postings_staged")
+    graft.FsOps.swapDir(graft.FsOps.fs(spark, dir),
+      s"$dir/postings_staged", s"$dir/postings")
   }
 
   /** Cosine top-k served from a SAVED index — the same algebra as

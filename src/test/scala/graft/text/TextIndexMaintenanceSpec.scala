@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** D9/D10 maintenance — the G18 discipline applied to the text
+  * indexes: served-after-append must equal fresh-over-union exactly,
+  * and compaction must not change what the serve returns.
+  */
+class TextIndexMaintenanceSpec extends SparkSpec {
+
+  private def docs = graft.sources.Tables.documents(spark, sf)
+    .select("doc_id", "text")
+
+  private val query = "energy consumption in european countries"
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rows(df: DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("tfidf: save half, append half -> serve == fresh over union " +
+      "(bit-equal), and compaction changes nothing") {
+    val dir = tmp("graft_tfidf_maint")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    Tfidf.save(Tfidf.index(half1, "doc_id", "text"), dir)
+    Tfidf.appendSaved(half2, "doc_id", "text", dir)
+    val served = rows(Tfidf.searchSaved(spark, dir, query, 10))
+    val freshDir = tmp("graft_tfidf_fresh")
+    Tfidf.save(Tfidf.index(docs, "doc_id", "text"), freshDir)
+    val fresh = rows(Tfidf.searchSaved(spark, freshDir, query, 10))
+    assert(served == fresh)
+    Tfidf.compactSaved(spark, dir)
+    assert(rows(Tfidf.searchSaved(spark, dir, query, 10)) == fresh)
+    // compaction really compacted: one file set in postings/
+    val parts = new java.io.File(s"$dir/postings").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts <= spark.sparkContext.defaultParallelism)
+  }
+
+  test("tfidf: rederiveSaved is idempotent (the crash-recovery " +
+      "re-run returns the same serve)") {
+    val dir = tmp("graft_tfidf_rederive")
+    Tfidf.save(Tfidf.index(docs, "doc_id", "text"), dir)
+    val before = rows(Tfidf.searchSaved(spark, dir, query, 10))
+    Tfidf.rederiveSaved(spark, dir)
+    Tfidf.rederiveSaved(spark, dir)
+    assert(rows(Tfidf.searchSaved(spark, dir, query, 10)) == before)
+  }
+
+  test("bm25: save half, append half in O(batch) -> serve == fresh " +
+      "over union (bit-equal), and compaction changes nothing") {
+    val dir = tmp("graft_bm25_maint")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    Bm25.save(spark, half1, "doc_id", "text", dir)
+    Bm25.appendSaved(half2, "doc_id", "text", dir)
+    val served = rows(Bm25.servedTopK(spark, dir, query, 10))
+    val freshDir = tmp("graft_bm25_fresh")
+    Bm25.save(spark, docs, "doc_id", "text", freshDir)
+    val fresh = rows(Bm25.servedTopK(spark, freshDir, query, 10))
+    assert(served == fresh)
+    // and both equal the in-session scorer on the union corpus
+    val live = rows(Bm25.topK(spark, docs, "doc_id", "text", query, 10))
+    assert(served == live)
+    Bm25.compactSaved(spark, dir)
+    assert(rows(Bm25.servedTopK(spark, dir, query, 10)) == fresh)
+  }
+
+  test("bm25: a second append batch composes (three-way split)") {
+    val dir = tmp("graft_bm25_maint3")
+    Bm25.save(spark, docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", dir)
+    Bm25.appendSaved(docs.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text", dir)
+    Bm25.appendSaved(docs.filter(col("doc_id") % 3 === 2),
+      "doc_id", "text", dir)
+    val served = rows(Bm25.servedTopK(spark, dir, query, 10))
+    assert(served == rows(Bm25.topK(spark, docs, "doc_id", "text",
+      query, 10)))
+  }
+}
