@@ -517,29 +517,52 @@ object Pq extends QueryModule {
       .parquet(s"$dir/refine")
   }
 
+  /** [[appendIvfPq]] guarded by a batch-id marker (the
+    * SnapshotStore.applyDiffOnce discipline): an at-least-once
+    * re-delivered batch — the Structured Streaming foreachBatch
+    * contract — is a no-op instead of appending duplicate vec_id rows
+    * into codes/ and refine/. This is the ingest entry the J-block
+    * stream face uses; callers of the RAW [[appendIvfPq]] must
+    * deduplicate and serialize their own batches (two concurrent
+    * appends can interleave writes into the same partition
+    * directories).
+    */
+  def appendIvfPqOnce(newEmb: DataFrame, dir: String,
+      batchId: Long): Unit = {
+    val spark = newEmb.sparkSession
+    val fs = graft.FsOps.fs(spark, dir)
+    val m = new org.apache.hadoop.fs.Path(s"$dir/_appended/$batchId")
+    if (fs.exists(m)) return
+    appendIvfPq(newEmb, dir)
+    fs.mkdirs(m)
+    ()
+  }
+
   /** G29 — compaction for the composed index: each [[appendIvfPq]]
     * lays one file per touched list in BOTH layouts, so a long-lived
     * index accumulates small files (listing + per-file open dominate
     * a probe's read). Rewrites codes/ and refine/ to one file per
-    * list directory via the staging + swap discipline — a crash
-    * leaves either layout whole, never half. Serving is unchanged
-    * (spec-pinned); the rewrite touches each layout once, bounded by
-    * index size, never the raw corpus.
+    * list directory via CHECKED staged swaps ([[graft.FsOps.swapDir]]
+    * — rename failures throw instead of silently losing a layout, and
+    * stale `_old` leftovers from a prior crash are cleared first).
+    * Crash contract: per-LAYOUT atomicity — each layout is swapped
+    * whole (mid-swap the data survives under its `_old`); a crash
+    * BETWEEN the two layouts' swaps leaves codes/ and refine/ from
+    * different compaction generations, both complete and serving
+    * identically (compaction never changes content) — re-run to
+    * reconverge. Serving is unchanged (spec-pinned); the rewrite
+    * touches each layout once, bounded by index size, never the raw
+    * corpus.
     */
   def compactIvfPq(spark: SparkSession, dir: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val fs = graft.FsOps.fs(spark, dir)
     for ((sub, df) <- Seq(
         "codes" -> loadIvfPqCodes(spark, dir),
         "refine" -> loadIvfPqRefine(spark, dir))) {
       val staged = s"$dir/${sub}_compact_staging"
       df.repartition(col("list_id"))
         .write.mode("overwrite").partitionBy("list_id").parquet(staged)
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-      val old = new org.apache.hadoop.fs.Path(s"$dir/${sub}_compact_old")
-      fs.rename(live, old)
-      fs.rename(new org.apache.hadoop.fs.Path(staged), live)
-      fs.delete(old, true)
+      graft.FsOps.swapDir(fs, staged, s"$dir/$sub")
     }
   }
 
@@ -559,8 +582,8 @@ object Pq extends QueryModule {
       .select("list_id").distinct()
       .collect().map(_.getLong(0)).sorted
     if (touched.isEmpty) return
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val fs = graft.FsOps.fs(spark, dir)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
     for ((sub, df) <- Seq(
         "codes" -> loadIvfPqCodes(spark, dir),
         "refine" -> loadIvfPqRefine(spark, dir))) {
@@ -569,13 +592,29 @@ object Pq extends QueryModule {
         .join(del, Seq("vec_id"), "left_anti")
         .repartition(col("list_id"))
         .write.mode("overwrite").partitionBy("list_id").parquet(staged)
+      // per-list swap with CHECKED renames: the live directory moves
+      // to a sidecar `_delete_old` root FIRST (outside the layout, so
+      // partition discovery never sees it), then the staged rewrite
+      // renames in — a crash mid-swap leaves every touched list's
+      // data recoverable under _delete_old, never destroyed. A
+      // concurrent reader during the loop can still observe a touched
+      // list briefly absent (quiesce serving during deletes, or read
+      // through a snapshot) — the old rows, however, are never the
+      // only casualty of a crash anymore.
+      val oldRoot = s"$dir/${sub}_delete_old"
+      fs.delete(path(oldRoot), true) // stale from a prior crash
+      fs.mkdirs(path(oldRoot))
       for (lid <- touched) {
-        val live = new org.apache.hadoop.fs.Path(s"$dir/$sub/list_id=$lid")
-        val next = new org.apache.hadoop.fs.Path(s"$staged/list_id=$lid")
-        fs.delete(live, true)
-        if (fs.exists(next)) fs.rename(next, live) // absent ⇒ emptied
+        val live = path(s"$dir/$sub/list_id=$lid")
+        val next = path(s"$staged/list_id=$lid")
+        require(fs.rename(live, path(s"$oldRoot/list_id=$lid")),
+          s"ivfpq delete at $dir: rename $live to $oldRoot failed")
+        if (fs.exists(next)) // absent ⇒ list emptied by the delete
+          require(fs.rename(next, live),
+            s"ivfpq delete at $dir: rename $next to $live failed")
       }
-      fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+      fs.delete(path(staged), true)
+      fs.delete(path(oldRoot), true)
     }
   }
 
@@ -714,9 +753,19 @@ object Pq extends QueryModule {
       .agg(codeCols.head, codeCols.tail: _*)
 
     // commit: staged layouts + centroids, then per-directory swaps
-    // in BOTH layouts (split parents out, staged in, merges out)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    // in BOTH layouts (split parents out, staged in, merges out),
+    // every rename CHECKED (a false return throws instead of leaving
+    // a half-swapped layout silently). CONSISTENCY CONTRACT: the
+    // three layouts (codes, refine, centroids) do not flip atomically
+    // — a crash or concurrent read between the codes swap and the
+    // centroids swap observes the OLD quantizer over partially-moved
+    // lists and can silently miss the moved vectors. Serving must be
+    // QUIESCED for the duration of a rebalance pass (only
+    // between-pass states are serveable); a deployment wanting
+    // serve-during-rebalance would commit all three layouts through
+    // one version pointer (the SnapshotStore v=<n>/_current
+    // discipline) at the cost of a full-index copy per pass.
+    val fs = graft.FsOps.fs(spark, dir)
     val centsStaging = s"$dir/centroids_rebalance_staging"
     newCents.write.mode("overwrite").parquet(centsStaging)
     for ((sub, df) <- Seq("codes" -> stagedCodes,
@@ -732,18 +781,13 @@ object Pq extends QueryModule {
         val live = new org.apache.hadoop.fs.Path(
           s"$dir/$sub/${st.getPath.getName}")
         if (fs.exists(live)) fs.delete(live, true)
-        fs.rename(st.getPath, live)
+        require(fs.rename(st.getPath, live),
+          s"ivfpq rebalance at $dir: rename ${st.getPath} to $live failed")
       }
       for (m <- merges.toSeq.sorted) fs.delete(listDir(m), true)
       fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
     }
-    val centsLive = new org.apache.hadoop.fs.Path(s"$dir/centroids")
-    val centsOld = new org.apache.hadoop.fs.Path(
-      s"$dir/centroids_rebalance_old")
-    if (fs.exists(centsOld)) fs.delete(centsOld, true)
-    fs.rename(centsLive, centsOld)
-    fs.rename(new org.apache.hadoop.fs.Path(centsStaging), centsLive)
-    fs.delete(centsOld, true)
+    graft.FsOps.swapDir(fs, centsStaging, s"$dir/centroids")
     true
   }
 

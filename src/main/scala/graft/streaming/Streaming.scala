@@ -507,6 +507,32 @@ object Streaming {
     * `_current` pointer is never touched: requests change content,
     * not visibility.
     */
+  /** J21 — the INGEST face completing the persisted IVFPQ index's
+    * streaming arc (J20 serves queries from the saved index; this is
+    * how vectors ARRIVE): each micro-batch of (vec_id, embedding)
+    * rows appends through [[graft.sim.Pq.appendIvfPqOnce]] — assign
+    * against the SAVED coarse quantizer, residual-encode against the
+    * SAVED codebook, append packed codes + refine rows into the
+    * partitioned layouts; existing lists are never read or rewritten,
+    * so per-batch work is O(batch). foreachBatch is at-least-once, so
+    * the batch id is recorded in the index (`_appended/`) and a
+    * crash-replayed batch is a no-op — without the marker a replay
+    * would permanently duplicate vectors (spec-pinned). Serving after
+    * any prefix of batches equals a fresh index over the vectors so
+    * far (the G28 identity: assignment and encoding are per-vector
+    * under a pinned quantizer).
+    */
+  def ivfPqIngestStream(vectors: DataFrame, indexDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // an empty micro-batch appends nothing; skip the no-op write
+        if (!batch.isEmpty)
+          graft.sim.Pq.appendIvfPqOnce(
+            batch.select("vec_id", "embedding"), indexDir, batchId)
+      }
+
   def snapshotPurgeStream(requests: DataFrame, storeDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     requests.writeStream

@@ -170,9 +170,11 @@ object Bm25 {
     // keyed (id, term), so a plain count per term IS the document
     // frequency, and the same decimal-quantized ln as the fresh path
     // over (df, n_docs) is bit-identical to a stored idf — this is
-    // what keeps every stored table additive under appendSaved
+    // what keeps every stored table additive under appendSaved. The
+    // frame is read twice (df count + score chain) but BOTH reads are
+    // term-pruned row-group scans — no checkpoint, which would trade
+    // the pushed In(term) filter for an RDD scan.
     val pq = p.filter(col("term").isin(qTerms: _*))
-      .localCheckpoint(true) // consumed by df count + the score chain
     val bidf = pq.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(stats.select("n_docs"))
       .withColumn("bidf", expr(

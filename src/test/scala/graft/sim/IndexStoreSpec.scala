@@ -782,4 +782,51 @@ class IndexStoreSpec extends SparkSpec {
       case (v, l) => assert(postMembers(v) == l, s"keep member $v moved")
     }
   }
+
+  test("J21 ivfpq ingest stream: vector micro-batches append " +
+      "idempotently and the served index equals fresh-over-union") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = emb.filter(col("vec_id") < 400)
+    val d = Files.createTempDirectory("graft_ivfpq_ingest").toString
+    val ckpt = Files.createTempDirectory("graft_ivfpq_ingest_ck").toString
+    // seed the index over the low band (contains the quantizer ids)
+    Pq.saveIvfPq(all.filter(col("vec_id") < 200), d)
+    val b1 = all.filter(col("vec_id") >= 200 && col("vec_id") < 300)
+      .as[(Long, Array[Float])].collect().toSeq
+    val b2 = all.filter(col("vec_id") >= 300)
+      .as[(Long, Array[Float])].collect().toSeq
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.Streaming.ivfPqIngestStream(
+        src.toDF().toDF("vec_id", "embedding"), d)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      src.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val schemaCodes = "vec_id BIGINT, " +
+      (0 until Pq.NumSub).map(m => s"code_$m BIGINT").mkString(", ") +
+      ", list_id BIGINT"
+    def nCodes = spark.read.schema(schemaCodes)
+      .parquet(s"$d/codes").count()
+    assert(nCodes == 400)
+    // at-least-once re-delivery: replaying a COMMITTED batch id is a
+    // no-op (the _appended marker), not a duplicate append
+    graft.sim.Pq.appendIvfPqOnce(
+      b1.toDF("vec_id", "embedding"), d, 0L)
+    assert(nCodes == 400, "re-delivered batch duplicated vectors")
+    // served-after-ingest == fresh index over the union corpus
+    val queries = all.filter(col("vec_id") < Pq.QueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val got = Pq.servedIvfPqKnn(spark, d, queries,
+      col("vec_id") >= Pq.QueryIds).collect().toSeq
+    val dFresh = Files.createTempDirectory("graft_ivfpq_ingest_f").toString
+    Pq.saveIvfPq(all, dFresh)
+    val want = Pq.servedIvfPqKnn(spark, dFresh, queries,
+      col("vec_id") >= Pq.QueryIds).collect().toSeq
+    assert(got.map(_.toSeq) == want.map(_.toSeq))
+  }
 }
