@@ -222,12 +222,40 @@ object PqTrained extends graft.QueryModule {
       .select(col("query_id"), col("cid").as("list_id"),
         zip_with(col("eq"), col("ce"),
           (x, c) => x.cast("double") - c).as("qres"))
-    val lutCols = (0 until NumSub).map { m =>
-      transform(cbLit(ix.codebook, m),
-        cw => dsq(subCol(col("qres"), m), cw)).as(s"lut_$m")
-    }
-    probes.select(col("query_id") +: col("list_id") +: lutCols: _*)
+    // the LUT kernel is the serve's fixed cost (queries × nProbe ×
+    // M × k subspace distances): like the encode argmin it runs as a
+    // primitive-array UDF — an interpreted HOF fold here measurably
+    // dominated the whole serve at k=256
+    val lu = lutUdf(ix.codebook)(col("qres"))
+    probes.select(col("query_id") +: col("list_id") +:
+      (0 until NumSub).map(m => element_at(lu, m + 1).as(s"lut_$m")): _*)
   }
+
+  /** Per-subspace distance tables for one query residual: m →
+    * (code → squared distance), indexed by code+1 downstream.
+    */
+  private def lutUdf(codebook: Array[Array[Array[Double]]]) =
+    udf((qres: Seq[Double]) => {
+      val r = qres.toArray
+      codebook.indices.map { m =>
+        val cws = codebook(m)
+        val out = new Array[Double](cws.length)
+        var c = 0
+        while (c < cws.length) {
+          val cw = cws(c)
+          var d = 0.0d
+          var i = 0
+          while (i < SubDim) {
+            val t = r(m * SubDim + i) - cw(i)
+            d += t * t
+            i += 1
+          }
+          out(c) = d
+          c += 1
+        }
+        out.toSeq
+      }
+    })
 
   /** ADC top-k over the trained index: candidates equi-join the
     * broadcast LUT frame on list_id (queries × nProbe rows — the
