@@ -18,6 +18,38 @@ import org.apache.spark.sql.SparkSession
   * single-shot rounds measured.
   */
 object Bench {
+
+  /** Host-normalization ledger (r16 verdict item: the ~1.39× host
+    * factor between driver runs lived in SURVEY prose — make it
+    * machine-readable). [[calibrate]] times a FIXED synthetic
+    * workload that never touches test data (20M md5 hashes + one
+    * shuffle + a distinct aggregate — the CPU/hash/shuffle mix the
+    * suite leans on); BENCH.json carries `calib_sec` and
+    * `host_factor` = calib_sec / [[CalibReference]], so a cross-round
+    * comparison divides wall times by the factor ratio instead of
+    * re-deriving per-query medians.
+    */
+  val CalibReferenceSet = "calib_md5_20m_v1"
+
+  /** calib_sec measured on the round-17 close host (idle, local[32])
+    * — the denominator every later round's host_factor is relative
+    * to.
+    */
+  val CalibReference = 2.35
+
+  def calibrate(spark: SparkSession, reps: Int = 3): Double =
+    (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L,
+          spark.sparkContext.defaultParallelism)
+        .selectExpr("id % 1000 AS k", "md5(cast(id as string)) AS h")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.expr(
+          "count(distinct substring(h, 1, 4)) AS d"))
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -229,7 +261,12 @@ object Bench {
       qTimes.values.filter(_.nonEmpty).map(_.min).sum
     val medTotal = bTimes.values.filter(_.nonEmpty).map(ts => med(ts.toSeq)).sum +
       qTimes.values.filter(_.nonEmpty).map(ts => med(ts.toSeq)).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmBuilds,"med_total":$medTotal,"reps":$reps,"failures":$failures,"builds":${block(buildFns.map(_._1), bTimes)},"queries":${block(queryFns.map(_._1), qTimes)},"sf":"$sfDir"}"""
+    // host ledger AFTER the sweeps (the JVM is warm, matching how the
+    // reference constant was pinned)
+    val calib = calibrate(spark)
+    val hostFactor = calib / CalibReference
+    val calibJson = f""""calib_sec":$calib%.3f,"host_factor":$hostFactor%.3f,"reference_set":"$CalibReferenceSet""""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmBuilds,"med_total":$medTotal,"reps":$reps,"failures":$failures,$calibJson,"builds":${block(buildFns.map(_._1), bTimes)},"queries":${block(queryFns.map(_._1), qTimes)},"sf":"$sfDir"}"""
     println(line)
     // stdout is shared with stray log lines; the file is the
     // machine-parseable copy (r6 item: BENCH_r08 had "parsed": null).
@@ -250,7 +287,7 @@ object Bench {
     val slowest = queryFns.map(_._1).filter(n => qTimes(n).nonEmpty)
       .sortBy(n => -qTimes(n).min).take(5)
       .map(n => jstr(n) + ":" + f"${qTimes(n).min}%.3f").mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","med_total":$medTotal,"reps":$reps,"failures":$failures,"n_queries":${queryFns.size},"n_builds":${buildFns.size},"slowest_min":$slowest,"full":"BENCH.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","med_total":$medTotal,"reps":$reps,"failures":$failures,$calibJson,"n_queries":${queryFns.size},"n_builds":${buildFns.size},"slowest_min":$slowest,"full":"BENCH.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -81,12 +81,22 @@ class PlanShapeSpec extends SparkSpec {
       // the broadcast 16-row codebook (queries × M × K rows — tiny at
       // any corpus size; candidate scoring itself is a hash equi-join)
       "knn_pq",
-      // knn_ivfpq: probe ranking crosses the 5 queries with the
-      // broadcast 16-row centroid table, and each (query, probed list)
-      // residual crosses the broadcast 16-row codebook for its ADC
-      // table — both tiny by construction; residual encoding and
-      // candidate scoring are hash equi-joins
+      // knn_ivfpq_given (the renamed pinned twin): probe ranking
+      // crosses the 5 queries with the broadcast 16-row centroid
+      // table, and each (query, probed list) residual crosses the
+      // broadcast 16-row codebook for its ADC table — both tiny by
+      // construction; residual encoding and candidate scoring are
+      // hash equi-joins
+      "knn_ivfpq_given",
+      // knn_ivfpq (round 17, the TRAINED production path): probe
+      // ranking crosses the 5 queries with the broadcast √n-row
+      // trained centroid table — O(√n) rows by construction, the
+      // serving-size bound; LUT scoring is a hash equi-join
       "knn_ivfpq",
+      // ivfpq_recall composes knn_ivfpq_given's probe/LUT crosses
+      // with the brute-force ground truth (broadcast 5-query cross
+      // join, the pq_recall shape)
+      "ivfpq_recall",
       // pq_recall composes knn_pq's ADC chain with the brute-force
       // ground truth (broadcast 5-query cross join, the knn_brute
       // shape)
