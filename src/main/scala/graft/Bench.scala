@@ -161,6 +161,10 @@ object Bench {
       // out, behind the knn_ivfpq_deleted gate
       "ivfpq_deleted_index" -> (() =>
         { sim.IndexStore.prebuildSavedIvfPqDeleted(spark, sfDir); () }),
+      // G31: a fourth composed index rebalanced one pass under the
+      // tight band, behind the knn_ivfpq_rebalanced gate
+      "ivfpq_rebalanced_index" -> (() =>
+        { sim.IndexStore.prebuildSavedIvfPqRebalanced(spark, sfDir); () }),
       // the one corpus-sized pass behind the three sketch_rollup_*
       // queries: per-day KMV/HLL/CMS states written day-partitioned
       "sketch_daily" -> (() =>

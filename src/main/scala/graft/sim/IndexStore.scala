@@ -275,6 +275,7 @@ object IndexStore extends graft.QueryModule {
     savedDeletedCache.clear(); savedBm25Cache.clear()
     savedRebalCache.clear(); savedIvfPqCache.clear()
     appendedIvfPqCache.clear(); deletedIvfPqCache.clear()
+    rebalIvfPqCache.clear()
   }
 
   /** Ensure the saved index exists for the driver corpus (bench bills
@@ -523,6 +524,43 @@ object IndexStore extends graft.QueryModule {
     */
   def knnIvfPqDeletedQ(spark: SparkSession, dir: String): DataFrame =
     Pq.servedIvfPqKnn(spark, prebuildSavedIvfPqDeleted(spark, dir),
+      ivfPqQueriesOf(spark, dir), col("vec_id") >= Pq.QueryIds)
+
+  private val rebalIvfPqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** G31 gate fixture: a fourth composed index, saved then rebalanced
+    * ONE pass under the tight band (both actions fire on the gate
+    * corpus — the G23 fixture discipline), billed here so
+    * `knn_ivfpq_rebalanced` times the serve, not the surgery.
+    */
+  def prebuildSavedIvfPqRebalanced(spark: SparkSession,
+      dir: String): String =
+    rebalIvfPqCache.synchronized {
+      rebalIvfPqCache.filterInPlace { case ((s, _), _) =>
+        !s.sparkContext.isStopped }
+      rebalIvfPqCache.getOrElseUpdate((spark, dir), {
+        val ixDir = indexDirFor(dir) + "_ivfpq_rebal"
+        Pq.saveIvfPq(graft.sources.Tables.embeddings(spark, dir)
+          .select("vec_id", "embedding"), ixDir)
+        Pq.rebalanceIvfPq(spark, ixDir, RebalancePolicy.Tight)
+        ixDir
+      })
+    }
+
+  /** G31 gate query — residual-ADC serve AFTER an IVFPQ rebalance
+    * pass: the oracle replays the ENTIRE arc in SQL — the G23
+    * decision algebra (assignment → actions → quantile-seeded
+    * sub-centroids → sub-assignment → merge targets → new lists +
+    * quantizer) COMPOSED with the IVFPQ re-encode (every vector's
+    * residual against its NEW centroid re-quantized against the
+    * codebook) and the residual-ADC serve over the post-rebalance
+    * index — so the hash proves split/merge moved exactly the right
+    * vectors AND every moved vector's stored code re-encoded
+    * correctly, end to end.
+    */
+  def knnIvfPqRebalancedQ(spark: SparkSession, dir: String): DataFrame =
+    Pq.servedIvfPqKnn(spark, prebuildSavedIvfPqRebalanced(spark, dir),
       ivfPqQueriesOf(spark, dir), col("vec_id") >= Pq.QueryIds)
 
   private def ivfPqQueriesOf(spark: SparkSession, dir: String): DataFrame =
@@ -945,6 +983,7 @@ object IndexStore extends graft.QueryModule {
     "knn_ivfpq_rerank_served" -> (knnIvfPqRerankServedQ _),
     "knn_ivfpq_appended" -> (knnIvfPqAppendedQ _),
     "knn_ivfpq_deleted" -> (knnIvfPqDeletedQ _),
+    "knn_ivfpq_rebalanced" -> (knnIvfPqRebalancedQ _),
     "ivf_list_stats" -> (listStatsQ _))
 
   /** The fresh builds' oracles verbatim: a persisted round-trip must
@@ -953,7 +992,7 @@ object IndexStore extends graft.QueryModule {
   /** The shared quantized pair-dot reduction (the list form — see
     * Ivf's join-order note) over aliases `ea`/`eb`.
     */
-  private def zipDot: String =
+  private[sim] def zipDot: String =
     s"""CAST(CAST(list_sum(list_transform(
        |           list_zip(ea.embedding[1:${Ivf.Dim}], eb.embedding[1:${Ivf.Dim}]),
        |           x -> CAST(CAST(CAST(CAST(x[1] AS FLOAT) AS DOUBLE)
@@ -964,9 +1003,14 @@ object IndexStore extends graft.QueryModule {
     * gate band, then the probe-and-re-rank serve over the
     * post-rebalance quantizer and assignment.
     */
-  private def rebalancedKnnSql: String = {
-    val p = RebalancePolicy.Tight
-    Ivf.givenAssignSql + s"""
+  /** The rebalance DECISION ARC in SQL (counts → actions →
+    * quantile-seeded sub-centroids → sub-assignment → merge targets →
+    * `newlists` + `cents2`), appended after [[Ivf.givenAssignSql]]'s
+    * `lists`/`cdots`/`norms` CTEs. Shared by the G23 flat-IVF gate
+    * and the G31 IVFPQ gate — the decision algebra is identical by
+    * construction (Pq.rebalanceIvfPq mirrors rebalanceGiven).
+    */
+  private[sim] def rebalanceArcSql(p: RebalancePolicy): String = s"""
       |counts AS (SELECT list_id, CAST(count(*) AS BIGINT) AS n_vectors
       |       FROM lists GROUP BY 1),
       |tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
@@ -1026,7 +1070,11 @@ object IndexStore extends graft.QueryModule {
       |    JOIN act a ON l.list_id = a.list_id AND a.action = 'merge'
       |    JOIN mtgt m ON m.mlist = l.list_id AND m.rn = 1),
       |cents2 AS (SELECT list_id AS cid FROM act WHERE action = 'keep'
-      |  UNION ALL SELECT subcid FROM subc),
+      |  UNION ALL SELECT subcid FROM subc),""".stripMargin
+
+  private def rebalancedKnnSql: String = {
+    val p = RebalancePolicy.Tight
+    Ivf.givenAssignSql + rebalanceArcSql(p) + s"""
       |qdots AS (SELECT ea.vec_id AS query_id, c2.cid,
       |    $zipDot AS dot
       |  FROM embeddings ea CROSS JOIN cents2 c2
@@ -1061,8 +1109,83 @@ object IndexStore extends graft.QueryModule {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The G31 oracle: the shared rebalance decision arc, then the
+    * IVFPQ-specific tail — residual RE-ENCODE of every vector against
+    * its post-rebalance centroid (argmin over the codebook with the
+    * subDistSqD decimal discipline), probe routing over the new
+    * quantizer, per-(query, probed-list) residual LUTs, and the ADC
+    * ranking. Every reduction mirrors the Spark chain's quantization
+    * points exactly (per-term VARCHAR→DECIMAL(24,12), decimal sums,
+    * double casts).
+    */
+  private def rebalancedIvfPqKnnSql: String = {
+    val sub = Pq.SubDim
+    val cb = Pq.CodebookIds
+    val q = Pq.QueryIds
+    Ivf.givenAssignSql + rebalanceArcSql(RebalancePolicy.Tight) + s"""
+      |rcomp AS (SELECT nl.vec_id, c.i,
+      |    CAST((c.i - 1) // $sub AS INT) AS m,
+      |    c.v - cc.v AS rv, nl.list_id
+      |  FROM newlists nl
+      |    JOIN comp c ON c.vec_id = nl.vec_id
+      |    JOIN comp cc ON cc.vec_id = nl.list_id AND cc.i = c.i),
+      |cdist2 AS (SELECT r.vec_id, r.m, b.vec_id AS cid,
+      |    CAST(CAST(sum(CAST(CAST((r.rv - b.v) * (r.rv - b.v) AS VARCHAR)
+      |         AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dsq
+      |  FROM rcomp r JOIN comp b ON b.i = r.i AND b.vec_id < $cb
+      |  GROUP BY 1, 2, 3),
+      |codes2 AS (SELECT vec_id, m, cid AS code
+      |  FROM (SELECT vec_id, m, cid,
+      |          row_number() OVER (PARTITION BY vec_id, m
+      |            ORDER BY dsq ASC, cid ASC) AS rn
+      |        FROM cdist2)
+      |  WHERE rn = 1),
+      |q2dots AS (SELECT ea.vec_id AS query_id, c2.cid,
+      |    $zipDot AS dot
+      |  FROM embeddings ea CROSS JOIN cents2 c2
+      |    JOIN embeddings eb ON eb.vec_id = c2.cid
+      |  WHERE ea.vec_id < $q),
+      |probes2 AS (SELECT query_id, cid AS list_id FROM (
+      |    SELECT d.query_id, d.cid,
+      |      row_number() OVER (PARTITION BY d.query_id
+      |        ORDER BY d.dot / (sqrt(nq.nsq) * sqrt(nc2.nsq)) DESC,
+      |                 d.cid ASC) AS prnk
+      |    FROM q2dots d JOIN norms nq ON d.query_id = nq.vec_id
+      |      JOIN norms nc2 ON d.cid = nc2.vec_id)
+      |  WHERE prnk <= ${Ivf.GivenProbe}),
+      |qrcomp AS (SELECT p.query_id, p.list_id, c.i,
+      |    CAST((c.i - 1) // $sub AS INT) AS m,
+      |    c.v - cc.v AS rv
+      |  FROM probes2 p
+      |    JOIN comp c ON c.vec_id = p.query_id
+      |    JOIN comp cc ON cc.vec_id = p.list_id AND cc.i = c.i),
+      |luts2 AS (SELECT t.query_id, t.list_id, t.m, b.vec_id AS cid,
+      |    CAST(CAST(sum(CAST(CAST((t.rv - b.v) * (t.rv - b.v) AS VARCHAR)
+      |         AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS dsq
+      |  FROM qrcomp t JOIN comp b ON b.i = t.i AND b.vec_id < $cb
+      |  GROUP BY 1, 2, 3, 4),
+      |cand2 AS (SELECT c.vec_id AS neighbor_id, nl.list_id, c.m, c.code
+      |  FROM codes2 c JOIN newlists nl ON nl.vec_id = c.vec_id
+      |  WHERE c.vec_id >= $q),
+      |adist2 AS (SELECT l.query_id, c.neighbor_id, c.list_id,
+      |    CAST(CAST(sum(CAST(CAST(l.dsq AS VARCHAR) AS DECIMAL(24,12)))
+      |         AS VARCHAR) AS DOUBLE) AS adist
+      |  FROM cand2 c JOIN luts2 l
+      |    ON l.list_id = c.list_id AND l.m = c.m AND l.cid = c.code
+      |  GROUP BY 1, 2, 3),
+      |ranked2 AS (SELECT query_id, neighbor_id, adist, list_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adist ASC, neighbor_id ASC) AS rank
+      |  FROM adist2)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+      |  adist, list_id
+      |FROM ranked2 WHERE rank <= ${Pq.K}
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
     "knn_ivf_rebalanced" -> rebalancedKnnSql,
+    "knn_ivfpq_rebalanced" -> rebalancedIvfPqKnnSql,
     "knn_ivf_served" -> Ivf.oracles("knn_ivf_given_centroids"),
     "knn_ivf_deleted" -> Ivf.givenKnnSql(candWhere =
       s"vec_id >= 5 AND vec_id NOT BETWEEN $DeletedLo AND ${DeletedHi - 1}"),
