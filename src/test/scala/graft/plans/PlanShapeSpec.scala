@@ -197,9 +197,11 @@ class PlanShapeSpec extends SparkSpec {
       // centroid/codebook frames (tiny by construction); the
       // candidate scan is a partition-pruned hash equi-join
       "knn_ivfpq_served", "knn_ivfpq_rerank_served",
-      // the appended/deleted gate twins serve through the same loaded
-      // 16-row centroid/codebook crosses
-      "knn_ivfpq_appended", "knn_ivfpq_deleted")
+      // the appended/deleted/rebalanced gate twins serve through the
+      // same loaded centroid/codebook crosses (rebalanced: ≤16 + a
+      // few sub-centroid rows — still tiny by construction)
+      "knn_ivfpq_appended", "knn_ivfpq_deleted",
+      "knn_ivfpq_rebalanced")
     // (embedding_pca/_r left the list in round 9: the iteration moved
     // to a driver-side solve over the collected d² summary — the
     // RowMatrix.computePrincipalComponents shape — so their plans no
