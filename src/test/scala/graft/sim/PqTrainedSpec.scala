@@ -77,6 +77,20 @@ class PqTrainedSpec extends SparkSpec {
     assert(served.sorted.sameElements(fresh.sorted))
   }
 
+  test("the served trained scan is partition-pruned to the probed lists") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pqtrained_prune").toString
+    PqTrained.save(emb, dir)
+    val queries = emb.filter(col("vec_id") < Pq.QueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val plan = PqTrained
+      .servedKnn(spark, dir, queries, col("vec_id") >= Pq.QueryIds)
+      .queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[[^\\]]*list_id[^\\]]*IN".r
+      .findFirstIn(plan)
+    assert(pruned.isDefined, s"no partition IN-filter on list_id in:\n$plan")
+  }
+
   test("empty corpus serves an empty result, not an MLlib failure") {
     val empty = emb.filter(lit(false))
     val out = PqTrained.knn(empty)
