@@ -47,18 +47,27 @@ object StressIvfPq {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     for (mult <- mults) {
       // replica 0 keeps the original ids so codebook/centroid vectors
-      // (vec_id < 16) and the 5 query ids exist once
-      val embAmp = (0 until mult).map { i =>
-        val p = rngPerm(64, i.toLong)
-        val base = graft.sources.Tables.table(spark, sfDir, "embeddings")
-        if (i == 0) base
-        else base
-          .withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L))
-          .withColumn("embedding", expr(
-            p.map(d => s"element_at(embedding, ${d + 1})")
-              .mkString("array(", ", ", ")")))
-      }.reduce(_ unionByName _)
-        .select("vec_id", "embedding").localCheckpoint(true)
+      // (vec_id < 16) and the 5 query ids exist once. The replicas
+      // ride a broadcast (rep, perm) table + one transform — NOT a
+      // mult-way union of per-replica projections, whose 960-branch
+      // plan shipped 80 MB task binaries and stalled in codegen at
+      // the top rung. Data identical: replica i permutes dimensions
+      // by rngPerm(64, i) exactly as before.
+      val spark2 = spark
+      import spark2.implicits._
+      val perms = (0 until mult).map { i =>
+        val p = if (i == 0) Array.range(0, 64) else rngPerm(64, i.toLong)
+        (i.toLong, p.toSeq)
+      }.toDF("rep", "perm")
+      val embAmp = graft.sources.Tables.table(spark, sfDir, "embeddings")
+        .select("vec_id", "embedding")
+        .crossJoin(broadcast(perms))
+        .select(
+          (col("vec_id") + col("rep") * lit(100000000L)).as("vec_id"),
+          expr("""transform(sequence(1, 64),
+                 |  d -> element_at(embedding, element_at(perm, d) + 1))"""
+            .stripMargin).as("embedding"))
+        .localCheckpoint(true)
       val n = embAmp.count()
       val d = java.nio.file.Files
         .createTempDirectory(s"graft_stress_ivfpq_x$mult").toString
