@@ -128,21 +128,72 @@ object Bm25 {
       s"$dir/stats_staged", s"$dir/stats")
   }
 
-  /** D10 maintenance — compact the per-append file sets: rewrite
-    * `postings` term-clustered and `dl` via staged swaps; serving is
-    * unchanged.
+  /** The tombstone set, empty when no delete has landed. */
+  private[text] def loadDeleted(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    if (graft.FsOps.fs(spark, dir)
+        .exists(new org.apache.hadoop.fs.Path(s"$dir/deleted")))
+      spark.read.schema("id BIGINT").parquet(s"$dir/deleted")
+    else Seq.empty[Long].toDF("id")
+  }
+
+  /** D10 maintenance — DELETE documents from a saved index in
+    * O(batch), the Lucene tombstone discipline: the ids land in a
+    * `deleted/` sidecar (postings/dl rows stay until [[compactSaved]]
+    * materializes the deletion), and the 1-row totals decrement by
+    * exactly the VISIBLE deleted mass (already-tombstoned and absent
+    * ids contribute nothing, so re-deleting is a no-op). The serve
+    * anti-joins the tombstones before df derivation and scoring, so
+    * served-after-delete equals a fresh index over the remaining
+    * corpus exactly (spec-pinned). Contract: only INDEXED documents
+    * are tracked — a document whose text produced zero terms is
+    * invisible to the index and cannot be deleted from it.
+    */
+  def deleteSaved(ids: DataFrame, dir: String): Unit = {
+    val spark = ids.sparkSession
+    val del = ids.select(col("id")).distinct()
+    val dl = spark.read.schema("id BIGINT, dl BIGINT")
+      .parquet(s"$dir/dl")
+    // visible = indexed and not already tombstoned; one bounded
+    // 2-value aggregate (the batch is the driver-side quantity here)
+    val vis = dl.join(del, "id")
+      .join(loadDeleted(spark, dir), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val agg = vis.agg(count(lit(1)).as("n"),
+      coalesce(sum("dl"), lit(0L)).as("s")).collect()(0)
+    if (agg.getLong(0) == 0) return
+    vis.select("id").write.mode("append").parquet(s"$dir/deleted")
+    val old = spark.read.schema("n_docs BIGINT, tot_dl BIGINT")
+      .parquet(s"$dir/stats")
+    old.select((col("n_docs") - agg.getLong(0)).as("n_docs"),
+        (col("tot_dl") - agg.getLong(1)).as("tot_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats_staged")
+    graft.FsOps.swapDir(graft.FsOps.fs(spark, dir),
+      s"$dir/stats_staged", s"$dir/stats")
+  }
+
+  /** D10 maintenance — compact the per-append file sets AND
+    * materialize tombstoned deletions: rewrite `postings`
+    * term-clustered and `dl` minus the deleted ids via staged swaps,
+    * then clear `deleted/`; serving is unchanged (the serve already
+    * anti-joined what compaction now physically removes).
     */
   def compactSaved(spark: SparkSession, dir: String): Unit = {
     val fs = graft.FsOps.fs(spark, dir)
+    val deleted = loadDeleted(spark, dir).localCheckpoint(true)
     spark.read.schema("id BIGINT, term STRING, tf BIGINT")
       .parquet(s"$dir/postings")
+      .join(deleted, Seq("id"), "left_anti")
       .repartition(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$dir/postings_staged")
     graft.FsOps.swapDir(fs, s"$dir/postings_staged", s"$dir/postings")
     spark.read.schema("id BIGINT, dl BIGINT").parquet(s"$dir/dl")
+      .join(deleted, Seq("id"), "left_anti")
       .repartition(col("id")).sortWithinPartitions("id")
       .write.mode("overwrite").parquet(s"$dir/dl_staged")
     graft.FsOps.swapDir(fs, s"$dir/dl_staged", s"$dir/dl")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/deleted"), true); ()
   }
 
   /** BM25 top-k served from a SAVED index — the same score algebra as
@@ -173,8 +224,10 @@ object Bm25 {
     // what keeps every stored table additive under appendSaved. The
     // frame is read twice (df count + score chain) but BOTH reads are
     // term-pruned row-group scans — no checkpoint, which would trade
-    // the pushed In(term) filter for an RDD scan.
+    // the pushed In(term) filter for an RDD scan. Tombstoned ids
+    // (deleteSaved) anti-join out ABOVE the scan, before df counting.
     val pq = p.filter(col("term").isin(qTerms: _*))
+      .join(broadcast(loadDeleted(spark, dir)), Seq("id"), "left_anti")
     val bidf = pq.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(stats.select("n_docs"))
       .withColumn("bidf", expr(

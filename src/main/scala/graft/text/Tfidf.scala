@@ -232,6 +232,35 @@ object Tfidf {
     graft.FsOps.swapDir(fs, s"$dir/norms_staged", s"$dir/norms")
   }
 
+  /** D9 maintenance — DELETE documents from a saved index: the global
+    * smooth idf couples every document's weights and norm to
+    * df/n_docs, so a delete rewrites the additive base minus the docs
+    * (one staged swap — no tokenization; contrast [[Bm25.deleteSaved]]
+    * whose tombstones make delete O(batch)), decrements `stats` by
+    * the number of INDEXED deleted docs, and [[rederiveSaved]]s the
+    * arithmetic layers. Served-after-delete equals a fresh index over
+    * the remaining corpus exactly (spec-pinned). Contract: only
+    * indexed documents are tracked — a zero-term document is
+    * invisible to the index and cannot be deleted from it.
+    */
+  def deleteSaved(ids: DataFrame, dir: String): Unit = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val del = ids.select(col("id")).distinct().localCheckpoint(true)
+    val p = loadPostings(spark, dir)
+    val nDel = p.join(del, "id").select("id").distinct().count()
+    if (nDel == 0) return
+    val fs = graft.FsOps.fs(spark, dir)
+    p.join(del, Seq("id"), "left_anti")
+      .repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$dir/postings_staged")
+    graft.FsOps.swapDir(fs, s"$dir/postings_staged", s"$dir/postings")
+    Seq(loadNDocs(spark, dir) - nDel).toDF("n_docs")
+      .write.mode("overwrite").parquet(s"$dir/stats_staged")
+    graft.FsOps.swapDir(fs, s"$dir/stats_staged", s"$dir/stats")
+    rederiveSaved(spark, dir)
+  }
+
   /** D9 maintenance — compact the additive base: each append lays one
     * file set into `postings`, so a long-lived index accumulates
     * small files; rewrite term-clustered via a staged swap. Serving

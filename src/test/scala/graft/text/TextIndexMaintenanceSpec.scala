@@ -71,6 +71,53 @@ class TextIndexMaintenanceSpec extends SparkSpec {
     assert(rows(Bm25.servedTopK(spark, dir, query, 10)) == fresh)
   }
 
+  test("bm25: tombstoned delete -> serve == fresh over remaining, " +
+      "re-delete is a no-op, compaction materializes and still serves") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp("graft_bm25_del")
+    Bm25.save(spark, docs, "doc_id", "text", dir)
+    val delIds = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("id"))
+    Bm25.deleteSaved(delIds, dir)
+    val statsAfter = spark.read
+      .schema("n_docs BIGINT, tot_dl BIGINT").parquet(s"$dir/stats")
+      .collect()(0)
+    val served = rows(Bm25.servedTopK(spark, dir, query, 10))
+    val remaining = docs.filter(col("doc_id") % 5 =!= 0)
+    val freshDir = tmp("graft_bm25_del_fresh")
+    Bm25.save(spark, remaining, "doc_id", "text", freshDir)
+    assert(served == rows(Bm25.servedTopK(spark, freshDir, query, 10)))
+    // re-delivering the same delete batch changes nothing
+    Bm25.deleteSaved(delIds, dir)
+    val statsAgain = spark.read
+      .schema("n_docs BIGINT, tot_dl BIGINT").parquet(s"$dir/stats")
+      .collect()(0)
+    assert(statsAgain.toSeq == statsAfter.toSeq)
+    assert(rows(Bm25.servedTopK(spark, dir, query, 10)) == served)
+    // compaction physically removes the tombstoned rows
+    Bm25.compactSaved(spark, dir)
+    assert(rows(Bm25.servedTopK(spark, dir, query, 10)) == served)
+    val physIds = spark.read.schema("id BIGINT, dl BIGINT")
+      .parquet(s"$dir/dl").select("id").as[Long].collect().toSet
+    assert(physIds.forall(_ % 5 != 0))
+    assert(!graft.FsOps.fs(spark, dir)
+      .exists(new org.apache.hadoop.fs.Path(s"$dir/deleted")))
+  }
+
+  test("tfidf: delete -> serve == fresh over remaining") {
+    val dir = tmp("graft_tfidf_del")
+    Tfidf.save(Tfidf.index(docs, "doc_id", "text"), dir)
+    Tfidf.deleteSaved(
+      docs.filter(col("doc_id") % 5 === 0).select(col("doc_id").as("id")),
+      dir)
+    val served = rows(Tfidf.searchSaved(spark, dir, query, 10))
+    val remaining = docs.filter(col("doc_id") % 5 =!= 0)
+    val freshDir = tmp("graft_tfidf_del_fresh")
+    Tfidf.save(Tfidf.index(remaining, "doc_id", "text"), freshDir)
+    assert(served == rows(Tfidf.searchSaved(spark, freshDir, query, 10)))
+  }
+
   test("bm25: a second append batch composes (three-way split)") {
     val dir = tmp("graft_bm25_maint3")
     Bm25.save(spark, docs.filter(col("doc_id") % 3 === 0),
