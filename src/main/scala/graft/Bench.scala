@@ -22,25 +22,25 @@ object Bench {
   /** Host-normalization ledger (r16 verdict item: the ~1.39× host
     * factor between driver runs lived in SURVEY prose — make it
     * machine-readable). [[calibrate]] times a FIXED synthetic
-    * workload that never touches test data (20M md5 hashes + one
+    * workload that never touches test data (100M md5 hashes + one
     * shuffle + a distinct aggregate — the CPU/hash/shuffle mix the
     * suite leans on); BENCH.json carries `calib_sec` and
     * `host_factor` = calib_sec / [[CalibReference]], so a cross-round
     * comparison divides wall times by the factor ratio instead of
     * re-deriving per-query medians.
     */
-  val CalibReferenceSet = "calib_md5_20m_v1"
+  val CalibReferenceSet = "calib_md5_100m_v1"
 
   /** calib_sec measured on the round-17 close host (idle, local[32])
     * — the denominator every later round's host_factor is relative
     * to.
     */
-  val CalibReference = 2.35
+  val CalibReference = 0.66
 
-  def calibrate(spark: SparkSession, reps: Int = 3): Double =
+  def calibrate(spark: SparkSession, reps: Int = 5): Double =
     (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      spark.range(0L, 20000000L, 1L,
+      spark.range(0L, 100000000L, 1L,
           spark.sparkContext.defaultParallelism)
         .selectExpr("id % 1000 AS k", "md5(cast(id as string)) AS h")
         .groupBy("k")
