@@ -31,13 +31,18 @@ object Bench {
     */
   val CalibReferenceSet = "calib_md5_100m_v1"
 
-  /** calib_sec measured on the round-17 close host (idle, local[32])
-    * — the denominator every later round's host_factor is relative
-    * to.
+  /** calib_sec measured on the round-17 close host (idle, local[32],
+    * measured INSIDE a full Bench run — i.e., with the suite as JVM
+    * warmup, the same conditions every future reading has) — the
+    * denominator every later round's host_factor is relative to.
     */
-  val CalibReference = 0.66
+  val CalibReference = 0.337
 
-  def calibrate(spark: SparkSession, reps: Int = 5): Double =
+  def calibrate(spark: SparkSession, reps: Int = 5): Double = {
+    // stabilize the heap before timing: the post-suite GC state is
+    // the dominant run-to-run noise source (measured 0.337 vs 0.475 s
+    // between two otherwise-identical full-bench runs)
+    System.gc()
     (1 to reps).map { _ =>
       val t0 = System.nanoTime()
       spark.range(0L, 100000000L, 1L,
@@ -49,6 +54,7 @@ object Bench {
         .count()
       (System.nanoTime() - t0) / 1e9
     }.min
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
