@@ -525,7 +525,14 @@ object Pq extends QueryModule {
     * stream face uses; callers of the RAW [[appendIvfPq]] must
     * deduplicate and serialize their own batches (two concurrent
     * appends can interleave writes into the same partition
-    * directories).
+    * directories). Residual window (the applyDiffOnce caveat applies
+    * here too): the append is two write jobs (codes, then refine) and
+    * the marker lands only after both — a crash after either append
+    * committed but before the marker means the replay re-appends the
+    * whole batch, duplicating its landed vec_id rows in the
+    * already-committed layout(s). Closable only by a transactional
+    * manifest across both layouts; until then a post-crash recovery
+    * should [[deleteIvfPq]] the batch's ids before replaying.
     */
   def appendIvfPqOnce(newEmb: DataFrame, dir: String,
       batchId: Long): Unit = {
@@ -555,6 +562,7 @@ object Pq extends QueryModule {
     * corpus.
     */
   def compactIvfPq(spark: SparkSession, dir: String): Unit = {
+    recoverDeleteOld(spark, dir)
     val fs = graft.FsOps.fs(spark, dir)
     for ((sub, df) <- Seq(
         "codes" -> loadIvfPqCodes(spark, dir),
@@ -575,8 +583,46 @@ object Pq extends QueryModule {
     * staging + per-directory swap (an emptied list's directory
     * drops), untouched lists never read.
     */
+  /** Crash recovery for [[deleteIvfPq]]'s per-list swap: a list
+    * directory stranded under a `_delete_old` sidecar whose live
+    * counterpart is ABSENT is the surviving copy from an interrupted
+    * swap (renamed out; crash before the staged rewrite renamed in) —
+    * roll it back into the live layout before proceeding (the
+    * SnapshotStore purge roll-back-first discipline). Lists present
+    * in BOTH places are superseded copies, left for the next delete's
+    * stale sweep. Every maintenance entry point that reads or rewrites
+    * the layouts ([[deleteIvfPq]], [[compactIvfPq]],
+    * [[rebalanceIvfPq]]) runs this first; pure serve loads don't
+    * mutate, so a post-crash serve before any maintenance can still
+    * miss the stranded lists — the price of read paths staying
+    * read-only.
+    */
+  private def recoverDeleteOld(spark: SparkSession, dir: String): Unit = {
+    val fs = graft.FsOps.fs(spark, dir)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    for (sub <- Seq("codes", "refine")) {
+      val oldRoot = path(s"$dir/${sub}_delete_old")
+      if (fs.exists(oldRoot))
+        for (st <- fs.listStatus(oldRoot)
+            if st.getPath.getName.startsWith("list_id=")) {
+          val live = path(s"$dir/$sub/${st.getPath.getName}")
+          if (!fs.exists(live))
+            require(fs.rename(st.getPath, live),
+              s"ivfpq delete recovery at $dir: " +
+                s"rename ${st.getPath} to $live failed")
+        }
+    }
+  }
+
   def deleteIvfPq(spark: SparkSession, dir: String,
       ids: DataFrame): Unit = {
+    // recover FIRST: after a mid-loop crash the live layout can be
+    // missing lists whose only copy sits under _delete_old — roll
+    // those back before anything reads the layout (the touched-list
+    // scan below would silently miss their rows) and before the old
+    // sidecar is cleared as stale (the r17 ADVICE window: re-running
+    // the delete — the natural recovery — destroyed them)
+    recoverDeleteOld(spark, dir)
     val del = ids.select(col("vec_id")).distinct()
     val touched = loadIvfPqCodes(spark, dir).join(del, "vec_id")
       .select("list_id").distinct()
@@ -602,7 +648,9 @@ object Pq extends QueryModule {
       // through a snapshot) — the old rows, however, are never the
       // only casualty of a crash anymore.
       val oldRoot = s"$dir/${sub}_delete_old"
-      fs.delete(path(oldRoot), true) // stale from a prior crash
+      // safe to clear: recoverDeleteOld already rolled back any list
+      // whose only copy lived here, so what remains is superseded
+      fs.delete(path(oldRoot), true)
       fs.mkdirs(path(oldRoot))
       for (lid <- touched) {
         val live = path(s"$dir/$sub/list_id=$lid")
@@ -641,6 +689,7 @@ object Pq extends QueryModule {
       policy: IndexStore.RebalancePolicy =
         IndexStore.RebalancePolicy.Standard): Boolean = {
     import spark.implicits._
+    recoverDeleteOld(spark, dir)
     val cents = spark.read.parquet(s"$dir/centroids")
     val cb = spark.read.parquet(s"$dir/codebook")
     val counts = loadIvfPqCodes(spark, dir).groupBy("list_id")

@@ -516,8 +516,13 @@ object Streaming {
     * partitioned layouts; existing lists are never read or rewritten,
     * so per-batch work is O(batch). foreachBatch is at-least-once, so
     * the batch id is recorded in the index (`_appended/`) and a
-    * crash-replayed batch is a no-op — without the marker a replay
-    * would permanently duplicate vectors (spec-pinned). Serving after
+    * crash-replayed batch whose marker landed is a no-op — without
+    * the marker a replay would permanently duplicate vectors
+    * (spec-pinned). The marker narrows, not closes, the window: the
+    * append is two write jobs and the marker commits after both, so a
+    * crash between an append commit and the marker still re-appends
+    * on replay — see [[graft.sim.Pq.appendIvfPqOnce]]'s residual-
+    * window caveat (the applyDiffOnce trade). Serving after
     * any prefix of batches equals a fresh index over the vectors so
     * far (the G28 identity: assignment and encoding are per-vector
     * under a pinned quantizer).

@@ -90,8 +90,13 @@ object Bm25 {
     val ix = Tfidf.index(docs, idCol, textCol)
     val p = ix.postings
     val dl = p.groupBy("id").agg(sum("tf").as("dl"))
+    // epoch is the tombstone GENERATION (Lucene's segments_N number):
+    // deleteSaved stamps tombstones with the current epoch, and
+    // compactSaved's single stats swap bumps it — atomically
+    // invalidating every landed tombstone without a second write
     val stats = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(dl.agg(sum("dl").as("tot_dl")))
+      .withColumn("epoch", lit(0L))
     p.repartition(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$dir/postings")
     dl.write.mode("overwrite").parquet(s"$dir/dl")
@@ -117,82 +122,120 @@ object Bm25 {
     val dlB = pB.groupBy("id").agg(sum("tf").as("dl"))
       .localCheckpoint(true)
     dlB.write.mode("append").parquet(s"$dir/dl")
-    val old = spark.read.schema("n_docs BIGINT, tot_dl BIGINT")
+    val old = spark.read.schema("n_docs BIGINT, tot_dl BIGINT, epoch BIGINT")
       .parquet(s"$dir/stats")
-    val add = newDocs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(dlB.agg(coalesce(sum("dl"), lit(0L)).as("tot_dl")))
-    old.unionByName(add)
-      .agg(sum("n_docs").as("n_docs"), sum("tot_dl").as("tot_dl"))
+    val add = newDocs.agg(count(lit(1)).as("dn"))
+      .crossJoin(dlB.agg(coalesce(sum("dl"), lit(0L)).as("ds")))
+    old.crossJoin(add)
+      .select((col("n_docs") + col("dn")).as("n_docs"),
+        (col("tot_dl") + col("ds")).as("tot_dl"), col("epoch"))
       .write.mode("overwrite").parquet(s"$dir/stats_staged")
     graft.FsOps.swapDir(graft.FsOps.fs(spark, dir),
       s"$dir/stats_staged", s"$dir/stats")
   }
 
-  /** The tombstone set, empty when no delete has landed. */
+  /** The raw tombstone sidecar (all generations), empty when no
+    * delete has landed. Rows carry the deleted doc's LENGTH and the
+    * tombstone generation: dl rides along so the serve can derive the
+    * stats decrement from the tombstones alone (never from a join
+    * with a layout another maintenance step may already have
+    * rewritten), and `epoch` scopes visibility to the current stats
+    * generation — see [[deleteSaved]].
+    */
   private[text] def loadDeleted(spark: SparkSession,
       dir: String): DataFrame = {
     import spark.implicits._
     if (graft.FsOps.fs(spark, dir)
         .exists(new org.apache.hadoop.fs.Path(s"$dir/deleted")))
-      spark.read.schema("id BIGINT").parquet(s"$dir/deleted")
-    else Seq.empty[Long].toDF("id")
+      spark.read.schema("id BIGINT, dl BIGINT, epoch BIGINT")
+        .parquet(s"$dir/deleted")
+    else Seq.empty[(Long, Long, Long)].toDF("id", "dl", "epoch")
   }
+
+  /** Tombstones visible to the CURRENT stats generation — the set
+    * every serve anti-joins and derives its stats decrement from.
+    */
+  private[text] def visibleDeleted(spark: SparkSession, dir: String,
+      stats: DataFrame): DataFrame =
+    loadDeleted(spark, dir)
+      .join(broadcast(stats.select("epoch")), "epoch")
+      .select("id", "dl")
 
   /** D10 maintenance — DELETE documents from a saved index in
     * O(batch), the Lucene tombstone discipline: the ids land in a
-    * `deleted/` sidecar (postings/dl rows stay until [[compactSaved]]
-    * materializes the deletion), and the 1-row totals decrement by
-    * exactly the VISIBLE deleted mass (already-tombstoned and absent
-    * ids contribute nothing, so re-deleting is a no-op). The serve
-    * anti-joins the tombstones before df derivation and scoring, so
-    * served-after-delete equals a fresh index over the remaining
-    * corpus exactly (spec-pinned). Contract: only INDEXED documents
-    * are tracked — a document whose text produced zero terms is
-    * invisible to the index and cannot be deleted from it.
+    * `deleted/` sidecar as (id, dl, epoch) rows; postings/dl rows
+    * stay until [[compactSaved]] materializes the deletion, and the
+    * STORED totals never change — the serve derives the effective
+    * (n_docs, tot_dl) by subtracting the current-epoch tombstones'
+    * own (count, Σdl). The tombstone append is therefore this
+    * operation's ONLY write and its commit point: a crash mid-append
+    * leaves a prefix of the batch tombstoned and the index fully
+    * consistent, and re-running the delete lands exactly the missing
+    * remainder (already-tombstoned and absent ids are filtered out,
+    * so re-delivery is a no-op — with no second write for a crash to
+    * separate it from, unlike the r17 shape ADVICE flagged). Contract:
+    * only INDEXED documents are tracked — a document whose text
+    * produced zero terms is invisible to the index and cannot be
+    * deleted from it.
     */
   def deleteSaved(ids: DataFrame, dir: String): Unit = {
     val spark = ids.sparkSession
     val del = ids.select(col("id")).distinct()
     val dl = spark.read.schema("id BIGINT, dl BIGINT")
       .parquet(s"$dir/dl")
-    // visible = indexed and not already tombstoned; one bounded
-    // 2-value aggregate (the batch is the driver-side quantity here)
-    val vis = dl.join(del, "id")
-      .join(loadDeleted(spark, dir), Seq("id"), "left_anti")
-      .localCheckpoint(true)
-    val agg = vis.agg(count(lit(1)).as("n"),
-      coalesce(sum("dl"), lit(0L)).as("s")).collect()(0)
-    if (agg.getLong(0) == 0) return
-    vis.select("id").write.mode("append").parquet(s"$dir/deleted")
-    val old = spark.read.schema("n_docs BIGINT, tot_dl BIGINT")
+    val stats = spark.read
+      .schema("n_docs BIGINT, tot_dl BIGINT, epoch BIGINT")
       .parquet(s"$dir/stats")
-    old.select((col("n_docs") - agg.getLong(0)).as("n_docs"),
-        (col("tot_dl") - agg.getLong(1)).as("tot_dl"))
-      .write.mode("overwrite").parquet(s"$dir/stats_staged")
-    graft.FsOps.swapDir(graft.FsOps.fs(spark, dir),
-      s"$dir/stats_staged", s"$dir/stats")
+    // visible = indexed and not already tombstoned in this generation
+    val vis = dl.join(del, "id")
+      .join(visibleDeleted(spark, dir, stats).select("id"),
+        Seq("id"), "left_anti")
+      .crossJoin(broadcast(stats.select("epoch")))
+      .localCheckpoint(true)
+    if (vis.isEmpty) return
+    vis.select("id", "dl", "epoch")
+      .write.mode("append").parquet(s"$dir/deleted")
   }
 
   /** D10 maintenance — compact the per-append file sets AND
     * materialize tombstoned deletions: rewrite `postings`
     * term-clustered and `dl` minus the deleted ids via staged swaps,
-    * then clear `deleted/`; serving is unchanged (the serve already
-    * anti-joined what compaction now physically removes).
+    * then commit by swapping `stats` to the decremented totals at
+    * epoch+1 — ONE rename that simultaneously folds the tombstones'
+    * mass into the stored totals and invalidates them (their rows
+    * linger until the final best-effort sweep, but carry a stale
+    * epoch no serve looks at). Every crash point re-runs clean: the
+    * decrement aggregates from the tombstones themselves, so it stays
+    * correct after postings/dl have already been rewritten, and a
+    * re-run after the stats swap sees zero visible tombstones and
+    * reduces to a plain file compaction. Serving is unchanged at
+    * every point (spec-pinned).
     */
   def compactSaved(spark: SparkSession, dir: String): Unit = {
     val fs = graft.FsOps.fs(spark, dir)
-    val deleted = loadDeleted(spark, dir).localCheckpoint(true)
+    val stats = spark.read
+      .schema("n_docs BIGINT, tot_dl BIGINT, epoch BIGINT")
+      .parquet(s"$dir/stats")
+    val deleted = visibleDeleted(spark, dir, stats).localCheckpoint(true)
     spark.read.schema("id BIGINT, term STRING, tf BIGINT")
       .parquet(s"$dir/postings")
-      .join(deleted, Seq("id"), "left_anti")
+      .join(deleted.select("id"), Seq("id"), "left_anti")
       .repartition(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$dir/postings_staged")
     graft.FsOps.swapDir(fs, s"$dir/postings_staged", s"$dir/postings")
     spark.read.schema("id BIGINT, dl BIGINT").parquet(s"$dir/dl")
-      .join(deleted, Seq("id"), "left_anti")
+      .join(deleted.select("id"), Seq("id"), "left_anti")
       .repartition(col("id")).sortWithinPartitions("id")
       .write.mode("overwrite").parquet(s"$dir/dl_staged")
     graft.FsOps.swapDir(fs, s"$dir/dl_staged", s"$dir/dl")
+    val dAgg = deleted.agg(count(lit(1)).as("dn"),
+      coalesce(sum("dl"), lit(0L)).as("ds"))
+    stats.crossJoin(dAgg)
+      .select((col("n_docs") - col("dn")).as("n_docs"),
+        (col("tot_dl") - col("ds")).as("tot_dl"),
+        (col("epoch") + 1).as("epoch"))
+      .write.mode("overwrite").parquet(s"$dir/stats_staged")
+    graft.FsOps.swapDir(fs, s"$dir/stats_staged", s"$dir/stats")
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/deleted"), true); ()
   }
 
@@ -211,9 +254,21 @@ object Bm25 {
       .parquet(s"$dir/postings")
     val dl = spark.read.schema("id BIGINT, dl BIGINT")
       .parquet(s"$dir/dl")
-    val stats = broadcast(
-      spark.read.schema("n_docs BIGINT, tot_dl BIGINT")
-        .parquet(s"$dir/stats"))
+    val rawStats = spark.read
+      .schema("n_docs BIGINT, tot_dl BIGINT, epoch BIGINT")
+      .parquet(s"$dir/stats")
+    val deleted = visibleDeleted(spark, dir, rawStats)
+    // effective totals = stored totals minus the tombstones' own
+    // mass (each tombstone carries its doc's dl, so this never
+    // touches a layout a concurrent compaction may be rewriting);
+    // with no tombstones the aggregate folds to a constant (0, 0)
+    // row — Catalyst's empty-relation propagation, no extra scan
+    val dAgg = deleted.agg(
+      coalesce(count(lit(1)), lit(0L)).as("dn"),
+      coalesce(sum("dl"), lit(0L)).as("ds"))
+    val stats = broadcast(rawStats.crossJoin(dAgg)
+      .select((col("n_docs") - col("dn")).as("n_docs"),
+        (col("tot_dl") - col("ds")).as("tot_dl")))
     val qTerms = Tfidf.postings(
         Seq((0L, queryText)).toDF("id", "text"), "id", "text")
       .select("term").distinct().as[String].collect().toSeq
@@ -227,7 +282,7 @@ object Bm25 {
     // the pushed In(term) filter for an RDD scan. Tombstoned ids
     // (deleteSaved) anti-join out ABOVE the scan, before df counting.
     val pq = p.filter(col("term").isin(qTerms: _*))
-      .join(broadcast(loadDeleted(spark, dir)), Seq("id"), "left_anti")
+      .join(broadcast(deleted.select("id")), Seq("id"), "left_anti")
     val bidf = pq.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(stats.select("n_docs"))
       .withColumn("bidf", expr(

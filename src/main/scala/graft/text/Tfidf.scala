@@ -153,20 +153,28 @@ object Tfidf {
     * reads ~|query terms| / |vocab| of the index, not all of it.
     *
     * Two layers on disk:
-    *  - ADDITIVE BASE: `postings` (id, term, tf — term-clustered) and
-    *    `stats` (n_docs). These are what an append merges exactly.
-    *  - DERIVED: `idf`, `weights`, `norms` — pure arithmetic over the
-    *    base. tf-idf's GLOBAL idf couples every document's weights
-    *    and norm to the corpus df/n_docs, so an append rewrites these
-    *    three from the merged base ([[rederiveSaved]]) — arithmetic
-    *    only, never re-tokenizing the old corpus. (Contrast BM25,
-    *    whose doc-side stats are append-local — the reason Lucene
-    *    serves BM25; see [[Bm25.appendSaved]].)
+    *  - ADDITIVE BASE: `postings` (id, term, tf — term-clustered).
+    *    The ONLY ground truth — what an append merges exactly.
+    *  - DERIVED: `stats` (n_docs), `idf`, `weights`, `norms` — pure
+    *    arithmetic over the base. tf-idf's GLOBAL idf couples every
+    *    document's weights and norm to the corpus df/n_docs, so an
+    *    append rewrites these from the merged base ([[rederiveSaved]])
+    *    — arithmetic only, never re-tokenizing the old corpus.
+    *    (Contrast BM25, whose doc-side stats are append-local — the
+    *    reason Lucene serves BM25; see [[Bm25.appendSaved]].)
     */
   def save(ix: TfidfIndex, dir: String): Unit = {
     ix.postings.repartition(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$dir/postings")
-    ix.docs.agg(count(lit(1)).as("n_docs"))
+    // the saved index's n_docs counts INDEXED documents (one norms
+    // row per doc with ≥1 term) — the quantity [[rederiveSaved]]
+    // re-derives from the additive base alone, which is what makes
+    // stats crash-reconstructible (the r17 ADVICE item: a stats
+    // value only an append could know is a stats value a crashed
+    // append loses). A zero-term document is invisible to the index
+    // — sklearn's N would count it; this layout, like Lucene's
+    // numDocs, cannot and does not.
+    ix.norms.agg(count(lit(1)).as("n_docs"))
       .write.mode("overwrite").parquet(s"$dir/stats")
     ix.idf.write.mode("overwrite").parquet(s"$dir/idf")
     ix.weights.repartition(col("term")).sortWithinPartitions("term")
@@ -178,43 +186,56 @@ object Tfidf {
     spark.read.schema("id BIGINT, term STRING, tf BIGINT")
       .parquet(s"$dir/postings")
 
-  private def loadNDocs(spark: SparkSession, dir: String): Long =
-    spark.read.schema("n_docs BIGINT").parquet(s"$dir/stats")
-      .collect()(0).getLong(0)
-
   /** D9 maintenance — append NEW documents (ids not already indexed;
     * the G18 arrival contract) to a saved index: tokenize ONLY the
-    * batch, append its postings to the additive base, bump `stats`,
-    * then [[rederiveSaved]] the idf-coupled layers. Serving after
-    * this equals a fresh index over the union corpus exactly
-    * (spec-pinned): postings are per-document facts and every derived
-    * value is a pure function of (merged postings, n_docs).
+    * batch, append its postings to the additive base, then
+    * [[rederiveSaved]] — which re-derives `stats` and the idf-coupled
+    * layers from the base alone. Serving after this equals a fresh
+    * index over the union corpus exactly (spec-pinned): postings are
+    * per-document facts and every derived value is a pure function of
+    * the merged postings. Crash contract: the recovery for ANY
+    * interruption after the postings append landed is to re-run
+    * [[rederiveSaved]] — since stats derive from postings, the re-run
+    * repairs n_docs too (the r17 ADVICE window, where a crash between
+    * a postings append and a stats bump left rederive baking the
+    * stale count, is gone: there is no stored value the base cannot
+    * reconstruct). The residual window is the postings append job
+    * itself: a crash MID-append can land a prefix of the batch's
+    * files, and re-delivering the whole batch would duplicate its
+    * landed rows — at-least-once feeds must come through the
+    * batch-marker face ([[graft.streaming.Streaming]]'s ingest
+    * streams), which skips a batch whose marker committed.
     */
   def appendSaved(newDocs: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
     val spark = newDocs.sparkSession
-    import spark.implicits._
     postings(newDocs, idCol, textCol)
       .repartition(col("term")).sortWithinPartitions("term")
       .write.mode("append").parquet(s"$dir/postings")
-    val n = loadNDocs(spark, dir) + newDocs.count()
+    rederiveSaved(spark, dir)
+  }
+
+  /** Rebuild everything DERIVED (`stats`, `idf`, `weights`, `norms`)
+    * from the additive base — one linear arithmetic pass over the
+    * stored postings, no tokenization. n_docs is count(distinct id)
+    * over the postings themselves (the indexed-document count the
+    * saved layout defines — see [[save]]), so this is a TOTAL
+    * recovery: idempotent, and correct from any half-landed append
+    * or delete state.
+    */
+  def rederiveSaved(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val p = loadPostings(spark, dir)
+    // postings are keyed (id, term): distinct ids = indexed docs.
+    // One aggregate over the base — the price of stats being
+    // derived, paid only at maintenance time, never at serve.
+    val n = p.select("id").distinct().count()
     val fs = graft.FsOps.fs(spark, dir)
     Seq(n).toDF("n_docs").write.mode("overwrite")
       .parquet(s"$dir/stats_staged")
     graft.FsOps.swapDir(fs, s"$dir/stats_staged", s"$dir/stats")
-    rederiveSaved(spark, dir)
-  }
-
-  /** Rebuild the DERIVED layers (`idf`, `weights`, `norms`) from the
-    * additive base — one linear arithmetic pass over the stored
-    * postings, no tokenization. Idempotent: safe to re-run as crash
-    * recovery if an append died between layer swaps.
-    */
-  def rederiveSaved(spark: SparkSession, dir: String): Unit = {
-    val p = loadPostings(spark, dir)
-    val n = loadNDocs(spark, dir)
     // the same decimal-quantized expression as [[idf]], with the
-    // corpus size from stats instead of a docs aggregate
+    // corpus size from the derived count instead of a docs aggregate
     val i = p.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("n_docs", lit(n))
       .withColumn("idf", expr(
@@ -222,7 +243,6 @@ object Tfidf {
       .select("term", "df", "idf")
       .localCheckpoint(true) // consumed by its own write AND weights
     val w = weights(p, i).localCheckpoint(true)
-    val fs = graft.FsOps.fs(spark, dir)
     i.write.mode("overwrite").parquet(s"$dir/idf_staged")
     graft.FsOps.swapDir(fs, s"$dir/idf_staged", s"$dir/idf")
     w.repartition(col("term")).sortWithinPartitions("term")
@@ -236,28 +256,25 @@ object Tfidf {
     * smooth idf couples every document's weights and norm to
     * df/n_docs, so a delete rewrites the additive base minus the docs
     * (one staged swap — no tokenization; contrast [[Bm25.deleteSaved]]
-    * whose tombstones make delete O(batch)), decrements `stats` by
-    * the number of INDEXED deleted docs, and [[rederiveSaved]]s the
-    * arithmetic layers. Served-after-delete equals a fresh index over
-    * the remaining corpus exactly (spec-pinned). Contract: only
-    * indexed documents are tracked — a zero-term document is
-    * invisible to the index and cannot be deleted from it.
+    * whose tombstones make delete O(batch)), then [[rederiveSaved]]s
+    * `stats` and the arithmetic layers from the rewritten base.
+    * Served-after-delete equals a fresh index over the remaining
+    * corpus exactly (spec-pinned), and the postings swap is the only
+    * commit point — a crash anywhere after it recovers by re-running
+    * rederiveSaved. Contract: only indexed documents are tracked — a
+    * zero-term document is invisible to the index and cannot be
+    * deleted from it.
     */
   def deleteSaved(ids: DataFrame, dir: String): Unit = {
     val spark = ids.sparkSession
-    import spark.implicits._
     val del = ids.select(col("id")).distinct().localCheckpoint(true)
     val p = loadPostings(spark, dir)
-    val nDel = p.join(del, "id").select("id").distinct().count()
-    if (nDel == 0) return
+    if (p.join(del, "id").isEmpty) return
     val fs = graft.FsOps.fs(spark, dir)
     p.join(del, Seq("id"), "left_anti")
       .repartition(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$dir/postings_staged")
     graft.FsOps.swapDir(fs, s"$dir/postings_staged", s"$dir/postings")
-    Seq(loadNDocs(spark, dir) - nDel).toDF("n_docs")
-      .write.mode("overwrite").parquet(s"$dir/stats_staged")
-    graft.FsOps.swapDir(fs, s"$dir/stats_staged", s"$dir/stats")
     rederiveSaved(spark, dir)
   }
 

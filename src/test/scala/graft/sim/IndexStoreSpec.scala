@@ -219,6 +219,40 @@ class IndexStoreSpec extends SparkSpec {
     assert(served.collect().toSeq == fresh.collect().toSeq)
   }
 
+  test("ivfpq delete crash recovery: a list stranded under _delete_old " +
+      "rolls back into the live layout before the next maintenance pass") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_ivfpq_recover").toString
+    Pq.saveIvfPq(emb.select("vec_id", "embedding"), d)
+    // crash simulation: a prior delete renamed one list out of each
+    // live layout and died before renaming the rewrite in — the
+    // sidecar holds the only copy (the r17 ADVICE scenario, where the
+    // next delete's stale sweep silently destroyed it)
+    val stranded = new java.io.File(s"$d/codes").listFiles()
+      .map(_.getName).filter(_.startsWith("list_id=")).sorted.head
+    for (sub <- Seq("codes", "refine")) {
+      val oldRoot = new java.io.File(s"$d/${sub}_delete_old")
+      assert(oldRoot.mkdirs())
+      assert(new java.io.File(s"$d/$sub/$stranded")
+        .renameTo(new java.io.File(s"$d/${sub}_delete_old/$stranded")))
+    }
+    // the natural recovery: just run the next maintenance pass
+    val n = emb.count()
+    val delIds = Seq(n / 2, n / 2 + 1, n / 2 + 2).map(_.toLong)
+    Pq.deleteIvfPq(spark, d, delIds.toDF("vec_id"))
+    assert(new java.io.File(s"$d/codes/$stranded").exists(),
+      "stranded list was not rolled back")
+    // serving equals the fresh build over corpus minus deleted — the
+    // stranded list's vectors included
+    val queries = emb.filter(col("vec_id") < Pq.QueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val served = Pq.servedIvfPqKnn(spark, d, queries,
+      col("vec_id") >= Pq.QueryIds)
+    val fresh = Pq.knnIvfPq(emb.filter(!col("vec_id").isin(delIds: _*))
+      .select("vec_id", "embedding"))
+    assert(served.collect().toSeq == fresh.collect().toSeq)
+  }
+
   test("incremental append equals a full rebuild over the union corpus") {
     val n = emb.count()
     val cut = n / 2 // well above the 16 centroid ids

@@ -118,6 +118,77 @@ class TextIndexMaintenanceSpec extends SparkSpec {
     assert(served == rows(Tfidf.searchSaved(spark, freshDir, query, 10)))
   }
 
+  test("bm25: a partially landed tombstone batch is repaired by " +
+      "re-running the delete (the delete's only write is its commit)") {
+    val dir = tmp("graft_bm25_crash_del")
+    Bm25.save(spark, docs, "doc_id", "text", dir)
+    val delIds = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("id"))
+    // crash simulation: only half the batch's tombstones landed
+    Bm25.deleteSaved(delIds.filter(col("id") % 10 === 0), dir)
+    // recovery = re-deliver the whole batch; the landed prefix is
+    // filtered out and exactly the remainder lands
+    Bm25.deleteSaved(delIds, dir)
+    val served = rows(Bm25.servedTopK(spark, dir, query, 10))
+    val freshDir = tmp("graft_bm25_crash_del_fresh")
+    Bm25.save(spark, docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", freshDir)
+    assert(served == rows(Bm25.servedTopK(spark, freshDir, query, 10)))
+    // and the STORED totals were never touched by the deletes — the
+    // decrement is derived from the tombstones at serve time
+    val full = spark.read.schema("n_docs BIGINT, tot_dl BIGINT, epoch BIGINT")
+      .parquet(s"$dir/stats").collect()(0)
+    val fresh0 = spark.read.schema("n_docs BIGINT, tot_dl BIGINT")
+      .parquet(s"$freshDir/stats").collect()(0)
+    assert(full.getLong(0) > fresh0.getLong(0))
+    assert(full.getLong(2) == 0L)
+  }
+
+  test("bm25: compaction's epoch bump atomically invalidates " +
+      "tombstones (a stale-generation tombstone row is invisible)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp("graft_bm25_epoch")
+    Bm25.save(spark, docs, "doc_id", "text", dir)
+    Bm25.deleteSaved(
+      docs.filter(col("doc_id") % 5 === 0).select(col("doc_id").as("id")),
+      dir)
+    Bm25.compactSaved(spark, dir)
+    val served = rows(Bm25.servedTopK(spark, dir, query, 10))
+    assert(spark.read.schema("n_docs BIGINT, tot_dl BIGINT, epoch BIGINT")
+      .parquet(s"$dir/stats").collect()(0).getLong(2) == 1L)
+    // crash simulation: compaction swapped stats (epoch 0 -> 1) but
+    // died before sweeping deleted/ — its rows carry epoch 0 and no
+    // serve may look at them
+    val ghost = docs.filter(col("doc_id") % 5 === 1)
+      .select(col("doc_id").as("id")).limit(3)
+      .withColumn("dl", lit(10L)).withColumn("epoch", lit(0L))
+    ghost.write.mode("append").parquet(s"$dir/deleted")
+    assert(rows(Bm25.servedTopK(spark, dir, query, 10)) == served)
+    // and the next compaction reduces to a plain file rewrite
+    Bm25.compactSaved(spark, dir)
+    assert(rows(Bm25.servedTopK(spark, dir, query, 10)) == served)
+  }
+
+  test("tfidf: a crash between the postings append and the rederive " +
+      "is repaired by rederiveSaved alone (stats are derived)") {
+    val dir = tmp("graft_tfidf_crash_app")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    Tfidf.save(Tfidf.index(half1, "doc_id", "text"), dir)
+    // crash simulation: appendSaved's postings append landed, then
+    // the process died — stats and the derived layers are stale
+    Tfidf.postings(half2, "doc_id", "text")
+      .repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("append").parquet(s"$dir/postings")
+    // recovery: one rederive repairs n_docs AND the derived layers
+    Tfidf.rederiveSaved(spark, dir)
+    val served = rows(Tfidf.searchSaved(spark, dir, query, 10))
+    val freshDir = tmp("graft_tfidf_crash_app_fresh")
+    Tfidf.save(Tfidf.index(docs, "doc_id", "text"), freshDir)
+    assert(served == rows(Tfidf.searchSaved(spark, freshDir, query, 10)))
+  }
+
   test("bm25: a second append batch composes (three-way split)") {
     val dir = tmp("graft_bm25_maint3")
     Bm25.save(spark, docs.filter(col("doc_id") % 3 === 0),
