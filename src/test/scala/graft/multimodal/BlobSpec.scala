@@ -102,6 +102,94 @@ class BlobSpec extends SparkSpec {
     assert((img.getRGB(3, 0) & 0xff) > 150)
   }
 
+  /** A deterministic 16-bit mono PCM square wave (period 16 frames,
+    * amplitude `amp` — every sample is ±amp, so mean |s| = rms =
+    * peak = amp exactly) in the given container, through the real
+    * encoder.
+    */
+  private def audioBytes(tpe: javax.sound.sampled.AudioFileFormat.Type,
+      rate: Float, nFrames: Int, amp: Short,
+      bigEndian: Boolean): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate, 16, 1, true, bigEndian)
+    val bytes = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s: Int = if ((i / 8) % 2 == 0) amp.toInt else -amp.toInt
+      val (lo, hi) = ((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+      if (bigEndian) { bytes(2 * i) = hi; bytes(2 * i + 1) = lo }
+      else { bytes(2 * i) = lo; bytes(2 * i + 1) = hi }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, nFrames.toLong),
+      tpe, bos)
+    bos.toByteArray
+  }
+
+  test("audio decode is REAL: javax.sound.sampled reads true sample " +
+      "rate, channels, frames and pinned PCM stats from WAV and AIFF") {
+    import spark.implicits._
+    val wav = audioBytes(javax.sound.sampled.AudioFileFormat.Type.WAVE,
+      8000f, 4000, 1000, bigEndian = false)
+    val aiff = audioBytes(javax.sound.sampled.AudioFileFormat.Type.AIFF,
+      8000f, 4000, 1000, bigEndian = true)
+    val blobs = Seq(
+      Blob.BlobRow(1L, "audio/wav", 0, 0, 500L, wav),
+      Blob.BlobRow(2L, "audio/x-aiff", 0, 0, 500L, aiff),
+      // a corrupt payload under an audio mime profiles as empty
+      Blob.BlobRow(3L, "audio/wav", 0, 0, 500L, Array[Byte](1, 2, 3)))
+      .toDS()
+    val f = Blob.decodeAudio(blobs).collect().map(x => x.id -> x).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(f(id).sample_rate == 8000 && f(id).channels == 1)
+      assert(f(id).n_frames == 4000L)
+      // square wave: every decoded sample is exactly ±1000
+      assert(f(id).mean_abs == 1000.0)
+      assert(f(id).rms == 1000.0)
+      assert(f(id).peak == 1000)
+    }
+    assert(f(3L) == Blob.PcmFeatures(3L, 0, 0, 0L, 0.0, 0.0, 0))
+    // and the generic feature face projects the PCM mean onto the
+    // 8-bit scale instead of faking byte stats
+    val gen = Blob.decode(blobs).collect().map(x => x.id -> x).toMap
+    assert(math.abs(gen(1L).mean_byte - 1000.0 / 128.0) < 1e-12)
+    assert(gen(1L).n_bytes == wav.length)
+  }
+
+  test("audio resize is REAL: frame-accurate truncation, re-encoded " +
+      "payload decodes to the kept frames with unchanged amplitude") {
+    import spark.implicits._
+    val wav = audioBytes(javax.sound.sampled.AudioFileFormat.Type.WAVE,
+      8000f, 4000, 1000, bigEndian = false)
+    val blobs = Seq(Blob.BlobRow(1L, "audio/wav", 0, 0, 500L, wav)).toDS()
+    val r = Blob.resize(blobs, maxDim = 200).collect()(0) // 200 ms
+    assert(r.duration_ms == 200L)
+    assert(r.payload.length < wav.length)
+    val back = Blob.decodeAudio(Seq(r).toDS()).collect()(0)
+    assert(back.n_frames == 1600L) // 8000 Hz * 0.2 s
+    assert(back.mean_abs == 1000.0 && back.peak == 1000)
+    // never lengthened: a cap beyond the clip keeps every frame
+    val same = Blob.resize(blobs, maxDim = 10000).collect()(0)
+    assert(Blob.decodeAudio(Seq(same).toDS()).collect()(0)
+      .n_frames == 4000L)
+  }
+
+  test("audio frame sampling windows carry the exact PCM byte spans " +
+      "of the decoded clip") {
+    import spark.implicits._
+    val wav = audioBytes(javax.sound.sampled.AudioFileFormat.Type.WAVE,
+      8000f, 4000, 1000, bigEndian = false)
+    // declared duration LIES (9999); the decoded truth (500 ms) wins
+    val blobs = Seq(Blob.BlobRow(1L, "audio/wav", 0, 0, 9999L, wav)).toDS()
+    val frames = Blob.frameSample(blobs, everyMs = 200).collect()
+      .sortBy(_.frame_idx)
+    assert(frames.map(_.ts_ms).toSeq == Seq(0L, 200L, 400L))
+    // [0,200) and [200,400) hold 1600 frames * 2 bytes; [400,600)
+    // holds the remaining 800 frames
+    assert(frames.map(_.n_bytes).toSeq == Seq(3200, 3200, 1600))
+  }
+
   test("frame sampling fans out one row per sampled timestamp") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf).limit(10)
