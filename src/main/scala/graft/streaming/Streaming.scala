@@ -538,6 +538,48 @@ object Streaming {
             batch.select("vec_id", "embedding"), indexDir, batchId)
       }
 
+  /** J22 — the INGEST face for the saved BM25 index (the J21 pattern
+    * on D10): each micro-batch of NEW documents appends through
+    * [[graft.text.Bm25.appendSavedOnce]] — tokenize only the batch,
+    * append its postings and doc lengths, bump the additive totals;
+    * per-batch work is O(batch), which is exactly why a streaming
+    * corpus feed belongs on the BM25 artifact (Lucene's argument).
+    * foreachBatch is at-least-once, so the batch id is recorded in
+    * the index (`_appended/`) and a crash-replayed batch whose marker
+    * landed is a no-op; see appendSavedOnce's residual-window caveat.
+    * Serving after any prefix of batches equals a fresh index over
+    * the documents so far (spec-pinned).
+    */
+  def bm25IngestStream(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.text.Bm25.appendSavedOnce(
+            batch, idCol, textCol, indexDir, batchId)
+      }
+
+  /** J23 — the INGEST face for the saved tf-idf index: identical
+    * arrival contract to [[bm25IngestStream]] (batch-id idempotent,
+    * new ids only), but each batch pays the rederive of the globally
+    * idf-coupled layers — O(index) arithmetic, no re-tokenization
+    * (see [[graft.text.Tfidf.appendSavedOnce]]). The right cadence is
+    * therefore micro-batches of meaningful size (or a trigger that
+    * coalesces), not per-document commits.
+    */
+  def tfidfIngestStream(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.text.Tfidf.appendSavedOnce(
+            batch, idCol, textCol, indexDir, batchId)
+      }
+
   def snapshotPurgeStream(requests: DataFrame, storeDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     requests.writeStream

@@ -134,6 +134,27 @@ object Bm25 {
       s"$dir/stats_staged", s"$dir/stats")
   }
 
+  /** [[appendSaved]] guarded by a batch-id marker (the
+    * SnapshotStore.applyDiffOnce discipline): an at-least-once
+    * re-delivered batch — the Structured Streaming foreachBatch
+    * contract — is a no-op instead of appending duplicate postings.
+    * This is the entry [[graft.streaming.Streaming.bm25IngestStream]]
+    * uses. Residual window (the applyDiffOnce caveat): the append is
+    * three writes (postings, dl, stats swap) and the marker lands
+    * after all of them — a crash in between means the replay
+    * re-appends the whole batch; closable only by a transactional
+    * manifest across the layouts.
+    */
+  def appendSavedOnce(newDocs: DataFrame, idCol: String,
+      textCol: String, dir: String, batchId: Long): Unit = {
+    val fs = graft.FsOps.fs(newDocs.sparkSession, dir)
+    val m = new org.apache.hadoop.fs.Path(s"$dir/_appended/$batchId")
+    if (fs.exists(m)) return
+    appendSaved(newDocs, idCol, textCol, dir)
+    fs.mkdirs(m)
+    ()
+  }
+
   /** The raw tombstone sidecar (all generations), empty when no
     * delete has landed. Rows carry the deleted doc's LENGTH and the
     * tombstone generation: dl rides along so the serve can derive the

@@ -215,6 +215,29 @@ object Tfidf {
     rederiveSaved(spark, dir)
   }
 
+  /** [[appendSaved]] guarded by a batch-id marker (the
+    * SnapshotStore.applyDiffOnce discipline): an at-least-once
+    * re-delivered batch — the Structured Streaming foreachBatch
+    * contract — is a no-op instead of appending duplicate postings.
+    * This is the entry [[graft.streaming.Streaming.tfidfIngestStream]]
+    * uses. Residual window (the applyDiffOnce caveat): the marker
+    * lands after the postings append and the rederive — a crash in
+    * between means the replay re-appends the whole batch; closable
+    * only by a transactional manifest. Note the rederive makes each
+    * batch cost O(index) ARITHMETIC (tf-idf's global idf couples all
+    * weights — the [[save]] header's trade); a high-frequency feed
+    * belongs on the BM25 index, whose append is O(batch).
+    */
+  def appendSavedOnce(newDocs: DataFrame, idCol: String,
+      textCol: String, dir: String, batchId: Long): Unit = {
+    val fs = graft.FsOps.fs(newDocs.sparkSession, dir)
+    val m = new org.apache.hadoop.fs.Path(s"$dir/_appended/$batchId")
+    if (fs.exists(m)) return
+    appendSaved(newDocs, idCol, textCol, dir)
+    fs.mkdirs(m)
+    ()
+  }
+
   /** Rebuild everything DERIVED (`stats`, `idf`, `weights`, `norms`)
     * from the additive base — one linear arithmetic pass over the
     * stored postings, no tokenization. n_docs is count(distinct id)

@@ -189,6 +189,79 @@ class TextIndexMaintenanceSpec extends SparkSpec {
     assert(served == rows(Tfidf.searchSaved(spark, freshDir, query, 10)))
   }
 
+  test("J22 bm25 ingest stream: document micro-batches append " +
+      "idempotently and the served index equals fresh-over-union") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp("graft_bm25_ingest")
+    val ckpt = tmp("graft_bm25_ingest_ck")
+    Bm25.save(spark, docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", dir)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.Streaming.bm25IngestStream(
+        src.toDF().toDF("doc_id", "text"), "doc_id", "text", dir)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      src.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def nDl = spark.read.schema("id BIGINT, dl BIGINT")
+      .parquet(s"$dir/dl").count()
+    val n = nDl
+    // at-least-once re-delivery: a COMMITTED batch id is a no-op
+    Bm25.appendSavedOnce(b1.toDF("doc_id", "text"),
+      "doc_id", "text", dir, 0L)
+    assert(nDl == n, "re-delivered batch duplicated documents")
+    val served = rows(Bm25.servedTopK(spark, dir, query, 10))
+    assert(served == rows(Bm25.topK(spark, docs, "doc_id", "text",
+      query, 10)))
+  }
+
+  test("J23 tfidf ingest stream: micro-batches land through the " +
+      "rederive and the served index equals fresh-over-union") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp("graft_tfidf_ingest")
+    val ckpt = tmp("graft_tfidf_ingest_ck")
+    Tfidf.save(Tfidf.index(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text"), dir)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.Streaming.tfidfIngestStream(
+        src.toDF().toDF("doc_id", "text"), "doc_id", "text", dir)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      src.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val nDocs = spark.read.schema("n_docs BIGINT")
+      .parquet(s"$dir/stats").collect()(0).getLong(0)
+    Tfidf.appendSavedOnce(b1.toDF("doc_id", "text"),
+      "doc_id", "text", dir, 0L)
+    assert(spark.read.schema("n_docs BIGINT").parquet(s"$dir/stats")
+      .collect()(0).getLong(0) == nDocs,
+      "re-delivered batch duplicated documents")
+    val served = rows(Tfidf.searchSaved(spark, dir, query, 10))
+    val freshDir = tmp("graft_tfidf_ingest_fresh")
+    Tfidf.save(Tfidf.index(docs, "doc_id", "text"), freshDir)
+    assert(served == rows(Tfidf.searchSaved(spark, freshDir, query, 10)))
+  }
+
   test("bm25: a second append batch composes (three-way split)") {
     val dir = tmp("graft_bm25_maint3")
     Bm25.save(spark, docs.filter(col("doc_id") % 3 === 0),
