@@ -94,44 +94,55 @@ object EtlQueries extends QueryModule {
     * order-free, so the partition-parallel read cannot reorder a
     * result.
     */
+  /** One shared in-memory Derby database per JVM: bootstrapping a
+    * fresh db per invocation was measured at ~0.45 s of the gate
+    * query's 1.73 s (the r17 sole regression) — the isolation that
+    * matters is per-TABLE, not per-database, so each invocation gets
+    * a collision-free UUID table in the shared db and drops it in its
+    * finally. The db itself is never dropped and holds no tables
+    * between calls, so per-JVM memory stays bounded.
+    */
+  private val GateDbUrl = "jdbc:derby:memory:graftgate;create=true"
+
   def jdbcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    // collision-free db name per (dir, invocation): a UUID — not
+    // collision-free TABLE name per (dir, invocation): a UUID — not
     // dir.hashCode, whose 32-bit collisions (and negative
     // abs(Int.MinValue)) could alias two gate corpora onto one shared
-    // mutable db. The db is DROPPED in the finally, so repeated gate
-    // runs don't accumulate per-JVM Derby memory.
-    val db = s"graftgate${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val url = s"jdbc:derby:memory:$db;create=true"
+    // mutable table. Dropped in the finally.
+    val table =
+      s"obs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val url = GateDbUrl
     val props = new java.util.Properties
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     val c = Tables.customer(spark, dir)
       .select("c_custkey", "c_acctbal", "c_mktsegment")
     try {
-      Clean.loadJdbc(c, url, "obs", "full-refresh", props)
-      Clean.loadJdbc(c, url, "obs", "append", props)
-      Clean.loadJdbc(c, url, "obs", "truncate", props)
-      Clean.loadJdbc(c, url, "obs", "append", props)
+      Clean.loadJdbc(c, url, table, "full-refresh", props)
+      Clean.loadJdbc(c, url, table, "append", props)
+      Clean.loadJdbc(c, url, table, "truncate", props)
+      Clean.loadJdbc(c, url, table, "append", props)
       // stride bounds: ONE bounded 2-value collect (the key range a
       // deployment reads from the warehouse catalog)
       val bounds = c.agg(min("c_custkey"), max("c_custkey")).collect()(0)
       val (lo, hi) =
         if (bounds.isNullAt(0)) (0L, 1L)
         else (bounds.getLong(0), bounds.getLong(1) + 1)
-      // eager checkpoint: the jdbc scan must run while the in-memory
-      // Derby still exists — the caller's actions then read blocks
-      Tables.fromJdbc(spark, url, "obs", "c_custkey", lo, hi, 8, props)
+      // eager checkpoint: the jdbc scan must run while the backing
+      // table still exists — the caller's actions then read blocks
+      Tables.fromJdbc(spark, url, table, "c_custkey", lo, hi, 8, props)
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_rows"),
           graft.Fp.dsum2(col("c_acctbal")).as("sum_bal"))
         .orderBy("c_mktsegment")
         .localCheckpoint(true)
     } finally {
-      // in-memory Derby drops via the drop=true connection attribute,
-      // which "succeeds" by throwing 08006
       try {
-        java.sql.DriverManager
-          .getConnection(s"jdbc:derby:memory:$db;drop=true")
-        ()
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          st.executeUpdate(s"DROP TABLE $table")
+          st.close()
+        } finally conn.close()
       } catch { case _: java.sql.SQLException => () }
     }
   }

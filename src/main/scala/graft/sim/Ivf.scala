@@ -112,19 +112,23 @@ object Ivf extends QueryModule {
             // the model a pure function of (data, seed).
             val mod = sampleMod(n, lists)
             val sampleRows = n / mod
-            val model = new KMeans().setK(lists).setSeed(42)
-              .setFeaturesCol("features").setPredictionCol("list_id")
-              .fit(feats
-                .filter(expr(s"conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) % $mod = 0"))
-                .repartition(fitPartitions(sampleRows), col("vec_id"))
-                .sortWithinPartitions("vec_id"))
+            val model = graft.Profiling.phase("ivf.coarse_fit") {
+              new KMeans().setK(lists).setSeed(42)
+                .setFeaturesCol("features").setPredictionCol("list_id")
+                .fit(feats
+                  .filter(expr(s"conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) % $mod = 0"))
+                  .repartition(fitPartitions(sampleRows), col("vec_id"))
+                  .sortWithinPartitions("vec_id"))
+            }
             // eager checkpoint, not lazy persist: the knn action reads
             // the listed corpus through BOTH the query and candidate
             // filter branches — and the blocks survive clearCache, so
             // a served index never rebuilds mid-session
-            val listed = model.transform(feats).drop("features")
-              .withColumn("nsq", Vectors.normSq("embedding"))
-              .localCheckpoint(true)
+            val listed = graft.Profiling.phase("ivf.assign_checkpoint") {
+              model.transform(feats).drop("features")
+                .withColumn("nsq", Vectors.normSq("embedding"))
+                .localCheckpoint(true)
+            }
             Some((model.clusterCenters.map(_.toArray), listed))
           }
           indexCache.put(key, built)

@@ -55,10 +55,30 @@ object PqTrained extends graft.QueryModule {
   /** Probe count: nLists/4 at small scale (the given twin's ratio),
     * CAPPED at 32 — the cap is what makes the serve O(√n): an
     * uncapped lists/4 probe keeps the scanned FRACTION constant,
-    * which is the given twin's linear asymptote.
+    * which is the given twin's linear asymptote. The 32 default sits
+    * on the knee of the measured recall-vs-probes curve on the
+    * planted-cluster stress fixture (STRESSIVFPQ_r18: routing recall
+    * saturates well before the cap at both rungs); a deployment
+    * whose corpus needs a different trade sets [[NProbeConfKey]].
     */
   def probeCount(lists: Int): Int =
     math.max(4, math.min(32, lists / 4))
+
+  /** Session config overriding the serve's probe count (positive
+    * int): `spark.conf.set("spark.graft.ivfpq.nprobe", 8)`. An
+    * explicit `nProbe` argument still wins; the [[probeCount]]
+    * default applies when neither is given. More probes buy recall
+    * linearly in served-candidate cost (each probe scans ~n/nLists
+    * codes) — pick from the measured curve, not by feel.
+    */
+  val NProbeConfKey = "spark.graft.ivfpq.nprobe"
+
+  private def confNProbe(spark: SparkSession): Option[Int] =
+    spark.conf.getOption(NProbeConfKey).map { v =>
+      val n = v.trim.toInt
+      require(n > 0, s"$NProbeConfKey must be positive, got $v")
+      n
+    }
 
   /** The built trained index: driver-side quantizer + product
     * codebook (both serving-size: O(√n)·d and M·k·d doubles), and the
@@ -140,25 +160,29 @@ object PqTrained extends graft.QueryModule {
   }
 
   private def build(emb: DataFrame): Option[Index] =
-    Ivf.index(emb.select("vec_id", "embedding")).map {
+    graft.Profiling.phase("trained.coarse(Ivf.index)") {
+      Ivf.index(emb.select("vec_id", "embedding"))
+    }.map {
       case (centers, listed) =>
         val spark = listed.sparkSession
         val n = listed.count()
         val cents = centDf(spark, centers)
         // residuals once, checkpointed: read by each subspace fit's
         // sample and by the encode projection
-        val resid = listed
-          .join(broadcast(cents), listed("list_id") === cents("cid"))
-          .select(col("vec_id"), col("list_id").cast("bigint").as("list_id"),
-            zip_with(col("embedding"), col("ce"),
-              (x, c) => x.cast("double") - c).as("resid"))
-          .localCheckpoint(true)
+        val resid = graft.Profiling.phase("trained.residuals") {
+          listed
+            .join(broadcast(cents), listed("list_id") === cents("cid"))
+            .select(col("vec_id"), col("list_id").cast("bigint").as("list_id"),
+              zip_with(col("embedding"), col("ce"),
+                (x, c) => x.cast("double") - c).as("resid"))
+            .localCheckpoint(true)
+        }
         val codebook: Array[Array[Array[Double]]] =
           if (n < 2) {
             // a 1-vector corpus IS its centroid: residual zero, one
             // zero codeword per subspace, no fit (the Ivf n==1 rule)
             Array.fill(NumSub)(Array(Array.fill(SubDim)(0.0d)))
-          } else {
+          } else graft.Profiling.phase("trained.codebook_fits") {
             val k = math.min(codewords(n).toLong, n).toInt
             val mod = math.max(1L, n / (Ivf.TrainPerList.toLong * k))
             val sample = resid.filter(expr(
@@ -184,12 +208,14 @@ object PqTrained extends graft.QueryModule {
         // of an interpreted HOF fold at k=256, and the build is the
         // one place this index touches every vector
         val enc = encodeUdf(codebook)
-        val codes = resid
-          .withColumn("cs", enc(col("resid")))
-          .select(col("vec_id") +: col("list_id") +:
-            (0 until NumSub).map(m =>
-              element_at(col("cs"), m + 1).as(s"code_$m")): _*)
-          .localCheckpoint(true)
+        val codes = graft.Profiling.phase("trained.encode") {
+          resid
+            .withColumn("cs", enc(col("resid")))
+            .select(col("vec_id") +: col("list_id") +:
+              (0 until NumSub).map(m =>
+                element_at(col("cs"), m + 1).as(s"code_$m")): _*)
+            .localCheckpoint(true)
+        }
         Index(centers, codebook, codes)
     }
 
@@ -218,7 +244,8 @@ object PqTrained extends graft.QueryModule {
       .withColumn("c_dsq",
         dsq(col("eq").cast("array<double>"), col("ce")))
       .withColumn("prnk", row_number().over(probeRank))
-      .filter(col("prnk") <= nProbe.getOrElse(probeCount(nLists)))
+      .filter(col("prnk") <= nProbe.orElse(confNProbe(spark))
+        .getOrElse(probeCount(nLists)))
       .select(col("query_id"), col("cid").as("list_id"),
         zip_with(col("eq"), col("ce"),
           (x, c) => x.cast("double") - c).as("qres"))
@@ -369,6 +396,28 @@ object PqTrained extends graft.QueryModule {
     if (nq == 0) 1.0
     else got.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
       .count().toDouble / (nq * K)
+  }
+
+  /** The measured recall-vs-probes curve and its knee: sweep
+    * [[meanRecall]] over candidate probe counts (ascending) and
+    * return the smallest probe count reaching `targetRecall`, plus
+    * the full curve for the caller's own trade-off. Falls back to
+    * the largest candidate when the target is never reached (the
+    * honest answer: this index cannot serve that recall from probes
+    * alone — widen the rerank shortlist or retrain). This is the
+    * tuning pass a deployment runs ONCE on a held-out sample, then
+    * pins the knee via [[NProbeConfKey]]; probes buy recall linearly
+    * in serve cost (each probe scans ~n/nLists codes), so serving
+    * above the knee is pure waste.
+    */
+  def probeForRecall(emb: DataFrame, targetRecall: Double,
+      candidates: Seq[Int] = Seq(1, 2, 4, 8, 16, 32))
+      : (Int, Seq[(Int, Double)]) = {
+    val curve = candidates.sorted.map(p => p -> meanRecall(emb, Some(p)))
+    val knee = curve.collectFirst {
+      case (p, r) if r >= targetRecall => p
+    }.getOrElse(curve.last._1)
+    (knee, curve)
   }
 
   def knnQ(spark: SparkSession, dir: String): DataFrame =

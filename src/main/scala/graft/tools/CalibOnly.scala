@@ -8,9 +8,12 @@ object CalibOnly {
   def main(args: Array[String]): Unit = {
     val spark = graft.Engine.session("graft-calib")
     spark.sparkContext.setLogLevel("WARN")
-    // one untimed warmup of the same shape, then the measured reps
-    graft.Bench.calibrate(spark, reps = 1)
-    val c = graft.Bench.calibrate(spark)
+    // untimed warmup of the same shape until the JIT settles (a
+    // single warmup rep measured 1.77 vs 0.61 s between two fresh
+    // JVMs — C2 was still compiling through all five timed reps),
+    // then the measured min-of-5
+    graft.Bench.calibrate(spark, reps = 6)
+    val c = graft.Bench.calibrate(spark, reps = 10)
     println(f"""CALIB {"calib_sec":$c%.3f,"reference_set":"${graft.Bench.CalibReferenceSet}"}""")
     spark.stop()
   }

@@ -1,38 +1,96 @@
 package graft.tools
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev tool: scaling check for the PERSISTED composed IVFPQ index
-  * (G26/G27) — the StressKnn embAmp amplification applied to the
-  * serving story. Per rung: build+save the index once, then time the
-  * served residual-ADC top-k and the rerank face against the honest
-  * competitor (brute-force exact top-k over the full corpus), and
-  * count the list directories the serve actually read vs the total —
-  * the partition-pruning bound that makes the index sublinear. Two
-  * indexes per rung: the pinned 16-list GIVEN twin (probes a constant
-  * 4/16 fraction — linear by construction, kept for the hash gate)
+  * (G26/G27) — build+save per rung, time the served residual-ADC
+  * top-k and rerank faces against the honest competitor (brute-force
+  * exact top-k), for BOTH the pinned 16-list GIVEN twin (constant 4/16
+  * probe fraction — linear by construction, kept for the hash gate)
   * and the TRAINED √n-list index with capped probes (PqTrained — the
-  * production geometry, whose serve should scale ~√n: 4× corpus ≈ 2×
-  * serve), plus a recall@k-vs-nProbe sweep of the trained index
-  * against exact ground truth.
-  * Usage: runMain graft.tools.StressIvfPq [sfDir] [mult1,mult2,...]
+  * production geometry, serve ~√n), plus a recall-vs-nProbe sweep of
+  * the trained index against exact ground truth.
+  *
+  * The corpus is PLANTED-CLUSTER data (round 18 — the r17 verdict's
+  * top item): the r17 fixture was permuted-replica random floats, the
+  * provably adversarial case for PQ (no subspace structure → ADC
+  * uncorrelated with true distance → recall noise-bound at 0.0-0.13
+  * and FLAT in nProbe, so a real recall regression was invisible).
+  * Here vectors are Gaussian clusters (σ_noise around seeded centers
+  * — the shape real embeddings have) and each query gets exactly K
+  * planted near-neighbors (σ_plant ≪ σ_noise) appended at the END of
+  * the id space, so exact ground truth IS the planted set, found only
+  * if probe routing reaches the query's cluster lists — recall now
+  * RESPONDS to nProbe and certifies retrieval quality, not just
+  * speed. Planted ids live at the top of the range so the given
+  * twin's first-16-ids quantizer stays unpolluted.
+  *
+  * Usage: runMain graft.tools.StressIvfPq [n1,n2,...] [nCenters]
   */
 object StressIvfPq {
+
+  private val Dim = 64
+  private val SigmaNoise = 0.25
+  // half of σ_noise: tight enough that the planted points stay each
+  // query's exact top-k (planted dist² ≈ 2·d·σ_plant² ≈ 2 vs ≥ 4 to
+  // the nearest of ~n/centers cluster-mates), loose enough that they
+  // STRADDLE the √n-list quantizer's sub-cluster boundaries — which
+  // is what makes recall respond to nProbe instead of saturating at
+  // one probe (σ_plant = 0.02 measured flat-at-1.0 from nProbe=1)
+  private val SigmaPlant = 0.125
+
+  /** Deterministic planted-cluster corpus: `nCenters` seeded Gaussian
+    * centers; ids [0, QueryIds) are the queries, the top QueryIds·K
+    * ids are the planted near-neighbors (id → its query derivable by
+    * position), everything else is a cluster point (hashed center +
+    * σ_noise). Pure function of (n, nCenters, seed) — any executor
+    * re-derives any row.
+    */
+  def planted(spark: SparkSession, n: Long, nCenters: Int,
+      seed: Long): DataFrame = {
+    val nQ = graft.sim.Pq.QueryIds
+    val kPlant = graft.sim.Pq.K
+    val firstPlant = n - nQ.toLong * kPlant
+    require(firstPlant > 32,
+      s"planted corpus needs n > ${32 + nQ * kPlant}, got $n")
+    // everything the udf closure touches is a LOCAL (the enclosing
+    // object is not serializable and must not be captured)
+    val (dim, sNoise, sPlant, nC, s) =
+      (Dim, SigmaNoise, SigmaPlant, nCenters, seed)
+    def rng(x: Long) = new java.util.Random(x * 0x9E3779B97F4A7C15L + s)
+    val centers: Array[Array[Double]] = Array.tabulate(nC) { c =>
+      val r = rng(0x5EEDC0DEL + c)
+      Array.fill(dim)(r.nextGaussian())
+    }
+    val gen = udf((id: Long) => {
+      def mk(x: Long) =
+        new java.util.Random(x * 0x9E3779B97F4A7C15L + s)
+      def baseVec(i: Long): Array[Double] = {
+        val c = centers(java.lang.Math
+          .floorMod(i * 2654435761L, nC.toLong).toInt)
+        val r = mk(i)
+        Array.tabulate(dim)(j => c(j) + sNoise * r.nextGaussian())
+      }
+      val v: Array[Double] =
+        if (id >= firstPlant) {
+          val q = (id - firstPlant) / kPlant
+          val b = baseVec(q) // the query's own vector, re-derived
+          val r = mk(id)
+          Array.tabulate(dim)(j => b(j) + sPlant * r.nextGaussian())
+        } else baseVec(id)
+      v.map(_.toFloat)
+    })
+    spark.range(n)
+      .select(col("id").as("vec_id"), gen(col("id")).as("embedding"))
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val mults = args.lift(1).getOrElse("6,12,24").split(",").map(_.toInt)
+    val ns = args.headOption.getOrElse("480000,1920000")
+      .split(",").map(_.trim.toLong)
+    val nCenters = args.lift(1).map(_.toInt).getOrElse(256)
     val spark = graft.Engine.session("graft-stress-ivfpq")
     spark.sparkContext.setLogLevel("WARN")
-
-    def rngPerm(n: Int, seed: Long): Array[Int] = {
-      val r = new java.util.Random(seed * 0x9E3779B97F4A7C15L + n)
-      val out = Array.range(0, n)
-      for (k <- n - 1 to 1 by -1) {
-        val j = r.nextInt(k + 1)
-        val t = out(k); out(k) = out(j); out(j) = t
-      }
-      out
-    }
 
     def timed(f: => Long): (Double, Long) = {
       var best = Double.MaxValue; var n = 0L
@@ -45,36 +103,16 @@ object StressIvfPq {
     }
 
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (mult <- mults) {
-      // replica 0 keeps the original ids so codebook/centroid vectors
-      // (vec_id < 16) and the 5 query ids exist once. The replicas
-      // ride a broadcast (rep, perm) table + one transform — NOT a
-      // mult-way union of per-replica projections, whose 960-branch
-      // plan shipped 80 MB task binaries and stalled in codegen at
-      // the top rung. Data identical: replica i permutes dimensions
-      // by rngPerm(64, i) exactly as before.
-      val spark2 = spark
-      import spark2.implicits._
-      val perms = (0 until mult).map { i =>
-        val p = if (i == 0) Array.range(0, 64) else rngPerm(64, i.toLong)
-        (i.toLong, p.toSeq)
-      }.toDF("rep", "perm")
-      val embAmp = graft.sources.Tables.table(spark, sfDir, "embeddings")
-        .select("vec_id", "embedding")
-        .crossJoin(broadcast(perms))
-        .select(
-          (col("vec_id") + col("rep") * lit(100000000L)).as("vec_id"),
-          expr("""transform(sequence(1, 64),
-                 |  d -> element_at(embedding, element_at(perm, d) + 1))"""
-            .stripMargin).as("embedding"))
+    for (n <- ns) {
+      val corpus = planted(spark, n, nCenters, seed = 18L)
         .localCheckpoint(true)
-      val n = embAmp.count()
+      require(corpus.count() == n)
       val d = java.nio.file.Files
-        .createTempDirectory(s"graft_stress_ivfpq_x$mult").toString
+        .createTempDirectory(s"graft_stress_ivfpq_$n").toString
       val t0 = System.nanoTime()
-      graft.sim.Pq.saveIvfPq(embAmp, d)
+      graft.sim.Pq.saveIvfPq(corpus, d)
       val tBuild = (System.nanoTime() - t0) / 1e9
-      val queries = embAmp.filter(col("vec_id") < graft.sim.Pq.QueryIds)
+      val queries = corpus.filter(col("vec_id") < graft.sim.Pq.QueryIds)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
         .localCheckpoint(true)
       val (tServe, _) = timed {
@@ -89,22 +127,24 @@ object StressIvfPq {
       // geometry): build+save once, then time the served ADC and
       // sweep recall@k over nProbe against exact ground truth
       val dT = java.nio.file.Files
-        .createTempDirectory(s"graft_stress_ivfpq_trained_x$mult").toString
+        .createTempDirectory(s"graft_stress_ivfpq_trained_$n").toString
       val tT0 = System.nanoTime()
-      graft.sim.PqTrained.save(embAmp, dT)
+      graft.sim.PqTrained.save(corpus, dT)
       val tBuildTrained = (System.nanoTime() - tT0) / 1e9
       val nListsTrained = graft.sim.Ivf.numLists(n)
       val (tServeTrained, _) = timed {
         graft.sim.PqTrained.servedKnn(spark, dT, queries,
           col("vec_id") >= graft.sim.Pq.QueryIds).count()
       }
-      // exact ground truth once; recall per probe count in the driver
+      // exact ground truth once (its timing IS the honest brute
+      // competitor); with the planted fixture it should BE the
+      // planted set — reported as a fixture sanity check
+      val tB0 = System.nanoTime()
       val exactTop = {
-        val q = queries
-        val c = embAmp.filter(col("vec_id") >= graft.sim.Pq.QueryIds)
+        val c = corpus.filter(col("vec_id") >= graft.sim.Pq.QueryIds)
           .select(col("vec_id").as("neighbor_id"),
             col("embedding").as("ec"))
-        val scored = c.crossJoin(broadcast(q))
+        val scored = c.crossJoin(broadcast(queries))
           .withColumn("dsq", expr(
             """aggregate(zip_with(eq, ec, (x, y) ->
               |  (cast(x as double) - cast(y as double)) *
@@ -112,39 +152,27 @@ object StressIvfPq {
               |  cast(0 as double), (a, v) -> a + v)""".stripMargin))
           .withColumn("sim", -col("dsq"))
         graft.plans.AggExpressions
-          .topKPerKey(scored, "query_id", "sim", "neighbor_id", Nil, 3)
+          .topKPerKey(scored, "query_id", "sim", "neighbor_id", Nil,
+            graft.sim.Pq.K)
           .select("query_id", "neighbor_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       }
-      val recallSweep = Seq(4, 8, 16, 32).map { p =>
+      val tBrute = (System.nanoTime() - tB0) / 1e9
+      val firstPlant =
+        n - graft.sim.Pq.QueryIds.toLong * graft.sim.Pq.K
+      val plantedFrac = exactTop.count(_._2 >= firstPlant).toDouble /
+        math.max(1, exactTop.size)
+      val recallSweep = Seq(1, 2, 4, 8, 16, 32).map { p =>
         def rec(df: org.apache.spark.sql.DataFrame): Double = {
           val got = df.select("query_id", "neighbor_id").collect()
             .map(r => (r.getLong(0), r.getLong(1)))
           got.count(exactTop.contains).toDouble /
             math.max(1, exactTop.size)
         }
-        val adc = rec(graft.sim.PqTrained.knn(embAmp, Some(p)))
-        val rr = rec(graft.sim.PqTrained.knnRerank(embAmp, Some(p)))
+        val adc = rec(graft.sim.PqTrained.knn(corpus, Some(p)))
+        val rr = rec(graft.sim.PqTrained.knnRerank(corpus, Some(p)))
         s""""$p":{"adc":${f"$adc%.4f"},"rerank":${f"$rr%.4f"}}"""
       }.mkString("{", ",", "}")
-      // the honest competitor: exact cosine-free squared-L2 top-k by
-      // full scan (the knn_brute shape) over the same corpus
-      val (tBrute, _) = timed {
-        val q = queries.select(col("query_id"), col("eq"))
-        val c = embAmp.filter(col("vec_id") >= graft.sim.Pq.QueryIds)
-          .select(col("vec_id").as("neighbor_id"),
-            col("embedding").as("ec"))
-        val scored = c.crossJoin(broadcast(q))
-          .withColumn("dsq", expr(
-            """aggregate(zip_with(eq, ec, (x, y) ->
-              |  (cast(x as double) - cast(y as double)) *
-              |  (cast(x as double) - cast(y as double))),
-              |  cast(0 as double), (a, v) -> a + v)""".stripMargin))
-          .withColumn("sim", -col("dsq"))
-        graft.plans.AggExpressions
-          .topKPerKey(scored, "query_id", "sim", "neighbor_id", Nil, 3)
-          .count()
-      }
       // pruning bound: directories the served scan listed vs total
       val totalLists = new java.io.File(s"$d/codes").listFiles()
         .count(_.getName.startsWith("list_id="))
@@ -152,7 +180,10 @@ object StressIvfPq {
           col("vec_id") >= graft.sim.Pq.QueryIds)
         .select("list_id").distinct().count()
       val line =
-        s"""{"mult":$mult,"n_vectors":$n,"sec_build":$tBuild,
+        s"""{"fixture":"planted_clusters","n_centers":$nCenters,
+           |"sigma_noise":$SigmaNoise,"sigma_plant":$SigmaPlant,
+           |"n_vectors":$n,"planted_in_exact_top":$plantedFrac,
+           |"sec_build":$tBuild,
            |"sec_served_adc":$tServe,"sec_served_rerank":$tRerank,
            |"sec_brute_exact":$tBrute,
            |"lists_total":$totalLists,"lists_in_topk":$probed,
@@ -169,7 +200,7 @@ object StressIvfPq {
       spark.catalog.clearCache()
     }
     java.nio.file.Files.writeString(
-      java.nio.file.Path.of("STRESSIVFPQ_r17.json"),
+      java.nio.file.Path.of("STRESSIVFPQ_r18.json"),
       out.mkString("[", ",\n", "]\n"))
     spark.stop()
   }
