@@ -450,7 +450,7 @@ object Pq extends QueryModule {
 
   // explicit schemas (the r9 empty-corpus discipline, and partition
   // directories must type list_id BIGINT like the fresh path)
-  private def loadIvfPqCodes(spark: SparkSession, dir: String): DataFrame =
+  private[sim] def loadIvfPqCodes(spark: SparkSession, dir: String): DataFrame =
     spark.read
       .schema("vec_id BIGINT, " +
         (0 until NumSub).map(m => s"code_$m BIGINT").mkString(", ") +
@@ -597,10 +597,11 @@ object Pq extends QueryModule {
     * miss the stranded lists — the price of read paths staying
     * read-only.
     */
-  private def recoverDeleteOld(spark: SparkSession, dir: String): Unit = {
+  private[sim] def recoverDeleteOld(spark: SparkSession, dir: String,
+      subs: Seq[String] = Seq("codes", "refine")): Unit = {
     val fs = graft.FsOps.fs(spark, dir)
     def path(s: String) = new org.apache.hadoop.fs.Path(s)
-    for (sub <- Seq("codes", "refine")) {
+    for (sub <- subs) {
       val oldRoot = path(s"$dir/${sub}_delete_old")
       if (fs.exists(oldRoot))
         for (st <- fs.listStatus(oldRoot)
@@ -628,42 +629,53 @@ object Pq extends QueryModule {
       .select("list_id").distinct()
       .collect().map(_.getLong(0)).sorted
     if (touched.isEmpty) return
-    val fs = graft.FsOps.fs(spark, dir)
-    def path(s: String) = new org.apache.hadoop.fs.Path(s)
     for ((sub, df) <- Seq(
         "codes" -> loadIvfPqCodes(spark, dir),
-        "refine" -> loadIvfPqRefine(spark, dir))) {
-      val staged = s"$dir/${sub}_delete_staging"
-      df.filter(col("list_id").isin(touched: _*))
-        .join(del, Seq("vec_id"), "left_anti")
-        .repartition(col("list_id"))
-        .write.mode("overwrite").partitionBy("list_id").parquet(staged)
-      // per-list swap with CHECKED renames: the live directory moves
-      // to a sidecar `_delete_old` root FIRST (outside the layout, so
-      // partition discovery never sees it), then the staged rewrite
-      // renames in — a crash mid-swap leaves every touched list's
-      // data recoverable under _delete_old, never destroyed. A
-      // concurrent reader during the loop can still observe a touched
-      // list briefly absent (quiesce serving during deletes, or read
-      // through a snapshot) — the old rows, however, are never the
-      // only casualty of a crash anymore.
-      val oldRoot = s"$dir/${sub}_delete_old"
-      // safe to clear: recoverDeleteOld already rolled back any list
-      // whose only copy lived here, so what remains is superseded
-      fs.delete(path(oldRoot), true)
-      fs.mkdirs(path(oldRoot))
-      for (lid <- touched) {
-        val live = path(s"$dir/$sub/list_id=$lid")
-        val next = path(s"$staged/list_id=$lid")
-        require(fs.rename(live, path(s"$oldRoot/list_id=$lid")),
-          s"ivfpq delete at $dir: rename $live to $oldRoot failed")
-        if (fs.exists(next)) // absent ⇒ list emptied by the delete
-          require(fs.rename(next, live),
-            s"ivfpq delete at $dir: rename $next to $live failed")
-      }
-      fs.delete(path(staged), true)
-      fs.delete(path(oldRoot), true)
+        "refine" -> loadIvfPqRefine(spark, dir)))
+      deleteFromListLayout(spark, dir, sub, df, del, touched)
+  }
+
+  /** The per-layout half of [[deleteIvfPq]], shared with the trained
+    * index's codes-only delete ([[PqTrained.deleteTrained]]): stage
+    * the touched lists' anti-joined rewrite, then per-list swap with
+    * CHECKED renames — the live directory moves to a sidecar
+    * `_delete_old` root FIRST (outside the layout, so partition
+    * discovery never sees it), then the staged rewrite renames in; a
+    * crash mid-swap leaves every touched list's data recoverable
+    * under _delete_old, never destroyed (callers run
+    * [[recoverDeleteOld]] before reading or clearing anything). A
+    * concurrent reader during the loop can still observe a touched
+    * list briefly absent (quiesce serving during deletes, or read
+    * through a snapshot) — the old rows, however, are never the only
+    * casualty of a crash.
+    */
+  private[sim] def deleteFromListLayout(spark: SparkSession,
+      dir: String, sub: String, df: DataFrame, del: DataFrame,
+      touched: Array[Long]): Unit = {
+    val fs = graft.FsOps.fs(spark, dir)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    val staged = s"$dir/${sub}_delete_staging"
+    df.filter(col("list_id").isin(touched: _*))
+      .join(del, Seq("vec_id"), "left_anti")
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(staged)
+    val oldRoot = s"$dir/${sub}_delete_old"
+    // safe to clear: recoverDeleteOld already rolled back any list
+    // whose only copy lived here, so what remains is superseded
+    fs.delete(path(oldRoot), true)
+    fs.mkdirs(path(oldRoot))
+    for (lid <- touched) {
+      val live = path(s"$dir/$sub/list_id=$lid")
+      val next = path(s"$staged/list_id=$lid")
+      require(fs.rename(live, path(s"$oldRoot/list_id=$lid")),
+        s"ivfpq delete at $dir: rename $live to $oldRoot failed")
+      if (fs.exists(next)) // absent ⇒ list emptied by the delete
+        require(fs.rename(next, live),
+          s"ivfpq delete at $dir: rename $next to $live failed")
     }
+    fs.delete(path(staged), true)
+    fs.delete(path(oldRoot), true)
+    ()
   }
 
   /** G31 — occupancy REBALANCE for the composed index (the G23

@@ -453,8 +453,10 @@ object PqTrained extends graft.QueryModule {
     * probe set partition-prunes `codes/`, and scoring is the same
     * broadcast-LUT element_at plan as the in-session path.
     */
-  def servedKnn(spark: SparkSession, dir: String, queries: DataFrame,
-      candPred: Column): DataFrame = {
+  /** Load the SAVED model (quantizer + codebook) as driver arrays —
+    * serving-size quantities: O(√n)·d and M·k·d doubles.
+    */
+  private def loadModel(spark: SparkSession, dir: String): Index = {
     val centers = spark.read.parquet(s"$dir/centroids")
       .orderBy("cid").collect()
       .map(_.getSeq[Double](1).toArray)
@@ -462,7 +464,12 @@ object PqTrained extends graft.QueryModule {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3)).toArray
-    val ix = Index(centers, cb, null)
+    Index(centers, cb, null)
+  }
+
+  def servedKnn(spark: SparkSession, dir: String, queries: DataFrame,
+      candPred: Column): DataFrame = {
+    val ix = loadModel(spark, dir)
     val lut = lutFrame(queries, ix).localCheckpoint(true)
     val probedIds = lut.select("list_id").distinct()
       .collect().map(_.getLong(0)).sorted
@@ -473,5 +480,115 @@ object PqTrained extends graft.QueryModule {
       .parquet(s"$dir/codes")
       .filter(candPred && col("list_id").isin(probedIds: _*))
     adcTopK(codes, lut, K)
+  }
+
+  /** G34 — incremental maintenance of the TRAINED composed index: the
+    * G28 arrival contract applied to the production geometry (which
+    * previously had save/serve only — vectors could not ARRIVE). New
+    * vectors assign against the SAVED √n-list quantizer (argmin over
+    * the broadcast centers — squared L2, first minimum wins, the
+    * quantizer's own metric), residual-encode against the SAVED
+    * codebook (the build's own primitive-array kernel), and append
+    * into `codes/` partitioned by list_id; existing lists are never
+    * read or rewritten, so per-batch work is O(batch)·√n (the argmin
+    * term — the same per-vector cost the build's own assignment
+    * pays). For a PINNED model the result is IDENTICAL to encoding
+    * the union corpus with that model (assignment and encoding are
+    * per-vector; spec-pinned against a model-copied rebuild), which
+    * is exactly why deployments pin the model and retrain offline —
+    * G28's argument, unchanged by training.
+    */
+  def appendTrained(newEmb: DataFrame, dir: String): Unit = {
+    val spark = newEmb.sparkSession
+    val ix = loadModel(spark, dir)
+    val centB = spark.sparkContext.broadcast(ix.centers)
+    val assignU = udf((emb: Seq[Float]) => {
+      val cs = centB.value
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val cw = cs(c)
+        var d = 0.0d
+        var i = 0
+        while (i < cw.length) {
+          val t = emb(i).toDouble - cw(i)
+          d += t * t
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best.toLong
+    })
+    val residU = udf((emb: Seq[Float], lid: Long) => {
+      val cw = centB.value(lid.toInt)
+      Array.tabulate(cw.length)(i => emb(i).toDouble - cw(i))
+    })
+    val enc = encodeUdf(ix.codebook)
+    newEmb.select(col("vec_id"), col("embedding"))
+      .withColumn("list_id", assignU(col("embedding")))
+      .withColumn("cs", enc(residU(col("embedding"), col("list_id"))))
+      .select(col("vec_id") +: col("list_id") +:
+        (0 until NumSub).map(m =>
+          element_at(col("cs"), m + 1).as(s"code_$m")): _*)
+      .repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$dir/codes")
+  }
+
+  /** G35 — deletion from the trained index ([[Pq.deleteIvfPq]]'s
+    * per-list-swap discipline on the single codes layout): the delete
+    * set joins the codes once to find the TOUCHED lists, only those
+    * list directories rewrite (staging + checked per-list swap with
+    * the `_delete_old` crash sidecar; a stranded list rolls back
+    * before anything reads or sweeps), untouched lists never read.
+    * No refine sidecar exists here, so rerank-style serving after a
+    * delete re-fetches raw vectors from the caller's corpus frame as
+    * [[knnRerank]] always does.
+    */
+  def deleteTrained(spark: SparkSession, dir: String,
+      ids: DataFrame): Unit = {
+    Pq.recoverDeleteOld(spark, dir, Seq("codes"))
+    val del = ids.select(col("vec_id")).distinct()
+    val codes = Pq.loadIvfPqCodes(spark, dir)
+    val touched = codes.join(del, "vec_id")
+      .select("list_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (touched.isEmpty) return
+    Pq.deleteFromListLayout(spark, dir, "codes", codes, del, touched)
+  }
+
+  /** G36 — compaction for the trained index: each [[appendTrained]]
+    * lays one file per touched list, so a long-lived index
+    * accumulates small files; rewrite `codes/` to one file per list
+    * via a checked staged swap (the [[Pq.compactIvfPq]] discipline,
+    * single layout). Serving is unchanged.
+    */
+  def compactTrained(spark: SparkSession, dir: String): Unit = {
+    Pq.recoverDeleteOld(spark, dir, Seq("codes"))
+    val staged = s"$dir/codes_compact_staging"
+    Pq.loadIvfPqCodes(spark, dir)
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(staged)
+    graft.FsOps.swapDir(graft.FsOps.fs(spark, dir),
+      staged, s"$dir/codes")
+  }
+
+  /** [[appendTrained]] guarded by a batch-id marker (the
+    * appendIvfPqOnce discipline): an at-least-once re-delivered batch
+    * is a no-op. Single-layout index, so the residual window is
+    * narrower than the given twin's: one write job, marker after it —
+    * a crash in between re-appends that batch on replay (the
+    * applyDiffOnce trade).
+    */
+  def appendTrainedOnce(newEmb: DataFrame, dir: String,
+      batchId: Long): Unit = {
+    val fs = graft.FsOps.fs(newEmb.sparkSession, dir)
+    val m = new org.apache.hadoop.fs.Path(s"$dir/_appended/$batchId")
+    if (fs.exists(m)) return
+    appendTrained(newEmb, dir)
+    fs.mkdirs(m)
+    ()
   }
 }

@@ -538,6 +538,24 @@ object Streaming {
             batch.select("vec_id", "embedding"), indexDir, batchId)
       }
 
+  /** J24 — the INGEST face for the TRAINED IVFPQ index (the J21
+    * pattern on G34): micro-batches of (vec_id, embedding) rows
+    * assign against the SAVED √n-list quantizer and encode against
+    * the SAVED codebook through [[graft.sim.PqTrained.appendTrainedOnce]]
+    * — O(batch)·√n per batch, existing lists never read. Batch-id
+    * markers make at-least-once re-delivery a no-op; single-layout
+    * index, so the marker's residual window is one write job.
+    */
+  def ivfPqTrainedIngestStream(vectors: DataFrame, indexDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.sim.PqTrained.appendTrainedOnce(
+            batch.select("vec_id", "embedding"), indexDir, batchId)
+      }
+
   /** J22 — the INGEST face for the saved BM25 index (the J21 pattern
     * on D10): each micro-batch of NEW documents appends through
     * [[graft.text.Bm25.appendSavedOnce]] — tokenize only the batch,

@@ -188,6 +188,141 @@ class PqTrainedSpec extends SparkSpec {
     assert(pruned.isDefined, s"no partition IN-filter on list_id in:\n$plan")
   }
 
+  test("G34 appendTrained: pinned-model append equals encoding the " +
+      "union with the same model; re-delivered batch is a no-op") {
+    import spark.implicits._
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_pqtrained_app").toString
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    PqTrained.save(half1, dirA)
+    PqTrained.appendTrained(half2, dirA)
+    // model-copied rebuild: same quantizer + codebook, the whole
+    // union arriving through the SAME append path — for a pinned
+    // model, codes must be bit-identical regardless of arrival order
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft_pqtrained_app_b").toString
+    for (sub <- Seq("centroids", "pq")) {
+      val src = new java.io.File(s"$dirA/$sub")
+      val dst = new java.io.File(s"$dirB/$sub")
+      dst.mkdirs()
+      src.listFiles().foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(dst, f.getName).toPath)
+      }
+    }
+    PqTrained.appendTrained(half2.unionByName(half1), dirB)
+    val schema = "vec_id BIGINT, " +
+      (0 until Pq.NumSub).map(m => s"code_$m BIGINT").mkString(", ") +
+      ", list_id BIGINT"
+    def codes(d: String) = spark.read.schema(schema)
+      .parquet(s"$d/codes").collect().map(_.toSeq).sortBy(_.head.toString)
+    // the build-path half (dirA's half1, assigned by the quantizer
+    // fit's own transform) and the append-path half agree with the
+    // all-append dirB on every (assignment, code) — the pinned-model
+    // identity, and the assignment-metric parity between MLlib's
+    // transform and the append argmin
+    assert(codes(dirA).sameElements(codes(dirB)))
+    val queries = emb.filter(col("vec_id") < Pq.QueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    def served(d: String) = PqTrained
+      .servedKnn(spark, d, queries, col("vec_id") >= Pq.QueryIds)
+      .collect().map(_.toSeq)
+    assert(served(dirA).sameElements(served(dirB)))
+    // at-least-once re-delivery: a committed batch id appends nothing
+    val n0 = spark.read.schema(schema).parquet(s"$dirA/codes").count()
+    PqTrained.appendTrainedOnce(half2, dirA, 7L)
+    PqTrained.appendTrainedOnce(half2, dirA, 7L)
+    assert(spark.read.schema(schema).parquet(s"$dirA/codes").count()
+      == n0 + half2.count())
+    PqTrained.appendTrainedOnce(half2, dirA, 7L)
+    assert(spark.read.schema(schema).parquet(s"$dirA/codes").count()
+      == n0 + half2.count())
+  }
+
+  test("G35/G36 deleteTrained removes exactly the requested ids from " +
+      "touched lists only; compactTrained is serve-invariant") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pqtrained_del").toString
+    PqTrained.save(emb, dir)
+    val schema = "vec_id BIGINT, " +
+      (0 until Pq.NumSub).map(m => s"code_$m BIGINT").mkString(", ") +
+      ", list_id BIGINT"
+    def codes = spark.read.schema(schema).parquet(s"$dir/codes")
+    val n = emb.count()
+    val delIds = Seq(n / 2, n / 2 + 1, n / 2 + 2).map(_.toLong)
+    val touched = codes.filter(col("vec_id").isin(delIds: _*))
+      .select("list_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(touched.nonEmpty)
+    def stamps: Map[String, Long] = {
+      val root = new java.io.File(s"$dir/codes")
+      root.listFiles().filter(_.getName.startsWith("list_id="))
+        .map(p => p.getName -> p.lastModified()).toMap
+    }
+    val before = codes.collect().map(_.toSeq).toSet
+    val stampsBefore = stamps
+    PqTrained.deleteTrained(spark, dir, delIds.toDF("vec_id"))
+    // content = before minus exactly the deleted rows, bit-equal
+    val after = codes.collect().map(_.toSeq).toSet
+    assert(after == before.filterNot(r => delIds.contains(
+      r.head.asInstanceOf[Long])))
+    // untouched list directories were never rewritten
+    for ((dirName, t0) <- stampsBefore
+        if !touched.contains(dirName.stripPrefix("list_id=").toLong))
+      assert(stamps(dirName) == t0, s"untouched $dirName rewritten")
+    val queries = emb.filter(col("vec_id") < Pq.QueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    def served = PqTrained
+      .servedKnn(spark, dir, queries, col("vec_id") >= Pq.QueryIds)
+      .collect().map(_.toSeq).toSeq
+    val servedAfterDelete = served
+    assert(!servedAfterDelete.exists(r =>
+      delIds.contains(r(2).asInstanceOf[Long])))
+    PqTrained.compactTrained(spark, dir)
+    assert(codes.collect().map(_.toSeq).toSet == after)
+    assert(served == servedAfterDelete)
+    val partFiles = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("list_id=")).map(d =>
+        d.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(partFiles == 1, "compaction left multiple files in a list")
+  }
+
+  test("J24 trained ingest stream: vector micro-batches append " +
+      "idempotently into the saved trained index") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = emb.filter(col("vec_id") < 400)
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_pqtrained_ingest").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_pqtrained_ingest_ck").toString
+    PqTrained.save(all.filter(col("vec_id") < 200), d)
+    val b1 = all.filter(col("vec_id") >= 200 && col("vec_id") < 300)
+      .as[(Long, Array[Float])].collect().toSeq
+    val b2 = all.filter(col("vec_id") >= 300)
+      .as[(Long, Array[Float])].collect().toSeq
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.Streaming.ivfPqTrainedIngestStream(
+        src.toDF().toDF("vec_id", "embedding"), d)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      src.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val schema = "vec_id BIGINT, " +
+      (0 until Pq.NumSub).map(m => s"code_$m BIGINT").mkString(", ") +
+      ", list_id BIGINT"
+    def nCodes = spark.read.schema(schema).parquet(s"$d/codes").count()
+    assert(nCodes == 400)
+    // at-least-once re-delivery: a committed batch id is a no-op
+    PqTrained.appendTrainedOnce(b1.toDF("vec_id", "embedding"), d, 0L)
+    assert(nCodes == 400, "re-delivered batch duplicated vectors")
+  }
+
   test("empty corpus serves an empty result, not an MLlib failure") {
     val empty = emb.filter(lit(false))
     val out = PqTrained.knn(empty)
