@@ -190,6 +190,21 @@ class BlobSpec extends SparkSpec {
     assert(frames.map(_.n_bytes).toSeq == Seq(3200, 3200, 1600))
   }
 
+  test("audio faces handle empty input and a truncated header " +
+      "without throwing") {
+    import spark.implicits._
+    assert(Blob.decodeAudio(spark.emptyDataset[Blob.BlobRow])
+      .count() == 0)
+    // a 4-byte "RIFF" prefix is audio-mime but not a parseable WAV
+    val truncated = Seq(Blob.BlobRow(1L, "audio/wav", 0, 0, 100L,
+      "RIFF".getBytes("US-ASCII"))).toDS()
+    val f = Blob.decodeAudio(truncated).collect()(0)
+    assert(f == Blob.PcmFeatures(1L, 0, 0, 0L, 0.0, 0.0, 0))
+    // resize falls back to the stub, payload never grows
+    val r = Blob.resize(truncated, maxDim = 10).collect()(0)
+    assert(r.payload.length <= 4)
+  }
+
   test("frame sampling fans out one row per sampled timestamp") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf).limit(10)

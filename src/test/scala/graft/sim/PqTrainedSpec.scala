@@ -323,6 +323,24 @@ class PqTrainedSpec extends SparkSpec {
     assert(nCodes == 400, "re-delivered batch duplicated vectors")
   }
 
+  test("trained maintenance edges: an empty append batch and an " +
+      "absent-id delete leave the index untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pqtrained_edge").toString
+    PqTrained.save(emb.filter(col("vec_id") < 300), dir)
+    val schema = "vec_id BIGINT, " +
+      (0 until Pq.NumSub).map(m => s"code_$m BIGINT").mkString(", ") +
+      ", list_id BIGINT"
+    def codes = spark.read.schema(schema).parquet(s"$dir/codes")
+      .collect().map(_.toSeq).toSet
+    val before = codes
+    PqTrained.appendTrained(emb.filter(lit(false)), dir)
+    PqTrained.deleteTrained(spark, dir,
+      Seq(99999999L).toDF("vec_id"))
+    assert(codes == before)
+  }
+
   test("empty corpus serves an empty result, not an MLlib failure") {
     val empty = emb.filter(lit(false))
     val out = PqTrained.knn(empty)
