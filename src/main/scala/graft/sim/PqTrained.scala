@@ -468,7 +468,11 @@ object PqTrained extends graft.QueryModule {
   }
 
   def servedKnn(spark: SparkSession, dir: String, queries: DataFrame,
-      candPred: Column): DataFrame = {
+      candPred: Column): DataFrame =
+    servedAdc(spark, dir, queries, candPred, K)
+
+  private def servedAdc(spark: SparkSession, dir: String,
+      queries: DataFrame, candPred: Column, k: Int): DataFrame = {
     val ix = loadModel(spark, dir)
     val lut = lutFrame(queries, ix).localCheckpoint(true)
     val probedIds = lut.select("list_id").distinct()
@@ -479,7 +483,40 @@ object PqTrained extends graft.QueryModule {
         ", list_id BIGINT")
       .parquet(s"$dir/codes")
       .filter(candPred && col("list_id").isin(probedIds: _*))
-    adcTopK(codes, lut, K)
+    adcTopK(codes, lut, k)
+  }
+
+  /** The two-stage serve from the SAVED trained index (the G27 shape
+    * on the production geometry): ADC proposes top-[[TrainedRerankR]]
+    * per query from the partition-pruned codes scan, then ONLY those
+    * queries×R rows fetch raw embeddings from the CALLER's corpus
+    * frame and re-rank by exact squared L2. The trained layout
+    * deliberately stores codes only — no refine sidecar, the
+    * memory/precision trade a PQ deployment makes — so the raw
+    * vectors come from the primary store the corpus already lives
+    * in; the shortlist broadcast into that scan keeps the fetch
+    * O(queries·R), never a corpus scan. Bit-identical to the
+    * in-session [[knnRerank]] on the same corpus (spec-pinned).
+    */
+  def servedKnnRerank(spark: SparkSession, dir: String,
+      queries: DataFrame, corpus: DataFrame,
+      candPred: Column): DataFrame = {
+    val shortlist =
+      servedAdc(spark, dir, queries, candPred, TrainedRerankR)
+        .select("query_id", "neighbor_id", "adist")
+    val withQ = shortlist.join(broadcast(queries), "query_id")
+    val scored = corpus.filter(candPred)
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("en"))
+      .join(broadcast(withQ), "neighbor_id")
+      .withColumn("dist", dsq(col("eq").cast("array<double>"),
+        col("en").cast("array<double>")))
+      .withColumn("sim", -col("dist"))
+    graft.plans.AggExpressions
+      .topKPerKey(scored, "query_id", "sim", "neighbor_id",
+        Seq("dist", "adist"), K)
+      .select("query_id", "rank", "neighbor_id", "dist", "adist")
+      .orderBy("query_id", "rank")
   }
 
   /** G34 — incremental maintenance of the TRAINED composed index: the

@@ -174,6 +174,21 @@ class PqTrainedSpec extends SparkSpec {
     assert(served.sorted.sameElements(fresh.sorted))
   }
 
+  test("served two-stage rerank from the saved artifact is bit-equal " +
+      "to the in-session knnRerank") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pqtrained_rr").toString
+    PqTrained.save(emb, dir)
+    val queries = emb.filter(col("vec_id") < Pq.QueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val served = PqTrained
+      .servedKnnRerank(spark, dir, queries, emb,
+        col("vec_id") >= Pq.QueryIds)
+      .collect().map(_.toSeq)
+    val fresh = PqTrained.knnRerank(emb).collect().map(_.toSeq)
+    assert(served.sameElements(fresh))
+  }
+
   test("the served trained scan is partition-pruned to the probed lists") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_pqtrained_prune").toString
