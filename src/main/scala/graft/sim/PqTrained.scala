@@ -413,7 +413,32 @@ object PqTrained extends graft.QueryModule {
   def probeForRecall(emb: DataFrame, targetRecall: Double,
       candidates: Seq[Int] = Seq(1, 2, 4, 8, 16, 32))
       : (Int, Seq[(Int, Double)]) = {
-    val curve = candidates.sorted.map(p => p -> meanRecall(emb, Some(p)))
+    // exact ground truth ONCE (the expensive corpus scan), then each
+    // candidate probe count pays only its index serve — a 6-point
+    // curve costs one brute-force pass, not six
+    val e = emb.select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < QueryIds)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("eq"))
+    val c = e.filter(col("vec_id") >= QueryIds)
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("ec"))
+    val exact = graft.plans.AggExpressions
+      .topKPerKey(
+        c.crossJoin(broadcast(q))
+          .withColumn("sim", -dsq(col("eq"), col("ec"))),
+        "query_id", "sim", "neighbor_id", Nil, K)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint(true)
+    val nq = q.count()
+    val curve = candidates.sorted.map { p =>
+      val r =
+        if (nq == 0) 1.0
+        else knn(emb, Some(p)).select("query_id", "neighbor_id")
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .count().toDouble / (nq * K)
+      p -> r
+    }
     val knee = curve.collectFirst {
       case (p, r) if r >= targetRecall => p
     }.getOrElse(curve.last._1)
