@@ -76,10 +76,22 @@ object Bench {
         "-Xmx4g", "-Dspark.ui.enabled=false",
         "-cp", System.getProperty("java.class.path"),
         "graft.tools.CalibOnly")
-      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-      val outStr = new String(p.getInputStream.readAllBytes(), "UTF-8")
-      p.waitFor()
-      """"calib_sec":([0-9.]+)""".r.findFirstMatchIn(outStr)
+      // output to a file, not a pipe, and a bounded wait with a
+      // forcible kill: a wedged child (port acquisition, GC thrash
+      // short of OOM) must degrade the ledger, never hang the bench
+      // — readAllBytes on a pipe would block forever
+      val outFile = java.io.File.createTempFile("graft_calib", ".out")
+      val p = new ProcessBuilder(cmd: _*)
+        .redirectErrorStream(true)
+        .redirectOutput(outFile)
+        .start()
+      val done = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) { p.destroyForcibly(); p.waitFor() }
+      val outStr = new String(
+        java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
+      outFile.delete()
+      if (!done) None
+      else """"calib_sec":([0-9.]+)""".r.findFirstMatchIn(outStr)
         .map(_.group(1).toDouble)
     } catch { case _: Exception => None }
 

@@ -37,4 +37,23 @@ object FsOps {
     renameChecked(fs, st, lv)
     fs.delete(old, true); ()
   }
+
+  /** Run `body` at most once per (index dir, batch id) — the shared
+    * marker discipline behind every `*Once` ingest entry (the
+    * SnapshotStore.applyDiffOnce pattern): a `_appended/<batchId>`
+    * marker commits AFTER the body, so an at-least-once re-delivered
+    * batch whose marker landed is a no-op. The residual window — a
+    * crash after the body's write(s) committed but before the marker
+    * — re-runs the body on replay; each caller documents what that
+    * means for its layout (closable only by a transactional
+    * manifest).
+    */
+  def onceByMarker(fs: FileSystem, dir: String, batchId: Long)
+      (body: => Unit): Unit = {
+    val m = new Path(s"$dir/_appended/$batchId")
+    if (fs.exists(m)) return
+    body
+    fs.mkdirs(m)
+    ()
+  }
 }

@@ -535,15 +535,11 @@ object Pq extends QueryModule {
     * should [[deleteIvfPq]] the batch's ids before replaying.
     */
   def appendIvfPqOnce(newEmb: DataFrame, dir: String,
-      batchId: Long): Unit = {
-    val spark = newEmb.sparkSession
-    val fs = graft.FsOps.fs(spark, dir)
-    val m = new org.apache.hadoop.fs.Path(s"$dir/_appended/$batchId")
-    if (fs.exists(m)) return
-    appendIvfPq(newEmb, dir)
-    fs.mkdirs(m)
-    ()
-  }
+      batchId: Long): Unit =
+    graft.FsOps.onceByMarker(
+      graft.FsOps.fs(newEmb.sparkSession, dir), dir, batchId) {
+      appendIvfPq(newEmb, dir)
+    }
 
   /** G29 — compaction for the composed index: each [[appendIvfPq]]
     * lays one file per touched list in BOTH layouts, so a long-lived
@@ -612,6 +608,10 @@ object Pq extends QueryModule {
               s"ivfpq delete recovery at $dir: " +
                 s"rename ${st.getPath} to $live failed")
         }
+      // the emptied sidecar holds only COMMITTED-deleted rows (lists
+      // a delete legitimately emptied — parked there precisely so
+      // the live-absent rollback above cannot resurrect them); clear
+      fs.delete(path(s"$dir/${sub}_delete_emptied"), true)
     }
   }
 
@@ -624,15 +624,22 @@ object Pq extends QueryModule {
     // sidecar is cleared as stale (the r17 ADVICE window: re-running
     // the delete — the natural recovery — destroyed them)
     recoverDeleteOld(spark, dir)
-    val del = ids.select(col("vec_id")).distinct()
-    val touched = loadIvfPqCodes(spark, dir).join(del, "vec_id")
-      .select("list_id").distinct()
-      .collect().map(_.getLong(0)).sorted
-    if (touched.isEmpty) return
+    val del = ids.select(col("vec_id")).distinct().localCheckpoint(true)
+    // touched lists computed PER LAYOUT, not from codes alone: after
+    // a crash between the codes and refine passes the ids are
+    // already gone from codes, and a codes-derived set would make
+    // the re-run — the documented recovery — return early while
+    // refine/ retains the deleted vectors' raw embeddings forever
+    // (found by review in round 18)
     for ((sub, df) <- Seq(
         "codes" -> loadIvfPqCodes(spark, dir),
-        "refine" -> loadIvfPqRefine(spark, dir)))
-      deleteFromListLayout(spark, dir, sub, df, del, touched)
+        "refine" -> loadIvfPqRefine(spark, dir))) {
+      val touched = df.join(del, "vec_id")
+        .select("list_id").distinct()
+        .collect().map(_.getLong(0)).sorted
+      if (touched.nonEmpty)
+        deleteFromListLayout(spark, dir, sub, df, del, touched)
+    }
   }
 
   /** The per-layout half of [[deleteIvfPq]], shared with the trained
@@ -660,21 +667,35 @@ object Pq extends QueryModule {
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(staged)
     val oldRoot = s"$dir/${sub}_delete_old"
+    val emptiedRoot = s"$dir/${sub}_delete_emptied"
     // safe to clear: recoverDeleteOld already rolled back any list
-    // whose only copy lived here, so what remains is superseded
+    // whose only copy lived under _delete_old, and _delete_emptied
+    // only ever holds committed-deleted data
     fs.delete(path(oldRoot), true)
+    fs.delete(path(emptiedRoot), true)
     fs.mkdirs(path(oldRoot))
+    fs.mkdirs(path(emptiedRoot))
     for (lid <- touched) {
       val live = path(s"$dir/$sub/list_id=$lid")
       val next = path(s"$staged/list_id=$lid")
-      require(fs.rename(live, path(s"$oldRoot/list_id=$lid")),
-        s"ivfpq delete at $dir: rename $live to $oldRoot failed")
-      if (fs.exists(next)) // absent ⇒ list emptied by the delete
+      if (fs.exists(next)) {
+        require(fs.rename(live, path(s"$oldRoot/list_id=$lid")),
+          s"ivfpq delete at $dir: rename $live to $oldRoot failed")
         require(fs.rename(next, live),
           s"ivfpq delete at $dir: rename $next to $live failed")
+      } else
+        // the delete emptied this list: live-absent IS the final
+        // state, so the old rows must NOT land under _delete_old —
+        // recoverDeleteOld's live-absent rollback heuristic would
+        // resurrect them into the next compact/rebalance (found by
+        // review in round 18). They park under the emptied sidecar,
+        // which recovery only ever clears.
+        require(fs.rename(live, path(s"$emptiedRoot/list_id=$lid")),
+          s"ivfpq delete at $dir: rename $live to $emptiedRoot failed")
     }
     fs.delete(path(staged), true)
     fs.delete(path(oldRoot), true)
+    fs.delete(path(emptiedRoot), true)
     ()
   }
 

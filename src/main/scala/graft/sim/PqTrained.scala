@@ -377,7 +377,13 @@ object PqTrained extends graft.QueryModule {
     * recall-floor spec). Deterministic: seeded fits over an md5
     * sample.
     */
-  def meanRecall(emb: DataFrame, nProbe: Option[Int] = None): Double = {
+  /** Exact squared-L2 top-[[K]] ground truth per query and the query
+    * count — the one definition of "true neighbors" shared by
+    * [[meanRecall]] and [[probeForRecall]] (a drift between the
+    * floor spec's truth and the tuning curve's truth would make the
+    * two silently measure different things).
+    */
+  private def exactTopK(emb: DataFrame): (DataFrame, Long) = {
     val e = emb.select("vec_id", "embedding")
     val q = e.filter(col("vec_id") < QueryIds)
       .select(col("vec_id").as("query_id"),
@@ -391,10 +397,14 @@ object PqTrained extends graft.QueryModule {
           .withColumn("sim", -dsq(col("eq"), col("ec"))),
         "query_id", "sim", "neighbor_id", Nil, K)
       .select("query_id", "neighbor_id")
-    val got = knn(emb, nProbe).select("query_id", "neighbor_id")
-    val nq = q.count()
+    (exact, q.count())
+  }
+
+  def meanRecall(emb: DataFrame, nProbe: Option[Int] = None): Double = {
+    val (exact, nq) = exactTopK(emb)
     if (nq == 0) 1.0
-    else got.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+    else knn(emb, nProbe).select("query_id", "neighbor_id")
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
       .count().toDouble / (nq * K)
   }
 
@@ -413,24 +423,12 @@ object PqTrained extends graft.QueryModule {
   def probeForRecall(emb: DataFrame, targetRecall: Double,
       candidates: Seq[Int] = Seq(1, 2, 4, 8, 16, 32))
       : (Int, Seq[(Int, Double)]) = {
-    // exact ground truth ONCE (the expensive corpus scan), then each
-    // candidate probe count pays only its index serve — a 6-point
-    // curve costs one brute-force pass, not six
-    val e = emb.select("vec_id", "embedding")
-    val q = e.filter(col("vec_id") < QueryIds)
-      .select(col("vec_id").as("query_id"),
-        col("embedding").cast("array<double>").as("eq"))
-    val c = e.filter(col("vec_id") >= QueryIds)
-      .select(col("vec_id").as("neighbor_id"),
-        col("embedding").cast("array<double>").as("ec"))
-    val exact = graft.plans.AggExpressions
-      .topKPerKey(
-        c.crossJoin(broadcast(q))
-          .withColumn("sim", -dsq(col("eq"), col("ec"))),
-        "query_id", "sim", "neighbor_id", Nil, K)
-      .select("query_id", "neighbor_id")
-      .localCheckpoint(true)
-    val nq = q.count()
+    // exact ground truth ONCE (the expensive corpus scan,
+    // checkpointed for the sweep), then each candidate probe count
+    // pays only its index serve — a 6-point curve costs one
+    // brute-force pass, not six
+    val (exactRaw, nq) = exactTopK(emb)
+    val exact = exactRaw.localCheckpoint(true)
     val curve = candidates.sorted.map { p =>
       val r =
         if (nq == 0) 1.0
@@ -645,12 +643,9 @@ object PqTrained extends graft.QueryModule {
     * applyDiffOnce trade).
     */
   def appendTrainedOnce(newEmb: DataFrame, dir: String,
-      batchId: Long): Unit = {
-    val fs = graft.FsOps.fs(newEmb.sparkSession, dir)
-    val m = new org.apache.hadoop.fs.Path(s"$dir/_appended/$batchId")
-    if (fs.exists(m)) return
-    appendTrained(newEmb, dir)
-    fs.mkdirs(m)
-    ()
-  }
+      batchId: Long): Unit =
+    graft.FsOps.onceByMarker(
+      graft.FsOps.fs(newEmb.sparkSession, dir), dir, batchId) {
+      appendTrained(newEmb, dir)
+    }
 }

@@ -146,14 +146,11 @@ object Bm25 {
     * manifest across the layouts.
     */
   def appendSavedOnce(newDocs: DataFrame, idCol: String,
-      textCol: String, dir: String, batchId: Long): Unit = {
-    val fs = graft.FsOps.fs(newDocs.sparkSession, dir)
-    val m = new org.apache.hadoop.fs.Path(s"$dir/_appended/$batchId")
-    if (fs.exists(m)) return
-    appendSaved(newDocs, idCol, textCol, dir)
-    fs.mkdirs(m)
-    ()
-  }
+      textCol: String, dir: String, batchId: Long): Unit =
+    graft.FsOps.onceByMarker(
+      graft.FsOps.fs(newDocs.sparkSession, dir), dir, batchId) {
+      appendSaved(newDocs, idCol, textCol, dir)
+    }
 
   /** The raw tombstone sidecar (all generations), empty when no
     * delete has landed. Rows carry the deleted doc's LENGTH and the

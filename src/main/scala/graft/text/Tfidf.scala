@@ -171,8 +171,12 @@ object Tfidf {
     // re-derives from the additive base alone, which is what makes
     // stats crash-reconstructible (the r17 ADVICE item: a stats
     // value only an append could know is a stats value a crashed
-    // append loses). A zero-term document is invisible to the index
-    // — sklearn's N would count it; this layout, like Lucene's
+    // append loses). The serve itself never reads stats (idf is a
+    // stored layer); it exists as the layout's exported corpus-size
+    // METADATA — what a catalog or ingest monitor reads without
+    // scanning postings (the J23 ingest spec pins replay-no-op on
+    // it). A zero-term document is invisible to the index —
+    // sklearn's N would count it; this layout, like Lucene's
     // numDocs, cannot and does not.
     ix.norms.agg(count(lit(1)).as("n_docs"))
       .write.mode("overwrite").parquet(s"$dir/stats")
@@ -229,14 +233,11 @@ object Tfidf {
     * belongs on the BM25 index, whose append is O(batch).
     */
   def appendSavedOnce(newDocs: DataFrame, idCol: String,
-      textCol: String, dir: String, batchId: Long): Unit = {
-    val fs = graft.FsOps.fs(newDocs.sparkSession, dir)
-    val m = new org.apache.hadoop.fs.Path(s"$dir/_appended/$batchId")
-    if (fs.exists(m)) return
-    appendSaved(newDocs, idCol, textCol, dir)
-    fs.mkdirs(m)
-    ()
-  }
+      textCol: String, dir: String, batchId: Long): Unit =
+    graft.FsOps.onceByMarker(
+      graft.FsOps.fs(newDocs.sparkSession, dir), dir, batchId) {
+      appendSaved(newDocs, idCol, textCol, dir)
+    }
 
   /** Rebuild everything DERIVED (`stats`, `idf`, `weights`, `norms`)
     * from the additive base — one linear arithmetic pass over the

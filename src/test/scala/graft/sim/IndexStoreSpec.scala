@@ -253,6 +253,92 @@ class IndexStoreSpec extends SparkSpec {
     assert(served.collect().toSeq == fresh.collect().toSeq)
   }
 
+  private def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteTree)
+    f.delete(); ()
+  }
+
+  private def copyDirTree(src: java.io.File, dst: java.io.File): Unit = {
+    dst.mkdirs()
+    src.listFiles().foreach { f =>
+      if (f.isDirectory) copyDirTree(f, new java.io.File(dst, f.getName))
+      else java.nio.file.Files.copy(f.toPath,
+        new java.io.File(dst, f.getName).toPath)
+    }
+  }
+
+  test("ivfpq delete crash recovery: a crash between the codes and " +
+      "refine passes is repaired by re-running the delete") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_ivfpq_halfcrash").toString
+    Pq.saveIvfPq(emb.select("vec_id", "embedding"), d)
+    val n = emb.count()
+    val delIds = Seq(n / 2, n / 2 + 1, n / 2 + 2).map(_.toLong)
+    def refine = spark.read
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, list_id BIGINT")
+      .parquet(s"$d/refine")
+    val touched = refine
+      .filter(col("vec_id").isin(delIds: _*))
+      .select("list_id").distinct().collect().map(_.getLong(0))
+    assert(touched.nonEmpty)
+    // snapshot the pre-delete refine state of the touched lists
+    val backup = Files.createTempDirectory("graft_ivfpq_bk").toString
+    for (lid <- touched)
+      copyDirTree(new java.io.File(s"$d/refine/list_id=$lid"),
+        new java.io.File(s"$backup/list_id=$lid"))
+    Pq.deleteIvfPq(spark, d, delIds.toDF("vec_id"))
+    // crash simulation: the codes pass committed but the refine pass
+    // never ran — restore the pre-delete refine lists
+    for (lid <- touched) {
+      val live = new java.io.File(s"$d/refine/list_id=$lid")
+      deleteTree(live)
+      copyDirTree(new java.io.File(s"$backup/list_id=$lid"), live)
+    }
+    assert(refine
+      .filter(col("vec_id").isin(delIds: _*)).count() == delIds.size)
+    // the natural recovery: re-run the same delete. The r18 review
+    // found the old touched-from-codes computation made this a no-op
+    // (ids already gone from codes), stranding the raw embeddings.
+    Pq.deleteIvfPq(spark, d, delIds.toDF("vec_id"))
+    assert(refine
+      .filter(col("vec_id").isin(delIds: _*)).count() == 0,
+      "re-run left deleted embeddings in refine/")
+  }
+
+  test("ivfpq delete: a list EMPTIED by a delete stays deleted " +
+      "through crash recovery (the emptied sidecar is never rolled back)") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_ivfpq_emptied").toString
+    Pq.saveIvfPq(emb.select("vec_id", "embedding"), d)
+    val schemaCodes = "vec_id BIGINT, " +
+      (0 until Pq.NumSub).map(m => s"code_$m BIGINT").mkString(", ") +
+      ", list_id BIGINT"
+    def codes = spark.read.schema(schemaCodes).parquet(s"$d/codes")
+    // the smallest list's full membership — deleting it empties the
+    // list and its directory must drop
+    val lid = codes.groupBy("list_id").count()
+      .orderBy("count", "list_id").collect()(0).getLong(0)
+    val members = codes.filter(col("list_id") === lid)
+      .select("vec_id").as[Long].collect().toSeq
+    val preDir = Files.createTempDirectory("graft_ivfpq_pre").toString
+    copyDirTree(new java.io.File(s"$d/codes/list_id=$lid"),
+      new java.io.File(s"$preDir/list_id=$lid"))
+    Pq.deleteIvfPq(spark, d, members.toDF("vec_id"))
+    assert(!new java.io.File(s"$d/codes/list_id=$lid").exists())
+    // nothing for the rollback heuristic to chew on
+    assert(!new java.io.File(s"$d/codes_delete_old").exists())
+    // crash simulation: the delete parked the emptied list under the
+    // emptied sidecar but died before the final sweep
+    copyDirTree(new java.io.File(s"$preDir/list_id=$lid"),
+      new java.io.File(s"$d/codes_delete_emptied/list_id=$lid"))
+    // the next maintenance pass runs recovery first — the r18 review
+    // found the old single-sidecar design resurrected the rows here
+    Pq.compactIvfPq(spark, d)
+    assert(!new java.io.File(s"$d/codes/list_id=$lid").exists(),
+      "crash recovery resurrected an emptied list")
+    assert(codes.filter(col("vec_id").isin(members: _*)).count() == 0)
+  }
+
   test("incremental append equals a full rebuild over the union corpus") {
     val n = emb.count()
     val cut = n / 2 // well above the 16 centroid ids
