@@ -113,60 +113,17 @@ object Bench {
     }.min
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    GraftExtensions.register(spark) // graft SQL functions, as Engine does
-    // forked fresh-JVM calibration, START bookend (END runs after the
-    // sweeps; the pair's agreement is the ledger's precision claim)
-    val calibForkStart = calibrateForked()
-    // Warm up JIT/codegen/parquet paths before timing: flagship query
-    // at the smallest SF plus a window + HOF + the text/hash path
-    // (md5, explode, regex split, collect_set) so interpreter and
-    // codegen hot paths are compiled — warmed on sf0.001 data, never
-    // the benched SF. Not counted.
-    try {
-      SparkEntry.entry(spark).count()
-      spark.sql(
-        """SELECT sum(v) FROM (
-          |  SELECT aggregate(sequence(1, 50), 0L, (a, x) -> a + x)
-          |    + row_number() OVER (ORDER BY id) AS v
-          |  FROM range(1000))""".stripMargin).count()
-      graft.dedup.Dedup.shingleSets(
-        graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
-          .limit(50), "doc_id", "text").count()
-      graft.text.Tfidf.postings(
-        graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
-          .limit(50), "doc_id", "text").count()
-    } catch { case _: Throwable => () }
-    // A throwing item records its error, not a ~4 ms phantom success:
-    // r8's regenerated events parquet broke 15 queries and the bench
-    // reported them as the fastest entries of the round.
-    def timed(fn: () => Unit): (Double, Option[String]) = {
-      val t0 = System.nanoTime()
-      val err = try { fn(); None } catch { case e: Throwable =>
-        Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-      }
-      ((System.nanoTime() - t0) / 1e9, err)
-    }
-    // One-time shared index/model builds, timed separately so each
-    // query reports its MARGINAL cost: billing a build to its first
-    // alphabetical consumer made per-query numbers incomparable
-    // round-over-round. The builds go through the SAME memoized entry
-    // points the queries hit (plan-keyed). Order matters: quality_lr
-    // probes the standing neardup pair index; pq_residual_codes
-    // quantizes against the given-quantizer assignment.
-    val buildFns: Seq[(String, () => Unit)] = Seq(
+
+  /** One-time shared index/model builds, timed separately so each
+    * query reports its MARGINAL cost: billing a build to its first
+    * alphabetical consumer made per-query numbers incomparable
+    * round-over-round. The builds go through the SAME memoized entry
+    * points the queries hit (plan-keyed). Order matters: quality_lr
+    * probes the standing neardup pair index; pq_residual_codes
+    * quantizes against the given-quantizer assignment.
+    */
+  def buildFns(spark: SparkSession,
+      sfDir: String): Seq[(String, () => Unit)] = Seq(
       "observations" -> (() => { etl.Observations.panel(spark, sfDir).count(); () }),
       "neardup_index" -> (() =>
         { dedup.NearDup.index(sources.Tables.documents(spark, sfDir)); () }),
@@ -263,6 +220,54 @@ object Bench {
       // K75: the three-version chain for the change-range gate
       "snapshot_store_range" -> (() =>
         { relational.SnapshotStore.prebuildRange(spark, sfDir); () }))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark) // graft SQL functions, as Engine does
+    // forked fresh-JVM calibration, START bookend (END runs after the
+    // sweeps; the pair's agreement is the ledger's precision claim)
+    val calibForkStart = calibrateForked()
+    // Warm up JIT/codegen/parquet paths before timing: flagship query
+    // at the smallest SF plus a window + HOF + the text/hash path
+    // (md5, explode, regex split, collect_set) so interpreter and
+    // codegen hot paths are compiled — warmed on sf0.001 data, never
+    // the benched SF. Not counted.
+    try {
+      SparkEntry.entry(spark).count()
+      spark.sql(
+        """SELECT sum(v) FROM (
+          |  SELECT aggregate(sequence(1, 50), 0L, (a, x) -> a + x)
+          |    + row_number() OVER (ORDER BY id) AS v
+          |  FROM range(1000))""".stripMargin).count()
+      graft.dedup.Dedup.shingleSets(
+        graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+          .limit(50), "doc_id", "text").count()
+      graft.text.Tfidf.postings(
+        graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+          .limit(50), "doc_id", "text").count()
+    } catch { case _: Throwable => () }
+    // A throwing item records its error, not a ~4 ms phantom success:
+    // r8's regenerated events parquet broke 15 queries and the bench
+    // reported them as the fastest entries of the round.
+    def timed(fn: () => Unit): (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err = try { fn(); None } catch { case e: Throwable =>
+        Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    val buildFns = Bench.buildFns(spark, sfDir)
     val queryFns = SparkEntry.queries.toSeq.sortBy(_._1)
     val bTimes = buildFns.map(_._1 -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
     val qTimes = queryFns.map(_._1 -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap

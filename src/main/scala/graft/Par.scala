@@ -40,4 +40,45 @@ object Par {
     */
   def gridSide(spark: SparkSession): Int =
     math.max(2, math.ceil(math.sqrt(8.0 * parallelism(spark))).toInt)
+
+  /** Run INDEPENDENT Spark actions concurrently from driver threads
+    * (optimization-guide §2.6: Spark's scheduler happily runs several
+    * jobs at once inside one application; actions are only sequential
+    * because driver code calls them sequentially — overlapping lets
+    * the next job's tasks back-fill executors idled by the current
+    * job's straggler tail and its driver-side commit phases). Results
+    * keep input order. Bounded pool: a few jobs in flight fills the
+    * tail without the jobs fighting for executors. Exceptions
+    * propagate unwrapped after every submitted thunk settles, so a
+    * failure can't leave half-orphaned concurrent writes running.
+    *
+    * Use ONLY for thunks with no data dependency and disjoint write
+    * targets — the caller asserts independence (same contract as
+    * submitting them from separate threads by hand).
+    */
+  def jobs[T](thunks: Seq[() => T], maxConcurrent: Int = 4): Seq[T] =
+    if (thunks.sizeIs <= 1) thunks.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(maxConcurrent, thunks.size))
+      try {
+        val futs = thunks.map { t =>
+          pool.submit(new java.util.concurrent.Callable[T] {
+            override def call(): T = t()
+          })
+        }
+        // collect every outcome before throwing: the pool must drain
+        // so no concurrent write is still in flight when we unwind
+        val outcomes = futs.map { f =>
+          try Right(f.get())
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              Left(e.getCause)
+            case e: Throwable => Left(e)
+          }
+        }
+        outcomes.collectFirst { case Left(e) => e }.foreach(throw _)
+        outcomes.collect { case Right(v) => v }
+      } finally pool.shutdown()
+    }
 }

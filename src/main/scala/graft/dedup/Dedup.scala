@@ -155,20 +155,26 @@ object Dedup {
     * weighted sum. Three hash aggregates, all map-side combinable.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // Same collect-then-fold shape as minhashBuckets: one aggregate
-    // gathers the per-doc token hashes, one projection does the 32-bit
-    // majority vote — no |tokens|×32-row shuffle.
+    // Same collect-then-fold shape as minhashBuckets/shingleSets: ONE
+    // aggregate builds each doc's distinct token set (a doc's exploded
+    // rows are co-located in its input partition, so the partial
+    // aggregate dedups map-side and the exchange ships one compact set
+    // per doc) — the former standalone `.distinct()` was a second
+    // full (doc_id, token) exchange carrying the same information
+    // (guide §2.4: a distinct on data the next aggregate re-groups
+    // anyway is an accidental extra shuffle). Hashing moves into a
+    // per-element transform over the set (the minhashSigs shape —
+    // md5 work is identical, one eval per distinct token), and the
+    // majority vote stays the single-pass codegen'd SimHashVote.
     graft.Par.spread(docs) // single-file scan: spread tokenize+hash
       .select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), " ")).as("w"))
-      .distinct()
-      .select(col("doc_id"), hash32("w").as("h"))
-      .groupBy("doc_id").agg(collect_list("h").as("hs"))
+      .groupBy("doc_id").agg(collect_set("w").as("ws"))
       .transform(graft.Par.spreadBy(_, "doc_id")) // see minhashBuckets note on AQE
-      // single-pass codegen'd majority vote (SimHashVote) — the HOF
-      // form re-scanned hs once per bit through interpreted lambdas
       .select(col("doc_id"),
-        graft.plans.VectorExpressions.simHashVote(col("hs")).as("simhash"))
+        graft.plans.VectorExpressions.simHashVote(expr(
+          "transform(ws, w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"))
+          .as("simhash"))
   }
 
   /** SimHash band width (bits) for an n-doc corpus: smallest W in
@@ -328,33 +334,42 @@ object Dedup {
     // (localCheckpoint, not lazy persist): the consumer's single
     // action would otherwise re-run the explode+distinct chain once
     // per branch while the cache is still filling.
-    val grams = trigramRows(docs, idCol, textCol).localCheckpoint(true)
+    val grams = graft.Profiling.phase("ngram.grams") {
+      trigramRows(docs, idCol, textCol).localCheckpoint(true) }
     val gdf = grams.groupBy("g").agg(count(lit(1)).as("df"))
     // materialize the df-annotated gram frame ONCE: rare/hot are each
     // consumed by three downstream joins, and deriving them as
     // gram⋈gdf joins re-ran the df aggregate + shuffle per consumer
     // (a 60-exchange DAG at sf0.1 — scheduler pressure at scale);
     // as filters over one checkpointed frame each reuse is a scan
-    val gramsDf = grams.join(gdf, "g").localCheckpoint(true)
+    val gramsDf = graft.Profiling.phase("ngram.gramsDf") {
+      grams.join(gdf, "g").localCheckpoint(true) }
     val rare = gramsDf.filter(col("df") <= MaxGramDf).select("doc_id", "g")
     val hot = gramsDf.filter(col("df") > MaxGramDf).select("doc_id", "g")
     // candidate pairs are consumed by the hot-gram correction AND the
-    // final Jaccard chain — materialize so the rare self-join runs once
-    val interRare = rare.select(col("doc_id").as("doc_a"), col("g"))
-      .join(rare.select(col("doc_id").as("doc_b"), col("g")), "g")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ir"))
-      .localCheckpoint(true)
+    // final Jaccard chain (materialize so the rare self-join runs
+    // once); the per-doc stats aggregate is independent of it — the
+    // two checkpoint builds overlap (guide §2.6)
+    val Seq(interRare, docStats) = graft.Par.jobs[DataFrame](Seq(
+      () => graft.Profiling.phase("ngram.interRare") {
+        rare.select(col("doc_id").as("doc_a"), col("g"))
+          .join(rare.select(col("doc_id").as("doc_b"), col("g")), "g")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ir"))
+          .localCheckpoint(true)
+      },
+      // one per-doc aggregate serves BOTH the Jaccard denominators and
+      // the all-hot membership test (a doc is all-hot iff its least-
+      // frequent gram is still above the df cap)
+      () => graft.Profiling.phase("ngram.docStats") {
+        gramsDf.groupBy("doc_id")
+          .agg(count(lit(1)).as("n"), min("df").as("mindf"))
+          .localCheckpoint(true)
+      }))
     val interHot = interRare.select("doc_a", "doc_b")
       .join(hot.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
       .join(hot.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ih"))
-    // one per-doc aggregate serves BOTH the Jaccard denominators and
-    // the all-hot membership test (a doc is all-hot iff its least-
-    // frequent gram is still above the df cap)
-    val docStats = gramsDf.groupBy("doc_id")
-      .agg(count(lit(1)).as("n"), min("df").as("mindf"))
-      .localCheckpoint(true)
     val sizes = docStats.select("doc_id", "n")
     // all-hot fallback: docs with NO rare gram are invisible to the
     // rare self-join — band them by trigram-set MinHash instead

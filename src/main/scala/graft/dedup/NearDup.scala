@@ -57,12 +57,15 @@ object NearDup {
           // (signatures + both verify sides) — under a lazy persist
           // each branch would re-run the shingle chain while the
           // cache fills
-          val sh = Dedup.shingleSets(docs, "doc_id", "text")
-            .localCheckpoint(true)
-          val sigs = Dedup.minhashSigs(sh).localCheckpoint(true)
-          val pairs = Dedup.jaccardVerify(
-            Dedup.bucketPairs(Dedup.bandBuckets(sigs)), sh, tau)
-            .localCheckpoint(true)
+          val sh = graft.Profiling.phase("neardup.shingleSets") {
+            Dedup.shingleSets(docs, "doc_id", "text")
+              .localCheckpoint(true) }
+          val sigs = graft.Profiling.phase("neardup.sigs") {
+            Dedup.minhashSigs(sh).localCheckpoint(true) }
+          val pairs = graft.Profiling.phase("neardup.pairs") {
+            Dedup.jaccardVerify(
+              Dedup.bucketPairs(Dedup.bandBuckets(sigs)), sh, tau)
+              .localCheckpoint(true) }
           val ix = new Index(sh, sigs, pairs)
           cache.put(key, ix)
           ix

@@ -78,11 +78,12 @@ object Gbt {
           // consumers (holdoutRmse reads feats through its counts AND
           // transform branches) read materialized blocks instead of
           // racing the cache fill
-          val feats = supervised(obs).localCheckpoint(true)
+          val feats = graft.Profiling.phase("gbt.supervised") {
+            supervised(obs).localCheckpoint(true) }
           val train = feats.filter(col("split") === "train")
           val fit =
             if (train.isEmpty) None
-            else {
+            else graft.Profiling.phase("gbt.fit") {
               System.err.println("[graft] training pooled GBT forecaster")
               // fixed key-partitioned training layout (same reasoning as
               // the IVF quantizer): boosting runs ~2 jobs per tree over

@@ -84,16 +84,26 @@ object QualityModel {
       modelCache.get(key) match {
         case Some(hit) => hit
         case None =>
-          val labels = Corpus.verdictsOf(docs)
-            .select(col("doc_id"), col("keep").cast("double").as("label"))
-          val train = features(docs)
-            .withColumn("bucket", expr(
-              """cast(conv(substring(md5(concat('smp|', cast(doc_id as string))),
-                |  1, 8), 16, 10) as bigint) % 1000""".stripMargin))
-            .filter(col("bucket") < 800)
-            .join(labels, "doc_id")
+          val labels = graft.Profiling.phase("qlr.labels(verdictsOf)") {
+            Corpus.verdictsOf(docs)
+              .select(col("doc_id"), col("keep").cast("double").as("label"))
+          }
+          // eagerly materialized ONCE: the emptiness probe and the
+          // LBFGS fit's instance build both consume `train`; unchecked
+          // that meant running the feature/label join DAG twice (the
+          // repartition(4)+sort below fixes the fit's input layout, so
+          // checkpointing cannot perturb the fitted weights)
+          val train = graft.Profiling.phase("qlr.train_materialize") {
+            features(docs)
+              .withColumn("bucket", expr(
+                """cast(conv(substring(md5(concat('smp|', cast(doc_id as string))),
+                  |  1, 8), 16, 10) as bigint) % 1000""".stripMargin))
+              .filter(col("bucket") < 800)
+              .join(labels, "doc_id")
+              .localCheckpoint(true)
+          }
           val fit =
-            if (train.isEmpty) None
+            if (graft.Profiling.phase("qlr.train_isEmpty")(train.isEmpty)) None
             else {
               System.err.println("[graft] training quality LR filter")
               // 50 LBFGS iterations at tol 1e-6: the fit is ~2 jobs
@@ -101,13 +111,14 @@ object QualityModel {
               // panel size ITERATION COUNT — not data volume — is the
               // build's wall-clock; the margin's sign is stable well
               // before 1e-6
-              Some(new LogisticRegression()
+              Some(graft.Profiling.phase("qlr.lbfgs_fit") {
+                new LogisticRegression()
                 .setLabelCol("label").setFeaturesCol("features")
                 .setMaxIter(50).setRegParam(0.01).setElasticNetParam(0.0)
                 .setTol(1e-6)
                 .fit(assembler.transform(train)
                   .repartition(4, col("doc_id"))
-                  .sortWithinPartitions("doc_id")))
+                  .sortWithinPartitions("doc_id"))})
             }
           modelCache.put(key, fit)
           fit

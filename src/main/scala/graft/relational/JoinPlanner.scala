@@ -97,12 +97,26 @@ object JoinPlanner extends QueryModule {
   /** The one-row decision frame for a (facts, dim) candidate. `dim`
     * must be a unique-key frame (all candidates are key tables).
     */
-  private[relational] def strategyOf(facts: DataFrame, factKey: String,
-      dim: DataFrame, name: String,
-      saltHotRows: Long = SaltHotRowsDefault): DataFrame = {
-    val kc = facts.filter(col(factKey).isNotNull)
+  /** The fact-side key-count frame (one map-side-combined pass over
+    * the facts) — the expensive-but-linear input every decision
+    * derives from, factored out so callers that need it TWICE (the
+    * auto-router's stats + the salt arm's hot head;
+    * join_strategy_plan's two candidates over the same fact key) can
+    * compute it once.
+    */
+  private[relational] def keyCounts(facts: DataFrame,
+      factKey: String): DataFrame =
+    facts.filter(col(factKey).isNotNull)
       .groupBy(col(factKey).as("k"))
       .agg(count(lit(1)).as("cnt"))
+
+  private[relational] def strategyOf(facts: DataFrame, factKey: String,
+      dim: DataFrame, name: String,
+      saltHotRows: Long = SaltHotRowsDefault): DataFrame =
+    strategyOfKc(keyCounts(facts, factKey), dim, name, saltHotRows)
+
+  private[relational] def strategyOfKc(kc: DataFrame,
+      dim: DataFrame, name: String, saltHotRows: Long): DataFrame = {
     // group (not a marker column) so a duplicate dim key cannot fan
     // out the stats left join — uniqueness enforcement lives INSIDE
     // the one-pass aggregate instead of a caller-side distinct()
@@ -160,6 +174,15 @@ object JoinPlanner extends QueryModule {
       Tables.customer(spark, dir).select(col("c_custkey").as("k"))
   }
 
+  // One lazy union action on purpose: all six candidates' aggregates
+  // run inside a single job with full parallelism (the overlap §2.6
+  // asks for, already free here). A checkpoint-the-kc variant that
+  // shared the duplicated lineitem/l_orderkey aggregate between
+  // li_orders and li_orders_urgent was MEASURED SLOWER at sf0.1
+  // (0.5→0.8 s: materializing ndv-sized key frames + serializing the
+  // prep jobs costs more than the one duplicated map-side-combined
+  // aggregate) — and at scale an ndv-sized checkpoint is its own
+  // memory bill, so the lazy form stays.
   def joinStrategyPlan(spark: SparkSession, dir: String): DataFrame =
     candidates.map { case (name, ft, fk, _) =>
       strategyOf(Tables.table(spark, dir, ft), fk,
@@ -183,8 +206,11 @@ object JoinPlanner extends QueryModule {
       : (String, DataFrame) = {
     // duplicate dim keys cannot skew the measure: strategyOf groups
     // the dim side inside its one-pass stats aggregate (no standalone
-    // distinct() shuffle on this path)
-    val strategy = strategyOf(facts, factKey,
+    // distinct() shuffle on this path). The fact key-count frame is
+    // checkpointed because the salt arm consumes it AGAIN for its hot
+    // head — the unshared form paid a second full fact aggregate.
+    val kc = keyCounts(facts, factKey).localCheckpoint(true)
+    val strategy = strategyOfKc(kc,
       dim.select(col(dimKey).as("k")), "auto", saltHotRows)
       .collect()(0).getAs[String]("strategy")
     val joined = strategy match {
@@ -194,7 +220,8 @@ object JoinPlanner extends QueryModule {
         BloomJoin.bloomFiltered(facts, factKey, dim, dimKey)
           .join(dim, col(factKey) === col(dimKey))
       case "salt" =>
-        SkewJoin.salted(facts, dim, factKey, dimKey, saltBy)
+        SkewJoin.salted(facts, dim, factKey, dimKey, saltBy,
+          Some(SkewJoin.hotKeys(kc, "k")))
       case _ =>
         facts.join(dim, col(factKey) === col(dimKey))
     }

@@ -121,10 +121,14 @@ object SketchStore extends graft.QueryModule {
     * per day directory — a day's state is read whole or not at all).
     * Overwrites any prior store at `path`.
     */
-  def save(spark: SparkSession, sfDir: String, path: String): Unit = {
-    save(Tables.events(spark, sfDir), path)
-    saveBloom(spark, sfDir, path)
-  }
+  def save(spark: SparkSession, sfDir: String, path: String): Unit =
+    // the five daily families and the bloom artifact are independent
+    // single-writer jobs into disjoint subdirs — overlap them (guide
+    // §2.6) so each job's scan/commit tail back-fills with the next
+    // family's work instead of idling the cluster six times over
+    graft.Par.jobs[Unit](
+      familyThunks(Tables.events(spark, sfDir), path) :+
+        (() => saveBloom(spark, sfDir, path)))
 
   /** The Bloom runtime filter as an ARTIFACT (corpus-level, not
     * daily): the build side's (n_build, m) meta row and its ≤m-row
@@ -132,11 +136,12 @@ object SketchStore extends graft.QueryModule {
     * kilobytes instead of re-scanning the build side — the saved form
     * of the runtime-filter/DPP shape.
     */
-  def saveBloom(spark: SparkSession, sfDir: String, path: String): Unit = {
-    val (msel, bits) = Sketches.bloomState(Sketches.bloomBuild(spark, sfDir))
-    msel.write.mode("overwrite").parquet(s"$path/bloom_meta")
-    bits.write.mode("overwrite").parquet(s"$path/bloom_bits")
-  }
+  def saveBloom(spark: SparkSession, sfDir: String, path: String): Unit =
+    graft.Profiling.phase("sketch.save_bloom") {
+      val (msel, bits) = Sketches.bloomState(Sketches.bloomBuild(spark, sfDir))
+      msel.write.mode("overwrite").parquet(s"$path/bloom_meta")
+      bits.write.mode("overwrite").parquet(s"$path/bloom_bits")
+    }
 
   /** The five daily-state families by name — [[save]] and the stress
     * harness's per-family attribution share this list.
@@ -150,9 +155,14 @@ object SketchStore extends graft.QueryModule {
     df.repartition(col("day"))
       .write.mode("overwrite").partitionBy("day").parquet(s"$path/$sub")
 
+  private def familyThunks(ev: DataFrame,
+      path: String): Seq[() => Unit] =
+    dailyFamilies.map { case (sub, fam) => () =>
+      graft.Profiling.phase(s"sketch.save_$sub") {
+        writeFamily(fam(ev), sub, path) } }
+
   def save(ev: DataFrame, path: String): Unit =
-    dailyFamilies.foreach { case (sub, fam) =>
-      writeFamily(fam(ev), sub, path) }
+    graft.Par.jobs[Unit](familyThunks(ev, path))
 
   /** The daily-job arrival path: (re)write ONE day's states into an
     * existing store. Dynamic partition overwrite replaces exactly the

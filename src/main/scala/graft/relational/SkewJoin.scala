@@ -52,17 +52,30 @@ object SkewJoin extends QueryModule {
   val HotK = 16
   val SaltFactor = 8
 
+  /** Top-[[HotK]] keys (cnt desc, key asc) from a (key, cnt) frame —
+    * the bounded driver list both [[salted]] and the K70 auto-router
+    * derive from the same key-count aggregate.
+    */
+  def hotKeys(keyCounts: DataFrame, keyCol: String): Array[Long] =
+    keyCounts
+      .orderBy(desc("cnt"), asc(keyCol))
+      .limit(HotK)
+      .collect().map(_.getLong(0)).sorted
+
   /** Two-path salted equi-join of `facts` (carrying `factKey` and a
     * unique `saltBy` column to derive the per-row salt) against
     * `dim` on `dimKey`. Returns the joined frame, result-identical
     * to `facts.join(dim, factKey === dimKey)`.
     */
   def salted(facts: DataFrame, dim: DataFrame,
-      factKey: String, dimKey: String, saltBy: String): DataFrame = {
-    val hot = facts.groupBy(factKey).agg(count(lit(1)).as("cnt"))
-      .orderBy(desc("cnt"), asc(factKey))
-      .limit(HotK)
-      .collect().map(_.getLong(0)).sorted
+      factKey: String, dimKey: String, saltBy: String,
+      precomputedHot: Option[Array[Long]] = None): DataFrame = {
+    // hot set from the caller when it already paid the fact key-count
+    // pass (the K70 advisor's stats aggregate produces exactly this
+    // frame — recomputing it here doubled the fact scans of every
+    // auto-routed salt join)
+    val hot = precomputedHot.getOrElse(
+      hotKeys(facts.groupBy(factKey).agg(count(lit(1)).as("cnt")), factKey))
     val saltExpr = expr(
       s"""cast(conv(substring(md5(concat('salt|', cast($saltBy as string))),
          |  1, 12), 16, 10) as bigint) % $SaltFactor""".stripMargin)

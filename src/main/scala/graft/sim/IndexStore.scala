@@ -478,9 +478,12 @@ object IndexStore extends graft.QueryModule {
         val emb = graft.sources.Tables.embeddings(spark, dir)
           .select("vec_id", "embedding")
         val cut = math.max(emb.count() / 2, Ivf.GivenCentroids.toLong)
-        Pq.saveIvfPq(emb.filter(col("vec_id") < cut), ixDir)
-        Pq.appendIvfPq(emb.filter(col("vec_id") >= cut), ixDir)
-        Pq.compactIvfPq(spark, ixDir)
+        graft.Profiling.phase("ivfpq_app.save") {
+          Pq.saveIvfPq(emb.filter(col("vec_id") < cut), ixDir) }
+        graft.Profiling.phase("ivfpq_app.append") {
+          Pq.appendIvfPq(emb.filter(col("vec_id") >= cut), ixDir) }
+        graft.Profiling.phase("ivfpq_app.compact") {
+          Pq.compactIvfPq(spark, ixDir) }
         ixDir
       })
     }

@@ -112,6 +112,14 @@ object Knn {
     */
   private def hybridTopK(q: DataFrame, c: DataFrame, k: Int,
       pair: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    // NOTE deliberately NOT materialized: the narrow pair frame feeds
+    // both the k-th-threshold aggregate and the candidate filter, so
+    // the pair join runs twice — but a localCheckpoint of it was
+    // measured NEUTRAL at sf0.1 (1.65→1.75 s warm on knn_join: the
+    // |pairs|-row materialization costs what the dedup saves), and at
+    // scale the checkpoint is byte-HEAVIER (n·cap narrow rows ≈
+    // 6 KB/vector stored vs ~1 KB/vector of duplicated input
+    // shuffle), so the recompute is the right trade both ways.
     val narrow = pair(q, c)
       .withColumn("cos_f", Vectors.cosineFrom(
         Vectors.dotFast("eq", "ec"), col("nq"), col("nc")))

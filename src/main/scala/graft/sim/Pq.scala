@@ -431,21 +431,36 @@ object Pq extends QueryModule {
     *    way; the ADC serve path never touches it).
     */
   def saveIvfPq(emb: DataFrame, dir: String): Unit = {
-    val (cents, assigned) = Ivf.givenListed(emb)
-    cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    codebook(emb).write.mode("overwrite").parquet(s"$dir/codebook")
+    val (cents, assigned) = graft.Profiling.phase("saveivfpq.givenListed") {
+      Ivf.givenListed(emb) }
+    // materialize the shared prerequisite of the codes layout before
+    // forking: residualCodes is a synchronized memo build, so forcing
+    // it here keeps the parallel region free of lock convoys
+    val rc = graft.Profiling.phase("saveivfpq.residualCodes") {
+      residualCodes(emb.select("vec_id", "embedding")) }
     val codeCols = (0 until NumSub).map(m =>
       max(when(col("m") === m, col("code"))).as(s"code_$m"))
-    residualCodes(emb.select("vec_id", "embedding"))
-      .groupBy("vec_id", "list_id")
-      .agg(codeCols.head, codeCols.tail: _*)
-      .repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id")
-      .parquet(s"$dir/codes")
-    assigned.select("vec_id", "embedding", "list_id")
-      .repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id")
-      .parquet(s"$dir/refine")
+    // four independent writes into disjoint subdirs (guide §2.6):
+    // centroids/codebook are tiny commits, codes and refine each a
+    // single-shuffle write off already-checkpointed inputs
+    graft.Par.jobs[Unit](Seq(
+      () => graft.Profiling.phase("saveivfpq.centroids_codebook") {
+        cents.write.mode("overwrite").parquet(s"$dir/centroids")
+        codebook(emb).write.mode("overwrite").parquet(s"$dir/codebook")
+      },
+      () => graft.Profiling.phase("saveivfpq.codes") {
+        rc.groupBy("vec_id", "list_id")
+          .agg(codeCols.head, codeCols.tail: _*)
+          .repartition(col("list_id"))
+          .write.mode("overwrite").partitionBy("list_id")
+          .parquet(s"$dir/codes")
+      },
+      () => graft.Profiling.phase("saveivfpq.refine") {
+        assigned.select("vec_id", "embedding", "list_id")
+          .repartition(col("list_id"))
+          .write.mode("overwrite").partitionBy("list_id")
+          .parquet(s"$dir/refine")
+      }))
   }
 
   // explicit schemas (the r9 empty-corpus discipline, and partition
@@ -506,15 +521,18 @@ object Pq extends QueryModule {
       .agg(min_by(col("cid"), struct(col("dsq"), col("cid"))).as("code"))
     val codeCols = (0 until NumSub).map(m =>
       max(when(col("m") === m, col("code"))).as(s"code_$m"))
-    codesLong.groupBy("vec_id", "list_id")
-      .agg(codeCols.head, codeCols.tail: _*)
-      .repartition(col("list_id"))
-      .write.mode("append").partitionBy("list_id")
-      .parquet(s"$dir/codes")
-    assigned.select("vec_id", "embedding", "list_id")
-      .repartition(col("list_id"))
-      .write.mode("append").partitionBy("list_id")
-      .parquet(s"$dir/refine")
+    // both appends read the checkpointed assignment and land in
+    // disjoint layouts — overlap them (guide §2.6)
+    graft.Par.jobs[Unit](Seq(
+      () => codesLong.groupBy("vec_id", "list_id")
+        .agg(codeCols.head, codeCols.tail: _*)
+        .repartition(col("list_id"))
+        .write.mode("append").partitionBy("list_id")
+        .parquet(s"$dir/codes"),
+      () => assigned.select("vec_id", "embedding", "list_id")
+        .repartition(col("list_id"))
+        .write.mode("append").partitionBy("list_id")
+        .parquet(s"$dir/refine")))
   }
 
   /** [[appendIvfPq]] guarded by a batch-id marker (the
@@ -526,7 +544,8 @@ object Pq extends QueryModule {
     * deduplicate and serialize their own batches (two concurrent
     * appends can interleave writes into the same partition
     * directories). Residual window (the applyDiffOnce caveat applies
-    * here too): the append is two write jobs (codes, then refine) and
+    * here too): the append is two write jobs (codes and refine,
+    * overlapped — either may commit first) and
     * the marker lands only after both — a crash after either append
     * committed but before the marker means the replay re-appends the
     * whole batch, duplicating its landed vec_id rows in the
@@ -560,14 +579,20 @@ object Pq extends QueryModule {
   def compactIvfPq(spark: SparkSession, dir: String): Unit = {
     recoverDeleteOld(spark, dir)
     val fs = graft.FsOps.fs(spark, dir)
-    for ((sub, df) <- Seq(
-        "codes" -> loadIvfPqCodes(spark, dir),
-        "refine" -> loadIvfPqRefine(spark, dir))) {
-      val staged = s"$dir/${sub}_compact_staging"
-      df.repartition(col("list_id"))
-        .write.mode("overwrite").partitionBy("list_id").parquet(staged)
-      graft.FsOps.swapDir(fs, staged, s"$dir/$sub")
-    }
+    // the two layout rewrites are independent (disjoint staging dirs,
+    // per-layout swap atomicity — the documented crash contract
+    // already allows the layouts to sit in different compaction
+    // generations) — overlap them (guide §2.6)
+    graft.Par.jobs[Unit](Seq(
+      "codes" -> loadIvfPqCodes(spark, dir),
+      "refine" -> loadIvfPqRefine(spark, dir)).map { case (sub, df) =>
+      () => {
+        val staged = s"$dir/${sub}_compact_staging"
+        df.repartition(col("list_id"))
+          .write.mode("overwrite").partitionBy("list_id").parquet(staged)
+        graft.FsOps.swapDir(fs, staged, s"$dir/$sub")
+      }
+    })
   }
 
   /** G30 — deletion from the composed index, completing its CRUD

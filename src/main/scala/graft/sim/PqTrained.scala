@@ -190,7 +190,15 @@ object PqTrained extends graft.QueryModule {
               .localCheckpoint(true)
             val sn = sample.count()
             val kk = math.max(2L, math.min(k.toLong, sn)).toInt
-            (0 until NumSub).toArray.map { m =>
+            // the M subspace fits are INDEPENDENT (each reads the
+            // shared checkpointed sample, each is seeded 42+m) —
+            // overlap them (guide §2.6): a single fit is dozens of
+            // tiny sequential jobs over ~TrainPerList·k rows, so on
+            // any non-saturated cluster the build was paying M
+            // sequential job-latency chains for one chain's work.
+            // Per-fit results are a pure function of (sample, seed),
+            // so concurrency cannot change the codebook.
+            graft.Par.jobs((0 until NumSub).map { m => () =>
               val feats = sample
                 .select(col("vec_id"),
                   array_to_vector(subCol(col("resid"), m)).as("features"))
@@ -199,7 +207,7 @@ object PqTrained extends graft.QueryModule {
               new KMeans().setK(kk).setSeed(42L + m)
                 .setFeaturesCol("features").setPredictionCol("code")
                 .fit(feats).clusterCenters.map(_.toArray)
-            }
+            }).toArray
           }
         // encode = one shuffle-free pass: the per-vector argmin over
         // k codewords × M subspaces is a tight numeric kernel (k·d
