@@ -16,6 +16,7 @@ object Caches {
     Memo.clearCacheForBench()
     dedup.NearDup.clearCacheForBench()
     text.Tfidf.clearCacheForBench()
+    text.Bpe.clearCacheForBench()
     forecast.Gbt.clearCacheForBench()
     pipeline.QualityModel.clearCacheForBench()
     sim.Pq.clearCacheForBench()

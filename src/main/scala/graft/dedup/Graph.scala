@@ -67,6 +67,12 @@ object Graph extends QueryModule {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     val nn = broadcast(deg.agg(count(lit(1)).as("n")))
+    // deg is LOOP-INVARIANT: annotate each edge with its source's
+    // out-degree ONCE instead of re-joining deg inside all Iters
+    // rounds (10 joins saved per search; per-round work drops to one
+    // co-partitioned join + one combinable sum)
+    val edgesDeg = edges.join(deg, "src")
+      .select("src", "dst", "deg").localCheckpoint(true)
     var pr = deg.crossJoin(nn)
       .select(col("src").as("doc_id"),
         expr(s"cast($Scale as bigint) div n").as("pr"))
@@ -75,9 +81,8 @@ object Graph extends QueryModule {
     // only periodic checkpoints so neither lineage depth nor
     // optimizer time grows with the round count.
     for (i <- 1 to Iters) {
-      pr = edges
+      pr = edgesDeg
         .join(pr.withColumnRenamed("doc_id", "src"), "src")
-        .join(deg, "src")
         .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy(col("dst").as("doc_id"))
         .agg(sum("c").as("s"))

@@ -43,7 +43,13 @@ object Gbt {
     * as `historical` when the GBT model wins (forecast_utils.py:112).
     */
   def supervisedHistory(obs: DataFrame): DataFrame =
-    supervised(obs).select("geo", "indicator", "year", "value")
+    // read the memoized training build's checkpointed supervised
+    // frame when it exists (every forecast-series caller has already
+    // forced it) instead of re-running the lag-features + split join
+    // per call; identical rows — feats IS supervised(obs) materialized
+    trained(obs).map(_._2)
+      .getOrElse(supervised(obs))
+      .select("geo", "indicator", "year", "value")
 
   // One GBT training per (session, panel plan): gbt_forecast,
   // model_select and forecast_series all reuse it. The model is a

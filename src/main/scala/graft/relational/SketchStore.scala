@@ -109,10 +109,13 @@ object SketchStore extends graft.QueryModule {
     val est = pos
       .join(broadcast(counters), Seq("day", "r", "b"))
       .groupBy("day", "user_id").agg(min("c").as("est_day"))
-    est.withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("day")
-          .orderBy(desc("est_day"), asc("user_id"))))
-      .filter(col("rn") <= HhN).drop("rn")
+    // bounded-heap top-K per day (CollectTopK), NOT a per-day window:
+    // the window funnels every day's full user set through one sort
+    // task per day just to keep 32 rows — the heap aggregate keeps
+    // ≤HhN rows per task per day map-side and ships only those
+    // (identical rows: same (est_day DESC, user_id ASC) order)
+    AggExpressions.topKPerKey(est, "day", "est_day", "user_id", Nil, HhN)
+      .select("day", "user_id", "est_day")
   }
 
   val HhN = 32

@@ -45,6 +45,13 @@ object SnapshotDiff extends QueryModule {
     * the streaming face's spec feed.
     */
   private[graft] def carved(orders: DataFrame): (DataFrame, DataFrame) = {
+    // NOTE deliberately not materialized: snapshot_apply reads the
+    // coined frame through 3 branches (both diff sides + the anti
+    // join), but a localCheckpoint here measured NEUTRAL-to-worse at
+    // sf0.1 (0.92→1.04 s warm — the md5 coin re-passes are cheaper
+    // than a table-sized materialization), and at 100 TB a
+    // table-sized checkpoint is exactly the storage bill repeated
+    // pushdown-pruned scans avoid.
     val o = orders
       .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate")
       .withColumn("c", expr(coinExpr))

@@ -298,15 +298,28 @@ object Pq extends QueryModule {
           .withColumn("resid", expr(
             "zip_with(embedding, ce, (x, c) -> cast(x as double) - cast(c as double))"))
           .select("vec_id", "list_id", "resid")
+        // per-subspace argmins fused into ONE aggregate over the
+        // (vec, candidate-codeword) rows, then unpivoted: the former
+        // stack-first form exploded the distance rows ×NumSub before
+        // aggregating and shuffled 4 rows per vector — this ships one
+        // map-side-reduced row per vector and stacks AFTER the
+        // aggregate (a projection: no exchange, and the (vec_id,
+        // list_id) partitioning survives for saveIvfPq's re-pivot).
+        // min_by per m over the same (dsq, cid) order — codes
+        // identical.
         resid.crossJoin(broadcast(codebook(emb)))
           .select(col("vec_id") :: col("list_id") :: col("cid") ::
             (0 until NumSub).map(m =>
               subDistSqD("resid", "ce", m).as(s"d$m")).toList: _*)
-          .selectExpr("vec_id", "list_id", "cid",
+          .groupBy("vec_id", "list_id")
+          .agg(
+            min_by(col("cid"), struct(col("d0"), col("cid"))).as("code_0"),
+            (1 until NumSub).map(m =>
+              min_by(col("cid"), struct(col(s"d$m"), col("cid")))
+                .as(s"code_$m")): _*)
+          .selectExpr("vec_id", "list_id",
             s"stack($NumSub, ${(0 until NumSub)
-              .map(m => s"$m, d$m").mkString(", ")}) as (m, dsq)")
-          .groupBy("vec_id", "list_id", "m")
-          .agg(min_by(col("cid"), struct(col("dsq"), col("cid"))).as("code"))
+              .map(m => s"$m, code_$m").mkString(", ")}) as (m, code)")
           .localCheckpoint(true)
       })
     }
@@ -510,22 +523,25 @@ object Pq extends QueryModule {
       .withColumn("resid", expr(
         "zip_with(embedding, ce, (x, c) -> cast(x as double) - cast(c as double))"))
       .select("vec_id", "list_id", "resid")
-    val codesLong = resid.crossJoin(broadcast(cb))
+    // per-subspace argmins in ONE aggregate directly over the
+    // (vec, candidate-codeword) rows: the former stack-unpivot +
+    // groupBy(vec, list, m) + pivot-groupBy(vec, list) chain ran TWO
+    // shuffles and exploded the distance rows ×NumSub first — the
+    // fused form ships each (vec, cid) row once and its map-side
+    // partial aggregate already reduces to one row per vector
+    // (min_by per m over the same (dsq, cid) order — identical codes)
+    val codeCols = (0 until NumSub).map(m =>
+      min_by(col("cid"), struct(col(s"d$m"), col("cid"))).as(s"code_$m"))
+    val codesWide = resid.crossJoin(broadcast(cb))
       .select(col("vec_id") :: col("list_id") :: col("cid") ::
         (0 until NumSub).map(m =>
           subDistSqD("resid", "ce", m).as(s"d$m")).toList: _*)
-      .selectExpr("vec_id", "list_id", "cid",
-        s"stack($NumSub, ${(0 until NumSub)
-          .map(m => s"$m, d$m").mkString(", ")}) as (m, dsq)")
-      .groupBy("vec_id", "list_id", "m")
-      .agg(min_by(col("cid"), struct(col("dsq"), col("cid"))).as("code"))
-    val codeCols = (0 until NumSub).map(m =>
-      max(when(col("m") === m, col("code"))).as(s"code_$m"))
+      .groupBy("vec_id", "list_id")
+      .agg(codeCols.head, codeCols.tail: _*)
     // both appends read the checkpointed assignment and land in
     // disjoint layouts — overlap them (guide §2.6)
     graft.Par.jobs[Unit](Seq(
-      () => codesLong.groupBy("vec_id", "list_id")
-        .agg(codeCols.head, codeCols.tail: _*)
+      () => codesWide
         .repartition(col("list_id"))
         .write.mode("append").partitionBy("list_id")
         .parquet(s"$dir/codes"),

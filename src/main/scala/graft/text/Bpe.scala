@@ -33,12 +33,34 @@ object Bpe {
   /** Number of merge rounds learned. */
   val Merges = 3
 
+  // One BPE training per (session, corpus plan, text column):
+  // bpe_merges and bpe_fertility both consume the identical learned
+  // state — unshared, each re-ran the full multi-round merge loop
+  // (the NearDup/Tfidf memo discipline; evicted per bench sweep so
+  // the training is still timed cold each sweep).
+  private val trainedCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, String),
+      (DataFrame, DataFrame)]
+
+  /** Bench instrumentation only: evict so a sweep re-times the build cold. */
+  private[graft] def clearCacheForBench(): Unit = trainedCache.clear()
+
+  private def trained(docs: DataFrame, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val key = (docs.sparkSession, graft.Memo.planKey(docs), textCol)
+    trainedCache.filterInPlace { case ((s, _, _), _) =>
+      !s.sparkContext.isStopped }
+    trainedCache.synchronized {
+      trainedCache.getOrElseUpdate(key, trainedBuild(docs, textCol))
+    }
+  }
+
   /** The training loop: learns [[Merges]] merges AND carries the
     * word-frequency table through them — (merge table, final word
     * table with each word's post-merge symbol string). The word table
     * is vocab-rows-sized throughout, never corpus-sized.
     */
-  private def trained(docs: DataFrame, textCol: String)
+  private def trainedBuild(docs: DataFrame, textCol: String)
       : (DataFrame, DataFrame) = {
     // word-frequency table: the only corpus-sized pass
     val words = docs

@@ -53,14 +53,23 @@ object LangId {
     */
   def classify(docs: DataFrame, profile: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val docGrams = trigrams(docs.select(idCol, textCol), textCol)
-      .select(col(idCol), col("g")).distinct()
-    val scores = docGrams.join(broadcast(profile), "g")
+    // broadcast-join BEFORE deduplicating: the profile filter drops
+    // every non-profile trigram occurrence map-side, so the dedup
+    // runs inside one count-distinct aggregate over the (much
+    // smaller) profile-hit rows instead of a standalone distinct
+    // exchange over the corpus's full (doc, trigram) set; the former
+    // per-doc row_number window (exchange + sort just to keep row 1)
+    // is an argmax aggregate — min_by over (-overlap, p_lang) is
+    // exactly the (overlap DESC, p_lang ASC) head. Same rows out.
+    val scores = trigrams(docs.select(idCol, textCol), textCol)
+      .select(col(idCol), col("g"))
+      .join(broadcast(profile), "g")
       .groupBy(col(idCol), col("p_lang"))
-      .agg(count(lit(1)).as("overlap"))
-    val w = Window.partitionBy(idCol).orderBy(desc("overlap"), asc("p_lang"))
-    scores.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("p_lang").as("pred_lang"), col("overlap"))
+      .agg(count_distinct(col("g")).as("overlap"))
+    scores.groupBy(col(idCol))
+      .agg(min_by(struct(col("p_lang"), col("overlap")),
+        struct(-col("overlap"), col("p_lang"))).as("_best"))
+      .select(col(idCol), col("_best.p_lang").as("pred_lang"),
+        col("_best.overlap").as("overlap"))
   }
 }
