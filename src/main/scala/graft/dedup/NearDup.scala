@@ -62,9 +62,11 @@ object NearDup {
               .localCheckpoint(true) }
           val sigs = graft.Profiling.phase("neardup.sigs") {
             Dedup.minhashSigs(sh).localCheckpoint(true) }
-          val pairs = graft.Profiling.phase("neardup.pairs") {
-            Dedup.jaccardVerify(
-              Dedup.bucketPairs(Dedup.bandBuckets(sigs)), sh, tau)
+          val cand = graft.Profiling.phase("neardup.cand") {
+            Dedup.bucketPairs(Dedup.bandBuckets(sigs))
+              .localCheckpoint(true) }
+          val pairs = graft.Profiling.phase("neardup.verify") {
+            Dedup.jaccardVerify(cand, sh, tau)
               .localCheckpoint(true) }
           val ix = new Index(sh, sigs, pairs)
           cache.put(key, ix)

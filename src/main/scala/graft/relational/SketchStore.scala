@@ -158,11 +158,21 @@ object SketchStore extends graft.QueryModule {
     df.repartition(col("day"))
       .write.mode("overwrite").partitionBy("day").parquet(s"$path/$sub")
 
+  /** Longest-first submission order for the overlapped save (LPT
+    * scheduling): hh and cms are the measured-slowest families
+    * (2.4 s / 1.3 s vs ~1.2 s for the rest at sf0.1), and with a
+    * bounded pool a slow job submitted LAST lands alone on the
+    * critical-path tail — submitted first it overlaps everything.
+    * Pure scheduling; per-family output unchanged.
+    */
+  private val saveOrder = Seq("hh", "cms", "hll", "kmv", "qtl")
+
   private def familyThunks(ev: DataFrame,
       path: String): Seq[() => Unit] =
-    dailyFamilies.map { case (sub, fam) => () =>
-      graft.Profiling.phase(s"sketch.save_$sub") {
-        writeFamily(fam(ev), sub, path) } }
+    dailyFamilies.sortBy { case (sub, _) => saveOrder.indexOf(sub) }
+      .map { case (sub, fam) => () =>
+        graft.Profiling.phase(s"sketch.save_$sub") {
+          writeFamily(fam(ev), sub, path) } }
 
   def save(ev: DataFrame, path: String): Unit =
     graft.Par.jobs[Unit](familyThunks(ev, path))
